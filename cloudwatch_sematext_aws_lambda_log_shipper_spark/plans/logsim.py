@@ -1,0 +1,174 @@
+"""Deterministic log-line synthesis from the `events` table + oracle-checked
+parse-kernel queries.
+
+The driver's correctness gate runs DuckDB SQL over the same parquet, so
+the parse kernel (S6-S14) is exercised end-to-end by synthesizing the
+reference's three message classes (JSON / structured / plain, plus the
+Q4 corrupt class) from `events` rows with pure SQL-expressible string
+ops, running the REAL kernel in Spark, and replicating the verified
+golden semantics (FIXTURES.md A3) in the oracle SQL.
+
+Mapping (m = event_id % 5):
+  m=0  props JSON without a `message` key  -> Q3 fall-through to plain
+  m=1  JSON log with message + requestId   -> JSON branch
+  m=2  tab-structured line                 -> structured branch
+  m=3  space-separated structured line     -> Q4 corrupt -> DLQ (dropped)
+  m=4  plain text (sometimes containing 'error')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_log_events, split_dlq
+from .registry import load, query
+
+TS_LIT = "2024-01-01T10:00:00.000Z"
+UUID_PREFIX = "00000000-0000-4000-8000-"
+LOG_GROUP = "/aws/lambda/evt-gen"
+LOG_STREAM = "2024/01/01/[9]abc123"
+
+
+def synth_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows -> (awsRegion, logGroup, logStream, message)."""
+    events = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    uuid = F.concat(F.lit(UUID_PREFIX), F.lpad(uid, 12, "0"))
+    m = F.col("event_id") % 5
+    message = (
+        F.when(m == 0, F.col("props"))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('{"message":"'),
+                F.col("event_type"),
+                F.lit(' happened","requestId":"u'),
+                uid,
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(TS_LIT + "\t"), uuid, F.lit("\t"), F.col("event_type"),
+                F.lit(" processed"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit(TS_LIT + " "), uuid, F.lit(" "), F.col("event_type"),
+                F.lit(" spaced"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("plain text for "),
+                F.col("event_type"),
+                F.when(F.col("value") > 150, F.lit(" error detected")).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+    )
+    return events.select(
+        F.lit("us-east-1").alias("awsRegion"),
+        F.lit(LOG_GROUP).alias("logGroup"),
+        F.lit(LOG_STREAM).alias("logStream"),
+        message.alias("message"),
+    )
+
+
+# The oracle replicates the golden parse semantics in pure SQL: branch
+# selection, message extraction, Q4 exclusion, and checkLogError
+# precedence (Q1) — including the configuration/timeout buckets even
+# though these messages can't hit them, for faithfulness.
+_ORACLE = f"""
+WITH msgs AS (
+  SELECT event_id % 5 AS m, event_type, value, user_id, props FROM events
+), parsed AS (
+  SELECT
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message,
+    CASE
+      WHEN m = 1 THEN 'u' || CAST(user_id AS VARCHAR)
+      WHEN m = 2 THEN '{UUID_PREFIX}' || lpad(CAST(user_id AS VARCHAR), 12, '0')
+    END AS request_id
+  FROM msgs
+  WHERE m <> 3  -- Q4 corrupt class routed to DLQ, absent from clean output
+), classified AS (
+  SELECT
+    request_id,
+    CASE
+      WHEN lower(message) LIKE '%error%'
+        OR lower(message) LIKE '%module initialization error%'
+        OR lower(message) LIKE '%unable to import module%'
+        OR lower(message) LIKE '%task timed out%'
+        OR lower(message) LIKE '%process exited before completing%'
+      THEN 'error' ELSE 'debug' END AS severity,
+    CASE
+      WHEN lower(message) LIKE '%error%' THEN 'runtime'
+      WHEN lower(message) LIKE '%module initialization error%'
+        OR lower(message) LIKE '%unable to import module%' THEN 'configuration'
+      WHEN lower(message) LIKE '%task timed out%'
+        OR lower(message) LIKE '%process exited before completing%' THEN 'timeout'
+    END AS error_type
+  FROM parsed
+)
+SELECT severity, error_type, count(*) AS n,
+       count(DISTINCT request_id) AS n_request_ids
+FROM classified
+GROUP BY severity, error_type
+"""
+
+
+@query("log_parse_severity", _ORACLE)
+def log_parse_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full parse kernel (S6-S14) + DLQ split (S17) + aggregate.
+
+    Scale: parse is narrow; the single groupBy shuffles 4 tiny grouped
+    rows per partition after map-side partial aggregation — at 100 TB
+    this stays scan-bound.
+    """
+    parsed = parse_log_events(synth_log_events(spark, sf_dir))
+    clean, _dlq = split_dlq(parsed)
+    return clean.groupBy(
+        F.col("severity"), F.col("`error.type`").alias("error_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("`function.request.id`")).alias("n_request_ids"),
+    )
+
+
+_DISPATCH_ORACLE = """
+WITH msgs AS (
+  SELECT event_id % 5 AS m FROM events
+)
+SELECT CASE WHEN m = 1 THEN 'json'
+            WHEN m = 2 THEN 'structured'
+            ELSE 'plain' END AS branch,
+       count(*) AS n
+FROM msgs WHERE m <> 3
+GROUP BY branch
+"""
+
+
+@query("log_parse_dispatch", _DISPATCH_ORACLE)
+def log_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dispatch counts (S10): which branch each message lands in,
+    reconstructed from output columns (attributes map only on JSON rows,
+    request id format distinguishes structured)."""
+    parsed = parse_log_events(synth_log_events(spark, sf_dir))
+    clean, _ = split_dlq(parsed)
+    branch = (
+        F.when(F.col("attributes").isNotNull(), F.lit("json"))
+        .when(F.col("`@timestamp`").isNotNull(), F.lit("structured"))
+        .otherwise(F.lit("plain"))
+    )
+    return clean.groupBy(branch.alias("branch")).agg(F.count(F.lit(1)).alias("n"))
