@@ -24,8 +24,11 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (  # noqa: F4
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return registry.QUERIES["log_parse_severity"](spark, "/root/testdata/sf0.001")
+    """Flagship query; driver checks rows>0. Honors SPARK_GRAFT_SF_DIR so
+    the same entry benches at any scale (defaults to the smoke-test sf)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    name = "log_pipeline_e2e" if "log_pipeline_e2e" in registry.QUERIES else "log_parse_severity"
+    return registry.QUERIES[name](spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
