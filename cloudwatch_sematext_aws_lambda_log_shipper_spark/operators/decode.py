@@ -67,7 +67,8 @@ def decode_records(records: DataFrame, data_col: str = "data",
                    region_col: str = "awsRegion") -> DataFrame:
     """Kinesis records (one row per record) -> decoded envelope rows.
 
-    Output columns: awsRegion, messageType, logGroup, logStream, logEvents.
+    Output columns: awsRegion, messageType, logGroup, logStream, logEvents,
+    decode_error, _raw_data (original base64 string, kept for DLQ replay).
     CONTROL_MESSAGE records are dropped (S5, shipper.js:125). Records whose
     payload fails to decode/parse surface as decode_error=true for DLQ
     routing (engine improvement over reference crash, SURVEY.md Q4/S17).
@@ -85,6 +86,7 @@ def decode_records(records: DataFrame, data_col: str = "data",
             F.col("_payload.logStream").alias("logStream"),
             F.col("_payload.logEvents").alias("logEvents"),
             F.col("_payload").isNull().alias("decode_error"),
+            F.col(data_col).alias("_raw_data"),
         )
     )
 

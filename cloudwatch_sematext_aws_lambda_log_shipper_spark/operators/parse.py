@@ -84,7 +84,10 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     """
     msg = F.col("message")
 
-    df = events.filter(~is_platform_message(msg) & msg.isNotNull())
+    # Null messages are routed to the DLQ (is_corrupt=true) rather than
+    # silently dropped — consistent with the engine's fix-Q4-via-DLQ
+    # stance (the reference crashed the batch on a null message).
+    df = events.filter(msg.isNull() | ~is_platform_message(msg))
 
     # Compute the dispatch inputs once each.
     v = F.try_parse_json(msg)
@@ -97,9 +100,13 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     df = (
         df.withColumn("_json_ok", json_ok)
         .withColumn("_parts", parts)
+        # Residual user-JSON map, computed ONCE (was inlined 5x; Catalyst
+        # CSE usually collapses that, but an explicit column is guaranteed).
+        .withColumn("_user_map", F.from_json(msg, "map<string,string>"))
         .withColumn(
             "_branch",
-            F.when(F.col("_json_ok"), F.lit("json"))
+            F.when(msg.isNull(), F.lit("corrupt"))
+            .when(F.col("_json_ok"), F.lit("json"))
             .when(structured & (F.size("_parts") >= 3), F.lit("structured"))
             .when(structured, F.lit("corrupt"))  # Q4 class
             .otherwise(F.lit("plain")),
@@ -112,10 +119,17 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     # map<string,string> stringifies scalar values and keeps nested
     # object/array values as their JSON text.
     attr_map = F.map_filter(
-        F.from_json(msg, "map<string,string>"),
-        lambda k, _: ~k.isin(_RESERVED_JSON_KEYS),
+        F.col("_user_map"), lambda k, _: ~k.isin(_RESERVED_JSON_KEYS)
     )
-    user_key = lambda key: F.element_at(F.from_json(msg, "map<string,string>"), key)
+
+    def user_override(key: str, derived: Column) -> Column:
+        """JS spread semantics: a user key PRESENT in the JSON overrides the
+        derived value even when its value is null ({"function.name":null}
+        ships name=null). map_contains_key gate, not coalesce."""
+        return F.when(
+            F.map_contains_key(F.col("_user_map"), F.lit(key)),
+            F.element_at(F.col("_user_map"), key),
+        ).otherwise(derived)
 
     branch = F.col("_branch")
     message_out = (
@@ -126,11 +140,11 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     )
     timestamp_out = F.when(
         branch == "json",
-        F.coalesce(user_key("@timestamp"), _variant_str(vcol, "$.timestamp")),
+        user_override("@timestamp", _variant_str(vcol, "$.timestamp")),
     ).when(branch.isin("structured", "corrupt"), F.element_at(p, 1))
     request_id_out = F.when(
         branch == "json",
-        F.coalesce(user_key("function.request.id"), _variant_str(vcol, "$.requestId")),
+        user_override("function.request.id", _variant_str(vcol, "$.requestId")),
     ).when(
         branch.isin("structured", "corrupt"),
         F.when(F.size(p) >= 2, F.element_at(p, 2)),
@@ -141,12 +155,10 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     severity, error_type = severity_columns(message_out)
 
     out = df.select(
-        F.when(branch == "json", F.coalesce(user_key("function.name"), name_derived))
+        F.when(branch == "json", user_override("function.name", name_derived))
         .otherwise(name_derived)
         .alias("function.name"),
-        F.when(
-            branch == "json", F.coalesce(user_key("function.version"), version_derived)
-        )
+        F.when(branch == "json", user_override("function.version", version_derived))
         .otherwise(version_derived)
         .alias("function.version"),
         timestamp_out.alias("@timestamp"),

@@ -1,0 +1,117 @@
+"""Sinks (S16 + S17 landing): date-partitioned parquet log table, DLQ
+path, and an Elasticsearch ``_bulk``-shaped NDJSON writer.
+
+Reference: shipper.js:143-148 ships each parsed log via logsene-js into
+an ES-compatible ``_bulk`` endpoint (sample.secrets.json:3), buffering
+``LOGS_BULK_SIZE``=100 docs per POST with a ``LOG_INTERVAL``=2000 ms
+flush (serverless.yml:34-37). The Spark-native equivalents:
+
+- **log table**: parquet partitioned by ``log_date`` (derived from
+  `@timestamp`). At 100 TB this is the layout that makes retention (C5)
+  a partition drop and gives every downstream query date-partition
+  pruning for free. Dotted reference column names are preserved.
+- **DLQ**: corrupt rows (decode failures, Q4-class lines, null
+  messages) land under ``dlq/`` with the raw payload for replay —
+  the reference's own TODO (shipper.js:158) done right.
+- **bulk NDJSON**: each output file holds at most ``bulk_size`` docs
+  (``maxRecordsPerFile``) — one file == one ``_bulk`` POST body. The
+  2000 ms flush interval maps to the streaming trigger
+  (streaming/pipeline.py), not to this batch writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DEFAULT_CONFIG, EngineConfig
+
+# Sentinel partition for rows whose @timestamp is missing/unparseable —
+# keeps them queryable instead of failing the write.
+UNDATED = "1970-01-01"
+
+
+def with_log_date(df: DataFrame) -> DataFrame:
+    """Derive the partition column from the reference's string timestamp.
+
+    try_to_timestamp (not to_timestamp): a malformed user-supplied
+    timestamp must not poison the batch (Q4 philosophy).
+    """
+    return df.withColumn(
+        "log_date",
+        F.coalesce(
+            F.to_date(F.try_to_timestamp(F.col("`@timestamp`"))),
+            F.to_date(F.lit(UNDATED)),
+        ),
+    )
+
+
+def write_log_table(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Land clean log records in the date-partitioned parquet log table."""
+    with_log_date(df).write.mode(mode).partitionBy("log_date").parquet(path)
+
+
+def read_log_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_dlq(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Land DLQ rows (with _raw replay payload), partitioned by date too
+    so replay jobs can target a window."""
+    with_log_date(df).write.mode(mode).partitionBy("log_date").parquet(path)
+
+
+def to_bulk_ndjson(df: DataFrame) -> DataFrame:
+    """Parsed log records -> one string row per doc in ES ``_bulk`` wire
+    shape: an action line and the JSON doc separated by a newline.
+
+    Mirrors logger.log(severity, 'LogseneJS', log) (shipper.js:145):
+    severity rides in the action metadata; the doc is the full record
+    with dotted ES field names (attributes map inlined as a JSON object).
+    """
+    doc = F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+    action = F.concat(
+        F.lit('{"index":{"_type":"'), F.col("severity"), F.lit('"}}')
+    )
+    return df.select(F.concat(action, F.lit("\n"), doc).alias("value"))
+
+
+def write_bulk_ndjson(
+    df: DataFrame, path: str, bulk_size: int = DEFAULT_CONFIG.bulk_size,
+    mode: str = "append",
+) -> None:
+    """Write ``_bulk`` payload files, at most ``bulk_size`` docs per file
+    (LOGS_BULK_SIZE=100, serverless.yml:36) — one file per bulk POST.
+
+    maxRecordsPerFile does the chunking JVM-side; no driver collect, no
+    Python loop — scales to any partition count.
+    """
+    (
+        to_bulk_ndjson(df)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", bulk_size)
+        .text(path)
+    )
+
+
+class LogSink:
+    """Batch shipper: routes (clean, dlq) to the log table, the DLQ path,
+    and optionally the bulk NDJSON staging dir — the Spark analog of
+    shipLogs + clearLogBuffer (shipper.js:143-148)."""
+
+    def __init__(self, base_dir: str, config: EngineConfig = DEFAULT_CONFIG,
+                 bulk: bool = False):
+        self.log_table = os.path.join(base_dir, "logs")
+        self.dlq_path = os.path.join(base_dir, "dlq")
+        self.bulk_path = os.path.join(base_dir, "bulk")
+        self.config = config
+        self.bulk = bulk
+
+    def ship(self, clean: DataFrame, dlq: DataFrame, mode: str = "append") -> None:
+        write_log_table(clean, self.log_table, mode=mode)
+        write_dlq(dlq, self.dlq_path, mode=mode)
+        if self.bulk:
+            write_bulk_ndjson(clean, self.bulk_path,
+                              bulk_size=self.config.bulk_size, mode=mode)

@@ -88,7 +88,7 @@ def test_full_pipeline_end_to_end(spark):
 
 
 def test_observe_counters(spark):
-    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
 
     df = records_df(
         spark,
@@ -98,12 +98,28 @@ def test_observe_counters(spark):
             make_payload(["d"]),
         ],
     )
-    parsed = parse_kinesis_records(df, observe=True)
-    observation_rows = parsed.count()  # trigger
-    # recordCounter excludes CONTROL (shipper.js:125-126); logEventCounter
-    # counts all events of surviving records (shipper.js:136).
-    # (Spark Observation API needs the instance; re-derive via collect.)
-    assert observation_rows == 3
+    obs = Observation("shipper_metrics")
+    parsed = parse_kinesis_records(df, observe=obs)
+    assert parsed.count() == 3
+    # recordCounter excludes CONTROL and decode failures (shipper.js:125-126
+    # only increments after a successful decode); logEventCounter counts all
+    # events of surviving records (shipper.js:136).
+    assert obs.get["record_counter"] == 2
+    assert obs.get["log_event_counter"] == 3
+
+
+def test_observe_excludes_decode_errors(spark):
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [Row(data=gzip_b64(make_payload(["a"])), awsRegion="r"),
+         Row(data="AAAA", awsRegion="r")]
+    )
+    obs = Observation()
+    parsed = parse_kinesis_records(df, observe=obs)
+    assert parsed.count() == 2  # 1 clean + 1 decode-error DLQ row
+    assert obs.get["record_counter"] == 1
+    assert obs.get["log_event_counter"] == 1
 
 
 def test_corrupt_gzip_does_not_poison_batch(spark):
@@ -120,3 +136,43 @@ def test_corrupt_gzip_does_not_poison_batch(spark):
     # corrupt records survive as decode_error rows; good record parses
     assert sum(1 for e in got if e.decode_error) == 2
     assert sum(1 for e in got if not e.decode_error) == 1
+
+
+def test_corrupt_records_reach_dlq_end_to_end(spark):
+    """The full pipeline must not lose decode-corrupt records (the round-1
+    black hole: explode on a NULL logEvents array dropped them)."""
+    good = gzip_b64(make_payload(["ok"]))
+    df = spark.createDataFrame(
+        [
+            Row(data=good, awsRegion="r"),
+            Row(data="AAAA", awsRegion="r"),
+            Row(data="!!!not-base64!!!", awsRegion="r"),
+        ]
+    )
+    clean, dlq = run_batch(df)
+    assert clean.count() == 1
+    dlq_rows = dlq.collect()
+    assert len(dlq_rows) == 2
+    # original base64 payload kept for replay
+    assert {r["_raw"] for r in dlq_rows} == {"AAAA", "!!!not-base64!!!"}
+    assert all(r["is_corrupt"] for r in dlq_rows)
+
+
+def test_null_message_routes_to_dlq(spark):
+    """A logEvent with a null message is DLQ'd, not silently dropped (the
+    reference crashed the batch; a silent drop would be a third behavior)."""
+    payload = json.dumps(
+        {
+            "messageType": "DATA_MESSAGE",
+            "logGroup": "/aws/lambda/fn-a",
+            "logStream": "s",
+            "logEvents": [
+                {"id": "0", "timestamp": 1, "message": None},
+                {"id": "1", "timestamp": 2, "message": "fine"},
+            ],
+        }
+    )
+    df = spark.createDataFrame([Row(data=gzip_b64(payload), awsRegion="r")])
+    clean, dlq = run_batch(df)
+    assert [r["message"] for r in clean.collect()] == ["fine"]
+    assert dlq.count() == 1

@@ -87,6 +87,16 @@ def test_f5b_spread_overrides_function_fields(spark):
     assert r["attributes"] == {}
 
 
+def test_f5c_explicit_null_override(spark):
+    # A user key PRESENT with a null value overrides the derived value to
+    # null in the JS spread — replicated via map_contains_key gating
+    # (coalesce would incorrectly fall back to the derived value).
+    [r] = parse_one(spark, '{"message":"ok","function.name":null,"@timestamp":null}')
+    assert r["function.name"] is None
+    assert r["@timestamp"] is None
+    assert r["function.version"] == "42"  # absent key -> derived survives
+
+
 def test_f6_structured(spark):
     [r] = parse_one(spark, f"{TS}\t{UUID}\tHello World!")
     assert r["@timestamp"] == TS
