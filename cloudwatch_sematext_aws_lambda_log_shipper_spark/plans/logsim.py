@@ -18,10 +18,13 @@ Mapping (m = event_id % 5):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.parse import parse_log_events, split_dlq
+from ..sink import read_log_table, write_log_table
 from .registry import load, query
 
 TS_LIT = "2024-01-01T10:00:00.000Z"
@@ -157,6 +160,55 @@ SELECT CASE WHEN m = 1 THEN 'json'
 FROM msgs WHERE m <> 3
 GROUP BY branch
 """
+
+
+_ROUNDTRIP_ORACLE = """
+WITH msgs AS (
+  SELECT event_id % 5 AS m, event_type, value, props FROM events
+), parsed AS (
+  SELECT
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message,
+    -- only the structured branch (m=2) carries a parseable timestamp;
+    -- undated rows land in the 1970-01-01 sentinel partition
+    CASE WHEN m = 2 THEN DATE '2024-01-01' ELSE DATE '1970-01-01' END AS log_date
+  FROM msgs
+  WHERE m <> 3
+)
+SELECT log_date,
+       CASE WHEN lower(message) LIKE '%error%' THEN 'error' ELSE 'debug' END
+         AS severity,
+       count(*) AS n
+FROM parsed
+GROUP BY log_date, severity
+"""
+
+
+@query("log_table_roundtrip", _ROUNDTRIP_ORACLE)
+def log_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink S16 end-to-end: parse -> write date-partitioned parquet log
+    table -> read back -> aggregate per partition.
+
+    Scale: the write is the canonical 100 TB layout (partitioned by
+    log_date, zstd parquet); the read-back aggregation gets partition
+    pruning + map-side partial aggregation for free.
+    """
+    clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
+    base = os.path.join(
+        "/tmp/spark_graft_sink", os.path.basename(os.path.normpath(sf_dir))
+    )
+    table = os.path.join(base, "logs")
+    write_log_table(clean, table, mode="overwrite")
+    return (
+        read_log_table(spark, table)
+        .groupBy("log_date", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 @query("log_parse_dispatch", _DISPATCH_ORACLE)
