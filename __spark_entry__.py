@@ -20,6 +20,7 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import registry
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (  # noqa: F401
     analytics,
     logsim,
+    relational,
 )
 
 

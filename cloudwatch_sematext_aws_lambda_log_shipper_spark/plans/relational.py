@@ -1,0 +1,191 @@
+"""Relational query surface: joins, window functions, sorts/top-k,
+rollup, set operations (SURVEY.md §2.3 — the downstream analytics the
+reference's shipped ES index serves).
+
+Scale notes apply to every query here:
+- small dimensions (customer/nation/region) are broadcast explicitly —
+  no shuffle of the fact side at any scale;
+- aggregations rely on map-side partial aggregation;
+- window top-N never sorts globally: rank within key partitions, and
+  the final orderBy runs on the already-tiny ranked output;
+- all money sums follow the registry DECIMAL-exact determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load, query
+
+
+def _dec(col, p=12, s=2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+_SEGMENT_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("orders_by_segment", _SEGMENT_ORACLE)
+def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join + aggregate.
+
+    Scale: customer is the small side -> explicit broadcast() hint, so
+    the orders fact table never shuffles; the groupBy output is 5 rows.
+    At 100 TB the plan stays scan -> broadcast-hash-join -> partial agg.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice", 14)).cast("double").alias("revenue"),
+        )
+    )
+
+
+_TOP_CUST_ORACLE = """
+WITH rev AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name, c_nationkey
+), ranked AS (
+  SELECT n_name AS nation, c_name, revenue,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey) AS rnk
+  FROM rev JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, c_name, revenue, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("top_customers_per_nation", _TOP_CUST_ORACLE)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-N per key (row_number over partitioned rank).
+
+    Scale: revenue agg shuffles on c_custkey (unavoidable, but partial
+    aggregation shrinks it); nation joins via broadcast; the window
+    partitions by nation — 25 partitions of pre-aggregated (one row per
+    customer) data, never a global sort of the fact table.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(_dec("o_totalprice", 14)).cast("double").alias("revenue"))
+    )
+    ranked = rev.join(
+        F.broadcast(nation), rev.c_nationkey == nation.n_nationkey
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("n_name").orderBy(
+                F.col("revenue").desc(), F.col("c_custkey")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 3).select(
+        F.col("n_name").alias("nation"), "c_name", "revenue", "rnk"
+    )
+
+
+_TOP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("top_orders", _TOP_ORDERS_ORACLE)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k via orderBy+limit.
+
+    Scale: Spark compiles this to TakeOrderedAndProject — each partition
+    keeps its local top 10, only k rows per partition reach the driver
+    stage. No full sort, no full shuffle, at any scale.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("lineitem_rollup", _ROLLUP_ORACLE)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping sets): per (flag,status), per flag,
+    grand total — one pass, built-in ROLLUP.
+
+    Scale: Expand multiplies rows 3x before the shuffle, but partial
+    aggregation collapses each map task to <=3x|groups| rows first.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_SETOPS_ORACLE = """
+(SELECT c_custkey AS custkey FROM customer
+ INTERSECT
+ SELECT o_custkey AS custkey FROM orders)
+EXCEPT
+SELECT user_id AS custkey FROM events
+"""
+
+
+@query("ordered_but_eventless_customers", _SETOPS_ORACLE)
+def ordered_but_eventless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers that placed orders (customer INTERSECT
+    orders keys) but never emitted a tracked event (EXCEPT events users).
+
+    Scale: each leg is a pushed-down single-column projection + distinct;
+    set ops hash-shuffle only distinct keys (bounded by |customers|, not
+    |orders| or |events|).
+    """
+    cust = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    ords = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("custkey"))
+    return cust.intersect(ords).subtract(ev)
+
+
+@query("events_daily_approx")  # approximate -> rows-only driver check
+def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant of events_daily: approx_count_distinct (HLL)
+    instead of exact distinct — no expand, single shuffle, constant
+    memory per group. The exact version stays for oracle parity; THIS
+    is the form to run at 100 TB (SURVEY.md §2.3)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )
