@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import registry
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (  # noqa: F401
     analytics,
+    llmops,
     logsim,
     relational,
 )

@@ -51,6 +51,20 @@ def gzip_b64(payload: str) -> str:
     return base64.b64encode(gzip.compress(payload.encode("utf-8"))).decode("ascii")
 
 
+@F.pandas_udf(T.StringType())
+def gzip_b64_udf(payload: pd.Series) -> pd.Series:
+    """Vectorized envelope ENCODER — synthesis/test scaffolding only (the
+    engine itself never gzips on the hot path). mtime=0 keeps the bytes
+    deterministic across runs."""
+    import base64
+
+    return payload.map(
+        lambda s: base64.b64encode(
+            gzip.compress(s.encode("utf-8"), mtime=0)
+        ).decode("ascii")
+    )
+
+
 def decode_payload(data_b64: Column) -> Column:
     """base64 -> gunzip -> parsed envelope struct column (S2-S4).
 

@@ -1,0 +1,266 @@
+"""Deduplication operators: exact, normalized, MinHash-LSH, SimHash.
+
+Every variant is built bucketed-first: candidate generation goes through
+a band/chunk equi-join (shuffle on bucket keys, cluster-friendly), NEVER
+an all-pairs cross join — at 100 TB the cross join is the difference
+between a job and a joke. Verification (exact Jaccard / Hamming) runs
+only on bucket-collision candidates.
+
+MinHash/LSH background is standard (Broder '97; MMDS ch.3). All hashing
+is xxhash64 (JVM-side, seeded, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, word_shingles
+
+# --- exact / normalized -------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content hash with
+    the canonical (min) id and copy count.
+
+    Scale: shuffles md5(text) + id only — never the text itself; partial
+    aggregation collapses per-partition duplicates before the exchange.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over the normalized canonical form (case/punct/ws
+    insensitive)."""
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- MinHash + banded LSH ----------------------------------------------
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("shingles", word_shingles(F.col(text_col), n))
+
+
+def with_minhash(df: DataFrame, k: int = 64) -> DataFrame:
+    """k-permutation MinHash signature over the shingle array.
+
+    One array column of k mins; each min is an array_min over xxhash64
+    with a distinct seed — all codegen'd, no shuffle, no Python.
+    """
+    def _seeded(seed: int):
+        # closure factory, NOT a default arg: pyspark hands a 2-arg lambda
+        # the element index as the second argument
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform("shingles", _seeded(i))) for i in range(k)]
+    )
+    return df.withColumn(
+        "minhash", F.when(F.size("shingles") > 0, sig)
+    )
+
+
+def band_keys(num_bands: int, rows_per_band: int):
+    """One 64-bit key per band, hashing that band's signature slice."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("minhash", b * rows_per_band + t + 1)
+                        for t in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH band-bucket join: docs sharing ANY band key become a candidate
+    pair. With b=16, r=4 the s-curve midpoint is (1/16)^(1/4) ~ 0.5, so
+    recall at Jaccard >= 0.8 is ~1 - (1 - 0.8^4)^16 ~ 0.9998.
+
+    Scale: explode emits b rows per doc; the self-join shuffles on
+    (band, key) — bucket-local work only. Candidates are distinct'd
+    before any verification.
+    """
+    banded = (
+        df.filter(F.col("minhash").isNotNull())
+        .select(F.col(id_col), F.explode(band_keys(num_bands, rows_per_band)).alias("bk"))
+        .select(id_col, "bk.band", "bk.key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: join the (distinct) shingle
+    arrays back and keep pairs >= threshold.
+
+    Scale: |candidates| << |pairs|; the two joins shuffle on doc id.
+    """
+    sh = shingled.select(F.col(id_col), "shingles")
+    out = (
+        candidates.join(
+            sh.withColumnRenamed("shingles", "sh_a"),
+            candidates.id_a == sh[id_col],
+        )
+        .drop(id_col)
+        .join(
+            sh.withColumnRenamed("shingles", "sh_b").withColumnRenamed(
+                id_col, "_idb"
+            ),
+            F.col("id_b") == F.col("_idb"),
+        )
+        .drop("_idb")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        out.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
+    shingled = with_minhash(
+        with_shingles(df, text_col, shingle_n), k=num_bands * rows_per_band
+    )
+    cands = minhash_candidate_pairs(shingled, id_col, num_bands, rows_per_band)
+    return verify_jaccard(cands, shingled, id_col, threshold)
+
+
+# --- SimHash ------------------------------------------------------------
+
+
+def with_simhash(df: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over shingle hashes: bit i is the sign of the sum
+    of (+1/-1) votes from each shingle's hash bit i.
+
+    Charikar '02 — near-dups differ in few bits (small Hamming distance).
+    """
+    h = F.transform("shingles", lambda s: F.xxhash64(s))
+
+    def _mask(i: int):
+        return F.lit(1 << i) if i < 63 else F.lit(-(2**63))
+
+    def _voter(mask):
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bit_votes = [
+        F.aggregate(h, F.lit(0).cast("long"), _voter(_mask(i))) for i in range(bits)
+    ]
+    sim = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        sim = sim + F.when(vote > 0, _mask(i)).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(
+        "simhash", F.when(F.size("shingles") > 0, sim)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup: candidates via 4x16-bit chunk blocking
+    (pigeonhole: Hamming <= 3 over 64 bits => at least one of 4 chunks
+    identical), verified with bit_count(XOR) <= max_hamming.
+
+    Scale: chunk blocking is the same bucket-join shape as MinHash LSH —
+    4 rows per doc, shuffle on (chunk_idx, chunk_value), no cross join.
+    """
+    sh = with_simhash(with_shingles(df, text_col, shingle_n))
+    sh = sh.filter(F.col("simhash").isNotNull()).select(F.col(id_col), "simhash")
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for c in range(4)
+        ]
+    )
+    blocked = sh.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+        id_col, "simhash", "ck.chunk", "ck.val"
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

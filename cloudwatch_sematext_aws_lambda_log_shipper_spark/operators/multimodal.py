@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata,
+with decode / feature-extract / resize / frame-sample stages as
+Arrow-batched ``mapInPandas`` transforms.
+
+Design: media rides as ``binary`` next to a ``media_meta`` struct
+(modality, format, n_bytes). The Spark-side plumbing — schema,
+partition-preserving mapInPandas, batch shapes — is real and tested.
+The actual codec step is STUBBED: this container has no image/audio
+libraries, so ``decode_image`` tries PIL and otherwise falls back to a
+clearly-marked deterministic fake derived from the bytes (stable across
+runs/executors). Swapping in a real decoder changes ONE function.
+
+Scale: mapInPandas streams Arrow record batches — no per-row Python, no
+driver collect; binary stays columnar end-to-end. Partitioning is
+preserved (narrow), so upstream repartitioning (e.g. by media id)
+carries through the decode stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sha", T.StringType()),
+    ]
+)
+
+
+def with_media_meta(df: DataFrame, media_col: str = "media",
+                    modality: str = "image", fmt: str = "raw") -> DataFrame:
+    """Attach the typed metadata struct next to the opaque binary."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(media_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _decode_one(data: bytes) -> tuple[int, int, int]:
+    """Decode image dims. Real decoder if PIL exists; else a
+    deterministic fake derived from the byte content (NOT random — the
+    same bytes always produce the same dims, so tests and oracles are
+    stable)."""
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data))
+        return img.width, img.height, len(img.getbands())
+    except Exception:
+        # STUB: deterministic fake decode (container has no codecs).
+        digest = hashlib.sha256(data).digest()
+        width = 16 + digest[0] % 1024
+        height = 16 + digest[1] % 1024
+        channels = 1 + digest[2] % 4
+        return width, height, channels
+
+
+def decode_image_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """binary -> (media_id, width, height, channels, sha) via
+    mapInPandas. Arrow-batched; partition-preserving."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_one(bytes(b)) for b in pdf[media_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "sha": [
+                        hashlib.sha256(bytes(b)).hexdigest() for b in pdf[media_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, media_col: str = "media",
+                width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stage placeholder: records target dims in metadata; the
+    pixel transform requires a codec library absent here."""
+    raise NotImplementedError(
+        "resize needs an image codec (PIL/opencv) — not available in this "
+        "container; plumbing validated via decode_image_features instead"
+    )
+
+
+def sample_frames_stub(df: DataFrame, media_col: str = "media",
+                       every_n: int = 30) -> DataFrame:
+    """Video frame-sampling placeholder (no video codec available)."""
+    raise NotImplementedError(
+        "frame sampling needs a video codec — not available in this container"
+    )

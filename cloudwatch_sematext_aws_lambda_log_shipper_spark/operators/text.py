@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, quality scoring, language ID, fingerprinting.
+
+All pure JVM-side column expressions (no Python UDFs) — every operator
+is narrow (zero shuffles) and whole-stage-codegen'd, so at 100 TB the
+cost is scan-bound. These generalize the reference's string kernel
+(S6-S14, shipper.js:22-58) from log lines to documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token classes: alpha runs, digit runs, single non-alnum marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword profiles for the n-gram/marker heuristic.
+# Deliberately small and deterministic — language ID at pipeline scale is
+# a cheap filter, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
+
+    Documents shorter than n words yield an empty array (they can never
+    near-dup match, but must not error).
+    """
+    w = words(text)
+    starts = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish upper-bound token estimate via TOKEN_REGEX match count."""
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    w = words(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return n_stop.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, wordy, not
+    punctuation soup — the usual cheap pre-filter before expensive
+    pipeline stages (dedup, embedding)."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(200.0), F.lit(1.0))
+    word_score = F.least(
+        whitespace_token_count(text).cast("double") / F.lit(40.0), F.lit(1.0)
+    )
+    punct_penalty = F.greatest(
+        F.lit(1.0) - punct_ratio(text) * F.lit(4.0), F.lit(0.0)
+    )
+    return F.round((len_score + word_score) / F.lit(2.0) * punct_penalty, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token set."""
+    w = words(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; ties and zero-hit docs -> 'und'.
+
+    Deterministic tie-break: a language wins only with a STRICTLY higher
+    score than every other (ties are 'und'), so the result is
+    order-independent.
+    """
+    scores = lang_scores(text)
+    result = F.lit("und")
+    for lang, score in scores.items():
+        others = [s for lg, s in scores.items() if lg != lang]
+        beats_all = F.lit(True)
+        for o in others:
+            beats_all = beats_all & (score > o)
+        result = F.when(beats_all & (score > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic-min MD5 over word n-gram
+    shingles (bottom-1 sketch — the degenerate winnowing window).
+
+    Two documents sharing their minimal shingle hash collide; used for
+    cheap near-dup candidate blocking and content addressing. MD5 (not
+    xxhash) so the DuckDB oracle can replicate it exactly.
+    """
+    hashes = F.transform(word_shingles(text, n), lambda s: F.md5(s))
+    return F.array_min(hashes)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for normalized dedup: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

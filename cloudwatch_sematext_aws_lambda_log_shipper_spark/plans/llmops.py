@@ -1,0 +1,319 @@
+"""LLM training-data pipeline queries over the documents/embeddings
+tables: dedup (exact/normalized/MinHash-LSH/SimHash), similarity search
+(exact + LSH ANN), text analysis (tokens/quality/lang-id/fingerprints).
+
+Oracle strategy: everything SQL-expressible gets a DuckDB oracle that
+recomputes the SAME definition (md5-based hashing, identical regexes,
+sequential-order double math, DECIMAL-exact aggregate sums). xxhash64-
+based sketches (MinHash bands, SimHash) aren't replicable in DuckDB, so
+their *outputs* are verified instead: near_dup_pairs is checked against
+a brute-force exact-Jaccard oracle (LSH recall at tau=0.8 is ~0.9998 by
+the s-curve; any missed pair fails the hash compare loudly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    near_dup_pairs,
+    normalized_dedup_groups,
+    simhash_near_dup_pairs,
+)
+from ..operators.multimodal import decode_image_features, with_media_meta
+from ..operators.similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
+from ..operators.text import (
+    TOKEN_REGEX,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    subword_token_count,
+    whitespace_token_count,
+    word_shingles,
+)
+from .registry import load, query
+
+# --- dedup --------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", _EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (shuffles hashes, not text)."""
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_NORM_DEDUP_ORACLE = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                               '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_normalized", _NORM_DEDUP_ORACLE)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punctuation/whitespace-insensitive dedup."""
+    return normalized_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_NEAR_DUP_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
+
+
+@query("near_dup_pairs", _NEAR_DUP_ORACLE)
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (banded bucket join, b=16 r=4),
+    exact-Jaccard verified at tau=0.8.
+
+    The oracle brute-forces all pairs — feasible at sf0.01, which is
+    exactly the point: the engine's banded plan produces brute-force
+    answers WITHOUT the quadratic join.
+    """
+    return near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("near_dup_simhash")  # xxhash-based sketch -> rows-only driver check
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (4x16-bit chunk blocking, Hamming <= 3).
+    Verified against MinHash/Jaccard ground truth in pytest."""
+    return simhash_near_dup_pairs(load(spark, sf_dir, "documents"))
+
+
+# --- similarity search --------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 10
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.e, c.e) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+           AS cos
+  FROM q, c
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("embedding_topk", _TOPK_ORACLE)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors over the corpus —
+    broadcast brute-force baseline (single corpus scan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@query("embedding_ann_ivf")  # approximate by design -> rows-only check
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (KMeans partitions, nprobe=6/16) — the primary
+    100 TB path; partitions adapt to the data distribution. Recall vs
+    the exact top-k is asserted in pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@query("embedding_ann_lsh")  # approximate by design -> rows-only check
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (multiprobe) — data-independent
+    alternative (no index build); lower recall on near-uniform vectors.
+    Recall vs the exact oracle is asserted in pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        num_planes=4,
+    )
+
+
+# --- text analysis ------------------------------------------------------
+
+_QUALITY_ORACLE = r"""
+WITH scored AS (
+  SELECT source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+         CAST(ROUND(
+           (least(length(text) / 200.0, 1.0) +
+            least(len(string_split_regex(lower(trim(text)), '\s+')) / 40.0, 1.0)) / 2.0
+           * greatest(1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                             / greatest(length(text), 1)) * 4.0, 0.0),
+         6) AS DECIMAL(10,6)) AS q
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       sum(n_subwords) AS total_subwords,
+       CAST(sum(q) AS DOUBLE) AS total_quality
+FROM scored GROUP BY source
+"""
+
+
+@query("doc_quality_by_source", _QUALITY_ORACLE)
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts + quality-score totals (DECIMAL-exact sum
+    of per-doc rounded scores, so the hash compare is order-independent).
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.select(
+            "source",
+            whitespace_token_count(t).alias("n_tokens"),
+            subword_token_count(t).alias("n_subwords"),
+            quality_score(t).cast("decimal(10,6)").alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_subwords").alias("total_subwords"),
+            F.sum("q").cast("double").alias("total_quality"),
+        )
+    )
+
+
+_LANG_ID_ORACLE = r"""
+WITH w AS (
+  SELECT lang AS label, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), hits AS (
+  SELECT label,
+         len([x for x in toks if x IN ('the','a','of','and','is')]) AS en,
+         len([x for x in toks if x IN ('el','la','de','que','los')]) AS es,
+         len([x for x in toks if x IN ('der','die','das','und','ist')]) AS de,
+         len([x for x in toks if x IN ('le','la','les','des','est')]) AS fr,
+         len([x for x in toks if x IN ('的','是','了','在','我')]) AS zh
+  FROM w
+), pred AS (
+  SELECT label,
+         CASE
+           WHEN en > es AND en > de AND en > fr AND en > zh AND en > 0 THEN 'en'
+           WHEN es > en AND es > de AND es > fr AND es > zh AND es > 0 THEN 'es'
+           WHEN de > en AND de > es AND de > fr AND de > zh AND de > 0 THEN 'de'
+           WHEN fr > en AND fr > es AND fr > de AND fr > zh AND fr > 0 THEN 'fr'
+           WHEN zh > en AND zh > es AND zh > de AND zh > fr AND zh > 0 THEN 'zh'
+           ELSE 'und'
+         END AS predicted
+  FROM hits
+)
+SELECT label, predicted, count(*) AS n FROM pred GROUP BY label, predicted
+"""
+
+
+@query("lang_id_confusion", _LANG_ID_ORACLE)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID vs the dataset label (confusion counts).
+    The oracle re-implements the identical heuristic — it checks the
+    ENGINE's computation, not ground-truth accuracy."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"), lang_id(F.col("text")).alias("predicted")
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FINGERPRINT_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(w) >= 3 THEN
+         list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   for i in range(1, len(w) - 1)])
+       END AS fp,
+       CASE WHEN len(w) >= 3 THEN
+         len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]))
+       ELSE 0 END AS n_shingles
+FROM docs
+"""
+
+
+@query("doc_fingerprints", _FINGERPRINT_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling fingerprint (min-MD5 shingle sketch) +
+    shingle cardinality — content addressing for incremental dedup."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        fingerprint(t).alias("fp"),
+        F.size(word_shingles(t)).alias("n_shingles"),
+    )
+
+
+# --- multimodal ---------------------------------------------------------
+
+
+@query("multimodal_image_features")  # binary codec stage -> rows-only check
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing end-to-end: documents text re-encoded as an
+    opaque binary 'image' column + metadata struct, decoded via the
+    Arrow-batched mapInPandas stage, aggregated by channel count.
+    (Decode is the documented deterministic stub — no codecs in this
+    container; the Spark plumbing is the deliverable.)"""
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "utf-8").alias("media"),
+        )
+    )
+    feats = decode_image_features(media)
+    return (
+        feats.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("width").cast("long")).alias("total_width"),
+        )
+        .orderBy("channels")
+    )

@@ -23,7 +23,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.decode import gzip_b64_udf
 from ..operators.parse import parse_log_events, split_dlq
+from ..pipeline import run_batch
 from ..sink import read_log_table, write_log_table
 from .registry import load, query
 
@@ -160,6 +162,136 @@ SELECT CASE WHEN m = 1 THEN 'json'
 FROM msgs WHERE m <> 3
 GROUP BY branch
 """
+
+
+def synth_kinesis_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows -> REAL Kinesis-shaped records (base64(gzip(JSON
+    envelope))), built distributed: 5 log events per envelope, every
+    10th envelope a CONTROL_MESSAGE, platform lines and Q4 lines mixed
+    in — so the e2e query exercises S2-S9 + S17 under the oracle.
+
+    Message class by event_id % 6:
+      0 JSON log | 1 tab-structured | 2 plain (maybe 'error') |
+      3 space-separated Q4 corrupt -> DLQ | 4 platform START -> dropped |
+      5 plain note
+    """
+    events = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    uuid = F.concat(F.lit(UUID_PREFIX), F.lpad(uid, 12, "0"))
+    m = F.col("event_id") % 6
+    g = F.floor(F.col("event_id") / 5)
+    message = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"message":"'), F.col("event_type"),
+                F.lit(' ok","requestId":"r'), uid, F.lit('"}'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit(TS_LIT + "\t"), uuid, F.lit("\t"),
+                     F.col("event_type"), F.lit(" processed")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("plain text for "), F.col("event_type"),
+                F.when(F.col("value") > 150, F.lit(" error detected"))
+                .otherwise(F.lit("")),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(F.lit(TS_LIT + " "), uuid, F.lit(" "),
+                     F.col("event_type"), F.lit(" spaced")),
+        )
+        .when(m == 4, F.lit("START RequestId: abc Version: $LATEST"))
+        .otherwise(F.concat(F.lit("just a note about "), F.col("event_type")))
+    )
+    envelopes = (
+        events.select(
+            g.alias("g"),
+            F.struct(
+                F.col("event_id").cast("string").alias("id"),
+                F.lit(0).cast("long").alias("timestamp"),
+                message.alias("message"),
+            ).alias("le"),
+        )
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("le")).alias("logEvents"))
+        .withColumn(
+            "payload",
+            F.to_json(
+                F.struct(
+                    F.when(F.col("g") % 10 == 0, F.lit("CONTROL_MESSAGE"))
+                    .otherwise(F.lit("DATA_MESSAGE"))
+                    .alias("messageType"),
+                    F.concat(F.lit("/aws/lambda/fn-"), (F.col("g") % 3).cast("string"))
+                    .alias("logGroup"),
+                    F.concat(F.lit("2024/01/01/["), (F.col("g") % 5).cast("string"),
+                             F.lit("]h")).alias("logStream"),
+                    F.col("logEvents"),
+                )
+            ),
+        )
+    )
+    return envelopes.select(
+        gzip_b64_udf(F.col("payload")).alias("data"),
+        F.lit("us-east-1").alias("awsRegion"),
+    )
+
+
+_E2E_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_id % 6 AS m, event_id // 5 AS g,
+         event_type, value, user_id
+  FROM events
+), kept AS (
+  -- CONTROL envelopes (S5), platform lines (S9), Q4 corrupt (S17/DLQ)
+  SELECT * FROM ev WHERE g % 10 <> 0 AND m NOT IN (3, 4)
+), msgs AS (
+  SELECT 'fn-' || CAST(g % 3 AS VARCHAR) AS fname,
+    CASE
+      WHEN m = 0 THEN event_type || ' ok'
+      WHEN m = 1 THEN event_type || ' processed'
+      WHEN m = 2 THEN 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+      ELSE 'just a note about ' || event_type
+    END AS message,
+    CASE WHEN m = 0 THEN 'r' || CAST(user_id AS VARCHAR)
+         WHEN m = 1 THEN '{UUID_PREFIX}' || lpad(CAST(user_id AS VARCHAR), 12, '0')
+    END AS request_id
+  FROM kept
+)
+SELECT fname AS "function.name",
+       CASE WHEN lower(message) LIKE '%error%' THEN 'error' ELSE 'debug' END
+         AS severity,
+       count(*) AS n,
+       count(DISTINCT request_id) AS n_request_ids
+FROM msgs
+GROUP BY 1, 2
+""".replace("{UUID_PREFIX}", UUID_PREFIX)
+
+
+@query("log_pipeline_e2e", _E2E_ORACLE)
+def log_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the entire hot path under the oracle — synthesize real
+    gzip+base64 Kinesis records, then decode (S2-S4) -> CONTROL filter
+    (S5) -> explode (S8) -> platform filter (S9) -> parse kernel
+    (S6-S14) -> DLQ split (S17) -> aggregate.
+
+    This is also the bench headline: it measures the gunzip pandas-UDF
+    decode cost (the real per-byte cost at 100 TB), not just the parse
+    kernel.
+    """
+    clean, _dlq = run_batch(synth_kinesis_records(spark, sf_dir))
+    return clean.groupBy(
+        F.col("`function.name`"), F.col("severity")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("`function.request.id`")).alias("n_request_ids"),
+    )
 
 
 _ROUNDTRIP_ORACLE = """

@@ -1,0 +1,181 @@
+"""LLM-pipeline operator tests: dedup correctness on constructed
+duplicates, LSH recall vs exact ground truth, text-analysis semantics,
+multimodal plumbing determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+    exact_dedup_groups,
+    near_dup_pairs,
+    normalized_dedup_groups,
+    simhash_near_dup_pairs,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+    decode_image_features,
+    resize_stub,
+    with_media_meta,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    cosine_topk,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+    lang_id,
+    quality_score,
+    word_shingles,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_exact_dedup_groups(spark):
+    df = docs_df(spark, [BASE, BASE, "something else entirely here now"])
+    got = {r.canonical_id: r.n_copies for r in exact_dedup_groups(df).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_normalized_dedup_catches_case_and_punct(spark):
+    df = docs_df(spark, [BASE, BASE.upper() + "!!", "unrelated text body"])
+    got = {r.canonical_id: r.n_copies for r in normalized_dedup_groups(df).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    near = BASE.replace("dog", "cat")  # one word differs -> high Jaccard
+    far = "completely different content with no overlap at all whatsoever ok"
+    df = docs_df(spark, [BASE, near, far])
+    pairs = near_dup_pairs(df, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(p[1] != 2 and p[0] != 2 for p in got)
+
+
+def test_minhash_lsh_full_recall_vs_bruteforce(spark, sf_dir):
+    """LSH candidates must recover every brute-force pair >= tau."""
+    docs = load(spark, sf_dir, "documents")
+    lsh = {(r.id_a, r.id_b) for r in near_dup_pairs(docs, threshold=0.8).collect()}
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        verify_jaccard,
+        with_shingles,
+    )
+
+    sh = with_shingles(docs).select("doc_id", "shingles")
+    a = sh.selectExpr("doc_id AS id_a", "shingles AS s_a")
+    b = sh.selectExpr("doc_id AS id_b", "shingles AS s_b")
+    all_pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in verify_jaccard(all_pairs, with_shingles(docs), threshold=0.8).collect()
+    }
+    assert brute  # dataset contains planted near-dups
+    assert lsh == brute
+
+
+def test_simhash_pairs_are_true_near_dups(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sim = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(docs).collect()}
+    assert sim
+    jacc = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    # hamming<=3 on 64-bit simhash implies strong similarity: every pair
+    # must also clear Jaccard 0.5
+    assert sim <= jacc
+
+
+def test_identical_docs_have_equal_simhash(spark):
+    df = docs_df(spark, [BASE, BASE])
+    pairs = simhash_near_dup_pairs(df, max_hamming=0)
+    [r] = pairs.collect()
+    assert (r.id_a, r.id_b, r.hamming) == (0, 1, 0)
+
+
+def test_cosine_topk_self_is_nearest(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    # query vectors included in corpus -> each query's top hit is itself
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=1)
+    for r in res.collect():
+        assert r.neighbor_id == r.query_id
+        assert r.cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, queries, 5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_topk_ivf(corpus, queries, 5).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in ann_topk_lsh(corpus, queries, 5, num_planes=4).collect()}
+    # floors measured on the driver's synthetic (near-uniform) embeddings —
+    # the hardest case for ANN; real clustered embeddings do better
+    assert len(ivf & exact) / len(exact) >= 0.5
+    assert len(lsh & exact) / len(exact) >= 0.25
+
+
+def test_lang_id_marker_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat of a house is here"),
+            Row(doc_id=1, text="der hund und die katze ist da"),
+            Row(doc_id=2, text="xyzzy plugh foobar"),
+            Row(doc_id=3, text="la de le"),  # fr/es markers tie -> und
+        ]
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "und", 3: "und"}
+
+
+def test_quality_score_bounds_and_ordering(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.select(quality_score(F.col("text")).alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+    # punctuation soup scores below clean prose of the same length
+    probe = spark.createDataFrame(
+        [Row(text="a clean readable sentence with plenty of ordinary words in it"),
+         Row(text='!!!###$$$%%%^^^&&&***((()))___+++===[[[]]]{{{}}};;;:::"""')]
+    ).select(quality_score(F.col("text")).alias("q")).collect()
+    assert probe[0].q > probe[1].q
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(text="two words")])
+    [r] = df.select(word_shingles(F.col("text")).alias("s")).collect()
+    assert r.s == []
+
+
+def test_multimodal_decode_plumbing(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(50)
+    media = with_media_meta(
+        docs.select(F.col("doc_id").alias("media_id"),
+                    F.encode(F.col("text"), "utf-8").alias("media"))
+    )
+    [m] = media.limit(1).collect()
+    assert m.media_meta.modality == "image"
+    assert m.media_meta.n_bytes == len(bytes(m.media))
+
+    feats = decode_image_features(media)
+    rows1 = {r.media_id: (r.width, r.height, r.channels, r.sha) for r in feats.collect()}
+    rows2 = {r.media_id: (r.width, r.height, r.channels, r.sha) for r in feats.collect()}
+    assert rows1 == rows2  # deterministic fake decode
+    assert len(rows1) == 50
+    assert all(16 <= v[0] < 1040 and 1 <= v[2] <= 4 for v in rows1.values())
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(media)
