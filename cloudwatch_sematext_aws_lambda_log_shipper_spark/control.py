@@ -1,0 +1,161 @@
+"""Control plane (C1-C6): source discovery, subscription registry,
+cycle guard, retention — the subscriber.js analog.
+
+The reference's control plane is AWS API calls (describeLogGroups /
+putSubscriptionFilter / putRetentionPolicy, subscriber.js:12-65); the
+Spark-native analog is filesystem/catalog management on the driver:
+
+- C1 discovery: prefix-filtered listing of source directories, paged
+  like describeLogGroups (limit 50 + continuation, subscriber.js:20-31).
+- C2/C3 subscribe + upsert: a JSON subscription registry mapping source
+  path -> filter; on conflict with a different name/pattern the entry is
+  replaced (subscriber.js:34-46 delete+re-put semantics).
+- C4 cycle guard: the engine's own output path never becomes an input
+  (subscriber.js:70-73).
+- C5 retention: drop log_date= partitions older than N days from the
+  date-partitioned log table — the partition-expiry equivalent of
+  putRetentionPolicy(LOG_GROUP_RETENTION_IN_DAYS=1, sample.secrets.json:6).
+  This is why the sink partitions by date: retention is an O(partitions)
+  directory drop, never a data rewrite, at any table size.
+- C6 trigger wiring: ``setup()`` composes discover -> guard -> subscribe,
+  the /subscribe HTTP + CreateLogGroup-event entry (serverless.yml:44-58).
+
+Driver-side by design — these are metadata operations, not distributed
+computation (SURVEY.md §3 EP2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import date, timedelta
+
+DEFAULT_PREFIX = "aws/lambda"  # sample.secrets.json:9 ('/aws/lambda')
+PAGE_SIZE = 50  # subscriber.js:20
+
+
+def discover_log_sources(
+    base_dir: str, prefix: str = DEFAULT_PREFIX, page_size: int = PAGE_SIZE
+) -> list[str]:
+    """C1: paginated prefix-filtered source discovery.
+
+    Walks base_dir for directories whose relative path starts with
+    ``prefix`` (the describeLogGroups logGroupNamePrefix analog),
+    accumulating page by page like the recursive nextToken loop.
+    """
+    matches: list[str] = []
+    for root, dirs, _files in os.walk(base_dir):
+        for d in sorted(dirs):
+            full = os.path.join(root, d)
+            rel = os.path.relpath(full, base_dir)
+            if rel.startswith(prefix) and not any(
+                os.path.isdir(os.path.join(full, s)) for s in os.listdir(full)
+            ):
+                matches.append(full)
+    # page assembly (cosmetic in-process, but keeps the reference's
+    # accumulate-pages shape and bounds memory per "call")
+    pages = [matches[i : i + page_size] for i in range(0, len(matches), page_size)]
+    out: list[str] = []
+    for page in pages:
+        out.extend(page)
+    return out
+
+
+@dataclass
+class SubscriptionFilter:
+    name: str
+    pattern: str = ""  # reference FILTER_PATTERN default: match-all ('')
+    distribution: str = "ByLogStream"  # subscriber.js:55
+
+
+class SubscriptionRegistry:
+    """C2/C3: persistent source->filter registry with upsert semantics."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._subs: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self._subs = json.load(f)
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(self._subs, f, indent=2, sort_keys=True)
+
+    def subscribe(self, source: str, filt: SubscriptionFilter) -> str:
+        """Subscribe a source; on conflict with a DIFFERENT name/pattern,
+        replace (delete + re-put, subscriber.js:36-45). Returns one of
+        'created' | 'unchanged' | 'replaced'."""
+        existing = self._subs.get(source)
+        new = {"name": filt.name, "pattern": filt.pattern,
+               "distribution": filt.distribution}
+        if existing is None:
+            self._subs[source] = new
+            self._save()
+            return "created"
+        if existing["name"] == filt.name and existing["pattern"] == filt.pattern:
+            return "unchanged"
+        self._subs[source] = new
+        self._save()
+        return "replaced"
+
+    def sources(self) -> list[str]:
+        return sorted(self._subs)
+
+
+def cycle_guard(sources: list[str], own_name: str) -> list[str]:
+    """C4: drop any source whose path ends with the shipper's own
+    function name (feedback-loop prevention, subscriber.js:70-73)."""
+    return [s for s in sources if not s.rstrip("/").endswith(own_name)]
+
+
+def expire_partitions(
+    table_path: str, retention_days: int, today: date | None = None
+) -> list[str]:
+    """C5: delete log_date= partitions strictly older than the retention
+    window. Returns the dropped partition names.
+
+    O(#partitions) directory listing + removes; no data scan, no Spark
+    job — the whole point of the date-partitioned sink layout.
+    """
+    today = today or date.today()
+    cutoff = today - timedelta(days=retention_days)
+    dropped: list[str] = []
+    if not os.path.isdir(table_path):
+        return dropped
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("log_date="):
+            continue
+        try:
+            part_date = date.fromisoformat(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        if part_date < cutoff:
+            shutil.rmtree(os.path.join(table_path, entry))
+            dropped.append(entry)
+    return dropped
+
+
+def setup(
+    base_dir: str,
+    registry_path: str,
+    own_name: str,
+    prefix: str = DEFAULT_PREFIX,
+    filter_name: str = "log-shipper-filter",
+    filter_pattern: str = "",
+) -> dict[str, list[str] | dict[str, str]]:
+    """C6: the /subscribe entry — discover, guard, subscribe everything.
+
+    Returns {"sources": [...], "results": {source: status}} for
+    observability (processAll, subscriber.js:84-87).
+    """
+    sources = cycle_guard(discover_log_sources(base_dir, prefix), own_name)
+    registry = SubscriptionRegistry(registry_path)
+    results = {
+        s: registry.subscribe(s, SubscriptionFilter(filter_name, filter_pattern))
+        for s in sources
+    }
+    return {"sources": sources, "results": results}

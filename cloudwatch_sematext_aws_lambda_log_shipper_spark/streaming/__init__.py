@@ -1,0 +1,13 @@
+"""Structured Streaming execution of the shipper pipeline (S1 complete).
+
+The batch transforms (decode -> parse -> split -> sink) are pure
+DataFrame functions; this package wraps them in a streaming source +
+foreachBatch sink with checkpointing — one code path, two execution
+modes (SURVEY.md §3 EP1).
+"""
+
+from .pipeline import (  # noqa: F401
+    StreamingShipper,
+    stream_kinesis_event_files,
+    windowed_severity_counts,
+)

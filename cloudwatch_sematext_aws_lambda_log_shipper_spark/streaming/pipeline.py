@@ -1,0 +1,114 @@
+"""Streaming wrapper around the batch pipeline.
+
+Reference parity:
+- Kinesis micro-batch trigger (serverless.yml:24-32, batchSize 1000,
+  LATEST) -> file-source micro-batches with ``maxFilesPerTrigger`` and a
+  2-second processing-time trigger mirroring the reference's 2000 ms
+  flush interval (serverless.yml:37). A real deployment swaps the file
+  source for ``spark.readStream.format("kinesis")`` — every transform
+  downstream is identical.
+- per-invocation ship (shipper.js:150-153) -> ``foreachBatch`` running
+  the SAME ``run_batch`` used in batch mode, landing clean + DLQ via
+  ``LogSink``.
+- delivery: checkpointed file-source offsets + idempotent-per-batch
+  parquet append => exactly-once to the log table across restarts
+  (upgrade over the reference's at-most-once swallow, shipper.js:154-159).
+
+Event-time semantics are NEW capability (the reference never reads
+logEvent.timestamp, SURVEY.md §1.2): `@timestamp` is parsed with
+try_to_timestamp and watermarked for windowed aggregation; late rows
+beyond the watermark are dropped (documented choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..pipeline import run_batch
+from ..schemas import KINESIS_EVENT_SCHEMA
+from ..sink import LogSink
+
+
+def stream_kinesis_event_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming source of Lambda-event-shaped JSONL files -> one row per
+    Kinesis record (same columns as the batch reader: data, awsRegion)."""
+    reader = spark.readStream.schema(KINESIS_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.json(path)
+    return events.select(F.explode("Records").alias("r")).select(
+        F.col("r.kinesis.data").alias("data"),
+        F.col("r.awsRegion").alias("awsRegion"),
+    )
+
+
+class StreamingShipper:
+    """Continuous shipper: file-source micro-batches through run_batch
+    into a LogSink, 2 s trigger, checkpointed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        output_dir: str,
+        checkpoint_dir: str,
+        trigger_seconds: float = 2.0,
+        max_files_per_trigger: int | None = None,
+        bulk: bool = False,
+    ):
+        self.spark = spark
+        self.input_path = input_path
+        self.sink = LogSink(output_dir, bulk=bulk)
+        self.checkpoint_dir = checkpoint_dir
+        self.trigger_seconds = trigger_seconds
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _ship_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        clean, dlq = run_batch(batch_df)
+        self.sink.ship(clean, dlq, mode="append")
+
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        records = stream_kinesis_event_files(
+            self.spark, self.input_path, self.max_files_per_trigger
+        )
+        writer = (
+            records.writeStream.foreachBatch(self._ship_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName("log_shipper")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
+
+
+def windowed_severity_counts(
+    parsed: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window severity counts with a watermark —
+    the downstream error-rate time series over the streaming output.
+
+    Works on both streaming and batch frames (same plan); in streaming,
+    rows later than the watermark are dropped.
+    """
+    with_ts = parsed.withColumn(
+        "event_time", F.try_to_timestamp(F.col("`@timestamp`"))
+    ).filter(F.col("event_time").isNotNull())
+    return (
+        with_ts.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window_duration), F.col("severity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "severity",
+            "n",
+        )
+    )

@@ -1,0 +1,101 @@
+"""Control-plane tests (C1-C6) over temp dirs — no Spark needed except
+the retention integration check."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+    SubscriptionFilter,
+    SubscriptionRegistry,
+    cycle_guard,
+    discover_log_sources,
+    expire_partitions,
+    setup,
+)
+
+
+def mk_sources(tmp_path, names):
+    for n in names:
+        (tmp_path / n).mkdir(parents=True, exist_ok=True)
+
+
+def test_discovery_prefix_filter(tmp_path):
+    mk_sources(
+        tmp_path,
+        ["aws/lambda/fn-a", "aws/lambda/fn-b", "aws/ecs/task-c", "other/fn-d"],
+    )
+    got = discover_log_sources(str(tmp_path))
+    rels = sorted(p.split(str(tmp_path) + "/")[1] for p in got)
+    assert rels == ["aws/lambda/fn-a", "aws/lambda/fn-b"]
+
+
+def test_discovery_pagination_accumulates_all(tmp_path):
+    mk_sources(tmp_path, [f"aws/lambda/fn-{i:03d}" for i in range(120)])
+    got = discover_log_sources(str(tmp_path), page_size=50)
+    assert len(got) == 120  # 3 pages accumulated (50+50+20)
+
+
+def test_cycle_guard(tmp_path):
+    sources = ["/x/aws/lambda/app-fn", "/x/aws/lambda/shipper-fn"]
+    assert cycle_guard(sources, "shipper-fn") == ["/x/aws/lambda/app-fn"]
+
+
+def test_subscription_upsert_semantics(tmp_path):
+    reg = SubscriptionRegistry(str(tmp_path / "subs.json"))
+    f = SubscriptionFilter("ship-filter", "")
+    assert reg.subscribe("/src/a", f) == "created"
+    assert reg.subscribe("/src/a", f) == "unchanged"
+    # different name -> delete + re-put (subscriber.js:36-45)
+    assert reg.subscribe("/src/a", SubscriptionFilter("other", "")) == "replaced"
+    # registry survives reload
+    reg2 = SubscriptionRegistry(str(tmp_path / "subs.json"))
+    assert reg2.sources() == ["/src/a"]
+
+
+def test_retention_drops_only_expired(tmp_path):
+    table = tmp_path / "logs"
+    for d in ["2024-01-01", "2024-01-05", "2024-01-09", "1970-01-01"]:
+        (table / f"log_date={d}").mkdir(parents=True)
+        (table / f"log_date={d}" / "part-0.parquet").write_text("x")
+    dropped = expire_partitions(str(table), 7, today=date(2024, 1, 10))
+    assert dropped == ["log_date=1970-01-01", "log_date=2024-01-01"]
+    remaining = sorted(p.name for p in table.iterdir())
+    assert remaining == ["log_date=2024-01-05", "log_date=2024-01-09"]
+
+
+def test_setup_end_to_end(tmp_path):
+    mk_sources(tmp_path, ["aws/lambda/fn-a", "aws/lambda/shipper", "aws/other/x"])
+    out = setup(
+        str(tmp_path), str(tmp_path / "reg.json"), own_name="shipper"
+    )
+    assert len(out["sources"]) == 1
+    assert list(out["results"].values()) == ["created"]
+    # idempotent second run
+    out2 = setup(str(tmp_path), str(tmp_path / "reg.json"), own_name="shipper")
+    assert list(out2["results"].values()) == ["unchanged"]
+
+
+def test_retention_integrates_with_sink(spark, tmp_path):
+    """Partitions written by the sink are exactly what retention drops."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    msgs = [
+        '{"message":"old","timestamp":"2024-01-01T00:00:01.000Z"}',
+        '{"message":"new","timestamp":"2024-01-09T00:00:01.000Z"}',
+    ]
+    df = spark.createDataFrame(
+        [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+    )
+    clean, _ = split_dlq(parse_log_events(df))
+    table = str(tmp_path / "logs")
+    write_log_table(clean, table, mode="overwrite")
+    dropped = expire_partitions(table, 7, today=date(2024, 1, 10))
+    assert dropped == ["log_date=2024-01-01"]
+    assert [r["message"] for r in spark.read.parquet(table).collect()] == ["new"]

@@ -1,0 +1,152 @@
+"""Streaming tests (SURVEY.md §5.3): micro-batch shipping via
+foreachBatch, checkpoint-restart exactly-once to the log table,
+event-time windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.decode import gzip_b64
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import (
+    parse_kinesis_records,
+    read_kinesis_event_file,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+    StreamingShipper,
+    stream_kinesis_event_files,
+    windowed_severity_counts,
+)
+
+TS1 = "2024-01-01T10:00:30.000Z"
+TS2 = "2024-01-01T10:01:30.000Z"
+
+
+def payload(messages, message_type="DATA_MESSAGE"):
+    return json.dumps(
+        {
+            "messageType": message_type,
+            "logGroup": "/aws/lambda/fn-s",
+            "logStream": "2024/01/01/[3]s",
+            "logEvents": [
+                {"id": str(i), "timestamp": 0, "message": m}
+                for i, m in enumerate(messages)
+            ],
+        }
+    )
+
+
+def write_event_file(dirpath, name, payloads):
+    event = {
+        "Records": [
+            {"kinesis": {"data": gzip_b64(p)}, "awsRegion": "us-east-1"}
+            for p in payloads
+        ]
+    }
+    (dirpath / name).write_text(json.dumps(event) + "\n")
+
+
+def wait_done(query, timeout=120):
+    query.awaitTermination(timeout)
+    # availableNow queries terminate on their own
+    for _ in range(timeout):
+        if not query.isActive:
+            return
+        time.sleep(1)
+    raise TimeoutError("stream did not finish")
+
+
+def test_streaming_ship_and_checkpoint_restart(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+
+    write_event_file(inp, "a.json", [payload([f'{{"message":"m{i}","timestamp":"{TS1}"}}' for i in range(3)])])
+    shipper = StreamingShipper(spark, str(inp), str(out), ckpt)
+    wait_done(shipper.start(available_now=True))
+    logs1 = spark.read.parquet(str(out / "logs"))
+    assert logs1.count() == 3
+
+    # restart from the same checkpoint with one NEW file: only the new
+    # records are processed (no reprocessing of a.json => exactly-once)
+    write_event_file(inp, "b.json", [payload(["plain error line", "ok line"])])
+    shipper2 = StreamingShipper(spark, str(inp), str(out), ckpt)
+    wait_done(shipper2.start(available_now=True))
+    logs2 = spark.read.parquet(str(out / "logs"))
+    assert logs2.count() == 5  # 3 old + 2 new, no duplicates
+    assert logs2.filter("severity = 'error'").count() == 1
+
+
+def test_streaming_dlq_lands(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = tmp_path / "out"
+    event = {
+        "Records": [
+            {"kinesis": {"data": gzip_b64(payload(["fine"]))}, "awsRegion": "r"},
+            {"kinesis": {"data": "AAAA"}, "awsRegion": "r"},  # not gzip
+        ]
+    }
+    (inp / "a.json").write_text(json.dumps(event) + "\n")
+    shipper = StreamingShipper(spark, str(inp), str(out), str(tmp_path / "ck"))
+    wait_done(shipper.start(available_now=True))
+    assert spark.read.parquet(str(out / "logs")).count() == 1
+    dlq = spark.read.parquet(str(out / "dlq"))
+    [r] = dlq.collect()
+    assert r["_raw"] == "AAAA"
+
+
+def test_windowed_severity_counts_streaming(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_event_file(
+        inp,
+        "a.json",
+        [
+            payload(
+                [
+                    f'{{"message":"ok","timestamp":"{TS1}"}}',
+                    f'{{"message":"boom error","timestamp":"{TS1}"}}',
+                    f'{{"message":"later ok","timestamp":"{TS2}"}}',
+                ]
+            )
+        ],
+    )
+    records = stream_kinesis_event_files(spark, str(inp))
+    windowed = windowed_severity_counts(parse_kinesis_records(records, observe=False))
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_done(q)
+    rows = {
+        (r.window_start.isoformat(), r.severity): r.n
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert rows[("2024-01-01T10:00:00", "debug")] == 1
+    assert rows[("2024-01-01T10:00:00", "error")] == 1
+    assert rows[("2024-01-01T10:01:00", "debug")] == 1
+
+
+def test_batch_and_stream_share_one_code_path(spark, tmp_path):
+    """The same parse chain produces identical rows in batch and
+    streaming execution over the same input file."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_event_file(inp, "a.json", [payload(["alpha", "beta error", "gamma"])])
+    out = tmp_path / "out"
+    shipper = StreamingShipper(spark, str(inp), str(out), str(tmp_path / "ck"))
+    wait_done(shipper.start(available_now=True))
+    stream_rows = {
+        (r["message"], r["severity"])
+        for r in spark.read.parquet(str(out / "logs")).collect()
+    }
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import run_batch
+
+    clean, _ = run_batch(read_kinesis_event_file(spark, str(inp / "a.json")))
+    batch_rows = {(r["message"], r["severity"]) for r in clean.collect()}
+    assert stream_rows == batch_rows
