@@ -62,22 +62,23 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return df.withColumn("shingles", word_shingles(F.col(text_col), n))
 
 
-def with_minhash(df: DataFrame, k: int = 64) -> DataFrame:
-    """k-permutation MinHash signature over the shingle array.
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       k: int = 64) -> DataFrame:
+    """k-permutation MinHash signature as k wide columns (mh_0..mh_{k-1}).
 
-    One array column of k mins; each min is an array_min over xxhash64
-    with a distinct seed — all codegen'd, no shuffle, no Python.
+    Computed explode-then-aggregate: one pass over (doc, shingle) pairs
+    with k seeded xxhash64 min-aggregates — the whole computation stays
+    inside WholeStageCodegen hash aggregation. (The nested higher-order
+    form, array_min over transform per seed, is ~20x slower: Catalyst
+    evaluates lambda expressions interpreted, never codegen'd.) Map-side
+    partial min collapses each partition to one row per doc before the
+    shuffle.
+
+    Docs with zero shingles drop out (they cannot near-dup match).
     """
-    def _seeded(seed: int):
-        # closure factory, NOT a default arg: pyspark hands a 2-arg lambda
-        # the element index as the second argument
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform("shingles", _seeded(i))) for i in range(k)]
-    )
-    return df.withColumn(
-        "minhash", F.when(F.size("shingles") > 0, sig)
+    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    return exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     )
 
 
@@ -89,7 +90,7 @@ def band_keys(num_bands: int, rows_per_band: int):
                 F.lit(b).alias("band"),
                 F.xxhash64(
                     *[
-                        F.element_at("minhash", b * rows_per_band + t + 1)
+                        F.col(f"mh_{b * rows_per_band + t}")
                         for t in range(rows_per_band)
                     ]
                 ).alias("key"),
@@ -100,7 +101,7 @@ def band_keys(num_bands: int, rows_per_band: int):
 
 
 def minhash_candidate_pairs(
-    df: DataFrame,
+    signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
@@ -114,8 +115,10 @@ def minhash_candidate_pairs(
     before any verification.
     """
     banded = (
-        df.filter(F.col("minhash").isNotNull())
-        .select(F.col(id_col), F.explode(band_keys(num_bands, rows_per_band)).alias("bk"))
+        signatures.select(
+            F.col(id_col),
+            F.explode(band_keys(num_bands, rows_per_band)).alias("bk"),
+        )
         .select(id_col, "bk.band", "bk.key")
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -178,40 +181,57 @@ def near_dup_pairs(
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
-    shingled = with_minhash(
-        with_shingles(df, text_col, shingle_n), k=num_bands * rows_per_band
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    The shingle frame feeds three plan branches (signatures + both sides
+    of the verify join); persisting it trades memory for two interpreted
+    shingling recomputes. MEMORY_AND_DISK: spills instead of OOMing when
+    the corpus outgrows executor memory.
+    """
+    from pyspark import StorageLevel
+
+    shingled = with_shingles(df, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    cands = minhash_candidate_pairs(shingled, id_col, num_bands, rows_per_band)
+    sigs = minhash_signatures(shingled, id_col, k=num_bands * rows_per_band)
+    cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, threshold)
 
 
 # --- SimHash ------------------------------------------------------------
 
 
-def with_simhash(df: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over shingle hashes: bit i is the sign of the sum
-    of (+1/-1) votes from each shingle's hash bit i.
+def _mask(i: int):
+    return F.lit(1 << i) if i < 63 else F.lit(-(2**63))
 
-    Charikar '02 — near-dups differ in few bits (small Hamming distance).
+
+def simhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc: bit i is the sign of the summed (+1/-1)
+    votes from each shingle hash's bit i (Charikar '02 — near-dups land
+    at small Hamming distance).
+
+    Explode-then-aggregate like minhash_signatures: 64 codegen'd
+    conditional-sum aggregates over (doc, shingle-hash) rows, partial
+    aggregation before the shuffle.
     """
-    h = F.transform("shingles", lambda s: F.xxhash64(s))
-
-    def _mask(i: int):
-        return F.lit(1 << i) if i < 63 else F.lit(-(2**63))
-
-    def _voter(mask):
-        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    bit_votes = [
-        F.aggregate(h, F.lit(0).cast("long"), _voter(_mask(i))) for i in range(bits)
-    ]
-    sim = F.lit(0).cast("long")
-    for i, vote in enumerate(bit_votes):
-        sim = sim + F.when(vote > 0, _mask(i)).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(
-        "simhash", F.when(F.size("shingles") > 0, sim)
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_s")
+    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(bits)
+        ]
     )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"v_{i}") > 0, _mask(i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -228,8 +248,7 @@ def simhash_near_dup_pairs(
     Scale: chunk blocking is the same bucket-join shape as MinHash LSH —
     4 rows per doc, shuffle on (chunk_idx, chunk_value), no cross join.
     """
-    sh = with_simhash(with_shingles(df, text_col, shingle_n))
-    sh = sh.filter(F.col("simhash").isNotNull()).select(F.col(id_col), "simhash")
+    sh = simhash_signatures(with_shingles(df, text_col, shingle_n), id_col)
     chunks = F.array(
         *[
             F.struct(

@@ -82,14 +82,18 @@ def ann_topk_ivf(
     n_clusters: int = 16,
     nprobe: int = 6,
     seed: int = 42,
+    fit_sample_limit: int = 100_000,
 ) -> DataFrame:
     """IVF-flat ANN: KMeans-partition the corpus (cosine distance), probe
     each query's nprobe nearest centroids, rank exact cosine within the
     probed partitions only.
 
-    Scale: the index build is a sample-friendly KMeans fit (at 100 TB,
-    fit on a sample, then one narrow assign pass); centroids are tiny
-    and broadcast. Search scans ~nprobe/n_clusters of the corpus and
+    Scale: the centroid fit runs on a BOUNDED COMPACTED sample
+    (fit_sample_limit rows, few partitions) — KMeans iterates one job
+    per step, so fitting on the sprawling full corpus would pay
+    per-iteration scheduling for no centroid quality; the full corpus
+    only gets the single narrow assignment pass. Centroids are tiny and
+    broadcast. Search scans ~nprobe/n_clusters of the corpus and
     shuffles on cluster id only. Unlike hyperplane LSH, the partitions
     ADAPT to the data distribution, which is what keeps recall usable
     even on near-uniform embeddings.
@@ -101,7 +105,8 @@ def ann_topk_ivf(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
     cv = c.withColumn("features", array_to_vector("c_vec"))
-    km = KMeans(k=n_clusters, seed=seed, distanceMeasure="cosine").fit(cv)
+    fit_df = cv.select("features").limit(fit_sample_limit).coalesce(8)
+    km = KMeans(k=n_clusters, seed=seed, distanceMeasure="cosine").fit(fit_df)
     assigned = km.transform(cv).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cluster")
     )

@@ -17,19 +17,7 @@ from pyspark.sql import functions as F
 
 from .operators.decode import decode_records, explode_log_events
 from .operators.parse import parse_log_events, split_dlq
-from .schemas import KINESIS_EVENT_SCHEMA
-
-
-def read_kinesis_event_file(spark: SparkSession, path: str) -> DataFrame:
-    """JSONL of Lambda-event-shaped docs (one `{"Records": [...]}` per
-    line) -> one row per Kinesis record. Stands in for the Kinesis source
-    in tests; a real deployment swaps `spark.readStream.format("kinesis")`
-    (same downstream columns: data, awsRegion)."""
-    events = spark.read.schema(KINESIS_EVENT_SCHEMA).json(path)
-    return events.select(F.explode("Records").alias("r")).select(
-        F.col("r.kinesis.data").alias("data"),
-        F.col("r.awsRegion").alias("awsRegion"),
-    )
+from .sources.kinesis import read_kinesis_event_file  # noqa: F401 (re-export)
 
 
 def parse_kinesis_records(

@@ -25,16 +25,33 @@ from ..operators.dedup import (
 from ..operators.multimodal import decode_image_features, with_media_meta
 from ..operators.similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
 from ..operators.text import (
-    TOKEN_REGEX,
     fingerprint,
     lang_id,
     quality_score,
-    stopword_ratio,
     subword_token_count,
     whitespace_token_count,
     word_shingles,
 )
 from .registry import load, query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, spread across the cluster: the test parquet is a
+    single small file (one input partition), which would serialize the
+    CPU-heavy shingling/regex work onto one core. The EXPLICIT partition
+    count matters: these rows are bytes-small but compute-heavy, so AQE's
+    size-based coalescing would merge them back to one partition. A real
+    100 TB corpus arrives in thousands of scan partitions and skips this
+    shuffle."""
+    n = spark.sparkContext.defaultParallelism
+    return load(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table, same single-file consideration as _docs."""
+    n = spark.sparkContext.defaultParallelism
+    return load(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+
 
 # --- dedup --------------------------------------------------------------
 
@@ -49,7 +66,7 @@ FROM documents GROUP BY md5(text)
 @query("dedup_exact", _EXACT_DEDUP_ORACLE)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy (shuffles hashes, not text)."""
-    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+    return exact_dedup_groups(_docs(spark, sf_dir))
 
 
 _NORM_DEDUP_ORACLE = r"""
@@ -65,7 +82,7 @@ GROUP BY 1
 @query("dedup_normalized", _NORM_DEDUP_ORACLE)
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case/punctuation/whitespace-insensitive dedup."""
-    return normalized_dedup_groups(load(spark, sf_dir, "documents"))
+    return normalized_dedup_groups(_docs(spark, sf_dir))
 
 
 _NEAR_DUP_ORACLE = r"""
@@ -96,14 +113,14 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the point: the engine's banded plan produces brute-force
     answers WITHOUT the quadratic join.
     """
-    return near_dup_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
 @query("near_dup_simhash")  # xxhash-based sketch -> rows-only driver check
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (4x16-bit chunk blocking, Hamming <= 3).
     Verified against MinHash/Jaccard ground truth in pytest."""
-    return simhash_near_dup_pairs(load(spark, sf_dir, "documents"))
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
 # --- similarity search --------------------------------------------------
@@ -134,7 +151,7 @@ FROM ranked WHERE rnk <= 5
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors over the corpus —
     broadcast brute-force baseline (single corpus scan)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return cosine_topk(
         corpus=emb.filter(F.col("vec_id") >= 10),
         queries=emb.filter(F.col("vec_id") < 10),
@@ -147,7 +164,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (KMeans partitions, nprobe=6/16) — the primary
     100 TB path; partitions adapt to the data distribution. Recall vs
     the exact top-k is asserted in pytest."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ann_topk_ivf(
         corpus=emb.filter(F.col("vec_id") >= 10),
         queries=emb.filter(F.col("vec_id") < 10),
@@ -160,7 +177,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (multiprobe) — data-independent
     alternative (no index build); lower recall on near-uniform vectors.
     Recall vs the exact oracle is asserted in pytest."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return ann_topk_lsh(
         corpus=emb.filter(F.col("vec_id") >= 10),
         queries=emb.filter(F.col("vec_id") < 10),
@@ -198,7 +215,7 @@ def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token counts + quality-score totals (DECIMAL-exact sum
     of per-doc rounded scores, so the hash compare is order-independent).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = F.col("text")
     return (
         docs.select(
@@ -250,7 +267,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language ID vs the dataset label (confusion counts).
     The oracle re-implements the identical heuristic — it checks the
     ENGINE's computation, not ground-truth accuracy."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(
             F.col("lang").alias("label"), lang_id(F.col("text")).alias("predicted")
@@ -282,7 +299,7 @@ FROM docs
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rolling fingerprint (min-MD5 shingle sketch) +
     shingle cardinality — content addressing for incremental dedup."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -301,7 +318,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas stage, aggregated by channel count.
     (Decode is the documented deterministic stub — no codecs in this
     container; the Spark plumbing is the deliverable.)"""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = with_media_meta(
         docs.select(
             F.col("doc_id").alias("media_id"),

@@ -36,8 +36,15 @@ LOG_STREAM = "2024/01/01/[9]abc123"
 
 
 def synth_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events rows -> (awsRegion, logGroup, logStream, message)."""
-    events = load(spark, sf_dir, "events")
+    """events rows -> (awsRegion, logGroup, logStream, message).
+
+    The test events.parquet is one unsplittable row group; the explicit
+    repartition spreads the (compute-heavy, codegen'd but per-row
+    expensive) parse kernel across all cores. Real log streams arrive in
+    many source partitions and skip this shuffle.
+    """
+    n = spark.sparkContext.defaultParallelism
+    events = load(spark, sf_dir, "events").repartition(n, "event_id")
     uid = F.col("user_id").cast("string")
     uuid = F.concat(F.lit(UUID_PREFIX), F.lpad(uid, 12, "0"))
     m = F.col("event_id") % 5
@@ -236,7 +243,12 @@ def synth_kinesis_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return envelopes.select(
+    # Explicit partition count: AQE would coalesce the tiny groupBy
+    # output to one partition, serializing the gzip encode AND the
+    # downstream gunzip/parse chain onto a single core.
+    return envelopes.repartition(
+        spark.sparkContext.defaultParallelism, "g"
+    ).select(
         gzip_b64_udf(F.col("payload")).alias("data"),
         F.lit("us-east-1").alias("awsRegion"),
     )

@@ -27,23 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..pipeline import run_batch
-from ..schemas import KINESIS_EVENT_SCHEMA
 from ..sink import LogSink
-
-
-def stream_kinesis_event_files(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """Streaming source of Lambda-event-shaped JSONL files -> one row per
-    Kinesis record (same columns as the batch reader: data, awsRegion)."""
-    reader = spark.readStream.schema(KINESIS_EVENT_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.json(path)
-    return events.select(F.explode("Records").alias("r")).select(
-        F.col("r.kinesis.data").alias("data"),
-        F.col("r.awsRegion").alias("awsRegion"),
-    )
+from ..sources.kinesis import stream_kinesis_event_files  # noqa: F401 (re-export)
 
 
 class StreamingShipper:
@@ -85,6 +70,30 @@ class StreamingShipper:
         else:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()
+
+
+def dedup_stream(
+    parsed: DataFrame,
+    keys: list[str] | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stateful streaming dedup: drop re-delivered log events (Kinesis is
+    at-least-once) by request id + message within the watermark horizon.
+
+    dropDuplicatesWithinWatermark bounds the dedup state store by event
+    time — without the watermark the state grows forever; with it, state
+    for keys older than the horizon is evicted. Works on batch frames
+    too (plain dropDuplicates semantics there).
+    """
+    keys = keys or ["function.request.id", "message"]
+    with_ts = parsed.withColumn(
+        "event_time", F.try_to_timestamp(F.col("`@timestamp`"))
+    )
+    if not with_ts.isStreaming:
+        return with_ts.dropDuplicates(keys)
+    return with_ts.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 def windowed_severity_counts(

@@ -1,0 +1,96 @@
+"""Property-based tests (SURVEY.md §5.5): random log lines across the
+three syntactic classes plus adversarial near-misses must never crash
+the kernel, and every input row lands in exactly one of {clean, dlq}
+(row-count conservation — the recordCounter/logEventCounter invariant).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+    parse_log_events,
+    split_dlq,
+)
+
+TS = "2019-03-08T15:58:45.736Z"
+UUID = "53499d7f-60f1-476a-adc8-1e6c6125a67c"
+
+printable_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,:;!?-_/\\'\"{}[]",
+    min_size=0,
+    max_size=80,
+)
+
+json_logs = st.builds(
+    lambda msg, rid: f'{{"message":{msg!r},"requestId":{rid!r}}}'.replace("'", '"'),
+    st.text(alphabet=string.ascii_letters + string.digits + " ", max_size=40),
+    st.text(alphabet=string.ascii_letters + string.digits, max_size=12),
+)
+
+structured_logs = st.builds(
+    lambda sep, text: f"{TS}{sep}{UUID}{sep}{text}",
+    st.sampled_from(["\t", " "]),  # space variant = Q4 corrupt class
+    printable_text,
+)
+
+extra_tab_logs = st.builds(
+    lambda a, b: f"{TS}\t{UUID}\t{a}\t{b}",  # Q2 truncation class
+    printable_text,
+    printable_text,
+)
+
+json_scalars = st.sampled_from(["123", '"str"', "null", "true", "[1,2]", "{}"])
+
+platform_lines = st.builds(
+    lambda p, rest: p + rest,
+    st.sampled_from(["START RequestId", "END RequestId", "REPORT RequestId"]),
+    printable_text,
+)
+
+messages = st.one_of(
+    printable_text,
+    json_logs,
+    structured_logs,
+    extra_tab_logs,
+    json_scalars,
+    platform_lines,
+    st.none(),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batch=st.lists(messages, min_size=1, max_size=25))
+def test_rows_conserved_and_never_crash(spark, batch):
+    df = spark.createDataFrame(
+        [
+            Row(awsRegion="r", logGroup="/aws/lambda/f", logStream="[1]s", message=m)
+            for m in batch
+        ],
+        schema="awsRegion string, logGroup string, logStream string, message string",
+    )
+    parsed = parse_log_events(df)
+    clean, dlq = split_dlq(parsed)
+    n_platform = sum(
+        1
+        for m in batch
+        if m is not None
+        and (
+            m.startswith("START RequestId")
+            or m.startswith("END RequestId")
+            or m.startswith("REPORT RequestId")
+        )
+    )
+    n_clean, n_dlq = clean.count(), dlq.count()
+    # conservation: every non-platform input lands in exactly one output
+    assert n_clean + n_dlq == len(batch) - n_platform
+    # every clean row is fully classified
+    assert clean.filter("severity IS NULL OR type != 'lambda'").count() == 0

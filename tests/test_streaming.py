@@ -132,6 +132,30 @@ def test_windowed_severity_counts_streaming(spark, tmp_path):
     assert rows[("2024-01-01T10:01:00", "debug")] == 1
 
 
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery: the same logical event arriving twice
+    (same requestId+message) survives only once downstream of the
+    stateful dedup."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import dedup_stream
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    dup = f'{{"message":"once","requestId":"r1","timestamp":"{TS1}"}}'
+    write_event_file(inp, "a.json", [payload([dup, dup, f'{{"message":"other","requestId":"r2","timestamp":"{TS1}"}}'])])
+    records = stream_kinesis_event_files(spark, str(inp))
+    deduped = dedup_stream(parse_kinesis_records(records, observe=False))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_done(q)
+    msgs = sorted(r.message for r in spark.sql("SELECT message FROM dedup_out").collect())
+    assert msgs == ["once", "other"]
+
+
 def test_batch_and_stream_share_one_code_path(spark, tmp_path):
     """The same parse chain produces identical rows in batch and
     streaming execution over the same input file."""
