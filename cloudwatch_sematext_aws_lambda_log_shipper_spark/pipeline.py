@@ -69,3 +69,28 @@ def parse_kinesis_records(
 def run_batch(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full hot path -> (clean log records, DLQ records)."""
     return split_dlq(parse_kinesis_records(records))
+
+
+def replay_dlq(dlq: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Re-run DECODE-class DLQ rows through the pipeline (S17 replay —
+    the reference's TODO, shipper.js:158).
+
+    Only decode-class rows (message NULL, _raw = original base64 data)
+    are replayable: a transient corruption or a since-fixed decoder bug
+    can recover them. Parse-class corrupt rows (Q4 space-separated
+    lines) are deterministically malformed — reprocessing cannot change
+    their outcome, so they pass through to the returned dlq unchanged.
+
+    Returns (recovered_clean, still_dlq).
+    """
+    decode_class = F.col("message").isNull() & F.col("_raw").isNotNull() & F.col(
+        "`function.name`"
+    ).isNull()
+    replayable = dlq.filter(decode_class).select(
+        F.col("_raw").alias("data"), F.col("region").alias("awsRegion")
+    )
+    # observe=False: the replay plan may be composed with the original
+    # batch plan, and two same-named observations in one tree is an
+    # analysis error
+    clean, still = split_dlq(parse_kinesis_records(replayable, observe=False))
+    return clean, still.unionByName(dlq.filter(~decode_class))

@@ -308,6 +308,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_TOKENS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS n
+FROM toks
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@query("top_tokens", _TOP_TOKENS_ORACLE)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens -> count -> top-20.
+
+    Scale: explode + partial count collapses per-partition before the
+    shuffle (|vocab| rows, not |tokens|); the final top-k is
+    TakeOrderedAndProject over the aggregated frame.
+    """
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
 # --- multimodal ---------------------------------------------------------
 
 

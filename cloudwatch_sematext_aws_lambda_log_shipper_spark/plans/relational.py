@@ -178,6 +178,155 @@ def ordered_but_eventless_customers(spark: SparkSession, sf_dir: str) -> DataFra
     return cust.intersect(ords).subtract(ev)
 
 
+_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("orders_cube", _CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (priority, status): all four grouping sets in one
+    pass. Scale: Expand x4 before the shuffle, partial agg collapses per
+    map task; output is |priorities| x |statuses| sized — tiny."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice", 14)).cast("double").alias("revenue"),
+        )
+    )
+
+
+_LAG_ORACLE = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+         count(*) AS n
+  FROM events GROUP BY week, event_type
+)
+SELECT week, event_type, n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS wow_delta
+FROM weekly
+"""
+
+
+@query("events_weekly_deltas", _LAG_ORACLE)
+def events_weekly_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series lag window: week-over-week count delta per event type.
+
+    Scale: aggregate first (weekly counts are tiny), window over the
+    aggregated frame — the lag never touches raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.withColumn("wow_delta", F.col("n") - F.lag("n").over(w))
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@query("customers_without_urgent_orders", _ANTI_ORACLE)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no urgent order.
+
+    Scale: the priority filter pushes into the orders scan; left_anti
+    then joins keys only — never materializes a wide join.
+    """
+    customer = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_ORACLE = """
+SELECT n_nationkey, n_name
+FROM nation
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_nationkey = n_nationkey AND c_acctbal > 9900
+)
+"""
+
+
+@query("nations_with_rich_customers", _SEMI_ORACLE)
+def nations_with_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): nations having a customer above the balance
+    threshold (9900 keeps the result a strict subset of nations). The
+    filter pushes to the customer scan; the semi join short-circuits
+    per key."""
+    nation = load(spark, sf_dir, "nation")
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    return nation.join(
+        rich, nation.n_nationkey == rich.c_nationkey, "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+_VALUE_STATS_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(14,4)) AS v
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       min(v) AS min_value,
+       max(v) AS max_value,
+       CAST(SUM(v) AS DOUBLE) AS total,
+       CAST(SUM(v) AS DOUBLE) / count(*) AS mean,
+       CAST(SUM(v * v) AS DOUBLE) / count(*)
+         - (CAST(SUM(v) AS DOUBLE) / count(*))
+           * (CAST(SUM(v) AS DOUBLE) / count(*)) AS variance
+FROM d GROUP BY event_type
+"""
+
+
+@query("events_value_stats", _VALUE_STATS_ORACLE)
+def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/statistics surface: min/max/mean/variance per event type with
+    DECIMAL-exact sums (order-independent, so the oracle hash matches)
+    and the variance assembled from exact moments in double at the end.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(14,4)")
+    agg = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        F.sum("v").cast("double").alias("total"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("_sumsq"),
+    )
+    mean = F.col("total") / F.col("n")
+    return agg.select(
+        "event_type",
+        "n",
+        "min_value",
+        "max_value",
+        "total",
+        mean.alias("mean"),
+        (F.col("_sumsq") / F.col("n") - mean * mean).alias("variance"),
+    )
+
+
 @query("events_daily_approx")  # approximate -> rows-only driver check
 def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path variant of events_daily: approx_count_distinct (HLL)

@@ -158,6 +158,41 @@ def test_corrupt_records_reach_dlq_end_to_end(spark):
     assert all(r["is_corrupt"] for r in dlq_rows)
 
 
+def test_replay_dlq_recovers_decode_class_only(spark):
+    """replay_dlq: decode-class rows re-enter the pipeline — recoverable
+    when the payload decodes on retry (e.g. a since-fixed decoder bug,
+    simulated by patching _raw to a now-valid payload); genuinely bad
+    rows and parse-class (Q4) rows stay in the DLQ."""
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import replay_dlq
+
+    q4 = "2019-03-08T15:58:45.736Z 53499d7f-60f1-476a-adc8-1e6c6125a67c spaced"
+    _, dlq = run_batch(
+        records_df(spark, [make_payload([q4])]).unionByName(
+            spark.createDataFrame(
+                [Row(data="!!!bad!!!", awsRegion="r"),
+                 Row(data="????", awsRegion="r")]
+            )
+        )
+    )
+    assert dlq.count() == 3  # one Q4 parse row + two decode rows
+    # simulate the decoder fix: one decode-class row's payload now decodes
+    patched = dlq.withColumn(
+        "_raw",
+        F.when(
+            F.col("_raw") == "!!!bad!!!",
+            F.lit(gzip_b64(make_payload(["recovered fine"]))),
+        ).otherwise(F.col("_raw")),
+    )
+    recovered, still = replay_dlq(patched)
+    assert [r["message"] for r in recovered.collect()] == ["recovered fine"]
+    # the unrecoverable decode row + the deterministic Q4 row remain
+    still_rows = still.collect()
+    assert len(still_rows) == 2
+    assert {r["_raw"] for r in still_rows} == {"????", q4}
+
+
 def test_null_message_routes_to_dlq(spark):
     """A logEvent with a null message is DLQ'd, not silently dropped (the
     reference crashed the batch; a silent drop would be a third behavior)."""
