@@ -178,9 +178,10 @@ def synth_kinesis_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     in — so the e2e query exercises S2-S9 + S17 under the oracle.
 
     Message class by event_id % 6:
-      0 JSON log | 1 tab-structured | 2 plain (maybe 'error') |
-      3 space-separated Q4 corrupt -> DLQ | 4 platform START -> dropped |
-      5 plain note
+      0 JSON log | 1 tab-structured (extra 4th tab part on every 3rd
+      user -> exercises Q2 truncation under the oracle) | 2 plain
+      (maybe 'error') | 3 space-separated Q4 corrupt -> DLQ |
+      4 platform START -> dropped | 5 plain note
     """
     events = load(spark, sf_dir, "events")
     uid = F.col("user_id").cast("string")
@@ -197,8 +198,14 @@ def synth_kinesis_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .when(
             m == 1,
-            F.concat(F.lit(TS_LIT + "\t"), uuid, F.lit("\t"),
-                     F.col("event_type"), F.lit(" processed")),
+            F.concat(
+                F.lit(TS_LIT + "\t"), uuid, F.lit("\t"),
+                F.col("event_type"), F.lit(" processed"),
+                # Q2 class: text past the 3rd tab part must be DISCARDED
+                # by the kernel (JS split('\t', 3) truncation semantics)
+                F.when(F.col("user_id") % 3 == 0, F.lit("\tdiscarded tail"))
+                .otherwise(F.lit("")),
+            ),
         )
         .when(
             m == 2,

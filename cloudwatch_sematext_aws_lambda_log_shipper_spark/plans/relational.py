@@ -178,6 +178,96 @@ def ordered_but_eventless_customers(spark: SparkSession, sf_dir: str) -> DataFra
     return cust.intersect(ords).subtract(ev)
 
 
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("shipping_priority", _SHIPPING_PRIORITY_ORACLE)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-table join: filtered customer -> orders ->
+    lineitem, revenue per order, top 10.
+
+    Scale: both dimension filters push into their scans; customer
+    broadcasts; orders⋈lineitem shuffles on the order key (the only big
+    shuffle, unavoidable); top-10 is TakeOrderedAndProject.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_REGIONAL_ORACLE = """
+SELECT n_name AS nation,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("regional_revenue", _REGIONAL_ORACLE)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table join: region-filtered nation/customer
+    dimension chain against the orders⋈lineitem fact spine.
+
+    Scale: the region->nation->customer chain collapses to one small
+    broadcast side before touching facts; the single big shuffle is
+    lineitem⋈orders on the order key.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = customer.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
 _CUBE_ORACLE = """
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n,
