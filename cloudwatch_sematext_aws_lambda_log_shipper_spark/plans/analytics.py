@@ -8,7 +8,7 @@ sums, final DOUBLE casts) so DuckDB value hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load, query
@@ -87,4 +87,129 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       count(DISTINCT session_id) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@query("user_sessions", _SESSION_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running
+    sum — the classic pattern).
+
+    Scale: one shuffle on user_id for the window; everything after is
+    narrow. Skewed power users are bounded by per-user event counts,
+    not table size.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = (gap.isNull() | (gap > 30 * 60)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ev.withColumn("session_id", F.sum(new_session).over(run))
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+@query("events_pivot", _PIVOT_ORACLE)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, counts per user.
+
+    The value list is EXPLICIT (no discovery pass), so the plan is a
+    single groupBy with conditional aggregates — at scale an implicit
+    pivot would add a distinct-values job first.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+FROM events e
+ASOF LEFT JOIN (
+    SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+) o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@query("events_asof_last_order", _ASOF_ORACLE)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event paired with the
+    customer's most recent order at event time.
+
+    Composition: equi-join on the customer key, filter to orders at or
+    before the event, rank per event by (o_orderdate DESC, o_orderkey)
+    and keep the first — ties on the same date resolve to the smallest
+    order key, mirroring the oracle's DISTINCT ON + min().
+
+    Scale: the only shuffle is the equi-join on the customer key; the
+    per-event candidate set is bounded by that customer's order count.
+    For sorted-bucketed tables this becomes a merge path; for extreme
+    per-key multiplicities, bucketize the time axis first.
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (ev.ts >= orders.o_orderdate),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
     )
