@@ -139,6 +139,33 @@ def expire_partitions(
     return dropped
 
 
+def compact_partition(
+    spark, table_path: str, log_date: str, target_files: int = 1
+) -> int:
+    """Maintenance: rewrite one log_date partition's many small files
+    (streaming appends create one file set per micro-batch) into
+    ``target_files`` files. Returns the file count before compaction.
+
+    At scale this is the nightly companion to retention: the streaming
+    sink optimizes for latency (small frequent files), the log table's
+    readers want fewer large row groups. The rewrite is a single narrow
+    coalesce job per partition; the swap is a directory rename, so
+    readers see either the old or the new file set.
+    """
+    part_dir = os.path.join(table_path, f"log_date={log_date}")
+    before = [f for f in os.listdir(part_dir) if f.startswith("part-")]
+    df = spark.read.parquet(part_dir)
+    tmp_dir = part_dir + "._compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+    for f in before:
+        os.remove(os.path.join(part_dir, f))
+    for f in os.listdir(tmp_dir):
+        if f.startswith("part-"):
+            os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
+    shutil.rmtree(tmp_dir)
+    return len(before)
+
+
 def setup(
     base_dir: str,
     registry_path: str,

@@ -12,3 +12,4 @@ from .pipeline import (  # noqa: F401
     stream_kinesis_event_files,
     windowed_severity_counts,
 )
+from .stateful import running_function_totals  # noqa: F401

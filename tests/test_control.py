@@ -76,6 +76,43 @@ def test_setup_end_to_end(tmp_path):
     assert list(out2["results"].values()) == ["unchanged"]
 
 
+def test_compact_partition(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    msgs = [
+        f'{{"message":"m{i}","timestamp":"2024-01-05T00:00:0{i % 10}.000Z"}}'
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+    ).repartition(8)
+    clean, _ = split_dlq(parse_log_events(df))
+    table = str(tmp_path / "logs")
+    # two appends of 8 partitions each -> many small files
+    write_log_table(clean, table, mode="append")
+    write_log_table(clean, table, mode="append")
+
+    import glob
+
+    part = f"{table}/log_date=2024-01-05"
+    n_before = len(glob.glob(f"{part}/part-*"))
+    assert n_before > 2
+    reported = compact_partition(spark, table, "2024-01-05")
+    assert reported == n_before
+    assert len(glob.glob(f"{part}/part-*")) == 1
+    back = spark.read.parquet(table)
+    assert back.count() == 80  # rows preserved
+
+
 def test_retention_integrates_with_sink(spark, tmp_path):
     """Partitions written by the sink are exactly what retention drops."""
     from pyspark.sql import Row

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
+
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.decode import gzip_b64
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import (
     parse_kinesis_records,
@@ -154,6 +156,38 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     wait_done(q)
     msgs = sorted(r.message for r in spark.sql("SELECT message FROM dedup_out").collect())
     assert msgs == ["once", "other"]
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: totals carry over micro-batches (state),
+    and the per-key output reflects the running value, not the batch."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.stateful import (
+        running_function_totals,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    write_event_file(inp, "a.json", [payload(["boom error", "fine"])])
+    write_event_file(inp, "b.json", [payload(["all good here"])])
+    records = stream_kinesis_event_files(spark, str(inp), max_files_per_trigger=1)
+    totals = running_function_totals(parse_kinesis_records(records, observe=False))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("fn_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_done(q)
+    rows = spark.sql(
+        "SELECT * FROM fn_totals ORDER BY total_events"
+    ).collect()
+    # one update row per micro-batch for fn-s; the LAST reflects all 3 events
+    assert rows[-1].function_name == "fn-s"
+    assert rows[-1].total_events == 3
+    assert rows[-1].total_errors == 1
+    assert rows[-1].error_rate == pytest.approx(1 / 3)
 
 
 def test_batch_and_stream_share_one_code_path(spark, tmp_path):
