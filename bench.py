@@ -3,13 +3,13 @@ and prints ONE JSON line with per-query wall seconds.
 
 Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
-Methodology: each query executes twice — the first run pays one-time
-plan costs (codegen compilation, JIT, shuffle-file warmup) and is
-reported under "cold"; the reported headline `queries` timings are the
-second (steady-state) run, which is what a long-running engine
-delivers. `spark.catalog.clearCache()` runs between the two so no
-operator-level persist() carries over; only JVM JIT and OS page cache
-remain warm, as they would on any real cluster.
+Methodology: every query first executes once at the SMALLEST scale
+(sf0.001) to pay one-time plan costs — codegen compilation and JIT are
+keyed on plan shape, not data volume — then the timed run executes at
+the target scale. This reports steady-state throughput (what a
+long-running engine delivers) without doubling the bench wall-clock.
+`spark.catalog.clearCache()` runs between warmup and timing so no
+operator-level persist() carries over.
 """
 
 from __future__ import annotations
@@ -37,14 +37,15 @@ def main() -> None:
     # session warmup outside any timed region
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+
     timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in qs.items():
         try:
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            cold[name] = round(time.time() - t0, 3)
+            fn(spark, warm_dir).count()  # compile/JIT the plan shape
             spark.catalog.clearCache()
             t0 = time.time()
             rows[name] = fn(spark, sf_dir).count()
@@ -62,7 +63,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold": cold,
                 "rows": rows,
                 "sf": sf,
             }

@@ -193,7 +193,12 @@ def near_dup_pairs(
     shingled = with_shingles(df, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures(shingled, id_col, k=num_bands * rows_per_band)
+    # Signatures are also persisted: the band self-join scans them from
+    # BOTH sides, and without a materialized cache the two subtrees race
+    # to compute the full signature aggregation twice.
+    sigs = minhash_signatures(
+        shingled, id_col, k=num_bands * rows_per_band
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
     return verify_jaccard(cands, shingled, id_col, threshold)
 
