@@ -163,6 +163,61 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS click,
+         count(*) FILTER (WHERE event_type = 'purchase') AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, n
+FROM p UNPIVOT (n FOR kind IN (click, purchase))
+"""
+
+
+@query("events_unpivot", _UNPIVOT_ORACLE)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-user counts back to long form — the
+    stack() pattern. Narrow op: 2x row multiplication, no extra shuffle
+    beyond the pivot's aggregation."""
+    ev = load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase"),
+    )
+    return wide.unpivot(
+        ids=["user_id"], values=["click", "purchase"],
+        variableColumnName="kind", valueColumnName="n",
+    )
+
+
+_QUANTILE_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.50) AS p50,
+       quantile_cont(value, 0.75) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_value_quantiles", _QUANTILE_ORACLE)
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear-interpolate order statistics,
+    so values hash-match bit-for-bit).
+
+    Scale note: exact percentile sorts each group's values — at 100 TB
+    use `approx_percentile` (t-digest, mergeable, single pass); the
+    exact form stays for oracle parity like countDistinct does.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+    )
+
+
 _ASOF_ORACLE = """
 SELECT e.event_id, e.user_id, e.ts,
        o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate

@@ -1,0 +1,53 @@
+"""File format readers/writers beyond parquet: ORC, JSONL, CSV.
+
+The reference consumes exactly one wire format (gzip'd JSON via
+Kinesis); the engine's analytics surface additionally speaks the
+standard lake formats. All readers take an EXPLICIT schema — schema
+inference is a full extra pass over the data at scale and
+non-deterministic under dirty rows, so it is deliberately not exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+# Text formats default to millisecond timestamps — a silent microsecond
+# truncation on round-trip. Pin a lossless format.
+_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(f"{fmt} requires an explicit schema (no inference pass)")
+    if fmt == "csv":
+        return reader.options(header="true", timestampFormat=_TS_FORMAT).csv(path)
+    if fmt == "json":
+        return reader.option("timestampFormat", _TS_FORMAT).json(path)
+    return getattr(reader, fmt)(path)
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer.options(header="true", timestampFormat=_TS_FORMAT).csv(path)
+    elif fmt == "json":
+        writer.option("timestampFormat", _TS_FORMAT).json(path)
+    else:
+        getattr(writer, fmt)(path)

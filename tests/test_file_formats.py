@@ -1,0 +1,34 @@
+"""Round-trip the events table through every supported lake format with
+explicit schemas — values must survive bit-for-bit (CSV via string
+round-trip of primitives)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.files import (
+    read_table,
+    write_table,
+)
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
+    ev = load(spark, sf_dir, "events").limit(200)
+    out = str(tmp_path / fmt)
+    write_table(ev, out, fmt)
+    back = read_table(spark, out, fmt, schema=SCHEMA if fmt != "orc" else None)
+    orig = {tuple(r) for r in ev.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == orig
+
+
+def test_schemaless_json_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), "json")
