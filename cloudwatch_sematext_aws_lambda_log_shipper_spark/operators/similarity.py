@@ -70,6 +70,66 @@ def cosine_topk(
     )
 
 
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_size: int = 65536,
+) -> DataFrame:
+    """EXACT embedding near-duplicate pairs: all (a, b), a<b, with
+    cosine >= threshold — the blocked-GEMM pattern.
+
+    Exactness costs O(n^2 d) no matter the engine; the scalable shape
+    is dense BLAS over block pairs: the corpus streams through the
+    executors once per right-hand CHUNK, each task computing a
+    (batch x chunk) matmul in numpy (Arrow in, BLAS, Arrow out) —
+    millions of dot products per second per core, no per-row Python,
+    no quadratic shuffle. Chunks bound driver/broadcast memory; at
+    100 TB you run one pass per chunk of the smaller side (or switch
+    to the ANN paths above when approximation is acceptable —
+    cluster-then-pair is the SemDeDup-style default for training-data
+    dedup).
+    """
+    import numpy as np
+
+    c = corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+    collected = c.collect()
+    ids = np.array([r["_id"] for r in collected], dtype=np.int64)
+    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in collected])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    sc = corpus.sparkSession.sparkContext
+    out_schema = "id_a long, id_b long, cos double"
+    results = []
+    for lo in range(0, len(ids), chunk_size):
+        chunk_ids = ids[lo : lo + chunk_size]
+        chunk_mat = mat[lo : lo + chunk_size]
+        bc = sc.broadcast((chunk_ids, chunk_mat))
+
+        def block(batches, _bc=bc, _thr=threshold):
+            import pandas as pd
+
+            r_ids, r_mat = _bc.value
+            for pdf in batches:
+                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                l_mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                sims = l_mat @ r_mat.T
+                li, ri = np.where(sims >= _thr)
+                a, b, s = l_ids[li], r_ids[ri], sims[li, ri]
+                keep = a < b  # dedupe the symmetric pair + drop self
+                yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cos": s[keep]})
+
+        results.append(c.mapInPandas(block, out_schema))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+
+
 # --- IVF (inverted-file) ANN --------------------------------------------
 
 

@@ -23,7 +23,12 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ..operators.multimodal import decode_image_features, with_media_meta
-from ..operators.similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
+from ..operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    cosine_pairs_exact,
+    cosine_topk,
+)
 from ..operators.text import (
     fingerprint,
     lang_id,
@@ -184,6 +189,31 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_planes=4,
     )
+
+
+_COSINE_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.45
+"""
+
+
+@query("embedding_neardup_cosine", _COSINE_NEARDUP_ORACLE)
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, blocked-GEMM).
+
+    The oracle brute-forces in DuckDB; the engine computes the same
+    exact answer via per-task BLAS matmul blocks — the shape that still
+    works when each side is billions of vectors (chunked right side,
+    one corpus pass per chunk)."""
+    return cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.45)
 
 
 # --- text analysis ------------------------------------------------------
