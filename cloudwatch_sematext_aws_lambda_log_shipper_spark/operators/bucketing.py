@@ -10,6 +10,9 @@ skips the Exchange entirely. This module wraps the write/read pattern;
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -25,6 +28,13 @@ def write_bucketed(
 
     Sorting within buckets additionally enables merge joins without a
     per-task sort."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A managed-table location can outlive the metastore entry (fresh
+    # Derby metastore, persistent warehouse dir); clear the orphan so
+    # saveAsTable doesn't fail with LOCATION_ALREADY_EXISTS.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .format("parquet")

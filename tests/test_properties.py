@@ -64,6 +64,63 @@ messages = st.one_of(
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    payload_groups=st.lists(
+        st.lists(messages, min_size=0, max_size=5), min_size=1, max_size=4
+    ),
+    corrupt=st.lists(st.sampled_from(["!!!", "AAAA", "", "====", "%%%"]), max_size=3),
+)
+def test_full_pipeline_conservation(spark, payload_groups, corrupt):
+    """End-to-end conservation: every Kinesis record's log events land in
+    clean or DLQ; every corrupt record lands in the DLQ; nothing is
+    silently lost anywhere in decode -> explode -> parse -> split."""
+    import json as _json
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.decode import (
+        gzip_b64,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import run_batch
+
+    recs = []
+    n_events = 0
+    n_platform = 0
+    for msgs in payload_groups:
+        payload = _json.dumps(
+            {
+                "messageType": "DATA_MESSAGE",
+                "logGroup": "/aws/lambda/f",
+                "logStream": "[1]s",
+                "logEvents": [
+                    {"id": str(i), "timestamp": 0, "message": m}
+                    for i, m in enumerate(msgs)
+                ],
+            }
+        )
+        recs.append(Row(data=gzip_b64(payload), awsRegion="r"))
+        n_events += len(msgs)
+        n_platform += sum(
+            1
+            for m in msgs
+            if m is not None
+            and any(
+                m.startswith(p)
+                for p in ("START RequestId", "END RequestId", "REPORT RequestId")
+            )
+        )
+    for c in corrupt:
+        recs.append(Row(data=c, awsRegion="r"))
+    df = spark.createDataFrame(
+        recs, schema="data string, awsRegion string"
+    )
+    clean, dlq = run_batch(df)
+    assert clean.count() + dlq.count() == n_events - n_platform + len(corrupt)
+
+
+@settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
