@@ -252,8 +252,17 @@ def simhash_near_dup_pairs(
 
     Scale: chunk blocking is the same bucket-join shape as MinHash LSH —
     4 rows per doc, shuffle on (chunk_idx, chunk_value), no cross join.
+
+    Signatures are persisted for the same reason as in near_dup_pairs:
+    the chunk self-join scans them from both sides, and without a
+    materialized cache each side recomputes the 64-aggregate signature
+    pass from raw text.
     """
-    sh = simhash_signatures(with_shingles(df, text_col, shingle_n), id_col)
+    from pyspark import StorageLevel
+
+    sh = simhash_signatures(with_shingles(df, text_col, shingle_n), id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = F.array(
         *[
             F.struct(

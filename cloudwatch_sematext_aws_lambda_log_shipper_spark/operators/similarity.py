@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 
 def as_double(vec: Column) -> Column:
@@ -36,6 +37,26 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@F.pandas_udf(DoubleType())
+def cosine_batch(a, b):
+    """Arrow-batched cosine for the APPROXIMATE paths: one numpy matmul
+    per batch instead of ~3*dim interpreted lambda steps per row (Spark
+    never codegens higher-order functions, so `cosine` above evaluates
+    interpreted — fine for oracle-parity exact paths, ~10x too slow for
+    candidate scoring). FP summation order differs from `cosine`, which
+    is why the exact/oracle-checked paths don't use it."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    am = np.stack(a.to_numpy())
+    bm = np.stack(b.to_numpy())
+    num = np.einsum("ij,ij->i", am, bm)
+    den = np.linalg.norm(am, axis=1) * np.linalg.norm(bm, axis=1)
+    return pd.Series(num / den)
 
 
 def cosine_topk(
@@ -166,7 +187,17 @@ def ann_topk_ivf(
     )
     cv = c.withColumn("features", array_to_vector("c_vec"))
     fit_df = cv.select("features").limit(fit_sample_limit).coalesce(8)
-    km = KMeans(k=n_clusters, seed=seed, distanceMeasure="cosine").fit(fit_df)
+    # maxIter 8 (default 20) and random init (default k-means|| costs
+    # several extra jobs): every KMeans iteration is a full Spark job,
+    # and IVF cell assignment only needs roughly-converged centroids —
+    # Lloyd refinement from random seeds gets there within the cap.
+    km = KMeans(
+        k=n_clusters,
+        seed=seed,
+        distanceMeasure="cosine",
+        maxIter=8,
+        initMode="random",
+    ).fit(fit_df)
     assigned = km.transform(cv).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cluster")
     )
@@ -191,7 +222,7 @@ def ann_topk_ivf(
     )
 
     scored = assigned.join(F.broadcast(probes), "cluster").withColumn(
-        "cos", cosine(F.col("q_vec"), F.col("c_vec"))
+        "cos", cosine_batch(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -206,28 +237,68 @@ def ann_topk_ivf(
 # --- random-hyperplane LSH ----------------------------------------------
 
 
-def _plane_weight(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random weight in [-1, 1] for (plane, dim),
-    derived from xxhash64 — no stored model, reproducible on any
-    cluster."""
-    h = F.xxhash64(F.lit(plane * 100003 + dim))
-    return F.pmod(h, F.lit(10000001)).cast("double") / F.lit(5000000.0) - F.lit(1.0)
+_PLANE_WEIGHTS_CACHE: dict = {}
 
 
-def hyperplane_bucket(vec: Column, num_planes: int, dim: int) -> Column:
-    """Sign-bit bucket id: bit p = (vec . plane_p) > 0."""
-    bucket = F.lit(0)
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[_plane_weight(p, j) for j in range(dim)]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+def _plane_weights(spark, num_planes: int, dim: int):
+    """Deterministic pseudo-random weights in [-1, 1] for each
+    (plane, dim), derived from JVM xxhash64 over the (plane*100003+dim)
+    seed — no stored model, reproducible on any cluster.
+
+    Evaluated in ONE tiny Spark job and memoized. (The previous
+    formulation built num_planes*dim literal Column expressions — each
+    Column op is a Py4J round-trip, so a 4x64 plane set cost ~1300
+    driver round-trips, 5+ seconds of pure plan construction before a
+    single row moved.)"""
+    import numpy as np
+
+    key = (num_planes, dim)
+    if key not in _PLANE_WEIGHTS_CACHE:
+        rows = (
+            spark.range(num_planes * dim)
+            .select(
+                # the seed literal must hash as int32 to reproduce the
+                # historical xxhash64(lit(plane*100003 + dim)) values
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            (
+                                (F.col("id") / dim).cast("int") * 100003
+                                + F.pmod(F.col("id"), F.lit(dim)).cast("int")
+                            ).cast("int")
+                        ),
+                        F.lit(10000001),
+                    ).cast("double")
+                    / 5000000.0
+                    - 1.0
+                ).alias("w")
+            )
+            .collect()
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        _PLANE_WEIGHTS_CACHE[key] = np.array(
+            [r["w"] for r in rows], dtype=np.float64
+        ).reshape(num_planes, dim)
+    return _PLANE_WEIGHTS_CACHE[key]
+
+
+def hyperplane_bucket_udf(weights):
+    """Sign-bit bucket id, vectorized: bit p = (vec . plane_p) > 0 —
+    one (batch x dim) @ (dim x planes) matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType
+
+    powers = (1 << np.arange(weights.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def bucket(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(v.to_numpy())
+        bits = (m @ weights.T) > 0
+        return pd.Series((bits @ powers).astype("int32"))
+
     return bucket
 
 
@@ -250,13 +321,16 @@ def ann_topk_lsh(
     bucket). Probing 1+planes buckets bounds candidates; no cross join
     anywhere.
     """
+    bucket = hyperplane_bucket_udf(
+        _plane_weights(corpus.sparkSession, num_planes, dim)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("c_vec"), num_planes, dim))
+    ).withColumn("bucket", bucket(F.col("c_vec")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("q_bucket", hyperplane_bucket(F.col("q_vec"), num_planes, dim))
+    ).withColumn("q_bucket", bucket(F.col("q_vec")))
     probes = [F.col("q_bucket")]
     if multiprobe:
         probes += [
@@ -265,7 +339,7 @@ def ann_topk_lsh(
     q = q.withColumn("bucket", F.explode(F.array(*probes)))
 
     scored = c.join(F.broadcast(q), "bucket").withColumn(
-        "cos", cosine(F.col("q_vec"), F.col("c_vec"))
+        "cos", cosine_batch(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

