@@ -268,3 +268,107 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("last_orderdate"),
         )
     )
+
+
+_TIME_ROLLUP_ORACLE = """
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(date_trunc('week', ts) AS DATE) AS w,
+         CAST(date_trunc('month', ts) AS DATE) AS m,
+         CAST(value AS DECIMAL(14,4)) AS v
+  FROM events
+)
+SELECT CASE WHEN d IS NOT NULL THEN 'day'
+            WHEN w IS NOT NULL THEN 'week'
+            ELSE 'month' END AS granularity,
+       COALESCE(d, w, m) AS bucket_start,
+       count(*) AS n,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((d), (w), (m))
+"""
+
+
+@query("events_time_rollup", _TIME_ROLLUP_ORACLE)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-aggregate
+    shape): day, week, and month buckets computed in ONE pass via
+    GROUPING SETS over derived truncations.
+
+    Scale: Expand emits 3 rows per input before partial aggregation
+    collapses each map task to ~|buckets| rows — one scan and one small
+    shuffle instead of three scans of the fact table.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.date_trunc("week", "ts").cast("date").alias("w"),
+        F.date_trunc("month", "ts").cast("date").alias("m"),
+        F.col("value").cast("decimal(14,4)").alias("v"),
+    )
+    agg = base.groupingSets([["d"], ["w"], ["m"]], "d", "w", "m").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+    granularity = (
+        F.when(F.col("d").isNotNull(), F.lit("day"))
+        .when(F.col("w").isNotNull(), F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    return agg.select(
+        granularity.alias("granularity"),
+        F.coalesce("d", "w", "m").alias("bucket_start"),
+        "n",
+        "total_value",
+    )
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@query("events_session_window", _SESSION_WINDOW_ORACLE)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window aggregation (30-minute inactivity gap) —
+    the Spark-first sessionizer: one hash aggregate with session-merge,
+    no analytic-window pass, and the SAME expression works under
+    Structured Streaming with a watermark (streaming/pipeline.py).
+
+    The oracle rebuilds identical sessions via the lag/running-sum
+    island method; session_end follows Spark's [start, last+gap)
+    convention.
+
+    Scale: sessions merge inside the aggregate (partial merge per map
+    task), so the shuffle carries per-session state, not raw events —
+    strictly less data than the window-function formulation.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

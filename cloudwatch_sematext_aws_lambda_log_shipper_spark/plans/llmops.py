@@ -397,3 +397,86 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channels")
     )
+
+
+_CORPUS_PREP_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text,
+         len(w) AS n_tokens,
+         len([x for x in w if x IN ('the','a','of','and','is')]) AS en,
+         len([x for x in w if x IN ('el','la','de','que','los')]) AS es,
+         len([x for x in w if x IN ('der','die','das','und','ist')]) AS de,
+         len([x for x in w if x IN ('le','la','les','des','est')]) AS fr,
+         len([x for x in w if x IN ('的','是','了','在','我')]) AS zh,
+         CAST(ROUND(
+           (least(length(text) / 200.0, 1.0) + least(len(w) / 40.0, 1.0)) / 2.0
+           * greatest(1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                             / greatest(length(text), 1)) * 4.0, 0.0),
+         6) AS DECIMAL(10,6)) AS q
+  FROM toks
+), filtered AS (
+  SELECT doc_id, source, text, n_tokens, q
+  FROM scored
+  WHERE en > es AND en > de AND en > fr AND en > zh AND en > 0
+    AND q >= 0.5
+), deduped AS (
+  SELECT source, n_tokens, q,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM filtered
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       CAST(sum(q) AS DOUBLE) AS total_quality
+FROM deduped WHERE rn = 1
+GROUP BY source
+"""
+
+
+@query("corpus_prep_stats", _CORPUS_PREP_ORACLE)
+def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline — the operators chained
+    the way a real corpus prep job runs them: language filter (en) ->
+    quality floor (>= 0.5) -> normalized near-exact dedup (keep lowest
+    doc_id per canonical form) -> per-source corpus stats.
+
+    Scale: lang/quality/tokenization are narrow codegen'd expressions
+    evaluated in one scan pass BEFORE the only shuffle (dedup window on
+    the normalized content hash) — filter-early ordering means the
+    shuffle carries only surviving docs' (hash, id, stats), not text.
+    """
+    from ..operators.text import normalize_text
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).cast("decimal(10,6)").alias("q"),
+        whitespace_token_count(t).alias("n_tokens"),
+        F.md5(normalize_text(t)).alias("content_hash"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.5))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("q").cast("double").alias("total_quality"),
+        )
+    )

@@ -428,3 +428,145 @@ def events_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id").alias("n_users_approx"),
     )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT a.event_type, count(*) AS n_preceding
+FROM events a
+JOIN events b ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 1 HOUR
+             AND b.ts < a.ts
+GROUP BY a.event_type
+"""
+
+
+@query("events_preceding_hour_range_join", _RANGE_JOIN_ORACLE)
+def events_preceding_hour_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) self-join: for every event, its same-user events in
+    the strictly-preceding hour — the time-window correlation shape
+    (activity bursts, rate limiting, fraud windows).
+
+    Scale: the equi-key (user) carries the shuffle, so this is a plain
+    hash join with the band predicate evaluated within key groups —
+    NEVER a cross join; candidates per row are bounded by that user's
+    events in the hour. For heavy-hitter keys, bucketing ts into
+    hour-blocks as a secondary join key bounds the per-group scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("ts").alias("a_ts"), "event_type")
+    b = ev.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (b.b_ts >= a.a_ts - F.expr("INTERVAL 1 HOUR"))
+            & (b.b_ts < a.a_ts),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_preceding"))
+    )
+
+
+_ABOVE_AVG_ORACLE = """
+WITH ca AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+           AS cust_avg
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM orders JOIN ca ON o_custkey = k
+WHERE o_totalprice > cust_avg
+"""
+
+
+@query("orders_above_customer_avg", _ABOVE_AVG_ORACLE)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated): orders priced above
+    their customer's average — the canonical `WHERE x > (SELECT avg ...
+    WHERE inner.key = outer.key)` pattern, expressed the way every
+    engine actually executes it: aggregate once, join back.
+
+    Scale: one shuffle for the per-customer aggregate (partial agg
+    collapses it), one shuffle to join back on the same key — AQE can
+    reuse the exchange. The DECIMAL-exact sum keeps the average
+    order-independent so the oracle hash matches.
+    """
+    o = load(spark, sf_dir, "orders")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(_dec("o_totalprice", 14)).cast("double") / F.count(F.lit(1))).alias(
+            "cust_avg"
+        )
+    )
+    return (
+        o.join(ca, o.o_custkey == ca.k)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        # cust_avg ships unrounded: both engines compute the identical
+        # DECIMAL-sum/count double, but ROUND-on-double boundary
+        # behavior differs across engines.
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+_FULL_OUTER_ORACLE = """
+WITH oc AS (
+  SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), ec AS (
+  SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT COALESCE(oc.k, ec.k) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM oc FULL OUTER JOIN ec ON oc.k = ec.k
+"""
+
+
+@query("customer_activity_full_outer", _FULL_OUTER_ORACLE)
+def customer_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: order activity vs event activity per customer,
+    keeping customers present on either side only.
+
+    Scale: both inputs pre-aggregate to one row per key before the
+    join, so the full-outer shuffle moves |keys| rows, not raw facts.
+    """
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ec = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("ek"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return oc.join(ec, oc.ok == ec.ek, "full_outer").select(
+        F.coalesce("ok", "ek").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+_ARGMAX_ORACLE = """
+SELECT user_id,
+       count(*) AS n,
+       arg_min(event_type, event_id) AS first_event_type,
+       arg_max(event_type, event_id) AS last_event_type
+FROM events GROUP BY user_id
+"""
+
+
+@query("events_first_last_per_user", _ARGMAX_ORACLE)
+def events_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-extremum) aggregates: first and last event
+    type per user, ordered by the unique event id (unique key -> fully
+    deterministic, unlike ordering by a timestamp that can tie).
+
+    Scale: single hash aggregate; min_by/max_by carry one (key, value)
+    pair of state per group — same cost shape as min/max.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+    )
