@@ -297,3 +297,88 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- connected components (dedup clusters) -------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph -> (node,
+    component) where component = min node id reachable — the step that
+    turns near-dup PAIRS into dedup GROUPS (keep one doc per component).
+
+    Distributed min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds. Dedup graphs are unions of small cliques-ish
+    blobs (diameter ~2-4), so a handful of rounds suffice; max_iters
+    bounds pathological chains.
+
+    Scale: each round is one join + one aggregate, both shuffling on
+    node id — the same key every round, so a cluster co-partitions them;
+    no driver-side graph, no quadratic step. (GraphFrames does the same
+    with large-star/small-star; this stays dependency-free.)
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each edge (a,b), b's current label offers
+        # itself to a; combine with own label, keep the min
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("comp"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup doc clusters: MinHash-LSH pairs -> connected components
+    -> (doc_id, cluster_id, keep) with keep=true on the minimum doc per
+    cluster. Docs with no near-dup are their own singleton cluster
+    (keep=true) and never enter the propagation loop."""
+    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    comp = connected_components(pairs)
+    all_ids = df.select(F.col(id_col).alias("node"))
+    clustered = all_ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("comp", F.col("node")).alias("cluster_id"),
+    )
+    return clustered.withColumn(
+        "keep", (F.col(id_col) == F.col("cluster_id"))
+    )

@@ -480,3 +480,51 @@ def corpus_prep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double").alias("total_quality"),
         )
     )
+
+
+_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@query("near_dup_clusters", _CLUSTERS_ORACLE)
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash-LSH pairs -> connected components
+    (distributed min-label propagation) -> per-doc cluster id + keep
+    flag — the step a real dedup pipeline runs after pair generation,
+    so "drop the dups" is a single filter on `keep`.
+
+    The oracle computes the same components via a recursive-CTE
+    transitive closure over the brute-force pair graph — tractable at
+    sf0.01, which is the point: the engine's iterative join loop
+    reproduces closure semantics without materializing reachability.
+    """
+    from ..operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir))

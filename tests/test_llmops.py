@@ -179,3 +179,49 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         resize_stub(media)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain (diameter 4 — needs multiple propagation rounds),
+    a triangle, and an isolated pair must each collapse to min-id."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13-14
+            Row(id_a=10, id_b=11),
+            Row(id_a=11, id_b=12),
+            Row(id_a=12, id_b=13),
+            Row(id_a=13, id_b=14),
+            # triangle 20-21-22
+            Row(id_a=20, id_b=21),
+            Row(id_a=21, id_b=22),
+            Row(id_a=20, id_b=22),
+            # pair
+            Row(id_a=30, id_b=31),
+        ]
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_near_dup_clusters_keep_one_per_cluster(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import _docs
+
+    res = near_dup_clusters(_docs(spark, sf_dir)).collect()
+    by_cluster: dict[int, list] = {}
+    for r in res:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1
+        assert keeps[0].doc_id == cid == min(m.doc_id for m in members)
