@@ -8,6 +8,7 @@ modes (SURVEY.md §3 EP1).
 
 from .pipeline import (  # noqa: F401
     StreamingShipper,
+    correlate_error_context,
     dedup_stream,
     stream_kinesis_event_files,
     windowed_severity_counts,

@@ -121,3 +121,46 @@ def windowed_severity_counts(
             "n",
         )
     )
+
+
+def correlate_error_context(
+    parsed: DataFrame,
+    max_skew: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: every error log paired with the
+    same-request debug lines within +/- max_skew of event time — the
+    "show me the context around this failure" query, continuously.
+
+    Both sides carry a watermark and the join condition includes an
+    event-time interval; together they BOUND the join state store (rows
+    older than watermark + skew are evicted). An equi-only stream-stream
+    join would grow state forever — that shape is rejected by design.
+
+    Works identically on batch frames (plain interval self-join).
+    """
+    base = parsed.withColumn(
+        "event_time", F.try_to_timestamp(F.col("`@timestamp`"))
+    ).filter(F.col("event_time").isNotNull() & F.col("`function.request.id`").isNotNull())
+
+    errors = base.filter(F.col("severity") == "error").select(
+        F.col("`function.request.id`").alias("request_id"),
+        F.col("message").alias("error_message"),
+        F.col("event_time").alias("error_time"),
+    )
+    context = base.filter(F.col("severity") != "error").select(
+        F.col("`function.request.id`").alias("ctx_request_id"),
+        F.col("message").alias("context_message"),
+        F.col("event_time").alias("context_time"),
+    )
+    if parsed.isStreaming:
+        errors = errors.withWatermark("error_time", watermark_delay)
+        context = context.withWatermark("context_time", watermark_delay)
+    return errors.join(
+        context,
+        (F.col("request_id") == F.col("ctx_request_id"))
+        & (F.col("context_time") >= F.col("error_time") - F.expr(f"INTERVAL {max_skew}"))
+        & (F.col("context_time") <= F.col("error_time") + F.expr(f"INTERVAL {max_skew}")),
+    ).select(
+        "request_id", "error_message", "error_time", "context_message", "context_time"
+    )

@@ -208,3 +208,46 @@ def test_batch_and_stream_share_one_code_path(spark, tmp_path):
     clean, _ = run_batch(read_kinesis_event_file(spark, str(inp / "a.json")))
     batch_rows = {(r["message"], r["severity"]) for r in clean.collect()}
     assert stream_rows == batch_rows
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Errors pair with same-request context lines within the skew
+    window; different-request and out-of-window lines don't."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        correlate_error_context,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    msgs = [
+        # request r1: one error + one debug 30s later -> 1 pair
+        f'{{"message":"boom error","requestId":"r1","timestamp":"{TS1}"}}',
+        f'{{"message":"ctx a","requestId":"r1","timestamp":"{TS2}"}}',
+        # request r2: debug only -> no pair
+        f'{{"message":"ctx b","requestId":"r2","timestamp":"{TS1}"}}',
+        # request r1 but 2h later -> outside the 5-minute skew
+        '{"message":"ctx late","requestId":"r1","timestamp":"2024-01-01T12:00:00.000Z"}',
+    ]
+    write_event_file(inp, "a.json", [payload(msgs)])
+
+    stream = stream_kinesis_event_files(spark, str(inp))
+    joined = correlate_error_context(parse_kinesis_records(stream, observe=False))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("err_ctx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_done(q)
+    rows = spark.sql("SELECT * FROM err_ctx").collect()
+    assert [(r.request_id, r.error_message, r.context_message) for r in rows] == [
+        ("r1", "boom error", "ctx a")
+    ]
+
+    # the same transform works on the batch frame (interval self-join)
+    batch = parse_kinesis_records(
+        read_kinesis_event_file(spark, str(inp / "a.json")), observe=False
+    )
+    brows = correlate_error_context(batch).collect()
+    assert [(r.request_id, r.context_message) for r in brows] == [("r1", "ctx a")]
