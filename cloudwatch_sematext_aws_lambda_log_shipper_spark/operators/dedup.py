@@ -333,6 +333,13 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .persist()
     )
+    # Convergence sentinel: every node's label is monotonically
+    # non-increasing (min over self + neighbors, self always included),
+    # so sum(comp) strictly decreases until the fixed point — detecting
+    # convergence is ONE exact aggregate over the frame the round
+    # already materializes, not a second old-vs-new join. DECIMAL(38,0)
+    # keeps the sum exact for arbitrarily large graphs/ids.
+    prev_sum = None
     for _ in range(max_iters):
         # neighbor labels: for each edge (a,b), b's current label offers
         # itself to a; combine with own label, keep the min
@@ -347,17 +354,14 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels.select(F.col("node"), F.col("comp"))
 

@@ -372,3 +372,68 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+), stats AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(SUM(cnt) AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.cnt,
+       CAST(ROUND(CAST(s.s1 AS DOUBLE) / s.n_days, 6) AS DOUBLE) AS mean_cnt,
+       CAST(ROUND(sqrt(CAST(s.s2 AS DOUBLE) / s.n_days
+                       - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                         * (CAST(s.s1 AS DOUBLE) / s.n_days)), 6) AS DOUBLE)
+         AS std_cnt
+FROM daily d JOIN stats s USING (event_type)
+WHERE d.cnt > CAST(s.s1 AS DOUBLE) / s.n_days
+              + 2 * sqrt(CAST(s.s2 AS DOUBLE) / s.n_days
+                         - (CAST(s.s1 AS DOUBLE) / s.n_days)
+                           * (CAST(s.s1 AS DOUBLE) / s.n_days))
+"""
+
+
+@query("events_daily_anomalies", _ANOMALY_ORACLE)
+def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly days per event type: days whose event count
+    exceeds mean + 2 sigma for that type — the alerting query a log
+    engine runs over its ingested table (error-spike detection).
+
+    Determinism: counts are exact integers, so the population moments
+    (s1, s2) are exact; mean and sigma derive from them through the
+    SAME double expression shape in both engines — every IEEE op is
+    then bit-identical, unlike stddev_samp whose streaming accumulation
+    is summation-order-dependent.
+
+    Scale: the daily rollup is one partial-combined shuffle; per-type
+    moment stats are |types| rows, broadcast back onto the daily frame
+    — no window function, no second wide shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    std = F.sqrt(F.col("s2").cast("double") / F.col("n_days") - mean * mean)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("cnt") > mean + F.lit(2) * std)
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            F.round(mean, 6).alias("mean_cnt"),
+            F.round(std, 6).alias("std_cnt"),
+        )
+    )

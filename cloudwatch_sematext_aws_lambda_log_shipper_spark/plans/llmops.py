@@ -528,3 +528,119 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import near_dup_clusters
 
     return near_dup_clusters(_docs(spark, sf_dir))
+
+
+# --- TF-IDF vocabulary ranking ------------------------------------------
+
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), stats AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS total_tf, count(*) AS df
+  FROM tf GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, total_tf, df,
+       CAST(ROUND(CAST(total_tf AS DOUBLE) * ln(n_docs / df), 6) AS DOUBLE)
+         AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, token
+LIMIT 25
+"""
+
+
+@query("tfidf_top_terms", _TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: which tokens carry signal
+    (high frequency in few documents) vs stopwords (high frequency
+    everywhere, idf -> 0) — the vocabulary-analysis step before
+    building quality classifiers or n-gram LMs.
+
+    Scale: two cascaded aggregations, each with map-side partial
+    combine — the first shuffles |doc x distinct-token| rows keyed by
+    (doc_id, token), the second collapses to |vocab|. The corpus size
+    N arrives via a broadcast scalar (one metadata-cheap count), so
+    the scoring join adds no shuffle; final top-25 is
+    TakeOrderedAndProject.
+    """
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("token").agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "total_tf",
+            "df",
+            F.round(
+                F.col("total_tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "token")
+        .limit(25)
+    )
+
+
+# --- per-label embedding centroids --------------------------------------
+
+
+_CENTROID_ORACLE = r"""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(ROUND(
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+           / count(*), 6) AS DOUBLE) AS centroid,
+       count(*) AS n
+FROM ex
+GROUP BY label, dim
+"""
+
+
+@query("embedding_centroids", _CENTROID_ORACLE)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label dimension-wise centroid of the embedding space — the
+    class-prototype computation behind SemDeDup-style semantic dedup
+    and centroid-seeded IVF indexes.
+
+    Determinism: float values widen exactly to double, then to
+    DECIMAL(18,9) so the per-group sum is order-independent (parallel
+    aggregation reorders FP adds); the mean divides the exact sum once,
+    in double, identically in both engines. (No exact decimal ties are
+    possible at the rounding boundary: a 10-decimal-digit tie value
+    ending in 5e-10 is never exactly representable in binary floating
+    point, so HALF_UP-vs-HALF_EVEN differences cannot trigger.)
+
+    Scale: posexplode multiplies rows by dim (64x) but the partial
+    aggregate collapses them to |labels| x dim per map task before the
+    shuffle — the wire carries centroids, not vectors.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    vdec = F.col("v").cast("decimal(18,9)")
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(vdec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
