@@ -321,9 +321,19 @@ def connected_components(
     no driver-side graph, no quadratic step. (GraphFrames does the same
     with large-star/small-star; this stays dependency-free.)
     """
+    # Both edge orientations from ONE scan of the pairs subtree: a
+    # union of two selects over `pairs` would evaluate the (expensive,
+    # un-persisted) pair-generation plan once per branch.
     edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                    F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist()
     )
