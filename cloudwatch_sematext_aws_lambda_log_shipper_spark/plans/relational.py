@@ -570,3 +570,49 @@ def events_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", "event_id").alias("first_event_type"),
         F.max_by("event_type", "event_id").alias("last_event_type"),
     )
+
+
+_PRIORITY_SHIP_ORACLE = """
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@query("priority_shipments", _PRIORITY_SHIP_ORACLE)
+def priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation: per return flag, how
+    many shipped lines belong to high- vs low-priority orders — the
+    CASE-WHEN-inside-SUM pattern (one pass, no per-branch subqueries).
+
+    Determinism: pure integer counts — no FP anywhere.
+
+    Scale: the shipdate range predicate pushes into the lineitem scan
+    (prunes both rows and, on a date-partitioned layout, partitions)
+    BEFORE the join, so the shuffle carries only the window's lines;
+    both conditional sums partial-aggregate map-side into single longs
+    per flag.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
