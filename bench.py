@@ -42,20 +42,24 @@ def main() -> None:
         warm_dir = sf_dir
 
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name, fn in qs.items():
         try:
             fn(spark, warm_dir).count()  # compile/JIT the plan shape
             spark.catalog.clearCache()
             t0 = time.time()
-            rows[name] = fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 2)
             spark.catalog.clearCache()
         except Exception as exc:  # a broken query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # The driver tail-captures stdout (~2 KB): stop Spark first so no JVM
+    # shutdown noise can follow, then emit ONE compact line as the final
+    # stdout output. No rows dict, 2-dp timings -> ~1.4 KB for 49 queries.
+    spark.stop()
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -63,10 +67,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "rows": rows,
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

@@ -233,8 +233,8 @@ WITH scored AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
-       sum(n_subwords) AS total_subwords,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
        CAST(sum(q) AS DOUBLE) AS total_quality
 FROM scored GROUP BY source
 """
@@ -434,7 +434,7 @@ WITH toks AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(q) AS DOUBLE) AS total_quality
 FROM deduped WHERE rn = 1
 GROUP BY source

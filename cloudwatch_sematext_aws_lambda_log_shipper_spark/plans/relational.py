@@ -379,8 +379,8 @@ WITH d AS (
 )
 SELECT event_type,
        count(*) AS n,
-       min(v) AS min_value,
-       max(v) AS max_value,
+       CAST(min(v) AS DOUBLE) AS min_value,
+       CAST(max(v) AS DOUBLE) AS max_value,
        CAST(SUM(v) AS DOUBLE) AS total,
        CAST(SUM(v) AS DOUBLE) / count(*) AS mean,
        CAST(SUM(v * v) AS DOUBLE) / count(*)
@@ -395,13 +395,20 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math/statistics surface: min/max/mean/variance per event type with
     DECIMAL-exact sums (order-independent, so the oracle hash matches)
     and the variance assembled from exact moments in double at the end.
+
+    Output types are BIGINT/DOUBLE only: DECIMAL results reach the
+    driver's compare through different client paths in the two engines
+    (DuckDB renders DECIMAL at its declared scale / converts to float64
+    through pandas, Spark returns Decimal objects), so decimals stay
+    internal and every surfaced number is cast — a decimal(14,4) value
+    converts to double exactly the same way in both engines.
     """
     ev = load(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(14,4)")
     agg = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("v").alias("min_value"),
-        F.max("v").alias("max_value"),
+        F.min("v").cast("double").alias("min_value"),
+        F.max("v").cast("double").alias("max_value"),
         F.sum("v").cast("double").alias("total"),
         F.sum(F.col("v") * F.col("v")).cast("double").alias("_sumsq"),
     )
@@ -574,10 +581,10 @@ def events_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY_SHIP_ORACLE = """
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1998-01-01'

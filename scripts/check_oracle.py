@@ -24,13 +24,17 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.schemas import TEST_TABLES
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
 
 
+STRICT = os.environ.get("ORACLE_STRICT", "") == "1"
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # strict mode mimics the driver: full repr, no rounding slack
+        return repr(v) if STRICT else f"{v:.10g}"
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
