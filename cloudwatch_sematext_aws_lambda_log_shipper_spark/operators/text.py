@@ -74,11 +74,26 @@ def subword_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(TOKEN_REGEX))
 
 
+def _marker_token_pattern(markers: list[str]) -> str:
+    """Regex matching a whole whitespace-delimited token equal to any
+    marker: `(?<!\\S)` / `(?!\\S)` pin both token edges, so one match ==
+    one token and adjacent tokens can't hide each other (matches never
+    consume the separating whitespace). All markers are alphanumeric/CJK
+    so no escaping is needed."""
+    return r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)"
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    w = words(text)
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
-    return n_stop.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+    """Stopword-token share, counted with one codegen'd regexp_count
+    rather than `filter(words, ...)`: higher-order-function lambdas are
+    evaluated interpreted per element, which made this (and lang_scores)
+    the engine's hottest path at bench scale."""
+    n_stop = F.regexp_count(
+        F.lower(text), F.lit(_marker_token_pattern(stopwords or STOPWORDS))
+    )
+    return n_stop.cast("double") / F.greatest(
+        F.size(words(text)), F.lit(1)
+    ).cast("double")
 
 
 def punct_ratio(text: Column) -> Column:
@@ -101,13 +116,17 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-hit count per language over the token set."""
-    w = words(text)
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-    return out
+    """Marker-hit count per language: one codegen'd regexp_count per
+    language over the lowercased text. Token semantics are identical to
+    counting split-on-whitespace tokens that equal a marker (the DuckDB
+    oracles keep the list-comprehension form), but this stays inside
+    WholeStageCodegen instead of 25 interpreted HOF lambdas per row —
+    the round-2 bench's single hottest operator."""
+    lt = F.lower(text)
+    return {
+        lang: F.regexp_count(lt, F.lit(_marker_token_pattern(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_id(text: Column) -> Column:
