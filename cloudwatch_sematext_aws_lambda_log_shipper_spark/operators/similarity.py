@@ -106,26 +106,39 @@ def cosine_pairs_exact(
     executors once per right-hand CHUNK, each task computing a
     (batch x chunk) matmul in numpy (Arrow in, BLAS, Arrow out) —
     millions of dot products per second per core, no per-row Python,
-    no quadratic shuffle. Chunks bound driver/broadcast memory; at
-    100 TB you run one pass per chunk of the smaller side (or switch
-    to the ANN paths above when approximation is acceptable —
-    cluster-then-pair is the SemDeDup-style default for training-data
-    dedup).
+    no quadratic shuffle.
+
+    Driver memory is O(chunk), never O(corpus): the corpus is hash-
+    partitioned into ceil(n/chunk_size) chunks by id, and each chunk is
+    fetched (filter + Arrow toPandas), normalized, and broadcast one at
+    a time. At 100 TB you run one corpus pass per chunk of the smaller
+    side (callers doing many chunks should .persist() the input to skip
+    re-scans) — or switch to the ANN paths above when approximation is
+    acceptable; cluster-then-pair is the SemDeDup-style default for
+    training-data dedup.
     """
+    import math
+
     import numpy as np
 
     c = corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    collected = c.collect()
-    ids = np.array([r["_id"] for r in collected], dtype=np.int64)
-    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in collected])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    n_chunks = max(1, math.ceil(c.count() / chunk_size))
 
     sc = corpus.sparkSession.sparkContext
     out_schema = "id_a long, id_b long, cos double"
     results = []
-    for lo in range(0, len(ids), chunk_size):
-        chunk_ids = ids[lo : lo + chunk_size]
-        chunk_mat = mat[lo : lo + chunk_size]
+    for ch in range(n_chunks):
+        chunk = c if n_chunks == 1 else c.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
+        )
+        pdf = chunk.toPandas()
+        if len(pdf) == 0:
+            continue
+        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        chunk_mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        )
+        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
         bc = sc.broadcast((chunk_ids, chunk_mat))
 
         def block(batches, _bc=bc, _thr=threshold):
@@ -145,6 +158,10 @@ def cosine_pairs_exact(
                 yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cos": s[keep]})
 
         results.append(c.mapInPandas(block, out_schema))
+    if not results:  # empty corpus
+        return corpus.sparkSession.createDataFrame([], out_schema).select(
+            "id_a", "id_b", F.round("cos", 6).alias("cosine")
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
