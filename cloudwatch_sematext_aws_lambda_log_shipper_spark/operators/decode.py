@@ -86,6 +86,15 @@ def decode_records(records: DataFrame, data_col: str = "data",
     CONTROL_MESSAGE records are dropped (S5, shipper.js:125). Records whose
     payload fails to decode/parse surface as decode_error=true for DLQ
     routing (engine improvement over reference crash, SURVEY.md Q4/S17).
+
+    A payload that parses as valid JSON but has null/missing logEvents
+    (e.g. ``{}``) is ALSO decode_error=true: in the reference,
+    ``logEvents.forEach`` would throw (shipper.js:132) and the handler
+    catch-all would drop the whole batch; here the envelope routes to the
+    DLQ instead of silently vanishing in the downstream explode —
+    preserving the conservation invariant (every input record reaches
+    clean, DLQ, or an intentional CONTROL drop). An empty ``logEvents``
+    array is NOT an error: it legitimately contains zero events.
     """
     decoded = records.withColumn("_payload", decode_payload(F.col(data_col)))
     return (
@@ -99,7 +108,10 @@ def decode_records(records: DataFrame, data_col: str = "data",
             F.col("_payload.logGroup").alias("logGroup"),
             F.col("_payload.logStream").alias("logStream"),
             F.col("_payload.logEvents").alias("logEvents"),
-            F.col("_payload").isNull().alias("decode_error"),
+            (
+                F.col("_payload").isNull()
+                | F.col("_payload.logEvents").isNull()
+            ).alias("decode_error"),
             F.col(data_col).alias("_raw_data"),
         )
     )

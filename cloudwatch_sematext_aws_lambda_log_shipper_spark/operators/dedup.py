@@ -6,8 +6,10 @@ an all-pairs cross join — at 100 TB the cross join is the difference
 between a job and a joke. Verification (exact Jaccard / Hamming) runs
 only on bucket-collision candidates.
 
-MinHash/LSH background is standard (Broder '97; MMDS ch.3). All hashing
-is xxhash64 (JVM-side, seeded, deterministic).
+MinHash/LSH background is standard (Broder '97; MMDS ch.3). MinHash
+permutations use xxhash64 (JVM-side, seeded); SimHash bit votes come
+from md5 hex digits so the DuckDB oracle can replicate the sketch
+bit-for-bit.
 """
 
 from __future__ import annotations
@@ -187,6 +189,13 @@ def near_dup_pairs(
     of the verify join); persisting it trades memory for two interpreted
     shingling recomputes. MEMORY_AND_DISK: spills instead of OOMing when
     the corpus outgrows executor memory.
+
+    The verified pairs (tiny — |pairs| << corpus) are materialized
+    eagerly via localCheckpoint so both intermediates can be UNPERSISTED
+    before returning: repeated calls in a long-lived session must not
+    accumulate storage blocks. The checkpoint blocks themselves are
+    bounded by the small output and reclaimed by the ContextCleaner once
+    the returned frame is dropped.
     """
     from pyspark import StorageLevel
 
@@ -200,7 +209,12 @@ def near_dup_pairs(
         shingled, id_col, k=num_bands * rows_per_band
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
-    return verify_jaccard(cands, shingled, id_col, threshold)
+    result = verify_jaccard(cands, shingled, id_col, threshold).localCheckpoint(
+        eager=True
+    )
+    sigs.unpersist()
+    shingled.unpersist()
+    return result
 
 
 # --- SimHash ------------------------------------------------------------
@@ -210,11 +224,25 @@ def _mask(i: int):
     return F.lit(1 << i) if i < 63 else F.lit(-(2**63))
 
 
+def _md5_hex_digit(col: Column, pos: int) -> Column:
+    """Value 0-15 of the 1-indexed hex char ``pos`` of an md5 hex string,
+    via ascii arithmetic — expressible identically in DuckDB
+    (ascii/substr/CASE), which is what makes the SimHash sketch
+    oracle-replicable."""
+    a = F.ascii(F.substring(col, pos, 1))
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
 def simhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
                        bits: int = 64) -> DataFrame:
     """64-bit SimHash per doc: bit i is the sign of the summed (+1/-1)
     votes from each shingle hash's bit i (Charikar '02 — near-dups land
     at small Hamming distance).
+
+    The per-shingle hash is the TOP 64 bits of md5 (bit i = bit i%4 of
+    hex digit 16 - i//4) rather than xxhash64: md5's hex digits are
+    reproducible in DuckDB with ascii/substr arithmetic, so the whole
+    sketch — not just its output shape — sits under the oracle.
 
     Explode-then-aggregate like minhash_signatures: 64 codegen'd
     conditional-sum aggregates over (doc, shingle-hash) rows, partial
@@ -222,11 +250,20 @@ def simhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
     """
     exploded = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_s")
-    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
-    votes = exploded.groupBy(id_col).agg(
+    ).select(F.col(id_col), F.md5("_s").alias("_m"))
+    # one digit-value column per hex char, shared by its 4 bit votes
+    digits = exploded.select(
+        F.col(id_col),
+        *[_md5_hex_digit(F.col("_m"), p).alias(f"d_{p}") for p in range(1, 17)],
+    )
+    votes = digits.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.col("_h").bitwiseAND(_mask(i)) != 0, 1).otherwise(-1)
+                F.when(
+                    F.col(f"d_{16 - i // 4}").bitwiseAND(F.lit(1 << (i % 4)))
+                    != 0,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v_{i}")
             for i in range(bits)
         ]
@@ -256,7 +293,9 @@ def simhash_near_dup_pairs(
     Signatures are persisted for the same reason as in near_dup_pairs:
     the chunk self-join scans them from both sides, and without a
     materialized cache each side recomputes the 64-aggregate signature
-    pass from raw text.
+    pass from raw text. The (small) verified output is localCheckpoint'd
+    eagerly so the signature cache can be unpersisted before returning —
+    no storage-block accumulation across calls.
     """
     from pyspark import StorageLevel
 
@@ -292,11 +331,14 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    result = (
         cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return result
 
 
 # --- connected components (dedup clusters) -------------------------------
@@ -373,7 +415,12 @@ def connected_components(
             break
         prev_sum = label_sum
     edges.unpersist()
-    return labels.select(F.col("node"), F.col("comp"))
+    # labels is already materialized (the convergence aggregate ran), so
+    # the checkpoint is cheap; unpersisting it afterwards leaves no
+    # storage blocks behind from the propagation rounds.
+    out = labels.select(F.col("node"), F.col("comp")).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def near_dup_clusters(

@@ -5,10 +5,11 @@ Arrow-batched ``mapInPandas`` transforms.
 Design: media rides as ``binary`` next to a ``media_meta`` struct
 (modality, format, n_bytes). The Spark-side plumbing — schema,
 partition-preserving mapInPandas, batch shapes — is real and tested.
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``decode_image`` tries PIL and otherwise falls back to a
-clearly-marked deterministic fake derived from the bytes (stable across
-runs/executors). Swapping in a real decoder changes ONE function.
+The decode step is REAL for PPM (``P6``) images: a ~10-line pure-Python
+header parse, no codec library needed. For other formats it tries PIL
+(absent in this container) and otherwise falls back to a clearly-marked
+deterministic fake derived from the bytes (stable across
+runs/executors). Swapping in a full decoder changes ONE function.
 
 Scale: mapInPandas streams Arrow record batches — no per-row Python, no
 driver collect; binary stays columnar end-to-end. Partitioning is
@@ -19,6 +20,7 @@ carries through the decode stage.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,11 +60,20 @@ def with_media_meta(df: DataFrame, media_col: str = "media",
     )
 
 
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
 def _decode_one(data: bytes) -> tuple[int, int, int]:
-    """Decode image dims. Real decoder if PIL exists; else a
-    deterministic fake derived from the byte content (NOT random — the
-    same bytes always produce the same dims, so tests and oracles are
-    stable)."""
+    """Decode image dims.
+
+    PPM ``P6`` (header: magic, width, height, maxval, then raw RGB) is
+    decoded for REAL in pure Python — no codec library involved. Other
+    formats try PIL; failing that, a deterministic fake derived from the
+    byte content (NOT random — the same bytes always produce the same
+    dims, so tests stay stable)."""
+    m = _PPM_HEADER.match(data)
+    if m:
+        return int(m.group(1)), int(m.group(2)), 3
     try:  # pragma: no cover - PIL absent in this container
         import io
 

@@ -123,7 +123,11 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # `ts` arrives as TIMESTAMP_NTZ from parquet (isAdjustedToUTC=false);
+    # ANSI mode forbids NTZ→BIGINT directly, so route through TIMESTAMP.
+    # The session-timezone offset is constant, so the gap is unaffected.
+    tsl = F.col("ts").cast("timestamp").cast("long")
+    gap = tsl - F.lag(tsl).over(w)
     new_session = (gap.isNull() | (gap > 30 * 60)).cast("int")
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0

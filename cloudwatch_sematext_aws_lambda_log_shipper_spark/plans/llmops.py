@@ -121,10 +121,60 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
-@query("near_dup_simhash")  # xxhash-based sketch -> rows-only driver check
+def _simhash_oracle() -> str:
+    """Brute-force SimHash oracle: recompute the md5-digit sketch per doc
+    in pure SQL (ascii/substr arithmetic mirrors operators/dedup.py
+    _md5_hex_digit exactly), then all-pairs Hamming <= 3 — feasible at
+    sf0.01, and the engine's pigeonhole chunk blocking guarantees it
+    finds the SAME pairs without the quadratic join."""
+
+    def digit(p: int) -> str:
+        a = f"ascii(substr(m,{p},1))"
+        return f"({a} - CASE WHEN {a} >= 97 THEN 87 ELSE 48 END)"
+
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({digit(16 - i // 4)} & {1 << (i % 4)}) != 0"
+        f" THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(64)
+    )
+    mask = lambda i: "-9223372036854775808" if i == 63 else str(1 << i)  # noqa: E731
+    terms = "\n       + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({mask(i)} AS HUGEINT) ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, md5(shingle) AS m
+  FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM ex GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+         CAST({terms} AS BIGINT) AS simhash
+  FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("near_dup_simhash", _simhash_oracle())
 def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (4x16-bit chunk blocking, Hamming <= 3).
-    Verified against MinHash/Jaccard ground truth in pytest."""
+    md5-digit bit votes make the whole sketch DuckDB-replicable; also
+    verified against MinHash/Jaccard ground truth in pytest."""
     return simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
@@ -374,28 +424,48 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal ---------------------------------------------------------
 
 
-@query("multimodal_image_features")  # binary codec stage -> rows-only check
+_MULTIMODAL_ORACLE = """
+SELECT 3 AS channels,
+       count(*) AS n,
+       CAST(SUM(1 + n_chars % 64) AS BIGINT) AS total_width,
+       CAST(SUM(1 + doc_id % 48) AS BIGINT) AS total_height
+FROM documents
+"""
+
+
+@query("multimodal_image_features", _MULTIMODAL_ORACLE)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media plumbing end-to-end: documents text re-encoded as an
-    opaque binary 'image' column + metadata struct, decoded via the
-    Arrow-batched mapInPandas stage, aggregated by channel count.
-    (Decode is the documented deterministic stub — no codecs in this
-    container; the Spark plumbing is the deliverable.)"""
+    """Binary media pipeline end-to-end with a REAL decode: each document
+    becomes a genuine PPM image — ``P6 <w> <h> 255`` header plus a full
+    w*h*3-byte pixel payload, dims derived from the doc (w = 1 +
+    n_chars % 64, h = 1 + doc_id % 48) — and the Arrow-batched
+    mapInPandas stage parses the binary header back. The oracle
+    recomputes the dims from the same doc properties, so a header-build
+    or header-parse bug breaks the hash match. No codec library, no
+    stub, on this path."""
     docs = _docs(spark, sf_dir)
     media = with_media_meta(
         docs.select(
             F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "utf-8").alias("media"),
-        )
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"),
+                    F.expr("1 + n_chars % 64"),
+                    F.lit(" "),
+                    F.expr("1 + doc_id % 48"),
+                    F.lit("\n255\n"),
+                    F.expr("repeat('x', (1 + n_chars % 64) * (1 + doc_id % 48) * 3)"),
+                ),
+                "utf-8",
+            ).alias("media"),
+        ),
+        fmt="ppm",
     )
     feats = decode_image_features(media)
-    return (
-        feats.groupBy("channels")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("width").cast("long")).alias("total_width"),
-        )
-        .orderBy("channels")
+    return feats.groupBy("channels").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
     )
 
 

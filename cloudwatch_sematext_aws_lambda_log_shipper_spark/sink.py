@@ -48,19 +48,45 @@ def with_log_date(df: DataFrame) -> DataFrame:
     )
 
 
-def write_log_table(df: DataFrame, path: str, mode: str = "append") -> None:
+def _write_partitioned(
+    df: DataFrame, path: str, mode: str, batch_id: int | None
+) -> None:
+    """Shared writer. With ``batch_id`` the write is IDEMPOTENT: rows gain
+    an ``ingest_batch=<id>`` partition and the write is a dynamic
+    partition OVERWRITE, so a retried micro-batch (same batch id ⇒ same
+    source offsets ⇒ same rows) replaces exactly its own partitions
+    instead of appending duplicates. Without it, plain append (batch
+    backfill semantics). One table must stick to one of the two layouts.
+    """
+    if batch_id is None:
+        df.write.mode(mode).partitionBy("log_date").parquet(path)
+    else:
+        (
+            df.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "log_date")
+            .parquet(path)
+        )
+
+
+def write_log_table(
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+) -> None:
     """Land clean log records in the date-partitioned parquet log table."""
-    with_log_date(df).write.mode(mode).partitionBy("log_date").parquet(path)
+    _write_partitioned(with_log_date(df), path, mode, batch_id)
 
 
 def read_log_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def write_dlq(df: DataFrame, path: str, mode: str = "append") -> None:
+def write_dlq(
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+) -> None:
     """Land DLQ rows (with _raw replay payload), partitioned by date too
     so replay jobs can target a window."""
-    with_log_date(df).write.mode(mode).partitionBy("log_date").parquet(path)
+    _write_partitioned(with_log_date(df), path, mode, batch_id)
 
 
 def to_bulk_ndjson(df: DataFrame) -> DataFrame:
@@ -80,20 +106,27 @@ def to_bulk_ndjson(df: DataFrame) -> DataFrame:
 
 def write_bulk_ndjson(
     df: DataFrame, path: str, bulk_size: int = DEFAULT_CONFIG.bulk_size,
-    mode: str = "append",
+    mode: str = "append", batch_id: int | None = None,
 ) -> None:
     """Write ``_bulk`` payload files, at most ``bulk_size`` docs per file
     (LOGS_BULK_SIZE=100, serverless.yml:36) — one file per bulk POST.
 
     maxRecordsPerFile does the chunking JVM-side; no driver collect, no
-    Python loop — scales to any partition count.
+    Python loop — scales to any partition count. With ``batch_id``, the
+    same dynamic-partition-overwrite idempotence as the log table.
     """
-    (
-        to_bulk_ndjson(df)
-        .write.mode(mode)
-        .option("maxRecordsPerFile", bulk_size)
-        .text(path)
-    )
+    out = to_bulk_ndjson(df)
+    if batch_id is None:
+        out.write.mode(mode).option("maxRecordsPerFile", bulk_size).text(path)
+    else:
+        (
+            out.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", bulk_size)
+            .partitionBy("ingest_batch")
+            .text(path)
+        )
 
 
 class LogSink:
@@ -109,9 +142,16 @@ class LogSink:
         self.config = config
         self.bulk = bulk
 
-    def ship(self, clean: DataFrame, dlq: DataFrame, mode: str = "append") -> None:
-        write_log_table(clean, self.log_table, mode=mode)
-        write_dlq(dlq, self.dlq_path, mode=mode)
+    def ship(
+        self, clean: DataFrame, dlq: DataFrame, mode: str = "append",
+        batch_id: int | None = None,
+    ) -> None:
+        """Route a batch to the sinks. Pass the foreachBatch ``batch_id``
+        to make the ship idempotent under micro-batch retry (exactly-once
+        to the tables); omit it for plain batch append."""
+        write_log_table(clean, self.log_table, mode=mode, batch_id=batch_id)
+        write_dlq(dlq, self.dlq_path, mode=mode, batch_id=batch_id)
         if self.bulk:
             write_bulk_ndjson(clean, self.bulk_path,
-                              bulk_size=self.config.bulk_size, mode=mode)
+                              bulk_size=self.config.bulk_size, mode=mode,
+                              batch_id=batch_id)

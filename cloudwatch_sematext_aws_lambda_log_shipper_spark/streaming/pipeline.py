@@ -10,8 +10,10 @@ Reference parity:
 - per-invocation ship (shipper.js:150-153) -> ``foreachBatch`` running
   the SAME ``run_batch`` used in batch mode, landing clean + DLQ via
   ``LogSink``.
-- delivery: checkpointed file-source offsets + idempotent-per-batch
-  parquet append => exactly-once to the log table across restarts
+- delivery: checkpointed file-source offsets + batch_id-keyed dynamic
+  partition OVERWRITE (ingest_batch=<id>) => exactly-once to the log
+  table across restarts AND mid-batch failures/retries — a retried
+  micro-batch replaces its own partitions rather than appending twice
   (upgrade over the reference's at-most-once swallow, shipper.js:154-159).
 
 Event-time semantics are NEW capability (the reference never reads
@@ -53,8 +55,13 @@ class StreamingShipper:
         self.max_files_per_trigger = max_files_per_trigger
 
     def _ship_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a failed micro-batch is retried
+        # with the SAME batch_id. Passing it through makes the ship a
+        # dynamic partition overwrite of ingest_batch=<id>, so the retry
+        # replaces its own output instead of duplicating it — this is
+        # what upgrades the checkpointed stream to exactly-once.
         clean, dlq = run_batch(batch_df)
-        self.sink.ship(clean, dlq, mode="append")
+        self.sink.ship(clean, dlq, batch_id=batch_id)
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         records = stream_kinesis_event_files(

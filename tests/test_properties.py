@@ -73,11 +73,14 @@ messages = st.one_of(
         st.lists(messages, min_size=0, max_size=5), min_size=1, max_size=4
     ),
     corrupt=st.lists(st.sampled_from(["!!!", "AAAA", "", "====", "%%%"]), max_size=3),
+    eventless=st.lists(st.sampled_from(["missing", "null", "empty_obj"]), max_size=3),
 )
-def test_full_pipeline_conservation(spark, payload_groups, corrupt):
+def test_full_pipeline_conservation(spark, payload_groups, corrupt, eventless):
     """End-to-end conservation: every Kinesis record's log events land in
-    clean or DLQ; every corrupt record lands in the DLQ; nothing is
-    silently lost anywhere in decode -> explode -> parse -> split."""
+    clean or DLQ; every corrupt record lands in the DLQ; valid-JSON
+    envelopes with null/missing logEvents (the class the reference would
+    crash on, shipper.js:132) land in the DLQ too; nothing is silently
+    lost anywhere in decode -> explode -> parse -> split."""
     import json as _json
 
     from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.decode import (
@@ -113,11 +116,22 @@ def test_full_pipeline_conservation(spark, payload_groups, corrupt):
         )
     for c in corrupt:
         recs.append(Row(data=c, awsRegion="r"))
+    for kind in eventless:
+        env = {"messageType": "DATA_MESSAGE", "logGroup": "/aws/lambda/f",
+               "logStream": "[1]s"}
+        if kind == "null":
+            env["logEvents"] = None
+        elif kind == "empty_obj":
+            env = {}
+        recs.append(Row(data=gzip_b64(_json.dumps(env)), awsRegion="r"))
     df = spark.createDataFrame(
         recs, schema="data string, awsRegion string"
     )
     clean, dlq = run_batch(df)
-    assert clean.count() + dlq.count() == n_events - n_platform + len(corrupt)
+    # every eventless envelope must surface as exactly one DLQ row
+    expected = n_events - n_platform + len(corrupt) + len(eventless)
+    assert clean.count() + dlq.count() == expected
+    assert dlq.count() >= len(corrupt) + len(eventless)
 
 
 @settings(

@@ -80,6 +80,39 @@ def test_streaming_ship_and_checkpoint_restart(spark, tmp_path):
     assert logs2.filter("severity = 'error'").count() == 1
 
 
+def test_retried_micro_batch_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch that fails after (or
+    during) its write is retried with the SAME batch_id. The ship must be
+    idempotent — re-shipping batch 0 leaves the table unchanged, and a
+    partial first attempt is fully replaced by the retry."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = tmp_path / "out"
+    write_event_file(inp, "a.json", [payload(["one", "two", "three error"])])
+    shipper = StreamingShipper(spark, str(inp), str(out), str(tmp_path / "ck"))
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import (
+        read_kinesis_event_file as read_file,
+    )
+
+    records = read_file(spark, str(inp / "a.json"))
+    # simulate a first attempt that crashed mid-write: only part of the
+    # batch landed before the failure
+    shipper._ship_batch(records.limit(1), batch_id=0)
+    # the retry re-runs the FULL batch under the same id
+    shipper._ship_batch(records, batch_id=0)
+    logs = spark.read.parquet(str(out / "logs"))
+    assert logs.count() == 3  # not 4 (partial) and not 6 (append dupe)
+    # a second identical retry is also a no-op
+    shipper._ship_batch(records, batch_id=0)
+    assert spark.read.parquet(str(out / "logs")).count() == 3
+    # a genuinely new batch still appends alongside
+    shipper._ship_batch(records, batch_id=1)
+    logs = spark.read.parquet(str(out / "logs"))
+    assert logs.count() == 6
+    assert logs.select("ingest_batch").distinct().count() == 2
+
+
 def test_streaming_dlq_lands(spark, tmp_path):
     inp = tmp_path / "in"
     inp.mkdir()
