@@ -5,11 +5,14 @@ Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
 Methodology: every query first executes once at the SMALLEST scale
 (sf0.001) to pay one-time plan costs — codegen compilation and JIT are
-keyed on plan shape, not data volume — then the timed run executes at
-the target scale. This reports steady-state throughput (what a
-long-running engine delivers) without doubling the bench wall-clock.
-`spark.catalog.clearCache()` runs between warmup and timing so no
-operator-level persist() carries over.
+keyed on plan shape, not data volume — then TWO timed runs execute at
+the target scale and the MIN is reported. The min-of-2 exists because
+the recording host is shared: a co-tenant burst during a single timed
+run would otherwise fabricate a 5-10x outlier for that query (observed
+in earlier rounds); the minimum of two spaced runs is robust to one
+burst while still reporting honest steady-state time.
+`spark.catalog.clearCache()` runs between all runs so no operator-level
+persist() carries over.
 """
 
 from __future__ import annotations
@@ -46,10 +49,14 @@ def main() -> None:
         try:
             fn(spark, warm_dir).count()  # compile/JIT the plan shape
             spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 2)
-            spark.catalog.clearCache()
+            best = None
+            for _ in range(2):  # min-of-2: robust to one co-tenant burst
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 2)
         except Exception as exc:  # a broken query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)

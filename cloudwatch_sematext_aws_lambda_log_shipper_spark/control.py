@@ -149,20 +149,32 @@ def compact_partition(
     At scale this is the nightly companion to retention: the streaming
     sink optimizes for latency (small frequent files), the log table's
     readers want fewer large row groups. The rewrite is a single narrow
-    coalesce job per partition; the swap is a directory rename, so
-    readers see either the old or the new file set.
+    coalesce job per partition; the swap is two atomic directory renames
+    (old aside, tmp in, delete old LAST), so a reader never observes a
+    partial file set and a crash at ANY step leaves the partition
+    recoverable — a crashed swap is healed on the next call. The only
+    reader-visible window is a brief partition-missing gap between the
+    two renames (empty result, not wrong data).
     """
     part_dir = os.path.join(table_path, f"log_date={log_date}")
+    # dot-prefixed siblings: Spark's partition discovery ignores hidden
+    # dirs, so neither staging state ever surfaces as a bogus partition
+    tmp_dir = os.path.join(table_path, f".log_date={log_date}._compact_tmp")
+    old_dir = os.path.join(table_path, f".log_date={log_date}._compact_old")
+    # heal a previously crashed swap: old-aside exists
+    if os.path.isdir(old_dir):
+        if os.path.isdir(part_dir):
+            shutil.rmtree(old_dir)  # crashed after swap-in: finish the delete
+        else:
+            os.rename(old_dir, part_dir)  # crashed between renames: roll back
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)  # stale tmp from a crashed write
     before = [f for f in os.listdir(part_dir) if f.startswith("part-")]
     df = spark.read.parquet(part_dir)
-    tmp_dir = part_dir + "._compact_tmp"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
-    for f in before:
-        os.remove(os.path.join(part_dir, f))
-    for f in os.listdir(tmp_dir):
-        if f.startswith("part-"):
-            os.rename(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
-    shutil.rmtree(tmp_dir)
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
     return len(before)
 
 

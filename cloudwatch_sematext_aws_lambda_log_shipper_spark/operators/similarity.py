@@ -168,6 +168,32 @@ def cosine_pairs_exact(
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
 
 
+def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Attach per-query recall@k (|ANN hits ∩ exact top-k| / k) as a
+    column of the ANN result, so index-quality regressions are visible
+    in result diffs — not only in pytest floors. Queries with zero hits
+    still appear (recall 0.0).
+
+    Scale: both frames are top-k outputs (|queries| * k rows), so the
+    semi join + groupBy are tiny regardless of corpus size; computing
+    `exact` costs one extra brute-force pass — sample the query set when
+    |queries| is large."""
+    hits = (
+        ann.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
+    )
+    return (
+        ann.join(hits, "query_id", "left")
+        .fillna(0.0, ["recall_at_k"])
+        .select(*ann.columns, F.round("recall_at_k", 6).alias("recall_at_k"))
+    )
+
+
 # --- IVF (inverted-file) ANN --------------------------------------------
 
 

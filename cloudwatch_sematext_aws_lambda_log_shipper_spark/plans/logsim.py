@@ -271,6 +271,7 @@ WITH ev AS (
   SELECT * FROM ev WHERE g % 10 <> 0 AND m NOT IN (3, 4)
 ), msgs AS (
   SELECT 'fn-' || CAST(g % 3 AS VARCHAR) AS fname,
+    CAST(g % 5 AS VARCHAR) AS fversion,
     CASE
       WHEN m = 0 THEN event_type || ' ok'
       WHEN m = 1 THEN event_type || ' processed'
@@ -284,12 +285,13 @@ WITH ev AS (
   FROM kept
 )
 SELECT fname AS "function.name",
+       fversion AS "function.version",
        CASE WHEN lower(message) LIKE '%error%' THEN 'error' ELSE 'debug' END
          AS severity,
        count(*) AS n,
        count(DISTINCT request_id) AS n_request_ids
 FROM msgs
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """.replace("{UUID_PREFIX}", UUID_PREFIX)
 
 
@@ -303,13 +305,59 @@ def log_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is also the bench headline: it measures the gunzip pandas-UDF
     decode cost (the real per-byte cost at 100 TB), not just the parse
     kernel.
+
+    Grouping by function.version puts the S7 lambda_version derivation
+    (bracket extraction from logStream, JS substring parity) under the
+    oracle too — the synth varies the bracket value per envelope.
     """
     clean, _dlq = run_batch(synth_kinesis_records(spark, sf_dir))
     return clean.groupBy(
-        F.col("`function.name`"), F.col("severity")
+        F.col("`function.name`"), F.col("`function.version`"), F.col("severity")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.col("`function.request.id`")).alias("n_request_ids"),
+    )
+
+
+_OBSERVE_ORACLE = """
+WITH ev AS (
+  SELECT event_id // 5 AS g FROM events
+), grp AS (
+  SELECT g, count(*) AS n FROM ev GROUP BY g
+)
+SELECT CAST(count(*) AS BIGINT) AS record_counter,
+       CAST(SUM(n) AS BIGINT) AS log_event_counter
+FROM grp WHERE g % 10 <> 0
+"""
+
+
+@query("log_observe_counters", _OBSERVE_ORACLE)
+def log_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 under the oracle: the reference's recordCounter /
+    logEventCounter (shipper.js:117-137 — dead code there, live metrics
+    here) surfaced as a one-row frame. The Observation rides the REAL
+    pipeline plan (no extra pass — metrics accumulate during the same
+    action), then the observed values are checked against the oracle's
+    independent count of non-CONTROL envelopes and their events.
+    """
+    from pyspark.sql import Observation, Row
+
+    from ..pipeline import parse_kinesis_records
+    from ..sources.kinesis import read_kinesis_event_file  # noqa: F401
+
+    obs = Observation()
+    parsed = parse_kinesis_records(
+        synth_kinesis_records(spark, sf_dir), observe=obs
+    )
+    parsed.count()  # one action materializes the pipeline + the metrics
+    got = obs.get
+    return spark.createDataFrame(
+        [
+            Row(
+                record_counter=int(got["record_counter"]),
+                log_event_counter=int(got["log_event_counter"]),
+            )
+        ]
     )
 
 

@@ -113,6 +113,72 @@ def test_compact_partition(spark, tmp_path):
     assert back.count() == 80  # rows preserved
 
 
+def _small_file_table(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    msgs = [
+        f'{{"message":"m{i}","timestamp":"2024-01-05T00:00:0{i % 10}.000Z"}}'
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+    ).repartition(8)
+    clean, _ = split_dlq(parse_log_events(df))
+    table = str(tmp_path / "logs")
+    write_log_table(clean, table, mode="append")
+    write_log_table(clean, table, mode="append")
+    return table
+
+
+def test_compact_partition_heals_crash_between_renames(spark, tmp_path):
+    """Crash window 1: old dir renamed aside, new not yet in. The next
+    compaction call must roll the old data back and complete normally —
+    no rows lost."""
+    import glob
+    import os
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+    )
+
+    table = _small_file_table(spark, tmp_path)
+    part = f"{table}/log_date=2024-01-05"
+    os.rename(part, f"{table}/.log_date=2024-01-05._compact_old")  # simulate mid-swap crash
+    compact_partition(spark, table, "2024-01-05")
+    assert len(glob.glob(f"{part}/part-*")) == 1
+    assert spark.read.parquet(table).count() == 80
+    assert not os.path.exists(f"{table}/.log_date=2024-01-05._compact_old")
+
+
+def test_compact_partition_heals_crash_before_delete(spark, tmp_path):
+    """Crash window 2: swap complete but old-aside dir not deleted. The
+    partition stays fully readable throughout, and the next call cleans
+    up the leftover."""
+    import glob
+    import os
+    import shutil
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+    )
+
+    table = _small_file_table(spark, tmp_path)
+    part = f"{table}/log_date=2024-01-05"
+    # simulate: a completed swap whose final delete never ran
+    shutil.copytree(part, f"{table}/.log_date=2024-01-05._compact_old")
+    assert spark.read.parquet(table).count() == 80  # reader unaffected
+    compact_partition(spark, table, "2024-01-05")
+    assert len(glob.glob(f"{part}/part-*")) == 1
+    assert spark.read.parquet(table).count() == 80
+    assert not os.path.exists(f"{table}/.log_date=2024-01-05._compact_old")
+
+
 def test_retention_integrates_with_sink(spark, tmp_path):
     """Partitions written by the sink are exactly what retention drops."""
     from pyspark.sql import Row
