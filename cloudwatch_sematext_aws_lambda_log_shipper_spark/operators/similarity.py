@@ -171,27 +171,38 @@ def cosine_pairs_exact(
 def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """Attach per-query recall@k (|ANN hits ∩ exact top-k| / k) as a
     column of the ANN result, so index-quality regressions are visible
-    in result diffs — not only in pytest floors. Queries with zero hits
-    still appear (recall 0.0).
+    in result diffs — not only in pytest floors.
+
+    Recall is driven from the EXACT side: a query the index missed
+    entirely (zero candidate buckets → zero ANN rows) still surfaces as
+    one output row with null neighbor columns and recall_at_k 0.0 —
+    an attached-to-ann-rows design would silently drop exactly the
+    worst regressions.
 
     Scale: both frames are top-k outputs (|queries| * k rows), so the
-    semi join + groupBy are tiny regardless of corpus size; computing
+    joins + groupBy are tiny regardless of corpus size; computing
     `exact` costs one extra brute-force pass — sample the query set when
     |queries| is large."""
     hits = (
-        ann.join(
-            exact.select("query_id", "neighbor_id"),
+        exact.select("query_id", "neighbor_id")
+        .join(
+            ann.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_semi",
         )
         .groupBy("query_id")
-        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("recall_at_k"))
+        .agg((F.count(F.lit(1)) / F.lit(float(k))).alias("_recall"))
     )
-    return (
-        ann.join(hits, "query_id", "left")
-        .fillna(0.0, ["recall_at_k"])
-        .select(*ann.columns, F.round("recall_at_k", 6).alias("recall_at_k"))
+    per_query = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .fillna(0.0, ["_recall"])
     )
+    # Full outer: ann rows keep their recall; exact-side queries with no
+    # ann rows appear once (null neighbor cols, recall 0.0).
+    out = ann.join(per_query, "query_id", "full_outer").fillna(0.0, ["_recall"])
+    return out.select(*ann.columns, F.round("_recall", 6).alias("recall_at_k"))
 
 
 # --- IVF (inverted-file) ANN --------------------------------------------

@@ -28,6 +28,7 @@ from ..operators.similarity import (
     ann_topk_lsh,
     cosine_pairs_exact,
     cosine_topk,
+    with_recall_at_k,
 )
 from ..operators.text import (
     fingerprint,
@@ -217,28 +218,29 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_ann_ivf")  # approximate by design -> rows-only check
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (KMeans partitions, nprobe=6/16) — the primary
-    100 TB path; partitions adapt to the data distribution. Recall vs
-    the exact top-k is asserted in pytest."""
+    100 TB path; partitions adapt to the data distribution. Emits
+    per-query `recall_at_k` vs the exact top-k so index-quality
+    regressions show in result diffs, not only in pytest floors
+    (the exact pass is over the same 10-query set — tiny)."""
     emb = _emb(spark, sf_dir)
-    return ann_topk_ivf(
-        corpus=emb.filter(F.col("vec_id") >= 10),
-        queries=emb.filter(F.col("vec_id") < 10),
-        k=5,
-    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_ivf(corpus=corpus, queries=queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5)
 
 
 @query("embedding_ann_lsh")  # approximate by design -> rows-only check
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (multiprobe) — data-independent
     alternative (no index build); lower recall on near-uniform vectors.
-    Recall vs the exact oracle is asserted in pytest."""
+    Emits per-query `recall_at_k` vs the exact top-k (see IVF note)."""
     emb = _emb(spark, sf_dir)
-    return ann_topk_lsh(
-        corpus=emb.filter(F.col("vec_id") >= 10),
-        queries=emb.filter(F.col("vec_id") < 10),
-        k=5,
-        num_planes=4,
-    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_lsh(corpus=corpus, queries=queries, k=5, num_planes=4)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5)
 
 
 _COSINE_NEARDUP_ORACLE = """

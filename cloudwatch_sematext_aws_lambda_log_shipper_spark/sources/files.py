@@ -15,8 +15,16 @@ from pyspark.sql import types as T
 _FORMATS = ("parquet", "orc", "json", "csv")
 
 # Text formats default to millisecond timestamps — a silent microsecond
-# truncation on round-trip. Pin a lossless format.
+# truncation on round-trip. Pin lossless formats for BOTH timestamp
+# flavors: TIMESTAMP (LTZ) carries a zone offset, TIMESTAMP_NTZ is a
+# wall-clock value and must serialize with no offset text (an
+# offset-required pattern would null every NTZ value on read-back).
+# The reader schema decides which applies per column; declare
+# `timestamp_ntz` for NTZ data — reading NTZ text through an LTZ column
+# is a semantic reinterpretation, not supported here.
 _TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_TS_OPTS = {"timestampFormat": _TS_FORMAT, "timestampNTZFormat": _TS_NTZ_FORMAT}
 
 
 def read_table(
@@ -33,9 +41,9 @@ def read_table(
     elif fmt in ("json", "csv"):
         raise ValueError(f"{fmt} requires an explicit schema (no inference pass)")
     if fmt == "csv":
-        return reader.options(header="true", timestampFormat=_TS_FORMAT).csv(path)
+        return reader.options(header="true", **_TS_OPTS).csv(path)
     if fmt == "json":
-        return reader.option("timestampFormat", _TS_FORMAT).json(path)
+        return reader.options(**_TS_OPTS).json(path)
     return getattr(reader, fmt)(path)
 
 
@@ -46,8 +54,8 @@ def write_table(
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
     writer = df.write.mode(mode)
     if fmt == "csv":
-        writer.options(header="true", timestampFormat=_TS_FORMAT).csv(path)
+        writer.options(header="true", **_TS_OPTS).csv(path)
     elif fmt == "json":
-        writer.option("timestampFormat", _TS_FORMAT).json(path)
+        writer.options(**_TS_OPTS).json(path)
     else:
         getattr(writer, fmt)(path)

@@ -12,18 +12,20 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.files import (
     write_table,
 )
 
-SCHEMA = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
     ev = load(spark, sf_dir, "events").limit(200)
+    # Declare the frame's ACTUAL ts flavor (timestamp vs timestamp_ntz):
+    # the testdata generator has shipped both, and reading NTZ text back
+    # through an LTZ column (or vice versa) nulls every value.
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    schema = (
+        f"event_id long, ts {ts_type}, user_id long, event_type string, "
+        "value double, props string"
+    )
     out = str(tmp_path / fmt)
     write_table(ev, out, fmt)
-    back = read_table(spark, out, fmt, schema=SCHEMA if fmt != "orc" else None)
+    back = read_table(spark, out, fmt, schema=schema if fmt != "orc" else None)
     orig = {tuple(r) for r in ev.collect()}
     got = {tuple(r) for r in back.collect()}
     assert got == orig

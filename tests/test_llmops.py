@@ -23,6 +23,7 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity impor
     ann_topk_ivf,
     ann_topk_lsh,
     cosine_topk,
+    with_recall_at_k,
 )
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
     lang_id,
@@ -115,16 +116,55 @@ def test_cosine_topk_self_is_nearest(spark, sf_dir):
 
 
 def test_ann_recall_floors(spark, sf_dir):
+    # Floors assert on the recall_at_k column the queries now emit —
+    # the same number the driver's result snapshots record.
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, queries, 5).collect()}
-    ivf = {(r.query_id, r.neighbor_id) for r in ann_topk_ivf(corpus, queries, 5).collect()}
-    lsh = {(r.query_id, r.neighbor_id) for r in ann_topk_lsh(corpus, queries, 5, num_planes=4).collect()}
+    exact = cosine_topk(corpus, queries, 5)
+    ivf = with_recall_at_k(ann_topk_ivf(corpus, queries, 5), exact, 5)
+    lsh = with_recall_at_k(
+        ann_topk_lsh(corpus, queries, 5, num_planes=4), exact, 5
+    )
     # floors measured on the driver's synthetic (near-uniform) embeddings —
     # the hardest case for ANN; real clustered embeddings do better
-    assert len(ivf & exact) / len(exact) >= 0.5
-    assert len(lsh & exact) / len(exact) >= 0.25
+    def mean_recall(df):
+        rows = df.select("query_id", "recall_at_k").distinct().collect()
+        return sum(r.recall_at_k for r in rows) / len(rows)
+
+    assert mean_recall(ivf) >= 0.5
+    assert mean_recall(lsh) >= 0.25
+
+
+def test_with_recall_at_k_edge_cases(spark):
+    # all-miss: ann found neighbors, none in the exact top-k -> 0.0
+    ann = spark.createDataFrame(
+        [(1, 100, 0.9, 1), (1, 101, 0.8, 2)],
+        "query_id long, neighbor_id long, cosine double, rnk int",
+    )
+    exact = spark.createDataFrame(
+        [(1, 200, 0.99, 1), (1, 201, 0.98, 2), (2, 300, 0.97, 1)],
+        "query_id long, neighbor_id long, cosine double, rnk int",
+    )
+    out = with_recall_at_k(ann, exact, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # query 1: both ann rows kept, recall 0.0 (no overlap with exact)
+    assert len(by_q[1]) == 2
+    assert all(r.recall_at_k == 0.0 for r in by_q[1])
+    # query 2: fully missed by ann -> surfaces as one null-neighbor row
+    # with recall 0.0 instead of disappearing
+    [missed] = by_q[2]
+    assert missed.neighbor_id is None and missed.recall_at_k == 0.0
+
+    # partial hit: 1 of k=2 found -> 0.5 on every row of that query
+    ann2 = spark.createDataFrame(
+        [(1, 200, 0.9, 1), (1, 101, 0.8, 2)],
+        "query_id long, neighbor_id long, cosine double, rnk int",
+    )
+    out2 = with_recall_at_k(ann2, exact.filter("query_id = 1"), k=2).collect()
+    assert all(r.recall_at_k == 0.5 for r in out2)
 
 
 def test_lang_id_marker_semantics(spark):
