@@ -14,10 +14,37 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, word_shingles
+
+# A bucket with n members emits n(n-1)/2 candidate pairs, so ONE
+# pathological bucket (thousands of identical/near-identical docs) makes
+# one reducer quadratic while every other task idles. Candidate
+# generation therefore caps bucket membership: keep the first
+# `max_bucket_size` members per bucket (deterministic: ranked by id) and
+# drop the rest FROM THAT BUCKET ONLY — each doc still has its other
+# bands/chunks, and truly identical docs are the exact-dedup pass's job
+# (corpus_prep runs it first). Per-bucket pair work is thus bounded at
+# cap^2/2 regardless of corpus skew. The rank window shuffles on the
+# same (bucket) key the self-join uses, so it adds a sort, not an extra
+# exchange pattern. Results are bit-identical whenever no bucket
+# exceeds the cap.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def _cap_buckets(
+    df: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    if cap is None:
+        return df
+    w = Window.partitionBy(*bucket_cols).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
 
 # --- exact / normalized -------------------------------------------------
 
@@ -107,21 +134,25 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH band-bucket join: docs sharing ANY band key become a candidate
     pair. With b=16, r=4 the s-curve midpoint is (1/16)^(1/4) ~ 0.5, so
     recall at Jaccard >= 0.8 is ~1 - (1 - 0.8^4)^16 ~ 0.9998.
 
     Scale: explode emits b rows per doc; the self-join shuffles on
-    (band, key) — bucket-local work only. Candidates are distinct'd
-    before any verification.
+    (band, key) — bucket-local work only. Oversized buckets are capped
+    (see DEFAULT_MAX_BUCKET_SIZE) so skew can't make one reducer
+    quadratic. Candidates are distinct'd before any verification.
     """
-    banded = (
+    banded = _cap_buckets(
         signatures.select(
             F.col(id_col),
             F.explode(band_keys(num_bands, rows_per_band)).alias("bk"),
-        )
-        .select(id_col, "bk.band", "bk.key")
+        ).select(id_col, "bk.band", "bk.key"),
+        ["band", "key"],
+        id_col,
+        max_bucket_size,
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -182,6 +213,7 @@ def near_dup_pairs(
     shingle_n: int = 3,
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -208,7 +240,9 @@ def near_dup_pairs(
     sigs = minhash_signatures(
         shingled, id_col, k=num_bands * rows_per_band
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    cands = minhash_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+    )
     result = verify_jaccard(cands, shingled, id_col, threshold).localCheckpoint(
         eager=True
     )
@@ -282,13 +316,15 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup: candidates via 4x16-bit chunk blocking
     (pigeonhole: Hamming <= 3 over 64 bits => at least one of 4 chunks
     identical), verified with bit_count(XOR) <= max_hamming.
 
     Scale: chunk blocking is the same bucket-join shape as MinHash LSH —
-    4 rows per doc, shuffle on (chunk_idx, chunk_value), no cross join.
+    4 rows per doc, shuffle on (chunk_idx, chunk_value), no cross join;
+    oversized buckets are capped (see DEFAULT_MAX_BUCKET_SIZE).
 
     Signatures are persisted for the same reason as in near_dup_pairs:
     the chunk self-join scans them from both sides, and without a
@@ -311,8 +347,13 @@ def simhash_near_dup_pairs(
             for c in range(4)
         ]
     )
-    blocked = sh.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
-        id_col, "simhash", "ck.chunk", "ck.val"
+    blocked = _cap_buckets(
+        sh.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+            id_col, "simhash", "ck.chunk", "ck.val"
+        ),
+        ["chunk", "val"],
+        id_col,
+        max_bucket_size,
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     cands = (

@@ -125,7 +125,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # `ts` arrives as TIMESTAMP_NTZ from parquet (isAdjustedToUTC=false);
     # ANSI mode forbids NTZ→BIGINT directly, so route through TIMESTAMP.
-    # The session-timezone offset is constant, so the gap is unaffected.
+    # Gap-correct ONLY because get_spark pins spark.sql.session.timeZone
+    # to UTC (fixed offset): under a DST-observing zone, a gap spanning a
+    # transition would shift by ±3600s and could flip the session split.
     tsl = F.col("ts").cast("timestamp").cast("long")
     gap = tsl - F.lag(tsl).over(w)
     new_session = (gap.isNull() | (gap > 30 * 60)).cast("int")
