@@ -119,7 +119,11 @@ def expire_partitions(
     window. Returns the dropped partition names.
 
     O(#partitions) directory listing + removes; no data scan, no Spark
-    job — the whole point of the date-partitioned sink layout.
+    job — the whole point of the date-partitioned sink layout. Covers
+    BOTH sink layouts: log_date is the top-level partition for batch
+    (``log_date=D``) and streaming (``log_date=D/ingest_batch=N``)
+    tables alike, so the recursive remove drops a streaming date's
+    per-batch dirs with it.
     """
     today = today or date.today()
     cutoff = today - timedelta(days=retention_days)
@@ -146,6 +150,17 @@ def compact_partition(
     (streaming appends create one file set per micro-batch) into
     ``target_files`` files. Returns the file count before compaction.
 
+    Streaming tables nest ``ingest_batch=N`` dirs under the date; those
+    are FOLDED into a single ``ingest_batch=-1`` leaf (keeping partition
+    depth consistent across the table — Spark cannot read mixed-depth
+    layouts). -1 is reserved: real micro-batch ids are non-negative, so
+    a folded leaf can never collide with a future batch's dynamic
+    overwrite. Only compact dates whose batches are FINAL (a retry of a
+    still-in-flight batch would land beside its folded copy — but the
+    stream's checkpoint only ever retries the last uncommitted batch, so
+    any date before the stream's current position is safe; nightly
+    compaction of closed dates trivially satisfies this).
+
     At scale this is the nightly companion to retention: the streaming
     sink optimizes for latency (small frequent files), the log table's
     readers want fewer large row groups. The rewrite is a single narrow
@@ -169,9 +184,23 @@ def compact_partition(
             os.rename(old_dir, part_dir)  # crashed between renames: roll back
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)  # stale tmp from a crashed write
-    before = [f for f in os.listdir(part_dir) if f.startswith("part-")]
+    before = [
+        f
+        for _root, _dirs, files in os.walk(part_dir)
+        for f in files
+        if f.startswith("part-")
+    ]
+    nested = any(
+        d.startswith("ingest_batch=") for d in os.listdir(part_dir)
+    )
+    # reading part_dir discovers ingest_batch as a partition column when
+    # nested; drop it and rewrite into the reserved folded leaf
     df = spark.read.parquet(part_dir)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+    dest = tmp_dir
+    if nested:
+        df = df.drop("ingest_batch")
+        dest = os.path.join(tmp_dir, "ingest_batch=-1")
+    df.coalesce(target_files).write.mode("overwrite").parquet(dest)
     os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
     shutil.rmtree(old_dir)

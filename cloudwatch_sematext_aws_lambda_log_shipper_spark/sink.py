@@ -57,6 +57,13 @@ def _write_partitioned(
     source offsets ⇒ same rows) replaces exactly its own partitions
     instead of appending duplicates. Without it, plain append (batch
     backfill semantics). One table must stick to one of the two layouts.
+
+    ``log_date`` stays the TOP-LEVEL partition in both layouts
+    (``log_date=D`` vs ``log_date=D/ingest_batch=N``): retention is a
+    top-level directory drop either way, and compaction folds a date's
+    per-batch dirs back into one file set (control.py) — idempotency is
+    unaffected because dynamic overwrite keys on the LEAF (date, batch)
+    partitions, whichever nesting order they have.
     """
     if batch_id is None:
         df.write.mode(mode).partitionBy("log_date").parquet(path)
@@ -65,7 +72,7 @@ def _write_partitioned(
             df.withColumn("ingest_batch", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch", "log_date")
+            .partitionBy("log_date", "ingest_batch")
             .parquet(path)
         )
 

@@ -202,3 +202,66 @@ def test_retention_integrates_with_sink(spark, tmp_path):
     dropped = expire_partitions(table, 7, today=date(2024, 1, 10))
     assert dropped == ["log_date=2024-01-01"]
     assert [r["message"] for r in spark.read.parquet(table).collect()] == ["new"]
+
+
+def test_maintenance_over_streaming_layout(spark, tmp_path):
+    """Retention + compaction over the STREAMING sink layout
+    (log_date=D/ingest_batch=N): retention drops a whole date with its
+    nested batch dirs; compaction folds a date's per-batch dirs into the
+    reserved ingest_batch=-1 leaf with data intact."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    def clean_for(day, tag):
+        msgs = [
+            f'{{"message":"{tag}{i}","timestamp":"2024-01-0{day}T00:00:01.000Z"}}'
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(
+            [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+        )
+        clean, _ = split_dlq(parse_log_events(df))
+        return clean
+
+    table = str(tmp_path / "logs")
+    # three micro-batches: two land on day 1, one on day 9
+    write_log_table(clean_for(1, "a"), table, batch_id=0)
+    write_log_table(clean_for(1, "b"), table, batch_id=1)
+    write_log_table(clean_for(9, "c"), table, batch_id=2)
+
+    import os
+
+    day1 = os.path.join(table, "log_date=2024-01-01")
+    assert sorted(
+        d for d in os.listdir(day1) if d.startswith("ingest_batch=")
+    ) == ["ingest_batch=0", "ingest_batch=1"]
+
+    # compaction folds day 1's two batch dirs into the reserved leaf
+    n_before = compact_partition(spark, table, "2024-01-01")
+    assert n_before >= 2
+    assert [
+        d for d in os.listdir(day1) if d.startswith("ingest_batch=")
+    ] == ["ingest_batch=-1"]
+    back = spark.read.parquet(table)
+    assert back.count() == 9
+    assert back.filter("log_date = '2024-01-01'").count() == 6
+    # folded + unfolded dates coexist readably; batch ids survive as -1/2
+    assert sorted(
+        r["ingest_batch"] for r in back.select("ingest_batch").distinct().collect()
+    ) == [-1, 2]
+
+    # retention drops the whole compacted day-1 tree
+    dropped = expire_partitions(table, 7, today=date(2024, 1, 10))
+    assert dropped == ["log_date=2024-01-01"]
+    assert spark.read.parquet(table).count() == 3
+    assert {r["message"] for r in spark.read.parquet(table).collect()} == {
+        "c0", "c1", "c2"
+    }
