@@ -5,14 +5,25 @@ Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
 Methodology: every query first executes once at the SMALLEST scale
 (sf0.001) to pay one-time plan costs — codegen compilation and JIT are
-keyed on plan shape, not data volume — then TWO timed runs execute at
-the target scale and the MIN is reported. The min-of-2 exists because
-the recording host is shared: a co-tenant burst during a single timed
-run would otherwise fabricate a 5-10x outlier for that query (observed
-in earlier rounds); the minimum of two spaced runs is robust to one
-burst while still reporting honest steady-state time.
+keyed on plan shape, not data volume — then two timed runs execute at
+the target scale as INTERLEAVED passes (q1..qN, then q1..qN again) and
+the MIN is reported. The recording host is shared: a co-tenant burst
+contaminates a contiguous time window, so back-to-back repeats of one
+query can BOTH land inside a burst (observed round 5: a 3.1s query
+recorded 15.8s twice); interleaving puts minutes between a query's two
+runs, so one burst can burn at most one of them. Per-run times go to
+stderr and the worst worst/best ratio is emitted as `noise` in the JSON
+line so the driver can spot residual contamination.
 `spark.catalog.clearCache()` runs between all runs so no operator-level
 persist() carries over.
+
+The `streaming` entry is the reference's direct counterpart number: the
+StreamingShipper (checkpointed file micro-batches -> full decode/parse
+-> idempotent partitioned sink) over the synthesized Kinesis corpus in
+one availableNow run, reported as records/s against the deployed
+reference's ~1000 records/s single-shard ceiling (serverless.yml:92 x
+AWS public shard limits). Corpus synthesis and file layout happen
+OUTSIDE the timed region.
 """
 
 from __future__ import annotations
@@ -20,13 +31,62 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
+
+
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """One availableNow StreamingShipper run over the synthesized
+    Kinesis corpus; returns {records, sec, records_per_sec}."""
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.logsim import (
+        synth_kinesis_records,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        StreamingShipper,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        inp = os.path.join(work, "in")
+        # Lambda-event file shape the streaming source reads:
+        # {"Records":[{"kinesis":{"data":...},"awsRegion":...}]}
+        recs = synth_kinesis_records(spark, sf_dir)
+        n_records = recs.count()
+        recs.select(
+            F.array(
+                F.struct(
+                    F.struct(F.col("data")).alias("kinesis"),
+                    F.col("awsRegion"),
+                )
+            ).alias("Records")
+        ).write.json(inp)
+
+        shipper = StreamingShipper(
+            spark,
+            inp,
+            os.path.join(work, "out"),
+            os.path.join(work, "ckpt"),
+        )
+        t0 = time.time()
+        q = shipper.start(available_now=True)
+        q.awaitTermination()
+        elapsed = time.time() - t0
+        return {
+            "records": n_records,
+            "sec": round(elapsed, 2),
+            "records_per_sec": round(n_records / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -44,27 +104,53 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    runs: dict[str, list[float]] = {}
+    failed: set[str] = set()
+    for name, fn in qs.items():  # warm pass: compile/JIT the plan shape
         try:
-            fn(spark, warm_dir).count()  # compile/JIT the plan shape
-            spark.catalog.clearCache()
-            best = None
-            for _ in range(2):  # min-of-2: robust to one co-tenant burst
+            fn(spark, warm_dir).count()
+        except Exception as exc:
+            failed.add(name)
+            print(f"bench: {name} FAILED (warmup): {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
+    for _pass in range(2):  # interleaved timed passes (see module doc)
+        for name, fn in qs.items():
+            if name in failed:
+                continue
+            try:
                 t0 = time.time()
                 fn(spark, sf_dir).count()
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
-                spark.catalog.clearCache()
-            timings[name] = round(best, 2)
-        except Exception as exc:  # a broken query must not hide the rest
-            timings[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                runs.setdefault(name, []).append(time.time() - t0)
+            except Exception as exc:  # a broken query must not hide the rest
+                failed.add(name)
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+
+    timings = {name: round(min(ts), 2) for name, ts in runs.items()}
+    for name in failed:
+        timings[name] = -1.0
+    noise = {"q": None, "ratio": 1.0}
+    for name, ts in runs.items():
+        if len(ts) == 2 and min(ts) > 0:
+            ratio = max(ts) / min(ts)
+            if ratio > noise["ratio"]:
+                noise = {"q": name, "ratio": round(ratio, 2)}
+    print(
+        "bench per-run times: "
+        + json.dumps({n: [round(t, 2) for t in ts] for n, ts in runs.items()}),
+        file=sys.stderr,
+    )
+
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:
+        streaming = {"error": str(exc)[:120]}
+        print(f"bench: streaming FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     # The driver tail-captures stdout (~2 KB): stop Spark first so no JVM
     # shutdown noise can follow, then emit ONE compact line as the final
-    # stdout output. No rows dict, 2-dp timings -> ~1.4 KB for 49 queries.
+    # stdout output. No rows dict, 2-dp timings -> ~1.6 KB for 50 queries.
     spark.stop()
     sys.stderr.flush()
     print(
@@ -74,6 +160,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noise": noise,
+                "streaming": streaming,
                 "sf": sf,
             },
             separators=(",", ":"),
