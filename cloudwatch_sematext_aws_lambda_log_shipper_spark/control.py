@@ -207,6 +207,38 @@ def compact_partition(
     return len(before)
 
 
+def compact_table(
+    spark,
+    table_path: str,
+    before: date | None = None,
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Nightly maintenance driver: compact every log_date= partition
+    strictly older than ``before`` (None = all partitions — only safe
+    when no stream is writing). Returns {partition: files_before}.
+
+    This is the batch-folding op that keeps a streaming table's
+    per-micro-batch dirs from accumulating forever: each closed date
+    collapses to target_files files under the reserved folded leaf
+    (see compact_partition).
+    """
+    out: dict[str, int] = {}
+    if not os.path.isdir(table_path):
+        return out
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("log_date="):
+            continue
+        day = entry.split("=", 1)[1]
+        try:
+            part_date = date.fromisoformat(day)
+        except ValueError:
+            continue
+        if before is not None and part_date >= before:
+            continue
+        out[entry] = compact_partition(spark, table_path, day, target_files)
+    return out
+
+
 def setup(
     base_dir: str,
     registry_path: str,

@@ -29,13 +29,17 @@ from_json's lenient parser would accept — dispatch parity verified in
 tests.
 
 Dynamic user-JSON keys (the spread at shipper.js:80): typed core columns
-+ residual ``attributes MAP<STRING,STRING>``. The JS spread lets user
-keys named 'function.name'/'function.version'/'@timestamp'/
-'function.request.id' override the derived values (spread comes after
-them in the object literal) while region/type/severity literals win over
-the spread — both replicated. Deviation: a user key 'error' lands in
-``attributes`` instead of an untyped 'error' column (our schema types
-error.type).
++ residual ``attributes MAP<STRING,VARIANT>`` (SURVEY.md §1.5 option c:
+Spark 4 variant values preserve nested user-JSON types — objects,
+arrays, numbers — end-to-end through the parquet sink, instead of
+stringifying them). The JS spread lets user keys named
+'function.name'/'function.version'/'@timestamp'/'function.request.id'
+override the derived values (spread comes after them in the object
+literal) while region/type/severity literals win over the spread — both
+replicated; overrides land in STRING core columns, so they read from
+the stringified map (same JS coercion as the reference's template
+strings). Deviation: a user key 'error' lands in ``attributes`` instead
+of an untyped 'error' column (our schema types error.type).
 
 Scale: the kernel is narrow (zero shuffles); at 100 TB it is
 embarrassingly parallel and bounded by scan + codegen throughput.
@@ -115,11 +119,14 @@ def parse_log_events(events: DataFrame) -> DataFrame:
 
     vcol = F.col("_v")
     p = F.col("_parts")
-    # Residual attribute map for the JSON branch. from_json to
-    # map<string,string> stringifies scalar values and keeps nested
-    # object/array values as their JSON text.
+    # Residual attribute map for the JSON branch: variant values keep
+    # nested objects/arrays/numbers TYPED all the way to the sink (the
+    # string _user_map above exists only for the override columns, which
+    # are strings anyway). One extra from_json over the json branch —
+    # JVM-side, codegen'd, no measurable hot-path cost.
     attr_map = F.map_filter(
-        F.col("_user_map"), lambda k, _: ~k.isin(_RESERVED_JSON_KEYS)
+        F.from_json(msg, "map<string,variant>"),
+        lambda k, _: ~k.isin(_RESERVED_JSON_KEYS),
     )
 
     def user_override(key: str, derived: Column) -> Column:

@@ -55,7 +55,7 @@ def parse_kinesis_records(
         null_str.alias("@timestamp"),
         null_str.alias("function.request.id"),
         null_str.alias("message"),
-        F.lit(None).cast("map<string,string>").alias("attributes"),
+        F.lit(None).cast("map<string,variant>").alias("attributes"),
         F.col("awsRegion").alias("region"),
         F.lit("lambda").alias("type"),
         F.lit("debug").alias("severity"),

@@ -57,7 +57,14 @@ def synth_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("event_type"),
                 F.lit(' happened","requestId":"u'),
                 uid,
-                F.lit('"}'),
+                # residual NESTED user attribute: lands TYPED in the
+                # variant attributes map (log_attributes_variant reads
+                # it back through the sink)
+                F.lit('","ctx":{"v":'),
+                uid,
+                F.lit(',"tags":["t'),
+                (F.col("user_id") % 4).cast("string"),
+                F.lit('"]}}'),
             ),
         )
         .when(
@@ -423,3 +430,45 @@ def log_parse_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("plain"))
     )
     return clean.groupBy(branch.alias("branch")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# the nested ctx attribute exists only on the json class (m=1); the
+# oracle recomputes the expected typed values straight from events
+_ATTR_VARIANT_ORACLE = """
+SELECT 't' || CAST(user_id % 4 AS VARCHAR) AS tag,
+       count(*) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_v
+FROM events
+WHERE event_id % 5 = 1
+GROUP BY 1
+"""
+
+
+@query("log_attributes_variant", _ATTR_VARIANT_ORACLE)
+def log_attributes_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant attributes end-to-end (SURVEY.md §1.5 option c): the synth
+    json class carries a NESTED user attribute ctx={"v":<int>,
+    "tags":[<str>]}; parse keeps it typed in the MAP<STRING,VARIANT>
+    attributes column, the partitioned parquet sink round-trips it, and
+    the read-back extracts the nested int and array element with typed
+    variant_get — no string re-parsing anywhere.
+
+    Scale: same narrow kernel + partitioned write as the roundtrip
+    query; the variant extraction is codegen'd JVM work."""
+    clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
+    base = os.path.join(
+        "/tmp/spark_graft_sink_attrs", os.path.basename(os.path.normpath(sf_dir))
+    )
+    table = os.path.join(base, "logs")
+    write_log_table(clean, table, mode="overwrite")
+    ctx = F.element_at(F.col("attributes"), "ctx")
+    return (
+        read_log_table(spark, table)
+        .select(
+            F.try_variant_get(ctx, "$.tags[0]", "string").alias("tag"),
+            F.try_variant_get(ctx, "$.v", "long").alias("v"),
+        )
+        .filter(F.col("tag").isNotNull())
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )

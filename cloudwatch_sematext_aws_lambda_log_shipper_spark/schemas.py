@@ -52,7 +52,9 @@ ENVELOPE_SCHEMA = T.StructType(
 
 # --- 3. Output log record (FIXTURES.md A4) ---
 # Dynamic user-JSON keys: typed core columns + residual MAP<STRING,STRING>
-# ('attributes'), per SURVEY.md §1.5 design choice (a)+(b).
+# ('attributes'), per SURVEY.md §1.5 — typed cores (a)+(b) with variant
+# residual values (c): nested user-JSON objects/arrays/numbers stay
+# typed through the parquet sink instead of being stringified.
 LOG_COLUMNS = [
     "function.name",
     "function.version",
@@ -74,7 +76,7 @@ LOG_SCHEMA = T.StructType(
         T.StructField("@timestamp", T.StringType()),
         T.StructField("function.request.id", T.StringType()),
         T.StructField("message", T.StringType()),
-        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("attributes", T.MapType(T.StringType(), T.VariantType())),
         T.StructField("region", T.StringType()),
         T.StructField("type", T.StringType()),
         T.StructField("severity", T.StringType()),

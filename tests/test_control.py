@@ -265,3 +265,43 @@ def test_maintenance_over_streaming_layout(spark, tmp_path):
     assert {r["message"] for r in spark.read.parquet(table).collect()} == {
         "c0", "c1", "c2"
     }
+
+
+def test_compact_table_folds_closed_dates_only(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_table,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    def clean_for(day):
+        msgs = [
+            f'{{"message":"x{i}","timestamp":"2024-01-0{day}T00:00:01.000Z"}}'
+            for i in range(2)
+        ]
+        df = spark.createDataFrame(
+            [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+        )
+        return split_dlq(parse_log_events(df))[0]
+
+    table = str(tmp_path / "logs")
+    write_log_table(clean_for(1), table, batch_id=0)
+    write_log_table(clean_for(1), table, batch_id=1)
+    write_log_table(clean_for(8), table, batch_id=2)  # "today": stays hot
+
+    import os
+
+    reported = compact_table(spark, table, before=date(2024, 1, 8))
+    assert set(reported) == {"log_date=2024-01-01"}
+    assert reported["log_date=2024-01-01"] >= 2
+    # day 8 untouched (still per-batch), day 1 folded
+    day8 = os.path.join(table, "log_date=2024-01-08")
+    assert [d for d in os.listdir(day8) if d.startswith("ingest_batch=")] == [
+        "ingest_batch=2"
+    ]
+    assert spark.read.parquet(table).count() == 6

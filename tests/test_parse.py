@@ -27,6 +27,16 @@ def parse_one(spark, message, log_group=LG, log_stream=LS, region="us-east-1"):
     return parse_log_events(df).collect()
 
 
+def attrs_plain(row):
+    """attributes is MAP<STRING,VARIANT>; materialize values as plain
+    Python (nested dicts/lists/numbers) for assertion."""
+    if row["attributes"] is None:
+        return None
+    import json as _json
+
+    return {k: _json.loads(v.toJson()) for k, v in row["attributes"].items()}
+
+
 def test_f1_json_with_message(spark):
     [r] = parse_one(
         spark,
@@ -37,7 +47,7 @@ def test_f1_json_with_message(spark):
     assert r["@timestamp"] == TS
     assert r["function.request.id"] == "r1"
     assert r["message"] == "hi"
-    assert r["attributes"] == {"level": "info"}
+    assert attrs_plain(r) == {"level": "info"}
     assert r["region"] == "us-east-1"
     assert r["type"] == "lambda"
     assert r["severity"] == "debug"
@@ -76,7 +86,7 @@ def test_f5_reserved_keys_not_overridable(spark):
     assert r["type"] == "lambda"
     assert r["region"] == "us-east-1"
     # lost entirely in the reference (literals win over spread) — not in attributes
-    assert r["attributes"] == {}
+    assert attrs_plain(r) == {}
 
 
 def test_f5b_spread_overrides_function_fields(spark):
@@ -84,7 +94,7 @@ def test_f5b_spread_overrides_function_fields(spark):
     # user key of that name overrides the derived value (shipper.js:76-80).
     [r] = parse_one(spark, '{"message":"ok","function.name":"evil"}')
     assert r["function.name"] == "evil"
-    assert r["attributes"] == {}
+    assert attrs_plain(r) == {}
 
 
 def test_f5c_explicit_null_override(spark):
@@ -207,6 +217,7 @@ def test_classification_case_insensitive(spark):
     assert r["error.type"] == "timeout"
 
 
-def test_json_nested_attributes_kept_as_json_text(spark):
+def test_json_nested_attributes_kept_typed(spark):
+    # variant values: nested object/array survive TYPED, not as text
     [r] = parse_one(spark, '{"message":"m","ctx":{"a":1},"tags":[1,2]}')
-    assert set(r["attributes"].keys()) == {"ctx", "tags"}
+    assert attrs_plain(r) == {"ctx": {"a": 1}, "tags": [1, 2]}
