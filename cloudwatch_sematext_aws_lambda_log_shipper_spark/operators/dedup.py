@@ -382,6 +382,55 @@ def simhash_near_dup_pairs(
     return result
 
 
+def cross_group_near_dup_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Contamination check: near-duplicate pairs that CROSS a grouping
+    boundary — the train/test-leakage audit every training-data pipeline
+    needs (a benchmark document near-duplicated inside a training source
+    silently inflates eval scores). Returns one row per (group_a,
+    group_b) pair (canonically ordered, intra-group pairs excluded) with
+    the pair count and the worst (max) Jaccard observed.
+
+    Scale: pair generation is the bucketed MinHash-LSH path (no cross
+    join, hot buckets capped); the group join touches only the tiny
+    verified-pair set, and the output is bounded by #groups^2.
+    """
+    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    membership = df.select(F.col(id_col), F.col(group_col))
+    joined = (
+        pairs.join(
+            membership.select(
+                F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")
+            ),
+            "id_a",
+        )
+        .join(
+            membership.select(
+                F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_ga") != F.col("_gb"))
+    )
+    return (
+        joined.select(
+            F.least("_ga", "_gb").alias("group_a"),
+            F.greatest("_ga", "_gb").alias("group_b"),
+            "jaccard",
+        )
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
 # --- connected components (dedup clusters) -------------------------------
 
 

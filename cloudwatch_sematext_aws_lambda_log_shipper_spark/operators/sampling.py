@@ -1,0 +1,58 @@
+"""Deterministic corpus sampling/splitting for training-data pipelines.
+
+Train/val/test assignment at 100 TB must be REPRODUCIBLE — across runs,
+across engines, and under repartitioning. RNG-based sampling
+(df.sample / sampleBy) is none of those: the draw depends on partition
+layout and seed plumbing, and no external system can re-derive the
+assignment. Hash-based splitting is all of them: bucket =
+f(md5(id + salt)) is a pure narrow projection (zero shuffles, zero
+state), any engine can recompute membership for any row, and changing
+the salt re-rolls every assignment atomically.
+
+The 16-bit bucket comes from the first 4 md5 hex digits via the same
+ascii-arithmetic trick as the SimHash sketch (dedup._md5_hex_digit), so
+a DuckDB oracle replicates assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_hex_digit
+
+BUCKETS = 1 << 16
+
+
+def split_bucket(id_col: Column, salt: str = "") -> Column:
+    """Deterministic bucket 0..65535 from the first 4 hex digits of
+    md5(id || salt)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    b = F.lit(0)
+    for pos in range(1, 5):
+        b = b * 16 + _md5_hex_digit(h, pos)
+    return b
+
+
+def with_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to one of ``weights``'
+    keys with the given proportions (need not sum to 1; rows past the
+    cumulative total get null — a holdout you can drop or audit).
+
+    Assignment is by cumulative threshold over the 16-bit bucket, so
+    proportions are exact to ~1/65536 in expectation and every row's
+    split is a pure function of (id, salt).
+    """
+    bucket = split_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        cond = bucket < int(cum * BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

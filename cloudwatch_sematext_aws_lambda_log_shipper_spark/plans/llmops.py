@@ -716,3 +716,88 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- sampling / contamination -------------------------------------------
+
+# replicate split_bucket's md5 ascii arithmetic digit-for-digit
+_DUCK_HEX_DIGIT = (
+    "(CASE WHEN ascii(substr(h,{p},1)) >= 97 THEN ascii(substr(h,{p},1)) - 87 "
+    "ELSE ascii(substr(h,{p},1)) - 48 END)"
+)
+_DUCK_BUCKET = " + ".join(
+    f"{_DUCK_HEX_DIGIT.format(p=p)} * {16 ** (4 - p)}" for p in range(1, 5)
+)
+
+_TRAIN_SPLIT_ORACLE = f"""
+WITH hashed AS (
+  SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR) || 'r6') AS h
+  FROM documents
+), bucketed AS (
+  SELECT lang, n_chars, {_DUCK_BUCKET} AS bucket FROM hashed
+)
+SELECT CASE WHEN bucket < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+            WHEN bucket < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM bucketed
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_train_split", _TRAIN_SPLIT_ORACLE)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10): every
+    row's split is a pure function of (doc_id, salt), reproducible by
+    any engine — the oracle recomputes the md5 bucket digit-for-digit.
+
+    Scale: a narrow projection + one tiny groupBy; no RNG state, no
+    dependence on partition layout, re-rollable by changing the salt."""
+    from ..operators.sampling import with_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = with_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r6"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_CONTAMINATION_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb,
+         ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+               len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    AND a.source <> b.source
+)
+SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+       count(*) AS n_pairs, max(jaccard) AS max_jaccard
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+@query("corpus_contamination", _CONTAMINATION_ORACLE)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-leakage audit: near-dup pairs that cross a source
+    boundary, per source pair with the worst Jaccard observed. Pair
+    generation is the capped MinHash-LSH path; the oracle brute-forces
+    all pairs (feasible at sf0.01) — same pairs, no quadratic join."""
+    from ..operators.dedup import cross_group_near_dup_report
+
+    return cross_group_near_dup_report(_docs(spark, sf_dir), threshold=0.8)

@@ -293,3 +293,52 @@ def test_near_dup_clusters_keep_one_per_cluster(spark, sf_dir):
         keeps = [m for m in members if m.keep]
         assert len(keeps) == 1
         assert keeps[0].doc_id == cid == min(m.doc_id for m in members)
+
+
+def test_with_split_deterministic_and_proportional(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+        with_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x")
+    s2 = with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="x")
+    # pure function of (id, salt): identical across evaluations
+    assert (
+        s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count()
+        == 0
+    )
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}  # no null holdout
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.1)
+    # a different salt re-rolls assignments
+    s3 = with_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="y")
+    moved = (
+        s1.select("doc_id", "split")
+        .exceptAll(s3.select("doc_id", "split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_cross_group_near_dup_report_excludes_intra_group(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        cross_group_near_dup_report,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=BASE, source="train"),
+            Row(doc_id=1, text=BASE + " tail", source="bench"),  # cross pair
+            Row(doc_id=2, text=BASE + " tail", source="train"),  # cross + intra
+            Row(doc_id=3, text="completely different words in this one now ok",
+                source="bench"),
+        ]
+    )
+    rows = cross_group_near_dup_report(df, threshold=0.5).collect()
+    [r] = rows  # intra-group (1,? same source) pairs excluded
+    assert (r.group_a, r.group_b) == ("bench", "train")
+    assert r.n_pairs >= 1 and r.max_jaccard >= 0.5
