@@ -102,20 +102,23 @@ def test_simhash_pairs_are_true_near_dups(spark, sf_dir):
 def test_hot_bucket_cap_bounds_quadratic_blowup(spark):
     # 5k copies of one doc -> every LSH band / SimHash chunk bucket is
     # hot; uncapped that is ~12.5M candidate pairs per bucket. With the
-    # cap, candidate work is bounded at cap^2/2 per bucket and the job
+    # cap, hot buckets are thinned to ~cap members (id-hash thinning:
+    # EXPECTED cap, binomially concentrated — 2*cap is a >5-sigma
+    # bound), so candidate work stays ~cap^2/2 per bucket and the job
     # stays small. (Identical copies are the EXACT dedup pass's job —
     # corpus_prep runs it before near-dup.)
     cap = 50
+    bound = (2 * cap) * (2 * cap - 1) // 2
     texts = [BASE] * 5000 + [f"totally unrelated document number {i} qq" for i in range(3)]
     df = docs_df(spark, texts)
 
     sim = simhash_near_dup_pairs(df, max_bucket_size=cap)
     n_sim = sim.count()
-    assert 0 < n_sim <= cap * (cap - 1) // 2
+    assert 0 < n_sim <= bound
 
     mh = near_dup_pairs(df, threshold=0.8, max_bucket_size=cap)
     n_mh = mh.count()
-    assert 0 < n_mh <= cap * (cap - 1) // 2
+    assert 0 < n_mh <= bound
 
     # normal (no oversized bucket) corpus: capped == uncapped, bit-identical
     small = docs_df(spark, [BASE, BASE + " extra", "something else entirely here now"])
