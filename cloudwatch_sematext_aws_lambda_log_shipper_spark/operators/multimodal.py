@@ -114,19 +114,141 @@ def decode_image_features(
     return df.select(id_col, media_col).mapInPandas(fn, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),  # null = undecodable here
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _resize_ppm_one(data: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of one P6 image, pure numpy — REAL pixel
+    work, no codec library. Returns None for non-PPM bytes."""
+    import numpy as np
+
+    m = _PPM_HEADER.match(data)
+    if not m:
+        return None
+    w, h = int(m.group(1)), int(m.group(2))
+    need = w * h * 3
+    if len(data) - m.end() < need:
+        return None  # truncated payload
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=m.end())
+    px = px.reshape(h, w, 3)
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    out = px[ri][:, ci]
+    header = b"P6\n%d %d\n%s\n" % (out_w, out_h, m.group(3))
+    return header + out.tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Resize stage: REAL nearest-neighbor pixel resampling for PPM
+    (numpy index-gather per Arrow batch); rows whose format needs an
+    absent codec come back with ``media`` null so the caller can route
+    them DLQ-style instead of poisoning the batch (Q4 philosophy).
+
+    Scale: narrow mapInPandas, partition-preserving; per-row cost is one
+    O(out_pixels) gather — no Python per-pixel loops."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _resize_ppm_one(bytes(b), width, height) for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media": resized,
+                    "width": [width if r is not None else None for r in resized],
+                    "height": [height if r is not None else None for r in resized],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _iter_ppm_frames(data: bytes):
+    """Split a raw 'video' (back-to-back P6 frames) into frame bytes."""
+    pos = 0
+    while pos < len(data):
+        m = _PPM_HEADER.match(data[pos:])
+        if not m:
+            return
+        end = pos + m.end() + int(m.group(1)) * int(m.group(2)) * 3
+        if end > len(data):
+            return
+        yield data[pos:end]
+        pos = end
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling: REAL for the raw concatenated-PPM format
+    (frames parsed by header walk, every_n-th kept, one output row per
+    kept frame); container formats (mp4/webm) need an absent codec and
+    yield no rows here — see sample_frames_stub for the marked
+    placeholder.
+
+    Scale: narrow mapInPandas; output fan-out is bounded by
+    frames/every_n per row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                for i, frame in enumerate(_iter_ppm_frames(bytes(raw))):
+                    if i % every_n == 0:
+                        ids.append(int(mid))
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, media_col: str = "media",
                 width: int = 224, height: int = 224) -> DataFrame:
-    """Resize stage placeholder: records target dims in metadata; the
-    pixel transform requires a codec library absent here."""
+    """Placeholder for codec-backed formats (JPEG/PNG/...): the pixel
+    transform needs PIL/opencv, absent in this container. The PPM path
+    (resize_images) is real."""
     raise NotImplementedError(
-        "resize needs an image codec (PIL/opencv) — not available in this "
-        "container; plumbing validated via decode_image_features instead"
+        "resize of codec formats needs PIL/opencv — not available in this "
+        "container; PPM resize is implemented in resize_images"
     )
 
 
 def sample_frames_stub(df: DataFrame, media_col: str = "media",
                        every_n: int = 30) -> DataFrame:
-    """Video frame-sampling placeholder (no video codec available)."""
+    """Placeholder for container video formats (mp4/webm): needs a video
+    codec, absent here. The raw concatenated-PPM path (sample_frames)
+    is real."""
     raise NotImplementedError(
-        "frame sampling needs a video codec — not available in this container"
+        "frame sampling of container formats needs a video codec — not "
+        "available in this container; raw-PPM sampling is implemented in "
+        "sample_frames"
     )

@@ -801,3 +801,86 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import cross_group_near_dup_report
 
     return cross_group_near_dup_report(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _synth_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PPM media synth (same construction as
+    multimodal_image_features): one real P6 image per document, dims
+    derived from doc properties so oracles can recompute them."""
+    docs = _docs(spark, sf_dir)
+    return with_media_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(
+                F.concat(
+                    F.lit("P6\n"),
+                    F.expr("1 + n_chars % 64"),
+                    F.lit(" "),
+                    F.expr("1 + doc_id % 48"),
+                    F.lit("\n255\n"),
+                    F.expr("repeat('x', (1 + n_chars % 64) * (1 + doc_id % 48) * 3)"),
+                ),
+                "utf-8",
+            ).alias("media"),
+        ),
+        fmt="ppm",
+    )
+
+
+_RESIZE_ORACLE = """
+SELECT 16 AS width, 12 AS height, 3 AS channels,
+       count(*) AS n
+FROM documents
+"""
+
+
+@query("multimodal_resize", _RESIZE_ORACLE)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel path end-to-end: build P6 images, nearest-neighbor
+    resize to 16x12 (numpy gather inside Arrow batches), then re-decode
+    the resized binaries with the header parser — every document must
+    come out 16x12x3, pinning both the resize's output encoding and the
+    decoder against each other."""
+    from ..operators.multimodal import resize_images
+
+    media = _synth_ppm_media(spark, sf_dir)
+    resized = resize_images(media, 16, 12)
+    feats = decode_image_features(resized)
+    return feats.groupBy("width", "height", "channels").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# frames per 'video' = 1 + doc_id % 3; sampling every 2nd keeps
+# floor((frames - 1) / 2) + 1
+_FRAMES_ORACLE = """
+SELECT CAST(sum((doc_id % 3) // 2 + 1) AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_videos
+FROM documents
+"""
+
+
+@query("multimodal_frame_sample", _FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over raw concatenated-PPM 'videos': each doc
+    becomes a video of 1 + doc_id % 3 identical frames; sampling every
+    2nd frame must keep exactly floor((n-1)/2)+1 per video — the oracle
+    recomputes that count from doc ids."""
+    from ..operators.multimodal import sample_frames
+
+    docs = _docs(spark, sf_dir)
+    videos = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.expr(
+                "repeat('P6\n4 2\n255\n' || repeat('y', 24), "
+                "1 + CAST(doc_id % 3 AS INT))"
+            ),
+            "utf-8",
+        ).alias("media"),
+    )
+    sampled = sample_frames(videos, every_n=2)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+    )

@@ -345,3 +345,47 @@ def test_cross_group_near_dup_report_excludes_intra_group(spark):
     [r] = rows  # intra-group (1,? same source) pairs excluded
     assert (r.group_a, r.group_b) == ("bench", "train")
     assert r.n_pairs >= 1 and r.max_jaccard >= 0.5
+
+
+def _ppm(w, h, pixel_fn):
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in pixel_fn(x, y)
+    )
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def test_resize_images_nearest_neighbor_exact(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        resize_images,
+    )
+    from pyspark.sql import Row
+
+    # 4x4 image whose pixel (x,y) = (x*10, y*10, 0): downscale to 2x2
+    # must pick source pixels (0,0),(2,0),(0,2),(2,2) exactly
+    img = _ppm(4, 4, lambda x, y: (x * 10, y * 10, 0))
+    df = spark.createDataFrame([Row(media_id=1, media=bytearray(img)),
+                                Row(media_id=2, media=bytearray(b"not ppm"))])
+    out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    r = out[1]
+    assert (r.width, r.height) == (2, 2)
+    assert bytes(r.media) == b"P6\n2 2\n255\n" + bytes(
+        [0, 0, 0, 20, 0, 0, 0, 20, 0, 20, 20, 0]
+    )
+    # non-PPM row survives with null media (DLQ-routable), not an error
+    assert out[2].media is None and out[2].width is None
+
+
+def test_sample_frames_every_n(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        sample_frames,
+    )
+    from pyspark.sql import Row
+
+    frames = [_ppm(2, 1, lambda x, y, i=i: (i, i, i)) for i in range(5)]
+    video = b"".join(frames)
+    df = spark.createDataFrame([Row(media_id=7, media=bytearray(video))])
+    got = sorted(
+        (r.frame_idx, bytes(r.frame)) for r in sample_frames(df, every_n=2).collect()
+    )
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert all(f == frames[i] for i, f in got)
