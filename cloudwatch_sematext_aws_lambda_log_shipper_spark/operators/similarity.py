@@ -208,6 +208,34 @@ def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
 # --- IVF (inverted-file) ANN --------------------------------------------
 
 
+def _fit_centroids(c: DataFrame, n_clusters: int, seed: int,
+                   fit_sample_limit: int):
+    """Driver-side spherical Lloyd on a BOUNDED sample.
+
+    toPandas rides the session's Arrow serializer (columnar batches);
+    row-based collect() pickles each array row individually — ~5x
+    slower for a 25k x 64 sample. 25k points is ample for n_clusters
+    in the tens; centroid quality saturates long before that.
+    (Distributed KMeans schedules one full Spark job per Lloyd
+    iteration — pure scheduling overhead for roughly-converged
+    centroids; measured 8x slower end-to-end.)"""
+    import numpy as np
+
+    sample = c.select("c_vec").limit(fit_sample_limit).toPandas()["c_vec"]
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    centers = Xn[rng.choice(len(Xn), size=min(n_clusters, len(Xn)), replace=False)]
+    for _ in range(8):
+        assign = (Xn @ centers.T).argmax(axis=1)
+        for j in range(len(centers)):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                centers[j] = m / max(np.linalg.norm(m), 1e-12)
+    return centers
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -237,59 +265,63 @@ def ann_topk_ivf(
     distribution, which is what keeps recall usable even on
     near-uniform embeddings.
     """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    # one Arrow-batched assignment pass over the full corpus
+    assigned = c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
+    return _ivf_search(assigned, queries, centers, k, nprobe, id_col, vec_col)
+
+
+def _assign_factory(ctr):
+    """Arrow-batched nearest-centroid assignment (argmax matmul)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def assign_cluster(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(v.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ ctr.T).argmax(axis=1).astype("int32"))
+
+    return assign_cluster
+
+
+def _probe_factory(ctr, n_probe):
+    """Arrow-batched nprobe-nearest-centroid list per query vector."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
-    )
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_clusters(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(v.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ ctr.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(top.astype("int32")))
 
-    # --- driver-side spherical Lloyd on the bounded sample -----------
-    # toPandas rides the session's Arrow serializer (columnar batches);
-    # row-based collect() pickles each array row individually — ~5x
-    # slower for a 25k x 64 sample. 25k points is ample for n_clusters
-    # in the tens; centroid quality saturates long before that.
-    sample = c.select("c_vec").limit(fit_sample_limit).toPandas()["c_vec"]
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(seed)
-    centers = Xn[rng.choice(len(Xn), size=min(n_clusters, len(Xn)), replace=False)]
-    for _ in range(8):
-        assign = (Xn @ centers.T).argmax(axis=1)
-        for j in range(len(centers)):
-            members = Xn[assign == j]
-            if len(members):
-                m = members.mean(axis=0)
-                centers[j] = m / max(np.linalg.norm(m), 1e-12)
+    return probe_clusters
 
-    # --- one Arrow-batched assignment pass over the full corpus ------
-    def _assign_factory(ctr):
-        @F.pandas_udf(IntegerType())
-        def assign_cluster(v):
-            if len(v) == 0:
-                return pd.Series([], dtype="int32")
-            m = np.stack(v.to_numpy())
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            return pd.Series((m @ ctr.T).argmax(axis=1).astype("int32"))
 
-        return assign_cluster
-
-    def _probe_factory(ctr, n_probe):
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def probe_clusters(v):
-            if len(v) == 0:
-                return pd.Series([], dtype="object")
-            m = np.stack(v.to_numpy())
-            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            sims = m @ ctr.T
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            return pd.Series(list(top.astype("int32")))
-
-        return probe_clusters
-
-    assigned = c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
-
+def _ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centers,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe + rank over an assigned (neighbor_id, c_vec, cluster)
+    corpus: broadcast the exploded query probes, score exact cosine
+    inside the probed clusters only, window-rank per query."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     )
@@ -309,6 +341,92 @@ def ann_topk_ivf(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    fit_sample_limit: int = 25_000,
+) -> None:
+    """Persist an IVF index: centroids (tiny parquet) + the corpus
+    assigned to clusters, written PARTITIONED BY cluster — build once,
+    probe many. At query time only the probed clusters' directories are
+    scanned (real partition pruning, see query_ivf_index), so each query
+    batch reads ~nprobe/n_clusters of the corpus bytes instead of
+    re-fitting and re-scanning everything the way the one-shot
+    ann_topk_ivf does.
+
+    Scale: the fit is the same bounded driver-side Lloyd; the
+    assignment pass is one narrow Arrow-batched job; the write shuffles
+    once on cluster id. Rebuild cadence is a policy choice (centroids
+    drift slowly; nightly is typical)."""
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    (
+        c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "assigned"))
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index (build_ivf_index).
+
+    The distinct probed cluster ids (bounded by n_clusters — a tiny,
+    driver-safe collect) become a literal IN-filter on the partition
+    column, so the parquet scan PRUNES unprobed cluster directories:
+    the plan's FileScan shows PartitionFilters and reads only
+    ~nprobe/n_clusters of the index bytes."""
+    import os
+
+    import numpy as np
+
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centers = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    probed = (
+        q.select(
+            F.explode(
+                _probe_factory(centers, min(nprobe, len(centers)))(F.col("q_vec"))
+            ).alias("cluster")
+        )
+        .distinct()
+        .collect()
+    )
+    needed = sorted(r["cluster"] for r in probed)
+    pruned = assigned.filter(F.col("cluster").isin(needed))
+    return _ivf_search(pruned, queries, centers, k, nprobe, id_col, vec_col)
 
 
 # --- random-hyperplane LSH ----------------------------------------------

@@ -389,3 +389,27 @@ def test_sample_frames_every_n(spark):
     )
     assert [i for i, _ in got] == [0, 2, 4]
     assert all(f == frames[i] for i, f in got)
+
+
+def test_ivf_index_build_query_matches_oneshot(spark, sf_dir, tmp_path):
+    import re
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path)
+
+    got = query_ivf_index(spark, path, queries, k=5)
+    want = ann_topk_ivf(corpus, queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the probed-cluster IN-filter must reach the parquet scan as a
+    # PARTITION filter (unprobed cluster dirs are never read)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
