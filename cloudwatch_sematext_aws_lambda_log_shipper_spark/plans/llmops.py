@@ -913,3 +913,57 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = query_ivf_index(spark, path, queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5)
+
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR) || 'r6') AS h
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, text, {_DUCK_BUCKET} AS bucket FROM hashed
+), labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
+              WHEN bucket < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+              ELSE 'test' END AS split
+  FROM bucketed
+), docs AS (
+  SELECT doc_id, split, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM labeled
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+), pairs AS (
+  SELECT a.split AS sa, b.split AS sb,
+         ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+               len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    AND a.split <> b.split
+)
+SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+       count(*) AS n_pairs, max(jaccard) AS max_jaccard
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+@query("split_leakage_audit", _SPLIT_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE leakage check: assign the deterministic hash split, then find
+    near-duplicate pairs that cross the train/val/test boundary — a
+    benchmark document near-duplicated into train silently inflates eval
+    scores, and hash-splitting does nothing to prevent it (splits cut BY
+    ID, near-dups have different ids). Composes with_split +
+    cross_group_near_dup_report; the oracle recomputes both the md5
+    bucket assignment and the brute-force pairs."""
+    from ..operators.dedup import cross_group_near_dup_report
+    from ..operators.sampling import with_split
+
+    docs = with_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r6"
+    )
+    return cross_group_near_dup_report(docs, group_col="split", threshold=0.8)
