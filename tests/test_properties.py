@@ -11,6 +11,7 @@ import string
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
     parse_log_events,
@@ -165,3 +166,43 @@ def test_rows_conserved_and_never_crash(spark, batch):
     assert n_clean + n_dlq == len(batch) - n_platform
     # every clean row is fully classified
     assert clean.filter("severity IS NULL OR type != 'lambda'").count() == 0
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                 max_size=50, unique=True),
+    salt=st.text(alphabet="abcdef01", max_size=6),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_split_bucket_is_engine_independent(spark, ids, salt):
+    """The md5 bucket must be a pure function of (id, salt) that DuckDB
+    reproduces exactly — the property the oracle-checked split rests on."""
+    import duckdb
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+        split_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", split_bucket(F.col("doc_id"), salt).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    digit = (
+        "(CASE WHEN ascii(substr(h,{p},1)) >= 97 THEN ascii(substr(h,{p},1)) - 87 "
+        "ELSE ascii(substr(h,{p},1)) - 48 END)"
+    )
+    bucket = " + ".join(f"{digit.format(p=p)} * {16 ** (4 - p)}" for p in range(1, 5))
+    want = dict(
+        con.execute(
+            f"SELECT i, {bucket} FROM (SELECT i, md5(CAST(i AS VARCHAR) || ?) AS h "
+            "FROM (SELECT unnest(?) AS i))",
+            [salt, list(ids)],
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= b < 65536 for b in got.values())
