@@ -59,9 +59,9 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         inp = os.path.join(work, "in")
         # Lambda-event file shape the streaming source reads:
         # {"Records":[{"kinesis":{"data":...},"awsRegion":...}]}
-        recs = synth_kinesis_records(spark, sf_dir)
-        n_records = recs.count()
-        recs.select(
+        # Write FIRST, count the written files after — the count would
+        # otherwise re-run the whole gzip/base64 synthesis job.
+        synth_kinesis_records(spark, sf_dir).select(
             F.array(
                 F.struct(
                     F.struct(F.col("data")).alias("kinesis"),
@@ -69,21 +69,27 @@ def bench_streaming(spark, sf_dir: str) -> dict:
                 )
             ).alias("Records")
         ).write.json(inp)
+        n_records = spark.read.text(inp).count()  # one event line per record
 
-        shipper = StreamingShipper(
-            spark,
-            inp,
-            os.path.join(work, "out"),
-            os.path.join(work, "ckpt"),
-        )
-        t0 = time.time()
-        q = shipper.start(available_now=True)
-        q.awaitTermination()
-        elapsed = time.time() - t0
+        # best-of-2: each run gets fresh checkpoint/output dirs (same
+        # input corpus); a co-tenant burst burns at most one run.
+        best = None
+        for attempt in range(2):
+            shipper = StreamingShipper(
+                spark,
+                inp,
+                os.path.join(work, f"out{attempt}"),
+                os.path.join(work, f"ckpt{attempt}"),
+            )
+            t0 = time.time()
+            q = shipper.start(available_now=True)
+            q.awaitTermination()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
         return {
             "records": n_records,
-            "sec": round(elapsed, 2),
-            "records_per_sec": round(n_records / elapsed, 1),
+            "sec": round(best, 2),
+            "records_per_sec": round(n_records / best, 1),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -235,6 +235,22 @@ def compact_table(
             continue
         if before is not None and part_date >= before:
             continue
+        # already-compacted dates (folded leaf or flat layout, at or
+        # under the target file count) are skipped — nightly runs must
+        # cost O(one day), not O(full table) rewrites
+        part_dir = os.path.join(table_path, entry)
+        children = os.listdir(part_dir)
+        nested = [d for d in children if d.startswith("ingest_batch=")]
+        flat_ok = not nested
+        folded_ok = nested == ["ingest_batch=-1"]
+        n_files = sum(
+            1
+            for _r, _d, files in os.walk(part_dir)
+            for f in files
+            if f.startswith("part-")
+        )
+        if (flat_ok or folded_ok) and n_files <= target_files:
+            continue
         out[entry] = compact_partition(spark, table_path, day, target_files)
     return out
 

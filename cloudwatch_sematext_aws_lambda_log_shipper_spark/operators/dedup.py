@@ -397,6 +397,7 @@ def cross_group_near_dup_report(
     id_col: str = "doc_id",
     group_col: str = "source",
     threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Contamination check: near-duplicate pairs that CROSS a grouping
     boundary — the train/test-leakage audit every training-data pipeline
@@ -409,7 +410,8 @@ def cross_group_near_dup_report(
     join, hot buckets capped); the group join touches only the tiny
     verified-pair set, and the output is bounded by #groups^2.
     """
-    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    pairs = near_dup_pairs(df, text_col, id_col, threshold,
+                           max_bucket_size=max_bucket_size)
     membership = df.select(F.col(id_col), F.col(group_col))
     joined = (
         pairs.join(
@@ -527,12 +529,14 @@ def near_dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup doc clusters: MinHash-LSH pairs -> connected components
     -> (doc_id, cluster_id, keep) with keep=true on the minimum doc per
     cluster. Docs with no near-dup are their own singleton cluster
     (keep=true) and never enter the propagation loop."""
-    pairs = near_dup_pairs(df, text_col, id_col, threshold)
+    pairs = near_dup_pairs(df, text_col, id_col, threshold,
+                           max_bucket_size=max_bucket_size)
     comp = connected_components(pairs)
     all_ids = df.select(F.col(id_col).alias("node"))
     clustered = all_ids.join(comp, "node", "left").select(

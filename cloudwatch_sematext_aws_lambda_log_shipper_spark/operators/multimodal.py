@@ -60,7 +60,10 @@ def with_media_meta(df: DataFrame, media_col: str = "media",
     )
 
 
-_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+# no ^ anchor: re.match() anchors at its pos argument anyway, while ^
+# would only match at true string start and break positioned matching
+# in _iter_ppm_frames
+_PPM_HEADER = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
 
 
 def _decode_one(data: bytes) -> tuple[int, int, int]:
@@ -98,7 +101,12 @@ def decode_image_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_one(bytes(b)) for b in pdf[media_col]]
+            # null media must NOT poison the batch (Q4 philosophy):
+            # null dims/sha out, DLQ-routable by the caller
+            dims = [
+                _decode_one(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -106,7 +114,10 @@ def decode_image_features(
                     "height": [d[1] for d in dims],
                     "channels": [d[2] for d in dims],
                     "sha": [
-                        hashlib.sha256(bytes(b)).hexdigest() for b in pdf[media_col]
+                        hashlib.sha256(bytes(b)).hexdigest()
+                        if b is not None
+                        else None
+                        for b in pdf[media_col]
                     ],
                 }
             )
@@ -163,7 +174,8 @@ def resize_images(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             resized = [
-                _resize_ppm_one(bytes(b), width, height) for b in pdf[media_col]
+                _resize_ppm_one(bytes(b), width, height) if b is not None else None
+                for b in pdf[media_col]
             ]
             yield pd.DataFrame(
                 {
@@ -187,13 +199,16 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _iter_ppm_frames(data: bytes):
-    """Split a raw 'video' (back-to-back P6 frames) into frame bytes."""
+    """Split a raw 'video' (back-to-back P6 frames) into frame bytes.
+
+    Positioned match — no data[pos:] re-slice per frame, which would
+    make iteration O(total_bytes * frames) in copies on long videos."""
     pos = 0
     while pos < len(data):
-        m = _PPM_HEADER.match(data[pos:])
+        m = _PPM_HEADER.match(data, pos)
         if not m:
             return
-        end = pos + m.end() + int(m.group(1)) * int(m.group(2)) * 3
+        end = m.end() + int(m.group(1)) * int(m.group(2)) * 3
         if end > len(data):
             return
         yield data[pos:end]
@@ -219,6 +234,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, raw in zip(pdf[id_col], pdf[media_col]):
+                if raw is None:  # null video -> no frames, not a crash
+                    continue
                 for i, frame in enumerate(_iter_ppm_frames(bytes(raw))):
                     if i % every_n == 0:
                         ids.append(int(mid))

@@ -53,6 +53,11 @@ def with_split(
     cum = 0.0
     for name, w in weights.items():
         cum += w
-        cond = bucket < int(cum * BUCKETS)
+        # round(), not int(): int() truncates (int(0.8*65536) = 52428)
+        # while SQL CAST rounds (52429) — the boundary bucket would get a
+        # different split in Spark vs an oracle. round() also absorbs
+        # float-sum artifacts (0.7+0.2+0.1 = 0.9999... must still cover
+        # bucket 65535). Oracles must use the same rounded literals.
+        cond = bucket < int(round(cum * BUCKETS))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)

@@ -271,7 +271,8 @@ def ann_topk_ivf(
     centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
     # one Arrow-batched assignment pass over the full corpus
     assigned = c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
-    return _ivf_search(assigned, queries, centers, k, nprobe, id_col, vec_col)
+    probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
+    return _ivf_search(assigned, probes, k)
 
 
 def _assign_factory(ctr):
@@ -310,26 +311,23 @@ def _probe_factory(ctr, n_probe):
     return probe_clusters
 
 
-def _ivf_search(
-    assigned: DataFrame,
-    queries: DataFrame,
-    centers,
-    k: int,
-    nprobe: int,
-    id_col: str,
-    vec_col: str,
+def _query_probes(
+    queries: DataFrame, centers, nprobe: int, id_col: str, vec_col: str
 ) -> DataFrame:
-    """Probe + rank over an assigned (neighbor_id, c_vec, cluster)
-    corpus: broadcast the exploded query probes, score exact cosine
-    inside the probed clusters only, window-rank per query."""
+    """(query_id, q_vec, cluster) — one row per probed cluster per query."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
     )
-    probes = q.withColumn(
+    return q.withColumn(
         "cluster",
         F.explode(_probe_factory(centers, min(nprobe, len(centers)))(F.col("q_vec"))),
     ).select("query_id", "q_vec", "cluster")
 
+
+def _ivf_search(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Rank over an assigned (neighbor_id, c_vec, cluster) corpus:
+    broadcast the exploded query probes, score exact cosine inside the
+    probed clusters only, window-rank per query."""
     scored = assigned.join(F.broadcast(probes), "cluster").withColumn(
         "cos", cosine_batch(F.col("q_vec"), F.col("c_vec"))
     )
@@ -412,21 +410,18 @@ def query_ivf_index(
     centers = np.array([r["centroid"] for r in cent], dtype=np.float64)
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    # ONE probe job: the tiny exploded-probe frame is materialized
+    # eagerly (localCheckpoint), the distinct cluster ids come off it
+    # driver-side, and the search reuses the same frame — the pandas-UDF
+    # probe scoring runs once per call, not twice.
+    probes = _query_probes(queries, centers, nprobe, id_col, vec_col).localCheckpoint(
+        eager=True
     )
-    probed = (
-        q.select(
-            F.explode(
-                _probe_factory(centers, min(nprobe, len(centers)))(F.col("q_vec"))
-            ).alias("cluster")
-        )
-        .distinct()
-        .collect()
+    needed = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
     )
-    needed = sorted(r["cluster"] for r in probed)
     pruned = assigned.filter(F.col("cluster").isin(needed))
-    return _ivf_search(pruned, queries, centers, k, nprobe, id_col, vec_col)
+    return _ivf_search(pruned, probes, k)
 
 
 # --- random-hyperplane LSH ----------------------------------------------

@@ -119,7 +119,8 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the point: the engine's banded plan produces brute-force
     answers WITHOUT the quadratic join.
     """
-    return near_dup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return near_dup_pairs(_docs(spark, sf_dir), threshold=0.8,
+                          max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 def _simhash_oracle() -> str:
@@ -176,7 +177,8 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (4x16-bit chunk blocking, Hamming <= 3).
     md5-digit bit votes make the whole sketch DuckDB-replicable; also
     verified against MinHash/Jaccard ground truth in pytest."""
-    return simhash_near_dup_pairs(_docs(spark, sf_dir))
+    return simhash_near_dup_pairs(_docs(spark, sf_dir),
+                                  max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 # --- similarity search --------------------------------------------------
@@ -599,7 +601,8 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(_docs(spark, sf_dir))
+    return near_dup_clusters(_docs(spark, sf_dir),
+                             max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 # --- TF-IDF vocabulary ranking ------------------------------------------
@@ -736,8 +739,8 @@ WITH hashed AS (
 ), bucketed AS (
   SELECT lang, n_chars, {_DUCK_BUCKET} AS bucket FROM hashed
 )
-SELECT CASE WHEN bucket < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
-            WHEN bucket < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+SELECT CASE WHEN bucket < {int(round(0.8 * 65536))} THEN 'train'
+            WHEN bucket < {int(round(0.9 * 65536))} THEN 'val'
             ELSE 'test' END AS split,
        lang,
        count(*) AS n_docs,
@@ -800,7 +803,8 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs (feasible at sf0.01) — same pairs, no quadratic join."""
     from ..operators.dedup import cross_group_near_dup_report
 
-    return cross_group_near_dup_report(_docs(spark, sf_dir), threshold=0.8)
+    return cross_group_near_dup_report(_docs(spark, sf_dir), threshold=0.8,
+                                       max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 def _synth_ppm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,8 +927,8 @@ WITH hashed AS (
   SELECT doc_id, text, {_DUCK_BUCKET} AS bucket FROM hashed
 ), labeled AS (
   SELECT doc_id, text,
-         CASE WHEN bucket < CAST(0.8 * 65536 AS INTEGER) THEN 'train'
-              WHEN bucket < CAST(0.9 * 65536 AS INTEGER) THEN 'val'
+         CASE WHEN bucket < {int(round(0.8 * 65536))} THEN 'train'
+              WHEN bucket < {int(round(0.9 * 65536))} THEN 'val'
               ELSE 'test' END AS split
   FROM bucketed
 ), docs AS (
@@ -966,4 +970,5 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_split(
         _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r6"
     )
-    return cross_group_near_dup_report(docs, group_col="split", threshold=0.8)
+    return cross_group_near_dup_report(docs, group_col="split", threshold=0.8,
+                                       max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
