@@ -305,3 +305,6 @@ def test_compact_table_folds_closed_dates_only(spark, tmp_path):
         "ingest_batch=2"
     ]
     assert spark.read.parquet(table).count() == 6
+    # second nightly run: day 1 is already folded to one file -> skipped
+    # (O(one day) maintenance, not O(full table) rewrites)
+    assert compact_table(spark, table, before=date(2024, 1, 8)) == {}
