@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_FORMATS = ("parquet", "orc", "json", "csv")
+# 'text' reads raw lines as a single `value` string column — the
+# ingestion shape for plain log files (write requires exactly one
+# string column). Avro is absent from this build (external module).
+_FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 # Text formats default to millisecond timestamps — a silent microsecond
 # truncation on round-trip. Pin lossless formats for BOTH timestamp
@@ -35,6 +38,8 @@ def read_table(
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    if fmt == "text":
+        return spark.read.text(path)  # fixed (value string) schema
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -57,5 +62,7 @@ def write_table(
         writer.options(header="true", **_TS_OPTS).csv(path)
     elif fmt == "json":
         writer.options(**_TS_OPTS).json(path)
+    elif fmt == "text":
+        writer.text(path)  # requires a single string column
     else:
         getattr(writer, fmt)(path)

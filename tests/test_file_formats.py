@@ -34,3 +34,20 @@ def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
 def test_schemaless_json_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path), "json")
+
+
+def test_text_roundtrip_raw_log_lines(spark, tmp_path):
+    """Raw log files land as a single `value` column — the ingestion
+    shape for plain-text logs, feeding straight into parse_log_events."""
+    from pyspark.sql import functions as F
+
+    lines = ["plain line one", "ERROR boom", "2024-01-01T00:00:00.000Z ok"]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    out = str(tmp_path / "text")
+    write_table(df, out, "text")
+    back = read_table(spark, out, "text")
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect()) == sorted(lines)
+    # a multi-column frame is rejected by the writer, not silently mangled
+    with pytest.raises(Exception):
+        write_table(df.withColumn("extra", F.lit(1)), str(tmp_path / "t2"), "text")
