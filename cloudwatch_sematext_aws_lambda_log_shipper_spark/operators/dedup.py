@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, word_shingles
+from .text import char_shingles, normalize_text, word_shingles
 
 # A bucket with n members emits n(n-1)/2 candidate pairs, so ONE
 # pathological bucket (thousands of identical/near-identical docs) makes
@@ -96,8 +96,12 @@ def normalized_dedup_groups(df: DataFrame, text_col: str = "text",
 # --- MinHash + banded LSH ----------------------------------------------
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    return df.withColumn("shingles", word_shingles(F.col(text_col), n))
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  unit: str = "word") -> DataFrame:
+    """Attach the Jaccard unit: word n-grams (default) or character
+    n-grams (unit='char' — catches typo-level edits, see char_shingles)."""
+    fn = word_shingles if unit == "word" else char_shingles
+    return df.withColumn("shingles", fn(F.col(text_col), n))
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
@@ -223,6 +227,7 @@ def near_dup_pairs(
     num_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    shingle_unit: str = "word",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -240,7 +245,7 @@ def near_dup_pairs(
     """
     from pyspark import StorageLevel
 
-    shingled = with_shingles(df, text_col, shingle_n).persist(
+    shingled = with_shingles(df, text_col, shingle_n, shingle_unit).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     # Signatures are also persisted: the band self-join scans them from

@@ -65,6 +65,29 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct CHARACTER n-gram shingles over lower(trim(text)) — the
+    finer-grained Jaccard unit: a one-character typo perturbs only n
+    windows, where a word edit perturbs n word-shingles, so char-grams
+    catch typo-level/diacritic edits that word shingles score as
+    dissimilar. Documents shorter than n chars yield an empty array.
+
+    The transform lambda only touches its bound index and the plain
+    (cheap, non-recomputed) normalized column — not an expensive outer
+    expression, so the per-element interpreted evaluation caveat on
+    word_shingles does not bite here."""
+    t = F.lower(F.trim(text))
+    count = F.length(t) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    # sequence(1, 0) would generate DESCENDING [1, 0]; guard short docs
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def whitespace_token_count(text: Column) -> Column:
     return F.size(words(text))
 

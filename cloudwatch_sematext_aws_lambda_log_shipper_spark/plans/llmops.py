@@ -972,3 +972,38 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cross_group_near_dup_report(docs, group_col="split", threshold=0.8,
                                        max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
+
+
+_CHARGRAM_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([substr(t, i, 5)
+                        for i in range(1, greatest(length(t) - 3, 1))]) AS s
+  FROM docs WHERE length(t) >= 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+"""
+
+
+@query("near_dup_chargram", _CHARGRAM_ORACLE)
+def near_dup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup (the brief's 'n-gram Jaccard'
+    as its own method, distinct from word shingles): a one-character
+    typo perturbs only 5 char windows vs n word-shingles, so this
+    catches typo/diacritic-level edits word shingles miss. Same
+    MinHash-LSH banding + exact-Jaccard verify machinery, char unit;
+    brute-force DuckDB oracle."""
+    return near_dup_pairs(
+        _docs(spark, sf_dir),
+        threshold=0.8,
+        shingle_unit="char",
+        shingle_n=5,
+        max_bucket_size=None,  # cap off: oracle models the uncapped set
+    )

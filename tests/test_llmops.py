@@ -413,3 +413,35 @@ def test_ivf_index_build_query_matches_oneshot(spark, sf_dir, tmp_path):
     # PARTITION filter (unprobed cluster dirs are never read)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cluster", plan)
+
+
+def test_char_shingles_semantics(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        char_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abc"), (2, "  AbCdEf  ")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", char_shingles(F.col("text"), 5).alias("s")).collect()
+    }
+    assert got[0] == ["abcde", "bcdef"]
+    assert got[1] == []  # shorter than n -> empty, not an error
+    assert got[2] == ["abcde", "bcdef"]  # lower(trim()) normalization
+
+
+def test_chargram_near_dup_catches_typo_word_shingles_miss(spark):
+    # one-char typo: 3 of 10 word-3-shingles change (J ~ 0.54, below
+    # 0.7) but only ~5 of ~50 char-5-grams change (J ~ 0.83, above it
+    # and comfortably inside the b=16/r=4 LSH s-curve)
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a.replace("quick", "quack")
+    df = docs_df(spark, [a, b])
+    word_pairs = near_dup_pairs(df, threshold=0.7).count()
+    char_pairs = near_dup_pairs(
+        df, threshold=0.7, shingle_unit="char", shingle_n=5
+    ).count()
+    assert word_pairs == 0
+    assert char_pairs == 1
