@@ -118,9 +118,17 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
 
     Docs with zero shingles drop out (they cannot near-dup match).
     """
-    exploded = shingled.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    # Hash each shingle STRING once, then derive the k permutations from
+    # the int64: hashing a ~25-byte string k times costs ~k*len byte
+    # mixes per row, while re-hashing the 8-byte digest is ~10x cheaper
+    # per permutation — and xxhash64(int, seed) is still a uniform
+    # family, so banding recall is unchanged (verification is exact
+    # Jaccard on the shingle arrays either way).
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_s")
+    ).select(F.col(id_col), F.xxhash64("_s").alias("_h"))
     return exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
+        *[F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh_{i}") for i in range(k)]
     )
 
 
