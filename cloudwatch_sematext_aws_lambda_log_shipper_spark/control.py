@@ -207,15 +207,38 @@ def compact_partition(
     return len(before)
 
 
+def _last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest micro-batch id the stream has COMMITTED (checkpoint
+    ``commits/`` listing). Batches <= this id are durable — the stream
+    only ever retries the batch after its last commit — so partitions
+    they wrote are final and safe to fold. Returns -1 for a fresh or
+    missing checkpoint (nothing committed: every batch is suspect)."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids, default=-1)
+
+
 def compact_table(
     spark,
     table_path: str,
     before: date | None = None,
     target_files: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, int]:
     """Nightly maintenance driver: compact every log_date= partition
     strictly older than ``before`` (None = all partitions — only safe
-    when no stream is writing). Returns {partition: files_before}.
+    when no stream is writing, UNLESS ``checkpoint_dir`` is passed).
+    Returns {partition: files_before}.
+
+    Concurrent-stream guard: with ``checkpoint_dir`` (the writing
+    stream's checkpoint location), any date partition containing an
+    ``ingest_batch=N`` leaf with N newer than the stream's last
+    COMMITTED batch is refused (skipped) — that batch is in flight and
+    a retry would land beside its folded copy, duplicating rows. This
+    makes a misconfigured nightly (``before=None`` against a live
+    stream) safe: only dates whose every batch is committed fold.
 
     This is the batch-folding op that keeps a streaming table's
     per-micro-batch dirs from accumulating forever: each closed date
@@ -225,6 +248,9 @@ def compact_table(
     out: dict[str, int] = {}
     if not os.path.isdir(table_path):
         return out
+    last_committed = (
+        _last_committed_batch(checkpoint_dir) if checkpoint_dir is not None else None
+    )
     for entry in sorted(os.listdir(table_path)):
         if not entry.startswith("log_date="):
             continue
@@ -235,6 +261,15 @@ def compact_table(
             continue
         if before is not None and part_date >= before:
             continue
+        if last_committed is not None:
+            batches = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(os.path.join(table_path, entry))
+                if d.startswith("ingest_batch=")
+                and d.split("=", 1)[1].lstrip("-").isdigit()
+            ]
+            if any(b > last_committed for b in batches):
+                continue  # in-flight batch: refuse to fold this date
         # already-compacted dates (folded leaf or flat layout, at or
         # under the target file count) are skipped — nightly runs must
         # cost O(one day), not O(full table) rewrites

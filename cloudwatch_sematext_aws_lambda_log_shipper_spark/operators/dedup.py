@@ -24,8 +24,10 @@ from .text import char_shingles, normalize_text, word_shingles
 # one reducer quadratic while every other task idles. Candidate
 # generation therefore thins oversized buckets: buckets over
 # `max_bucket_size` keep a deterministic ~cap-sized member subset
-# (id-hash modulo the oversize factor — the SAME docs survive in every
-# bucket, no RNG state); each dropped doc still has its other
+# (id-hash modulo the oversize factor — survival is a deterministic
+# function of (doc id, bucket size): same-size buckets keep the same
+# doc subset, differently-sized buckets need not; no RNG state);
+# each dropped doc still has its other
 # bands/chunks, and truly identical docs are the exact-dedup pass's job
 # (corpus_prep runs it first). Per-bucket pair work is thus bounded at
 # ~cap^2/2 regardless of corpus skew, and results are bit-identical
@@ -425,7 +427,13 @@ def cross_group_near_dup_report(
     """
     pairs = near_dup_pairs(df, text_col, id_col, threshold,
                            max_bucket_size=max_bucket_size)
-    membership = df.select(F.col(id_col), F.col(group_col))
+    # Null group labels (e.g. with_split's holdout rows when weights sum
+    # to < 1) must still appear in the audit — a != comparison is
+    # null-rejecting and would silently hide holdout-vs-train leaks, so
+    # nulls are coalesced to an explicit 'holdout' label first.
+    membership = df.select(
+        F.col(id_col), F.coalesce(F.col(group_col), F.lit("holdout")).alias(group_col)
+    )
     joined = (
         pairs.join(
             membership.select(

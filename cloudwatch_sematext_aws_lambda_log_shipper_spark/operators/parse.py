@@ -79,6 +79,14 @@ def _variant_str(v: Column, path: str) -> Column:
     return F.try_variant_get(v, path, "string")
 
 
+# A/B profiling knob (scripts/profile_variant.py): "variant" is the
+# production kernel (typed MAP<STRING,VARIANT> attributes); "string"
+# reproduces the pre-variant kernel (attributes from the already-computed
+# string _user_map, no second from_json) so the two parse plans can be
+# timed against each other in one session. Not a user-facing switch.
+_ATTR_MODE = "variant"
+
+
 def parse_log_events(events: DataFrame) -> DataFrame:
     """(awsRegion, logGroup, logStream, message) -> log records.
 
@@ -124,9 +132,13 @@ def parse_log_events(events: DataFrame) -> DataFrame:
     # string _user_map above exists only for the override columns, which
     # are strings anyway). One extra from_json over the json branch —
     # JVM-side, codegen'd, no measurable hot-path cost.
+    attr_source = (
+        F.from_json(msg, "map<string,variant>")
+        if _ATTR_MODE == "variant"
+        else F.col("_user_map")  # profiling arm: r5 stringified kernel
+    )
     attr_map = F.map_filter(
-        F.from_json(msg, "map<string,variant>"),
-        lambda k, _: ~k.isin(_RESERVED_JSON_KEYS),
+        attr_source, lambda k, _: ~k.isin(_RESERVED_JSON_KEYS)
     )
 
     def user_override(key: str, derived: Column) -> Column:

@@ -168,10 +168,19 @@ def cosine_pairs_exact(
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
 
 
-def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+def with_recall_at_k(
+    ann: DataFrame, exact: DataFrame, k: int,
+    min_mean_recall: float | None = None,
+) -> DataFrame:
     """Attach per-query recall@k (|ANN hits ∩ exact top-k| / k) as a
     column of the ANN result, so index-quality regressions are visible
     in result diffs — not only in pytest floors.
+
+    With ``min_mean_recall``, every row additionally carries a
+    ``recall_ok`` boolean: mean per-query recall >= the floor. This is
+    the GATE — an index-quality regression (stale index, degenerate
+    centroids, broken bucketing) flips a visible value in the emitted
+    result, so snapshot diffs catch it without consulting pytest.
 
     Recall is driven from the EXACT side: a query the index missed
     entirely (zero candidate buckets → zero ANN rows) still surfaces as
@@ -199,10 +208,22 @@ def with_recall_at_k(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         .join(hits, "query_id", "left")
         .fillna(0.0, ["_recall"])
     )
+    if min_mean_recall is not None:
+        # per_query feeds both the row join and the mean gate; eager
+        # localCheckpoint materializes it once (it is |queries| rows) so
+        # the exact brute-force pass underneath doesn't run twice.
+        per_query = per_query.localCheckpoint(eager=True)
     # Full outer: ann rows keep their recall; exact-side queries with no
     # ann rows appear once (null neighbor cols, recall 0.0).
     out = ann.join(per_query, "query_id", "full_outer").fillna(0.0, ["_recall"])
-    return out.select(*ann.columns, F.round("_recall", 6).alias("recall_at_k"))
+    cols = [*ann.columns, F.round("_recall", 6).alias("recall_at_k")]
+    if min_mean_recall is not None:
+        gate = per_query.agg(
+            (F.avg("_recall") >= F.lit(float(min_mean_recall))).alias("recall_ok")
+        )
+        out = out.crossJoin(F.broadcast(gate))  # one-row scalar gate
+        cols.append(F.col("recall_ok"))
+    return out.select(*cols)
 
 
 # --- IVF (inverted-file) ANN --------------------------------------------
@@ -218,10 +239,23 @@ def _fit_centroids(c: DataFrame, n_clusters: int, seed: int,
     in the tens; centroid quality saturates long before that.
     (Distributed KMeans schedules one full Spark job per Lloyd
     iteration — pure scheduling overhead for roughly-converged
-    centroids; measured 8x slower end-to-end.)"""
+    centroids; measured 8x slower end-to-end.)
+
+    The sample is DETERMINISTIC: ordered by an id hash before the limit
+    (a bare limit() depends on incidental scan/partition order, so two
+    fits over a repartitioned/cached copy of the same corpus could see
+    different samples and produce different centroids). The hash order
+    also makes the sample pseudo-random rather than
+    lowest-ids-first-biased; the sort is a TakeOrderedAndProject bounded
+    by the sample size, not a full-corpus sort."""
     import numpy as np
 
-    sample = c.select("c_vec").limit(fit_sample_limit).toPandas()["c_vec"]
+    sample = (
+        c.orderBy(F.xxhash64("neighbor_id"))
+        .select("c_vec")
+        .limit(fit_sample_limit)
+        .toPandas()["c_vec"]
+    )
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -59,6 +59,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "embeddings").repartition(n, "vec_id")
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap corpus fingerprint for cache invalidation: md5 over the
+    relative names, sizes, and mtimes of the source parquet file(s) —
+    metadata-only, no data scan, O(#files). A regenerated table under
+    the same path changes the fingerprint even when the byte size is
+    coincidentally equal (mtime moves)."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 # --- dedup --------------------------------------------------------------
 
 _EXACT_DEDUP_ORACLE = """
@@ -223,26 +245,31 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path; partitions adapt to the data distribution. Emits
     per-query `recall_at_k` vs the exact top-k so index-quality
     regressions show in result diffs, not only in pytest floors
-    (the exact pass is over the same 10-query set — tiny)."""
+    (the exact pass is over the same 10-query set — tiny). The
+    `recall_ok` gate (mean recall >= 0.5, the pytest floor) makes a
+    quality regression flip a boolean in the snapshot the driver
+    diffs."""
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     ann = ann_topk_ivf(corpus=corpus, queries=queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
-    return with_recall_at_k(ann, exact, k=5)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
 
 
 @query("embedding_ann_lsh")  # approximate by design -> rows-only check
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (multiprobe) — data-independent
     alternative (no index build); lower recall on near-uniform vectors.
-    Emits per-query `recall_at_k` vs the exact top-k (see IVF note)."""
+    Emits per-query `recall_at_k` vs the exact top-k (see IVF note)
+    and the `recall_ok` gate at the LSH pytest floor (0.25 — hyperplane
+    buckets on near-uniform vectors recall less than IVF by design)."""
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     ann = ann_topk_lsh(corpus=corpus, queries=queries, k=5, num_planes=4)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
-    return with_recall_at_k(ann, exact, k=5)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.25)
 
 
 _COSINE_NEARDUP_ORACLE = """
@@ -905,18 +932,34 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
+    # build-once, probe-many: rebuild only when no index exists FOR THIS
+    # CORPUS. The cache path is keyed on a cheap source-file fingerprint
+    # (sizes + mtimes of embeddings.parquet — no data scan), so a
+    # regenerated corpus under the same sf dir gets a fresh index
+    # instead of silently probing stale neighbors. The build lands in a
+    # pid-suffixed temp dir and is renamed into place, so concurrent
+    # sessions sharing /tmp race to an atomic rename, not a torn index.
+    # Steady-state timing therefore measures the PROBE path — the thing
+    # an index exists for.
     path = os.path.join(
-        "/tmp/spark_graft_ivf", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/spark_graft_ivf",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        f"{_source_fingerprint(os.path.join(sf_dir, 'embeddings.parquet'))}",
     )
-    # build-once, probe-many: rebuild only when the index is absent (the
-    # test corpus is immutable per sf; real deployments rebuild on their
-    # own cadence). Steady-state timing therefore measures the PROBE
-    # path — the thing an index exists for.
     if not os.path.exists(os.path.join(path, "assigned", "_SUCCESS")):
-        build_ivf_index(corpus, path)
+        tmp = f"{path}.build.{os.getpid()}"
+        build_ivf_index(corpus, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent builder won the rename race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     ann = query_ivf_index(spark, path, queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
-    return with_recall_at_k(ann, exact, k=5)
+    # same floor as the one-shot IVF — a stale/degenerate persisted
+    # index flips recall_ok in the emitted snapshot
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
 
 
 _SPLIT_LEAKAGE_ORACLE = f"""

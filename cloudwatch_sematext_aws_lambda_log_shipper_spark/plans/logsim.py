@@ -472,3 +472,98 @@ def log_attributes_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
     )
+
+
+# Replay conservation: recovered rows re-enter the clean path with full
+# parse semantics (severity from message content); permanently-corrupt
+# rows stay in the DLQ. The oracle recomputes both sides from events.
+_DLQ_REPLAY_ORACLE = """
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events
+), msgs AS (
+  SELECT 'replay ' || event_type || ' ok' ||
+         (CASE WHEN value > 150 THEN ' error' ELSE '' END) AS message
+  FROM ev WHERE event_id % 7 <> 0
+)
+SELECT 'recovered_' ||
+       (CASE WHEN lower(message) LIKE '%error%' THEN 'error' ELSE 'debug' END)
+         AS outcome,
+       count(*) AS n
+FROM msgs
+GROUP BY 1
+UNION ALL
+SELECT 'still_dlq' AS outcome, count(*) AS n
+FROM ev WHERE event_id % 7 = 0
+"""
+
+
+@query("log_dlq_replay", _DLQ_REPLAY_ORACLE)
+def log_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17's second half under the oracle: DLQ REPLAY. Synthesizes a
+    DLQ table of decode-class rows — most carrying a VALID payload in
+    _raw (the since-fixed-decoder-outage scenario replay exists for),
+    every 7th carrying permanently garbage base64 — then runs
+    replay_dlq and checks CONSERVATION: recovered rows re-enter the
+    clean path with full parse semantics (severity re-derived from the
+    recovered message content), unrecoverable rows remain in the DLQ,
+    and nothing vanishes (sum of emitted counts == |events|).
+
+    Scale: replay is the same narrow decode->parse chain as ingest over
+    only the DLQ slice; the groupBy shuffles a handful of grouped rows.
+    """
+    from ..pipeline import replay_dlq
+
+    n = spark.sparkContext.defaultParallelism
+    events = load(spark, sf_dir, "events").repartition(n, "event_id")
+    uid = F.col("user_id").cast("string")
+    message = F.concat(
+        F.lit('{"message":"replay '),
+        F.col("event_type"),
+        F.lit(" ok"),
+        F.when(F.col("value") > 150, F.lit(" error")).otherwise(F.lit("")),
+        F.lit('","requestId":"x'),
+        uid,
+        F.lit('"}'),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("DATA_MESSAGE").alias("messageType"),
+            F.lit(LOG_GROUP).alias("logGroup"),
+            F.lit(LOG_STREAM).alias("logStream"),
+            F.array(
+                F.struct(
+                    F.col("event_id").cast("string").alias("id"),
+                    F.lit(0).cast("long").alias("timestamp"),
+                    message.alias("message"),
+                )
+            ).alias("logEvents"),
+        )
+    )
+    data = F.when(
+        F.col("event_id") % 7 == 0, F.lit("!permanently-corrupt!")
+    ).otherwise(gzip_b64_udf(payload))
+    null_str = F.lit(None).cast("string")
+    # decode-class DLQ rows, exactly the shape parse_kinesis_records
+    # lands for decode failures (pipeline.py decode_dlq)
+    dlq = events.select(
+        null_str.alias("function.name"),
+        null_str.alias("function.version"),
+        null_str.alias("@timestamp"),
+        null_str.alias("function.request.id"),
+        null_str.alias("message"),
+        F.lit(None).cast("map<string,variant>").alias("attributes"),
+        F.lit("us-east-1").alias("region"),
+        F.lit("lambda").alias("type"),
+        F.lit("debug").alias("severity"),
+        null_str.alias("error.type"),
+        F.lit(True).alias("is_corrupt"),
+        data.alias("_raw"),
+    )
+    recovered, still = replay_dlq(dlq)
+    rec = recovered.groupBy(
+        F.concat(F.lit("recovered_"), F.col("severity")).alias("outcome")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = still.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("still_dlq").alias("outcome"), F.col("n")
+    )
+    return rec.unionByName(st)

@@ -64,7 +64,27 @@ def _write_partitioned(
     per-batch dirs back into one file set (control.py) — idempotency is
     unaffected because dynamic overwrite keys on the LEAF (date, batch)
     partitions, whichever nesting order they have.
+
+    Layout-compat guard: tables written by pre-r6 builds used the
+    REVERSED ``ingest_batch=N/log_date=D`` nesting. Spark cannot read a
+    table mixing the two directory depth orders, and expire_partitions
+    would silently drop nothing on the old layout — so appending the
+    new layout into an old-layout table is refused loudly instead of
+    producing an unreadable mix. (One table, one layout; migrate by
+    rewriting through compact_table.)
     """
+    if batch_id is not None and os.path.isdir(path):
+        old_layout = any(
+            e.startswith("ingest_batch=") for e in os.listdir(path)
+        )
+        if old_layout:
+            raise ValueError(
+                f"{path}: existing table uses the legacy "
+                "ingest_batch=N/log_date=D layout; writing the current "
+                "log_date=D/ingest_batch=N layout into it would create an "
+                "unreadable mixed-depth table. Rewrite the table (e.g. "
+                "read + write_log_table to a fresh path) before appending."
+            )
     if batch_id is None:
         df.write.mode(mode).partitionBy("log_date").parquet(path)
     else:
@@ -162,3 +182,38 @@ class LogSink:
             write_bulk_ndjson(clean, self.bulk_path,
                               bulk_size=self.config.bulk_size, mode=mode,
                               batch_id=batch_id)
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        retention_days: int,
+        today=None,
+        compact_before=None,
+        target_files: int = 1,
+        checkpoint_dir: str | None = None,
+    ) -> dict:
+        """Nightly maintenance over EVERY date-partitioned table this
+        sink writes — the log table AND the DLQ. The reference's
+        retention policy (LOG_GROUP_RETENTION_IN_DAYS=1,
+        sample.secrets.json:6) applies to everything it ships; a DLQ
+        that accumulates forever is the classic silent disk leak, and
+        its many tiny corrupt-row files benefit from folding just as
+        much as the log table's.
+
+        Order matters: expire FIRST so compaction never rewrites a
+        partition that is about to be dropped. ``checkpoint_dir`` (the
+        live stream's checkpoint) makes compaction refuse in-flight
+        dates (control.py compact_table guard). Returns
+        {table: {"expired": [...], "compacted": {...}}}.
+        """
+        from .control import compact_table, expire_partitions
+
+        out: dict = {}
+        for name, path in (("logs", self.log_table), ("dlq", self.dlq_path)):
+            expired = expire_partitions(path, retention_days, today=today)
+            compacted = compact_table(
+                spark, path, before=compact_before,
+                target_files=target_files, checkpoint_dir=checkpoint_dir,
+            )
+            out[name] = {"expired": expired, "compacted": compacted}
+        return out

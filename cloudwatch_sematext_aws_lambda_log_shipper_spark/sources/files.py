@@ -14,7 +14,15 @@ from pyspark.sql import types as T
 
 # 'text' reads raw lines as a single `value` string column — the
 # ingestion shape for plain log files (write requires exactly one
-# string column). Avro is absent from this build (external module).
+# string column).
+#
+# Avro probe (2026-08-14, pyspark 4.1.2 in this container): the jars
+# dir ships avro-1.12.1 / avro-ipc / avro-mapred (core-internal
+# dependencies) but NOT the spark-avro_2.13 DataSource connector, so
+# format('avro') cannot resolve ("Failed to find data source: avro").
+# On a cluster with the connector deployed, adding 'avro' to _FORMATS
+# with the same _TS_OPTS is the complete change (avro stores
+# timestamps as typed long micros — no timestampFormat needed).
 _FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 # Text formats default to millisecond timestamps — a silent microsecond

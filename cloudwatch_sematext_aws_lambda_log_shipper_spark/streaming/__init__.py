@@ -13,4 +13,5 @@ from .pipeline import (  # noqa: F401
     stream_kinesis_event_files,
     windowed_severity_counts,
 )
+from .neardup import StreamingNearDup  # noqa: F401
 from .stateful import running_function_totals  # noqa: F401

@@ -1,0 +1,170 @@
+"""Streaming near-duplicate guard: per-micro-batch MinHash-LSH vs a
+PERSISTED signature store — the shape a production contamination guard
+actually runs (new documents arriving on a stream are checked against
+everything already ingested, not only against their own batch).
+
+Composition of existing pieces, no new shuffle machinery:
+- batch side: with_shingles -> minhash_signatures -> band_keys (the
+  exact kernel behind operators/dedup.near_dup_pairs)
+- store side: two parquet tables under ``store_dir`` —
+    ``bands/``    (doc id, band, key)  the LSH join side
+    ``shingled/`` (doc id, shingles)   for exact-Jaccard verification
+  both partitioned by ``ingest_batch`` and written with dynamic
+  partition OVERWRITE, so a retried micro-batch replaces its own
+  slice (the same exactly-once idempotence as the log-table sink).
+
+Per batch: candidates = (new vs store) ∪ (new vs new), both bucketed
+equi-joins on (band, key); verification joins shingle arrays for ONLY
+the candidate ids (store side pruned with a semi-join before the
+array join). Alerts are materialized BEFORE the store update, so a doc
+never "matches itself" through the store.
+
+Scale: the store-side bands table grows with the corpus, but the join
+shuffles on (band, key) — bucket-local work, the same cost shape as
+batch LSH; hot buckets are capped with the shared _cap_buckets
+mechanism. The shingled store is touched only through a semi-join on
+the (tiny) candidate id set, so verification reads O(|candidates|)
+rows regardless of corpus size. At 100 TB, bucket the bands table on
+(band, key) to make the per-batch join exchange-free on the store
+side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    _cap_buckets,
+    band_keys,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    verify_jaccard,
+    with_shingles,
+)
+
+
+class StreamingNearDup:
+    """Micro-batch contamination guard over a persisted signature store.
+
+    Use ``process_batch`` from a ``foreachBatch`` hook (or call it
+    directly in tests/backfills). Returns the batch's verified alert
+    pairs (new_id, old_id, jaccard) — old_id may be from ANY prior
+    batch or from the same batch (intra-batch near-dups alert too).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.8,
+        shingle_n: int = 3,
+        num_bands: int = 16,
+        rows_per_band: int = 4,
+        max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    ):
+        self.bands_path = os.path.join(store_dir, "bands")
+        self.shingled_path = os.path.join(store_dir, "shingled")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.max_bucket_size = max_bucket_size
+
+    def _read_store(self, spark: SparkSession, path: str) -> DataFrame | None:
+        if not os.path.isdir(path):
+            return None  # first batch: empty store
+        return spark.read.parquet(path).drop("ingest_batch")
+
+    def _banded(self, signatures: DataFrame) -> DataFrame:
+        return signatures.select(
+            F.col(self.id_col),
+            F.explode(band_keys(self.num_bands, self.rows_per_band)).alias("bk"),
+        ).select(self.id_col, "bk.band", "bk.key")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """One micro-batch: alert on near-dups vs the store AND within
+        the batch, then fold the batch into the store (idempotent under
+        retry via ingest_batch dynamic overwrite). Returns the alerts
+        frame, already materialized (localCheckpoint) — computed against
+        the PRE-update store."""
+        spark = batch_df.sparkSession
+        id_col = self.id_col
+        shingled = with_shingles(
+            batch_df.select(id_col, self.text_col),
+            self.text_col, self.shingle_n,
+        ).select(id_col, "shingles").localCheckpoint(eager=True)
+        sigs = minhash_signatures(shingled, id_col)
+        new_bands = self._banded(sigs).localCheckpoint(eager=True)
+
+        # intra-batch pairs: the standard self-join path
+        intra = minhash_candidate_pairs(
+            sigs, id_col, self.num_bands, self.rows_per_band,
+            self.max_bucket_size,
+        ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"))
+
+        # cross-batch pairs: new bands vs stored bands on (band, key).
+        # Cap the STORE side too — a pathological hot bucket accumulated
+        # over many batches must not make one reducer quadratic.
+        store_bands = self._read_store(spark, self.bands_path)
+        store_sh = self._read_store(spark, self.shingled_path)
+        if store_bands is not None:
+            capped = _cap_buckets(
+                store_bands, ["band", "key"], id_col, self.max_bucket_size
+            )
+            cross = (
+                new_bands.alias("n")
+                .join(
+                    capped.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.key") == F.col("o.key"))
+                    # same id = the same doc re-delivered (at-least-once
+                    # source), not contamination — exact-dedup's job
+                    & (F.col(f"n.{id_col}") != F.col(f"o.{id_col}")),
+                )
+                .select(
+                    F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"o.{id_col}").alias("old_id"),
+                )
+                .distinct()
+            )
+            candidates = intra.unionByName(cross).distinct()
+            # verification corpus: batch shingles + ONLY the store rows
+            # that appear as candidates (semi-join prune — O(|cands|))
+            old_ids = candidates.select(F.col("old_id").alias(id_col))
+            verify_corpus = shingled.unionByName(
+                store_sh.join(F.broadcast(old_ids), id_col, "left_semi")
+            )
+        else:
+            candidates = intra
+            verify_corpus = shingled
+
+        alerts = verify_jaccard(
+            candidates.select(
+                F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+            ),
+            verify_corpus,
+            id_col,
+            self.threshold,
+        ).select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("old_id"),
+            "jaccard",
+        ).localCheckpoint(eager=True)  # materialize BEFORE the store update
+
+        for df, path in ((new_bands, self.bands_path),
+                         (shingled, self.shingled_path)):
+            (
+                df.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
+        return alerts

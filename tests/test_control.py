@@ -308,3 +308,70 @@ def test_compact_table_folds_closed_dates_only(spark, tmp_path):
     # second nightly run: day 1 is already folded to one file -> skipped
     # (O(one day) maintenance, not O(full table) rewrites)
     assert compact_table(spark, table, before=date(2024, 1, 8)) == {}
+
+
+def test_compact_table_refuses_inflight_batch_dates(spark, tmp_path):
+    """Concurrent-maintenance guard: with the writing stream's
+    checkpoint_dir, compact_table must NOT fold a date that contains a
+    batch newer than the stream's last COMMIT — that batch can still be
+    retried, and a retry would land beside the folded copy."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_table,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    def clean_for(day, tag):
+        msgs = [
+            f'{{"message":"{tag}{i}","timestamp":"2024-01-0{day}T00:00:01.000Z"}}'
+            for i in range(2)
+        ]
+        df = spark.createDataFrame(
+            [Row(awsRegion="r", logGroup="g", logStream="s", message=m) for m in msgs]
+        )
+        return split_dlq(parse_log_events(df))[0]
+
+    table = str(tmp_path / "logs")
+    write_log_table(clean_for(1, "a"), table, batch_id=0)
+    write_log_table(clean_for(1, "b"), table, batch_id=1)
+    write_log_table(clean_for(2, "c"), table, batch_id=2)  # in-flight
+
+    # simulate a checkpoint whose commits show batches 0 and 1 durable;
+    # batch 2 wrote its files but has NOT committed (could be retried)
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    for b in (0, 1):
+        (ckpt / "commits" / str(b)).write_text("{}")
+
+    reported = compact_table(
+        spark, table, before=None, checkpoint_dir=str(ckpt)
+    )
+    # day 1 (batches 0,1 committed) folds; day 2 (batch 2 in flight) refused
+    assert set(reported) == {"log_date=2024-01-01"}
+    day2 = os.path.join(table, "log_date=2024-01-02")
+    assert [d for d in os.listdir(day2) if d.startswith("ingest_batch=")] == [
+        "ingest_batch=2"
+    ]
+
+    # batch 2 commits -> the next nightly folds day 2 too
+    (ckpt / "commits" / "2").write_text("{}")
+    reported = compact_table(
+        spark, table, before=None, checkpoint_dir=str(ckpt)
+    )
+    assert set(reported) == {"log_date=2024-01-02"}
+
+    # fresh/missing checkpoint: nothing is committed -> nothing folds
+    empty_ckpt = tmp_path / "ckpt_fresh"
+    empty_ckpt.mkdir()
+    write_log_table(clean_for(3, "d"), table, batch_id=3)
+    assert (
+        compact_table(spark, table, before=None, checkpoint_dir=str(empty_ckpt))
+        == {}
+    )

@@ -198,6 +198,46 @@ def test_with_recall_at_k_edge_cases(spark):
     assert all(r.recall_at_k == 0.5 for r in out2)
 
 
+def test_recall_ok_gate_flips_on_degraded_index(spark, sf_dir):
+    # The recall_ok gate: a healthy ANN result carries recall_ok=True on
+    # every row; a degraded index (here: centroids fit on a 2-point
+    # sample with nprobe=1 — the degenerate-centroids failure mode, or
+    # in the worst case an ANN result disjoint from the exact top-k)
+    # must flip recall_ok to False in the EMITTED rows, so the driver's
+    # snapshot diff catches quality regressions without pytest.
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(corpus, queries, 5)
+
+    healthy = with_recall_at_k(
+        ann_topk_ivf(corpus, queries, 5), exact, 5, min_mean_recall=0.5
+    )
+    rows = healthy.collect()
+    assert rows and all(r.recall_ok is True for r in rows)
+
+    # worst-case degradation: an "index" returning neighbors that don't
+    # exist in the exact top-k at all -> mean recall 0.0 < any floor
+    broken = exact.withColumn(
+        "neighbor_id", F.col("neighbor_id") + F.lit(10_000_000)
+    )
+    degraded = with_recall_at_k(broken, exact, 5, min_mean_recall=0.5)
+    rows = degraded.collect()
+    assert rows and all(r.recall_ok is False for r in rows)
+
+    # degenerate centroids (2-point fit sample, single probe) may still
+    # luck into candidates, but the gate column must be present and
+    # consistent with the mean of the emitted recall values
+    bad_ivf = ann_topk_ivf(
+        corpus, queries, 5, nprobe=1, fit_sample_limit=2
+    )
+    gated = with_recall_at_k(bad_ivf, exact, 5, min_mean_recall=0.5)
+    out = gated.select("query_id", "recall_at_k", "recall_ok").collect()
+    per_q = {r.query_id: r.recall_at_k for r in out}
+    mean = sum(per_q.values()) / len(per_q)
+    assert all(r.recall_ok == (mean >= 0.5) for r in out)
+
+
 def test_lang_id_marker_semantics(spark):
     df = spark.createDataFrame(
         [

@@ -89,3 +89,72 @@ def test_bulk_ndjson_shape_and_chunking(spark, tmp_path):
         assert doc["type"] == "lambda"
         assert "function.name" in doc
     assert total_docs == clean.count()
+
+
+def test_maintain_expires_and_compacts_dlq_too(spark, tmp_path):
+    """DLQ retention: LogSink.maintain applies the reference's retention
+    policy (sample.secrets.json:6 — it covers everything the reference
+    ships) to the DLQ table as well as the log table, and folds both
+    tables' per-batch dirs."""
+    from datetime import date
+
+    clean, dlq = split_dlq(parsed_corpus(spark))
+    assert dlq.count() == 0  # corpus above is all-clean; make DLQ rows:
+    corrupt = parse_log_events(
+        spark.createDataFrame(
+            [
+                # Q4 class with a TAB after the timestamp: 2 tab parts
+                # (<3 -> corrupt), and @timestamp = part 1 parses so the
+                # DLQ row lands in the 2024-01-01 date partition
+                Row(awsRegion="r", logGroup="g", logStream="s",
+                    message=f"2024-01-01T00:00:00.000Z\t{UUID} spaced {i}")
+                for i in range(4)
+            ]
+        )
+    )
+    _clean2, dlq = split_dlq(corrupt)
+    assert dlq.count() == 4
+
+    sink = LogSink(str(tmp_path))
+    sink.ship(clean, dlq, batch_id=0)
+    sink.ship(clean.limit(0), dlq, batch_id=1)  # second batch, same date
+
+    # DLQ rows have @timestamp from the corrupt line -> 2024-01-01
+    # partition; clean rows all parse TS -> 2019-03-08 partition.
+    dlq_day = os.path.join(sink.dlq_path, "log_date=2024-01-01")
+    assert len(
+        [d for d in os.listdir(dlq_day) if d.startswith("ingest_batch=")]
+    ) == 2
+
+    report = sink.maintain(spark, retention_days=7, today=date(2024, 1, 2))
+    # compaction folded the DLQ date's two batch dirs (within retention)
+    assert "log_date=2024-01-01" in report["dlq"]["compacted"]
+    assert [
+        d for d in os.listdir(dlq_day) if d.startswith("ingest_batch=")
+    ] == ["ingest_batch=-1"]
+    # the 2019 log-table partition aged out entirely, on BOTH tables
+    assert "log_date=2019-03-08" in report["logs"]["expired"]
+    assert not os.path.isdir(
+        os.path.join(sink.log_table, "log_date=2019-03-08")
+    )
+    # DLQ data within retention survives, readable, count intact
+    assert spark.read.parquet(sink.dlq_path).count() == 8
+
+    # a later nightly expires the DLQ partition too
+    report = sink.maintain(spark, retention_days=1, today=date(2024, 1, 9))
+    assert report["dlq"]["expired"] == ["log_date=2024-01-01"]
+    assert not os.path.isdir(dlq_day)
+
+
+def test_write_refuses_legacy_layout_mix(spark, tmp_path):
+    """Writing the current log_date/ingest_batch nesting into a table
+    laid out the legacy way (ingest_batch= at top level) must fail
+    loudly instead of producing an unreadable mixed-depth table."""
+    import pytest
+
+    clean, _dlq = split_dlq(parsed_corpus(spark, n=6))
+    table = str(tmp_path / "logs")
+    # simulate a pre-r6 table: top-level ingest_batch= dir
+    os.makedirs(os.path.join(table, "ingest_batch=0", "log_date=2019-03-08"))
+    with pytest.raises(ValueError, match="legacy"):
+        write_log_table(clean, table, batch_id=1)

@@ -284,3 +284,58 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     brows = correlate_error_context(batch).collect()
     assert [(r.request_id, r.context_message) for r in brows] == [("r1", "ctx a")]
+
+
+def test_streaming_neardup_guard_across_batches(spark, tmp_path):
+    """StreamingNearDup: batch-2 docs near-duplicating batch-1 docs must
+    alert against the PERSISTED signature store (not just within their
+    own batch); intra-batch near-dups alert too; unrelated docs don't."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        StreamingNearDup,
+    )
+
+    guard = StreamingNearDup(str(tmp_path / "store"), threshold=0.8)
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="completely different content about spark "
+                               "structured streaming state stores and joins"),
+        ]
+    )
+    a1 = guard.process_batch(b1, 0).collect()
+    assert a1 == []  # nothing to match yet
+
+    # batch 2: doc 10 near-dups doc 1 (one word changed); docs 11+12 are
+    # intra-batch near-dups of each other; doc 13 is unrelated
+    intra = "numbers one two three four five six seven eight nine ten eleven"
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base.replace("today", "tonight")),
+            Row(doc_id=11, text=intra),
+            Row(doc_id=12, text=intra + " twelve"),
+            Row(doc_id=13, text="unrelated corpus document mentioning "
+                                "retention compaction and checkpoints"),
+        ]
+    )
+    a2 = guard.process_batch(b2, 1)
+    pairs = {(r.new_id, r.old_id) for r in a2.collect()}
+    assert (10, 1) in pairs  # cross-batch hit via the store
+    assert (11, 12) in pairs or (12, 11) in pairs  # intra-batch hit
+    assert not any(13 in p or 2 in p for p in pairs)
+
+    # retry idempotence: re-processing batch 1 (same batch_id) must not
+    # duplicate its rows in the store — and doc 1 now exists in the
+    # store, so its retry sees batch-2's doc 10 as a near-dup (ids
+    # differ) but NOT itself (same id suppressed)
+    a1r = guard.process_batch(b1, 0)
+    pairs_r = {(r.new_id, r.old_id) for r in a1r.collect()}
+    assert (1, 10) in pairs_r
+    assert not any(n == o for n, o in pairs_r)
+    bands = spark.read.parquet(guard.bands_path)
+    assert (
+        bands.filter("ingest_batch = 0").select("doc_id").distinct().count() == 2
+    )
