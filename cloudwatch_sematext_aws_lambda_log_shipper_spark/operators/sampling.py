@@ -61,3 +61,29 @@ def with_split(
         cond = bucket < int(round(cum * BUCKETS))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def with_weighted_sample(
+    df: DataFrame,
+    rate: Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic PER-ROW-RATE sampling: keep a row iff its 16-bit id
+    bucket falls under ``rate`` (a Column in [0, 1] — typically a
+    per-source mixture weight, the "temperature sampling" knob every
+    corpus mixer needs). Adds ``sampled`` (boolean); filter on it or
+    keep it for audit.
+
+    Same engine-independence as with_split: membership is a pure
+    function of (id, salt, rate), so any system — or a DuckDB oracle —
+    can recompute exactly which rows a run kept. Rates compose with
+    splits (different salts draw independent buckets).
+
+    Scale: narrow projection, zero shuffles. Upsampling (rate > 1) is
+    out of scope here — repeat-aware mixers materialize an epoch list
+    instead.
+    """
+    bucket = split_bucket(F.col(id_col), salt)
+    keep = bucket < F.round(rate * F.lit(BUCKETS)).cast("int")
+    return df.withColumn("sampled", keep)

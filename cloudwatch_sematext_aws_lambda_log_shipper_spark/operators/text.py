@@ -182,6 +182,79 @@ def fingerprint(text: Column, n: int = 3) -> Column:
     return F.array_min(hashes)
 
 
+# --- PII detection / redaction ------------------------------------------
+
+# RE2-safe patterns (no lookarounds/backrefs) so the DuckDB oracle can
+# run the IDENTICAL regex: Java's engine and RE2 agree on this subset.
+# These are the cheap high-precision classes every corpus scrub starts
+# with; extend the dict to add classes (the operators iterate it).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match count per PII class — one codegen'd regexp_count each."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<email>``,
+    ``<ipv4>``, ``<phone>``) — a chained regexp_replace, narrow and
+    codegen'd; order matters only in that placeholders contain no
+    PII-shaped text, so the chain is confluent.
+
+    Scale: pure scan-bound projection, zero shuffles at any size."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind}>")
+    return out
+
+
+def top_word_ratio(text: Column) -> Column:
+    """Repetition heuristic: frequency of the single most common word /
+    total words (the Gopher-style "mostly the same token" filter).
+    1.0 = the document is one word repeated; ~1/n = no repetition.
+
+    Computed with aggregate over the sorted word array — O(n log n) per
+    doc, zero shuffles — instead of the explode -> groupBy -> max shape,
+    which shuffles |corpus| * words rows twice. Empty docs -> null.
+
+    Scale: per-row work only; at 100 TB the cost is scan + per-doc sort,
+    embarrassingly parallel. (HOF lambdas evaluate interpreted, but each
+    touches only its bound element — no quadratic outer recompute.)"""
+    w = F.array_sort(words(text))
+    # runs of equal words are adjacent after the sort; fold to the max
+    # run length: state = (best, current_run, prev_word)
+    folded = F.aggregate(
+        w,
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("run"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(1),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            x.alias("prev"),
+        ),
+    )
+    return F.when(
+        F.size(w) > 0,
+        F.round(folded["best"].cast("double") / F.size(w).cast("double"), 6),
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for normalized dedup: lowercase, strip non-alnum,
     collapse whitespace."""

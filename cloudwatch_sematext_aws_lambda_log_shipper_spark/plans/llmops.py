@@ -1050,3 +1050,292 @@ def near_dup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=5,
         max_bucket_size=None,  # cap off: oracle models the uncapped set
     )
+
+
+# --- corpus mixing / scrubbing / packing ---------------------------------
+
+# PII patterns reproduced verbatim in the oracle (RE2-safe subset, see
+# operators/text.py PII_PATTERNS)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+_PII_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         text ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 4 = 0
+               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN ' call +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END) AS t
+  FROM documents
+), counted AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS ne,
+         len(regexp_extract_all(t, '{_PII_IPV4}')) AS ni,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS np,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<email>', 'g'),
+             '{_PII_IPV4}', '<ipv4>', 'g'),
+           '{_PII_PHONE}', '<phone>', 'g') AS red
+  FROM d
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(ni) AS BIGINT) AS n_ipv4,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       CAST(sum(len(regexp_extract_all(red, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(red, '{_PII_IPV4}'))
+              + len(regexp_extract_all(red, '{_PII_PHONE}'))) AS BIGINT)
+         AS n_residual
+FROM counted
+GROUP BY source
+"""
+
+
+@query("pii_redaction", _PII_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: deterministic synthetic PII (emails / IPv4 /
+    phone numbers derived from doc_id) is woven into the documents,
+    detected with per-class codegen'd regexp counts, REDACTED with the
+    typed-placeholder chain, and re-counted after redaction — the
+    n_residual column must be 0, so a regex that stops matching (or a
+    redaction that leaks) flips a visible value under the oracle.
+
+    Scale: pure narrow projections + one groupBy on source; scan-bound
+    at 100 TB."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact u"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                     F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    counts = pii_counts(t)
+    red = redact_pii(t)
+    residual_counts = pii_counts(red)
+    residual = None
+    for c in residual_counts.values():
+        residual = c if residual is None else residual + c
+    return (
+        docs.select(
+            F.col("source"),
+            counts["email"].alias("_ne"),
+            counts["ipv4"].alias("_ni"),
+            counts["phone"].alias("_np"),
+            residual.alias("_nr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_ne").alias("n_emails"),
+            F.sum("_ni").alias("n_ipv4"),
+            F.sum("_np").alias("n_phones"),
+            F.sum("_nr").alias("n_residual"),
+        )
+    )
+
+
+# per-source mixture rate derived from md5(source) so the oracle can
+# recompute it: rate = (4 + (first_hex_digit % 8)) / 16  in [0.25, 0.6875]
+_RATE_DIGIT = (
+    "(CASE WHEN ascii(substr(md5(source),1,1)) >= 97 "
+    "THEN ascii(substr(md5(source),1,1)) - 87 "
+    "ELSE ascii(substr(md5(source),1,1)) - 48 END)"
+)
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH rated AS (
+  SELECT source, doc_id,
+         (4 + ({_RATE_DIGIT} % 8)) / 16.0 AS rate,
+         md5(CAST(doc_id AS VARCHAR) || 'mix') AS h
+  FROM documents
+), bucketed AS (
+  SELECT source, rate, {_DUCK_BUCKET} AS bucket FROM rated
+)
+SELECT source,
+       ROUND(rate, 6) AS rate,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket < CAST(round(rate * 65536) AS INT)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM bucketed
+GROUP BY source, rate
+"""
+
+
+@query("corpus_sample_weighted", _WEIGHTED_SAMPLE_ORACLE)
+def corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling (the temperature-
+    sampling knob): each source gets a rate derived from md5(source),
+    each doc keeps iff its hash bucket falls under the rate — fully
+    engine-independent (the oracle recomputes membership bit-for-bit),
+    reproducible under repartitioning, re-rollable by salt.
+
+    Scale: narrow projection + one groupBy; no RNG state, no sampleBy
+    partition-order dependence."""
+    from ..operators.dedup import _md5_hex_digit
+    from ..operators.sampling import with_weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    digit = _md5_hex_digit(F.md5(F.col("source")), 1)
+    rate = (F.lit(4) + F.pmod(digit, F.lit(8))).cast("double") / F.lit(16.0)
+    sampled = with_weighted_sample(
+        docs.withColumn("_rate", rate), F.col("_rate"), salt="mix"
+    )
+    return sampled.groupBy(
+        "source", F.round("_rate", 6).alias("rate")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+    )
+
+
+_PACKING_ORACLE = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+), offs AS (
+  SELECT source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+), binned AS (
+  SELECT source, n_tokens, CAST(FLOOR(off / 512.0) AS BIGINT) AS bin_id
+  FROM offs
+), per_bin AS (
+  SELECT source, bin_id, count(*) AS docs, sum(n_tokens) AS toks
+  FROM binned GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_bins,
+       CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(max(docs) AS BIGINT) AS max_docs_per_bin,
+       ROUND(sum(toks)::DOUBLE / (count(*) * 512), 6) AS fill_efficiency
+FROM per_bin
+GROUP BY source
+"""
+
+
+@query("doc_packing_bins", _PACKING_ORACLE)
+def doc_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk semantics (how pretraining
+    corpora are actually packed): per source, documents concatenate in
+    doc_id order and a doc belongs to the 512-token bin where it
+    starts. Pure window computation — running offset + floor division —
+    no greedy driver loop, fully SQL-replicable.
+
+    Scale: one shuffle on source + in-partition sort (the minimal cost
+    of order-dependent packing); shard the group key to bound partition
+    size at 100 TB (operators/packing.py docstring)."""
+    from ..operators.packing import packing_stats
+
+    return packing_stats(_docs(spark, sf_dir), budget=512)
+
+
+_REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT source, doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), freq AS (
+  SELECT source, doc_id, count(*) AS cnt
+  FROM w GROUP BY source, doc_id, word
+), ratio AS (
+  SELECT source, doc_id,
+         ROUND(max(cnt)::DOUBLE / sum(cnt), 6) AS top_ratio
+  FROM freq GROUP BY source, doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN top_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       ROUND(avg(top_ratio), 6) AS avg_top_ratio
+FROM ratio
+GROUP BY source
+"""
+
+
+@query("doc_repetition_stats", _REPETITION_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per doc, the share of the single
+    most common word (1.0 = one word repeated; ~1/n = none). The engine
+    computes it with a per-row sort + fold over the word array — ZERO
+    shuffles, vs the textbook explode -> groupBy -> max shape that
+    shuffles |corpus| x words rows (the oracle brute-forces that shape
+    in DuckDB, proving the narrow plan equivalent).
+
+    Scale: scan + per-doc O(n log n); embarrassingly parallel."""
+    from ..operators.text import top_word_ratio
+
+    docs = _docs(spark, sf_dir)
+    ratio = docs.select(
+        F.col("source"), top_word_ratio(F.col("text")).alias("top_ratio")
+    )
+    return ratio.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("top_ratio") > 0.2).cast("long")).alias("n_repetitive"),
+        F.round(F.avg("top_ratio"), 6).alias("avg_top_ratio"),
+    )
+
+
+@query("near_dup_stream_guard", _NEAR_DUP_ORACLE.replace(
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b",
+))
+def near_dup_stream_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming contamination guard under the ORACLE: documents
+    arrive as two micro-batches (doc_id parity), each processed by
+    StreamingNearDup against the persisted signature store. The union
+    of both batches' alerts — intra-batch pairs plus batch-2-vs-store
+    pairs — must equal the BATCH near-dup pair set over the whole
+    corpus (canonical id order), which the brute-force Jaccard oracle
+    recomputes. Streaming x LLM-ops composition, hash-checked.
+
+    Scale: identical join shapes to the batch LSH path per batch; the
+    store side accumulates but stays bucket-join-local."""
+    import shutil
+    import tempfile
+
+    from ..streaming.neardup import StreamingNearDup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="stream_neardup_")
+    try:
+        guard = StreamingNearDup(store, threshold=0.8, max_bucket_size=None)
+        a0 = guard.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+        a1 = guard.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+        alerts = a0.unionByName(a1)
+        # canonical orientation (the oracle emits id_a < id_b)
+        return alerts.select(
+            F.least("new_id", "old_id").alias("id_a"),
+            F.greatest("new_id", "old_id").alias("id_b"),
+            "jaccard",
+        ).distinct()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

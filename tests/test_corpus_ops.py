@@ -1,0 +1,128 @@
+"""Corpus mixing / scrubbing / packing operators: PII redaction,
+deterministic weighted sampling, sequence packing, repetition stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.packing import (
+    packing_stats,
+    with_packing_bins,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+    with_weighted_sample,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+    pii_counts,
+    redact_pii,
+    top_word_ratio,
+)
+
+
+def test_redact_pii_classes_and_idempotence(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="mail me at jane.doe+x@sub.example.org today"),
+            Row(t="server 192.168.0.1 then call +44-207-9460-718"),
+            Row(t="no pii here at all"),
+            Row(t="two mails a@b.io and c@d.co plus 10.0.0.7"),
+        ]
+    )
+    out = df.select(
+        F.col("t"),
+        redact_pii(F.col("t")).alias("red"),
+        *[c.alias(f"n_{k}") for k, c in pii_counts(F.col("t")).items()],
+    ).collect()
+    by_t = {r.t: r for r in out}
+    assert by_t["mail me at jane.doe+x@sub.example.org today"].red == (
+        "mail me at <email> today"
+    )
+    r2 = by_t["server 192.168.0.1 then call +44-207-9460-718"]
+    assert "<ipv4>" in r2.red and "<phone>" in r2.red
+    assert r2.n_ipv4 == 1 and r2.n_phone == 1 and r2.n_email == 0
+    assert by_t["no pii here at all"].red == "no pii here at all"
+    r4 = by_t["two mails a@b.io and c@d.co plus 10.0.0.7"]
+    assert r4.n_email == 2 and r4.n_ipv4 == 1
+    # idempotence/leak-freedom: redacting redacted text changes nothing
+    again = df.select(
+        redact_pii(redact_pii(F.col("t"))).alias("twice"),
+        redact_pii(F.col("t")).alias("once"),
+    ).collect()
+    assert all(r.twice == r.once for r in again)
+
+
+def test_weighted_sample_deterministic_and_rate_shaped(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    # rate 0: nothing; rate 1: everything
+    assert (
+        with_weighted_sample(df, F.lit(0.0)).filter("sampled").count() == 0
+    )
+    assert (
+        with_weighted_sample(df, F.lit(1.0)).filter("sampled").count()
+        == 20000
+    )
+    kept = with_weighted_sample(df, F.lit(0.25), salt="s1").filter("sampled")
+    n = kept.count()
+    assert abs(n - 5000) < 300  # ~1/2^16 bucket resolution + binomial-ish
+    # deterministic: identical draw both times
+    again = with_weighted_sample(df, F.lit(0.25), salt="s1").filter("sampled")
+    assert kept.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    # independent across salts
+    other = with_weighted_sample(df, F.lit(0.25), salt="s2").filter("sampled")
+    inter = kept.select("doc_id").intersect(other.select("doc_id")).count()
+    assert 0 < inter < n  # overlaps like an independent draw, not equal
+
+
+def test_packing_bins_concat_then_chunk_semantics(spark):
+    # source x: docs of 300, 300, 300 tokens, budget 500:
+    #   offsets 0, 300, 600 -> bins 0, 0, 1
+    rows = [
+        Row(source="x", doc_id=i, text=" ".join(["w"] * 300)) for i in range(3)
+    ] + [
+        # source y: one huge doc (1200 tokens) then a small one ->
+        # offsets 0, 1200 -> bins 0, 2 (bin 1 is skipped: the big doc
+        # overran it — concat-then-chunk, no bin-capacity search)
+        Row(source="y", doc_id=0, text=" ".join(["v"] * 1200)),
+        Row(source="y", doc_id=1, text="tiny doc"),
+    ]
+    df = spark.createDataFrame(rows)
+    binned = with_packing_bins(df, budget=500)
+    got = {
+        (r.source, r.doc_id): (r.bin_offset, r.bin_id)
+        for r in binned.collect()
+    }
+    assert got[("x", 0)] == (0, 0)
+    assert got[("x", 1)] == (300, 0)
+    assert got[("x", 2)] == (600, 1)
+    assert got[("y", 0)] == (0, 0)
+    assert got[("y", 1)] == (1200, 2)
+
+    stats = {r.source: r for r in packing_stats(df, budget=500).collect()}
+    assert stats["x"].n_bins == 2 and stats["x"].max_docs_per_bin == 2
+    assert stats["x"].total_tokens == 900
+    assert stats["y"].n_bins == 2 and stats["y"].n_docs == 2
+    assert stats["y"].fill_efficiency == pytest.approx(1202 / 1000, abs=1e-6)
+
+
+def test_top_word_ratio_matches_bruteforce(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, t="a a a a"),                  # 1.0
+            Row(doc_id=1, t="a b c d"),                  # 0.25
+            Row(doc_id=2, t="spam spam eggs spam ham"),  # 3/5
+            Row(doc_id=3, t="  Mixed  case MIXED miXed "),  # lowercased: 3/4? no: mixed x3 + case -> 0.75
+            Row(doc_id=4, t=""),                          # empty -> null/size quirk
+        ]
+    )
+    got = {r.doc_id: r.ratio for r in df.select(
+        "doc_id", top_word_ratio(F.col("t")).alias("ratio")
+    ).collect()}
+    assert got[0] == 1.0
+    assert got[1] == 0.25
+    assert got[2] == pytest.approx(0.6)
+    assert got[3] == 0.75
+    # empty text: split('', '\s+') yields [''] (size 1) -> ratio defined
+    # as 1.0 for the degenerate single-"word" doc; must not error
+    assert got[4] in (1.0, None)
