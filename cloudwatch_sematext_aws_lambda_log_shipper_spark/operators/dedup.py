@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, normalize_text, word_shingles
+from .text import char_shingles, normalize_text, word_grams, word_shingles
 
 # A bucket with n members emits n(n-1)/2 candidate pairs, so ONE
 # pathological bucket (thousands of identical/near-identical docs) makes
@@ -566,4 +566,74 @@ def near_dup_clusters(
     )
     return clustered.withColumn(
         "keep", (F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-document duplicated-span statistics at word n-gram
+    granularity — the scalable approximation of exact substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a position is *duplicated* when its n-gram occurs at
+    least ``min_count`` times across the WHOLE corpus (counting
+    multiplicity, so within-document repeats count too).
+
+    Output: (id, *extra_cols, n_grams, n_dup_grams, dup_ratio) with
+    dup_ratio null for documents shorter than n words. Filter on
+    dup_ratio to drop boilerplate-heavy documents, or feed n_dup_grams
+    into a span-removal pass.
+
+    Scale: explode -> one md5 per gram position (~|words| rows per doc,
+    narrow) -> count per gram hash (map-side partial combine shrinks
+    the shuffle to |distinct grams|) -> LEFT SEMI join positions
+    against the >=min_count gram set (equi-join on the hash — no
+    broadcast assumption: boilerplate-heavy corpora have huge dup
+    sets) -> per-doc count. Grams shuffle as md5 strings so the DuckDB
+    oracle reproduces counts bit-for-bit even under (cosmically
+    unlikely) digest collisions — a production run would swap in
+    xxhash64 for an 8-byte shuffle key, same plan shape.
+    """
+    grams = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        word_grams(F.col(text_col), n).alias("_grams"),
+    )
+    pos = grams.select(
+        F.col(id_col), F.explode("_grams").alias("_g")
+    ).withColumn("_gh", F.md5(F.col("_g"))).drop("_g")
+    hot = (
+        pos.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_gh")
+    )
+    dup_per_doc = (
+        pos.join(hot, "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    return (
+        grams.withColumn("n_grams", F.size("_grams").cast("long"))
+        .drop("_grams")
+        .join(dup_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.col("n_grams"),
+            F.coalesce("_n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("_n_dup", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            ).alias("dup_ratio"),
+        )
     )

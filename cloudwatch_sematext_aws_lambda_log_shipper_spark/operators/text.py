@@ -34,11 +34,10 @@ def words(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
-
-    Documents shorter than n words yield an empty array (they can never
-    near-dup match, but must not error).
+def word_grams(text: Column, n: int = 3) -> Column:
+    """ALL word n-grams in document order (non-distinct — one entry per
+    position, the unit for duplicated-span detection where multiplicity
+    matters). Documents shorter than n words yield an empty array.
 
     Built by zipping the word array with its k-shifted slices rather
     than `transform(sequence(...), i -> slice(w, i, n))`: lambda bodies
@@ -60,9 +59,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             lambda g, x: F.concat_ws(" ", g, x),
         )
     full = F.slice(grams, 1, F.size(w) - F.lit(n - 1))
-    return F.when(F.size(w) >= n, F.array_distinct(full)).otherwise(
+    return F.when(F.size(w) >= n, full).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
+
+    Documents shorter than n words yield an empty array (they can never
+    near-dup match, but must not error). See word_grams for the
+    zip_with construction rationale."""
+    return F.array_distinct(word_grams(text, n))
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:

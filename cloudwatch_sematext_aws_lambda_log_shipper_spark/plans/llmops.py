@@ -1339,3 +1339,99 @@ def near_dup_stream_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+_DUP_SPAN_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(w[i:i+9], ' '))
+                 for i in range(1, len(w) - 8)]) AS gh
+  FROM w WHERE len(w) >= 10
+), cnt AS (
+  SELECT gh, count(*) AS c FROM g GROUP BY gh
+), dup AS (
+  SELECT doc_id, count(*) AS n_dup
+  FROM g JOIN cnt USING (gh) WHERE c >= 2 GROUP BY doc_id
+)
+SELECT w.doc_id, w.source,
+       CAST(greatest(len(w.w) - 9, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN len(w.w) >= 10
+            THEN ROUND(coalesce(dup.n_dup, 0)::DOUBLE / (len(w.w) - 9), 6)
+       END AS dup_ratio
+FROM w LEFT JOIN dup USING (doc_id)
+"""
+
+
+@query("doc_dup_span_stats", _DUP_SPAN_ORACLE)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection at word 10-gram granularity — the
+    scalable stand-in for exact substring dedup (Lee et al. 2022): a
+    gram position is duplicated when that 10-gram occurs >= 2 times
+    corpus-wide (multiplicity counted). Per-doc coverage ratio feeds a
+    boilerplate filter.
+
+    Scale: explode -> md5-per-position -> count with map-side combine
+    (shuffle = |distinct grams|) -> left-semi join positions to the
+    dup set -> per-doc count. No broadcast assumption on the dup set.
+    """
+    from ..operators.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(_docs(spark, sf_dir), n=10, min_count=2)
+
+
+_QUANT_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS s
+  FROM embeddings WHERE vec_id >= 10
+), cq AS (
+  SELECT vec_id, e,
+         CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
+              ELSE list_transform(e, x -> round(x * 127.0 / s) * s / 127.0)
+         END AS dq
+  FROM c
+), pairs AS (
+  SELECT q.vec_id AS query_id, cq.vec_id AS neighbor_id,
+         list_dot_product(q.e, cq.dq) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cq.dq, cq.dq)))
+           AS cos_q,
+         list_dot_product(q.e, cq.e) /
+         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(cq.e, cq.e)))
+           AS cos_x
+  FROM q, cq
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_q, cos_x,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(cos_q, 6) AS cosine_q,
+       ROUND(cos_x, 6) AS cosine_exact,
+       ROUND(abs(cos_q - cos_x), 6) AS quant_err, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("embedding_quantized_topk", _QUANT_TOPK_ORACLE)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized corpus vectors (asymmetric: queries
+    stay full precision), with the full-precision cosine of the same
+    neighbors and the per-pair precision gap in the output. The int8
+    code is 4x smaller than float32 — the 100 TB play is scanning
+    codes for candidates and rescoring only survivors; determinism
+    (round-half-away on doubles) makes the whole path oracle-checkable.
+    """
+    from ..operators.similarity import quantized_topk
+
+    emb = _emb(spark, sf_dir)
+    return quantized_topk(
+        corpus=emb.filter(F.col("vec_id") >= 10),
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )

@@ -126,3 +126,123 @@ def test_top_word_ratio_matches_bruteforce(spark):
     # empty text: split('', '\s+') yields [''] (size 1) -> ratio defined
     # as 1.0 for the degenerate single-"word" doc; must not error
     assert got[4] in (1.0, None)
+
+
+# --- duplicated n-gram spans --------------------------------------------
+
+
+def _span_docs(spark):
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text=boiler + " unique tail one alpha"),
+            Row(doc_id=2, source="b", text=boiler + " other ending two beta"),
+            Row(doc_id=3, source="c", text="entirely different words with no "
+                                           "shared span of any kind here"),
+            Row(doc_id=4, source="c", text="short doc"),
+            Row(doc_id=5, source="d", text=boiler + " " + boiler),
+        ]
+    )
+
+
+def test_dup_span_counts_cross_doc_and_within_doc(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in duplicated_ngram_stats(_span_docs(spark), n=10).collect()
+    }
+    # doc 1/2: 14 words -> 5 gram positions; only position 1 (the boiler
+    # 10-gram) also occurs elsewhere (docs 2 and 5).
+    assert out[1].n_grams == 5 and out[1].n_dup_grams == 1
+    assert out[2].n_grams == 5 and out[2].n_dup_grams == 1
+    assert out[1].dup_ratio == 0.2
+    # doc 3: 11 words -> 2 positions, none shared
+    assert out[3].n_grams == 2 and out[3].n_dup_grams == 0
+    # doc 4: shorter than n -> zero grams, null ratio
+    assert out[4].n_grams == 0 and out[4].n_dup_grams == 0
+    assert out[4].dup_ratio is None
+    # doc 5 is boiler twice (20 words -> 11 positions): position 1 and
+    # position 11 are the boiler gram (corpus count 4 with docs 1/2);
+    # the 9 straddling grams are unique.
+    assert out[5].n_grams == 11 and out[5].n_dup_grams == 2
+
+
+def test_dup_span_min_count_raises_threshold(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    # boiler occurs 4 times corpus-wide; min_count=5 finds nothing
+    out = duplicated_ngram_stats(_span_docs(spark), n=10, min_count=5)
+    assert out.agg(F.sum("n_dup_grams")).collect()[0][0] == 0
+
+
+def test_dup_span_plan_has_no_cartesian(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    plan = duplicated_ngram_stats(_span_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- int8 embedding quantization ----------------------------------------
+
+
+def test_quantize_roundtrip_bounds_and_zero_vector(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[3.0]),
+        ]
+    )
+    out = quantize_embeddings(df).withColumn(
+        "dq", dequantize(F.col("q_code"), F.col("q_scale"))
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    # codes are genuine int8 (max|v| maps to +/-127)
+    assert by_id[1].q_code == [64, -127, 32, 0]
+    assert by_id[1].q_scale == 1.0
+    # reconstruction error bounded by scale/254 per element
+    for orig, dq in zip([0.5, -1.0, 0.25, 0.0], by_id[1].dq):
+        assert abs(orig - dq) <= 1.0 / 254 + 1e-12
+    # zero vector: no div-by-zero, zero code, zero reconstruction
+    assert by_id[2].q_scale == 0.0
+    assert by_id[2].q_code == [0, 0, 0, 0] and by_id[2].dq == [0.0] * 4
+    assert by_id[3].q_code == [127] and by_id[3].dq == [3.0]
+
+
+def test_quantized_topk_tracks_exact_neighbors(spark):
+    import random
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    corpus, queries = df.filter("vec_id >= 5"), df.filter("vec_id < 5")
+    qt = quantized_topk(corpus, queries, k=3).collect()
+    assert len(qt) == 15
+    # int8 cosine error is small: every emitted gap under 1%
+    assert all(r.quant_err < 0.01 for r in qt)
+    # and the quantized ranking recovers most exact neighbors
+    exact = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(corpus, queries, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in qt}
+    assert len(got & exact) >= 12
