@@ -1435,3 +1435,43 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=emb.filter(F.col("vec_id") < 10),
         k=5,
     )
+
+
+_UNIGRAM_NLL_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM t GROUP BY w
+), n AS (
+  SELECT sum(c) AS total FROM v
+), cost AS (
+  SELECT doc_id,
+         CAST(round(ln(n.total) - ln(v.c), 9) AS DECIMAL(20,9)) AS nll
+  FROM t JOIN v USING (w) CROSS JOIN n
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_nll
+  FROM cost GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, per_doc.n_tokens, per_doc.mean_nll
+FROM documents d JOIN per_doc USING (doc_id)
+"""
+
+
+@query("doc_unigram_nll", _UNIGRAM_NLL_ORACLE)
+def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram negative
+    log-likelihood of each document under the corpus's own token
+    distribution (the CCNet-style LM filter without the external
+    model). Rare/garbled tokens push the score up; boilerplate pulls
+    it down. Per-token costs sum as DECIMAL(20,9) so the result is
+    shuffle-order-independent and oracle-exact.
+
+    Scale: explode -> |vocab| count with map-side combine -> broadcast
+    scalar total -> token-vs-vocab equi-join (no broadcast assumption)
+    -> per-doc aggregate.
+    """
+    from ..operators.lm import unigram_nll_scores
+
+    return unigram_nll_scores(_docs(spark, sf_dir))

@@ -246,3 +246,46 @@ def test_quantized_topk_tracks_exact_neighbors(spark):
              cosine_topk(corpus, queries, k=3).collect()}
     got = {(r.query_id, r.neighbor_id) for r in qt}
     assert len(got & exact) >= 12
+
+
+# --- unigram LM scoring -------------------------------------------------
+
+
+def test_unigram_nll_orders_rare_above_common(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.lm import (
+        unigram_nll_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", text="the the the the the"),
+            Row(doc_id=2, source="a", text="the the the zyx the"),
+            Row(doc_id=3, source="b", text="qqq www eee rrr ttt"),
+        ]
+    )
+    out = {r.doc_id: r for r in unigram_nll_scores(df).collect()}
+    assert out[1].n_tokens == 5
+    # all-common doc is least surprising; all-singleton doc is most
+    assert out[1].mean_nll < out[2].mean_nll < out[3].mean_nll
+    # exact value for doc 1: 9 'the' in 15 tokens -> -ln(9/15) each
+    import math
+
+    expect = round(round(math.log(15) - math.log(9), 9), 6)
+    assert abs(out[1].mean_nll - expect) < 1e-9
+
+
+def test_unigram_nll_partition_invariant(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.lm import (
+        unigram_nll_scores,
+    )
+
+    rows = [
+        Row(doc_id=i, source="s", text=" ".join(f"w{(i * 7 + j) % 13}" for j in range(20)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    a = {r.doc_id: r.mean_nll for r in unigram_nll_scores(df.repartition(1)).collect()}
+    b = {r.doc_id: r.mean_nll
+         for r in unigram_nll_scores(df.repartition(16, "doc_id")).collect()}
+    # DECIMAL summation makes the score bit-identical across layouts
+    assert a == b
