@@ -280,6 +280,7 @@ def ann_topk_ivf(
     nprobe: int = 6,
     seed: int = 42,
     fit_sample_limit: int = 25_000,
+    centers=None,
 ) -> DataFrame:
     """IVF-flat ANN: KMeans-partition the corpus (cosine distance), probe
     each query's nprobe nearest centroids, rank exact cosine within the
@@ -302,7 +303,8 @@ def ann_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
-    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    if centers is None:
+        centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
     # one Arrow-batched assignment pass over the full corpus
     assigned = c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
     probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
@@ -383,6 +385,7 @@ def build_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     fit_sample_limit: int = 25_000,
+    centers=None,
 ) -> None:
     """Persist an IVF index: centroids (tiny parquet) + the corpus
     assigned to clusters, written PARTITIONED BY cluster — build once,
@@ -401,7 +404,8 @@ def build_ivf_index(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
-    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    if centers is None:
+        centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
     spark = corpus.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
@@ -654,4 +658,149 @@ def quantized_topk(
             F.round(F.abs(F.col("cos_q") - F.col("cos_x")), 6).alias("quant_err"),
             "rnk",
         )
+    )
+
+
+# --- distributed centroid fit + semantic dedup --------------------------
+
+
+def fit_centroids_distributed(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical Lloyd over the WHOLE corpus as Spark jobs — the fit
+    path for regimes where the bounded driver sample stops being
+    representative: real IVF deployments size n_clusters ~ sqrt(N)
+    (thousands-plus at 100 TB), and a 25k sample cannot estimate
+    thousands of centroids. For the tens-of-clusters regime the
+    driver-side _fit_centroids stays the default — one job per Lloyd
+    iteration is pure scheduling overhead there (measured 8x slower
+    end-to-end on the bench query).
+
+    Per iteration: ONE narrow Arrow-batched assignment pass (broadcast
+    centroids, argmax matmul) + ONE aggregation whose map-side partial
+    combine shrinks the shuffle to n_clusters x dim partial sums per
+    partition; the driver holds only the (n_clusters x dim) centroid
+    matrix. Init is deterministic (hash-ordered first k vectors), so
+    the fit is reproducible for a given corpus regardless of layout
+    (up to float-sum ordering inside the mean, which moves centroids
+    by ulps, not assignments).
+
+    Returns a numpy (n_clusters, dim) unit-norm array — drop it into
+    ann_topk_ivf/build_ivf_index via their ``centers`` parameter.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    # norm lands in a plain column BEFORE the transform: an outer
+    # aggregate expression inside a HOF lambda re-evaluates per element
+    # (no CSE in interpreted lambdas) — O(dim^2) per row.
+    cn = (
+        c.select(
+            "_id",
+            "_v",
+            F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)).alias("_n"),
+        )
+        .select(
+            "_id", F.transform("_v", lambda x: x / F.col("_n")).alias("_vn")
+        )
+        .localCheckpoint(eager=True)  # normalize once, reuse every iteration
+    )
+
+    seed_rows = (
+        cn.orderBy(F.xxhash64("_id")).limit(n_clusters).select("_vn").toPandas()
+    )
+    centers = np.stack([np.asarray(v, dtype=np.float64) for v in seed_rows["_vn"]])
+    try:
+        for _ in range(iters):
+            assigned = cn.withColumn(
+                "_cl", _assign_factory(centers)(F.col("_vn"))
+            )
+            sums = (
+                assigned.select("_cl", F.posexplode("_vn").alias("_d", "_x"))
+                .groupBy("_cl", "_d")
+                .agg(F.sum("_x").alias("_s"))
+                .toPandas()  # bounded: n_clusters x dim rows
+            )
+            new = centers.copy()  # empty clusters keep their old center
+            for cl, grp in sums.groupby("_cl"):
+                vec = grp.sort_values("_d")["_s"].to_numpy()
+                new[int(cl)] = vec / max(np.linalg.norm(vec), 1e-12)
+            centers = new
+    finally:
+        cn.unpersist()
+    return centers
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    fit_sample_limit: int = 25_000,
+    centers=None,
+    n_assign: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    KMeans-partition the embedding space, then compare pairs ONLY
+    within a cluster — candidates come from a bucketed equi-join on
+    cluster id, never an all-pairs cross join. Verification is exact
+    cosine on the candidates.
+
+    ``n_assign`` > 1 is MULTI-ASSIGNMENT: each vector is indexed under
+    its n_assign nearest centroids, so a pair is compared when the two
+    share ANY of them — the standard recall fix for pairs that straddle
+    a cluster boundary (measured on the test corpus at k=8: recall 0.50
+    single-assigned, 0.86 at n_assign=2, 1.0 at 3). Candidate work
+    scales ~n_assign^2/k, storage ~n_assign.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, distinct. Pairs
+    whose vectors share no assigned cluster are missed — that is the
+    SemDeDup trade (recall vs the quadratic scan); measure against
+    cosine_pairs_exact on a sample, and raise n_assign / lower
+    n_clusters to taste.
+
+    Scale: fit is the bounded driver Lloyd (or pass ``centers`` from
+    fit_centroids_distributed); assignment is one narrow Arrow pass;
+    the self-join shuffles on cluster id (cluster sizes ~N/k keep the
+    per-reducer pair work bounded; pathological cluster skew is the
+    n_clusters knob's job). Scoring is Arrow-batched, after a distinct
+    on candidate ids so shared-by-both-clusters pairs score once.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    if centers is None:
+        centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    m = min(max(int(n_assign), 1), len(centers))
+    assigned = c.select(
+        F.col("neighbor_id").alias("_id"),
+        F.col("c_vec").alias("_v"),
+        F.explode(_probe_factory(centers, m)(F.col("c_vec"))).alias("cluster"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("_cos", cosine_batch(F.col("_va"), F.col("_vb")))
+    )
+    return cand.filter(F.col("_cos") >= threshold).select(
+        "id_a", "id_b", F.round("_cos", 6).alias("cosine")
     )

@@ -1475,3 +1475,43 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import unigram_nll_scores
 
     return unigram_nll_scores(_docs(spark, sf_dir))
+
+
+@query("embedding_semdedup")  # cluster-bucketed by design -> rows-only check
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
+    comparing ONLY within KMeans clusters — the scale path for
+    embedding_neardup_cosine (whose exact blocked-GEMM scans all
+    pairs). Approximate by design (cross-cluster duplicates are
+    missed), so the check is rows-only; the emitted `recall_vs_exact`
+    / `recall_ok` columns make the quality visible in the snapshot the
+    driver diffs: recall is computed against the SAME-threshold exact
+    pair set (tiny at test scale), gated at >= 0.8.
+
+    Scale: assignment is one narrow Arrow pass; candidates come from a
+    bucketed equi-join on cluster id (~N^2/k pair work instead of N^2);
+    the exact pass exists only for the recall audit and is skipped in
+    production."""
+    from ..operators.similarity import semdedup_pairs
+
+    emb = _emb(spark, sf_dir)
+    sem = semdedup_pairs(emb, threshold=0.45, n_clusters=8, n_assign=2)
+    exact = cosine_pairs_exact(emb, threshold=0.45).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
+    n_hit = (
+        sem.select("id_a", "id_b")
+        .join(exact, ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    gate = (
+        n_hit.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.round(
+                F.col("_n_hit")
+                / F.greatest(F.col("_n_exact"), F.lit(1)).cast("double"),
+                6,
+            ).alias("recall_vs_exact")
+        )
+        .withColumn("recall_ok", F.col("recall_vs_exact") >= 0.8)
+    )
+    return sem.crossJoin(F.broadcast(gate))

@@ -485,3 +485,92 @@ def test_chargram_near_dup_catches_typo_word_shingles_miss(spark):
     ).count()
     assert word_pairs == 0
     assert char_pairs == 1
+
+
+# --- distributed Lloyd fit + SemDeDup -----------------------------------
+
+
+def _blob_rows(n_per, dim=8, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_per):
+        # blob A hugs +e0, blob B hugs +e1 (unit-ish, well separated)
+        rows.append(Row(vec_id=i, embedding=[1.0] + [rng.uniform(-0.05, 0.05) for _ in range(dim - 1)]))
+        rows.append(Row(vec_id=n_per + i, embedding=[rng.uniform(-0.05, 0.05), 1.0] + [rng.uniform(-0.05, 0.05) for _ in range(dim - 2)]))
+    return rows
+
+
+def test_fit_centroids_distributed_separates_blobs(spark):
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        _assign_factory,
+        fit_centroids_distributed,
+    )
+
+    df = spark.createDataFrame(_blob_rows(40))
+    centers = fit_centroids_distributed(df, n_clusters=2, iters=5)
+    assert centers.shape == (2, 8)
+    # unit-norm spherical centroids
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0)
+    out = df.withColumn(
+        "cl", _assign_factory(centers)(F.col("embedding").cast("array<double>"))
+    ).collect()
+    a_clusters = {r.cl for r in out if r.vec_id < 40}
+    b_clusters = {r.cl for r in out if r.vec_id >= 40}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+
+def test_fit_centroids_distributed_layout_invariant(spark):
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        fit_centroids_distributed,
+    )
+
+    df = spark.createDataFrame(_blob_rows(30))
+    c1 = fit_centroids_distributed(df.repartition(1), n_clusters=2, iters=3)
+    c2 = fit_centroids_distributed(df.repartition(16, "vec_id"), n_clusters=2, iters=3)
+    # hash-ordered init makes the fit layout-independent up to float
+    # summation order inside the means
+    assert np.allclose(c1, c2, atol=1e-9)
+
+
+def test_distributed_centers_inject_into_ivf(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        ann_topk_ivf,
+        fit_centroids_distributed,
+    )
+
+    df = spark.createDataFrame(_blob_rows(30))
+    corpus, queries = df.filter("vec_id >= 4"), df.filter("vec_id < 4")
+    centers = fit_centroids_distributed(corpus, n_clusters=2, iters=3)
+    out = ann_topk_ivf(corpus, queries, k=3, nprobe=1, centers=centers).collect()
+    assert len(out) == 12  # 4 queries x 3
+    # nprobe=1 on separated blobs: every neighbor comes from blob A
+    assert all(r.neighbor_id < 30 + 4 for r in out)
+
+
+def test_semdedup_finds_planted_pairs_with_multiassign(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        cosine_pairs_exact,
+        semdedup_pairs,
+    )
+
+    base = _blob_rows(25)
+    # plant 3 exact duplicates of vec 0 (blob A) and one of vec 25 (blob B)
+    planted = [Row(vec_id=100 + j, embedding=base[0].embedding) for j in range(3)]
+    planted.append(Row(vec_id=110, embedding=base[1].embedding))
+    df = spark.createDataFrame(base + planted)
+    sem = semdedup_pairs(df, threshold=0.999, n_clusters=4, n_assign=2).collect()
+    got = {(r.id_a, r.id_b) for r in sem}
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_pairs_exact(df, threshold=0.999).collect()}
+    # identical vectors always share their nearest clusters -> full recall
+    assert exact <= got == exact
+    assert {(100, 101), (100, 102), (101, 102)} <= got
+    # orientation + threshold respected
+    assert all(r.id_a < r.id_b and r.cosine >= 0.999 for r in sem)
