@@ -170,6 +170,16 @@ def compact_partition(
     recoverable — a crashed swap is healed on the next call. The only
     reader-visible window is a brief partition-missing gap between the
     two renames (empty result, not wrong data).
+
+    Concurrent-append safety (nested layout): the fold reads an
+    EXPLICIT snapshot of ``ingest_batch=`` leafs and records it in a
+    hidden ``.folded_batches`` sidecar inside the folded leaf. A batch
+    the stream lands while the fold runs is therefore never silently
+    deleted: a leaf swept aside by the swap that is NOT in the sidecar
+    is re-attached to the partition before the old dir is removed (the
+    crash-heal path replays the same re-attach), and if the stream
+    recreates the partition dir between the two renames, the folded
+    payload is merged in beside the fresh leafs instead of failing.
     """
     part_dir = os.path.join(table_path, f"log_date={log_date}")
     # dot-prefixed siblings: Spark's partition discovery ignores hidden
@@ -179,7 +189,19 @@ def compact_partition(
     # heal a previously crashed swap: old-aside exists
     if os.path.isdir(old_dir):
         if os.path.isdir(part_dir):
-            shutil.rmtree(old_dir)  # crashed after swap-in: finish the delete
+            # crashed after swap-in. If the crash hit mid-merge (the
+            # stream had recreated part_dir and the folded leaf was
+            # still in tmp), land the folded payload first — old_dir
+            # must never be dropped while the folded rows exist only
+            # in tmp.
+            folded_leaf = os.path.join(part_dir, "ingest_batch=-1")
+            tmp_leaf = os.path.join(tmp_dir, "ingest_batch=-1")
+            if not os.path.isdir(folded_leaf) and os.path.isfile(
+                os.path.join(tmp_leaf, "_SUCCESS")
+            ):
+                os.rename(tmp_leaf, folded_leaf)
+            _reattach_unfolded(part_dir, old_dir)
+            shutil.rmtree(old_dir)
         else:
             os.rename(old_dir, part_dir)  # crashed between renames: roll back
     if os.path.isdir(tmp_dir):
@@ -190,21 +212,61 @@ def compact_partition(
         for f in files
         if f.startswith("part-")
     ]
-    nested = any(
-        d.startswith("ingest_batch=") for d in os.listdir(part_dir)
+    leafs = sorted(
+        d for d in os.listdir(part_dir) if d.startswith("ingest_batch=")
     )
-    # reading part_dir discovers ingest_batch as a partition column when
-    # nested; drop it and rewrite into the reserved folded leaf
-    df = spark.read.parquet(part_dir)
+    nested = bool(leafs)
     dest = tmp_dir
     if nested:
-        df = df.drop("ingest_batch")
+        # explicit leaf-path read: the fold covers EXACTLY this
+        # snapshot, so a leaf the stream writes mid-fold is cleanly
+        # re-attachable (a bare part_dir read would leave it ambiguous
+        # whether the late leaf made it into the folded data)
+        df = spark.read.parquet(
+            *[os.path.join(part_dir, d) for d in leafs]
+        ).drop("ingest_batch")
         dest = os.path.join(tmp_dir, "ingest_batch=-1")
+    else:
+        df = spark.read.parquet(part_dir)
     df.coalesce(target_files).write.mode("overwrite").parquet(dest)
+    if nested:
+        with open(os.path.join(dest, ".folded_batches"), "w") as fh:
+            fh.write("\n".join(leafs))
     os.rename(part_dir, old_dir)
-    os.rename(tmp_dir, part_dir)
+    try:
+        os.rename(tmp_dir, part_dir)
+    except OSError:
+        # the stream recreated part_dir between the renames (its new
+        # batch dir is in there): merge the folded payload in beside it
+        for name in os.listdir(tmp_dir):
+            os.rename(
+                os.path.join(tmp_dir, name), os.path.join(part_dir, name)
+            )
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    if nested:
+        _reattach_unfolded(part_dir, old_dir)
     shutil.rmtree(old_dir)
     return len(before)
+
+
+def _reattach_unfolded(part_dir: str, old_dir: str) -> None:
+    """Move any ``ingest_batch=`` leaf in ``old_dir`` that the folded
+    leaf's ``.folded_batches`` sidecar does NOT cover back into the
+    partition — it landed concurrently with the fold and its rows are
+    not in the folded data. No sidecar (pre-sidecar fold, or flat
+    layout) -> nothing provably unfolded -> no-op."""
+    sidecar = os.path.join(part_dir, "ingest_batch=-1", ".folded_batches")
+    if not os.path.isfile(sidecar):
+        return
+    with open(sidecar) as fh:
+        folded = {line.strip() for line in fh if line.strip()}
+    for d in os.listdir(old_dir):
+        if (
+            d.startswith("ingest_batch=")
+            and d not in folded
+            and not os.path.exists(os.path.join(part_dir, d))
+        ):
+            os.rename(os.path.join(old_dir, d), os.path.join(part_dir, d))
 
 
 def _last_committed_batch(checkpoint_dir: str) -> int:

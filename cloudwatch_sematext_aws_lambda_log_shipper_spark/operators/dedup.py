@@ -591,49 +591,60 @@ def duplicated_ngram_stats(
 
     Scale: explode -> one md5 per gram position (~|words| rows per doc,
     narrow) -> count per gram hash (map-side partial combine shrinks
-    the shuffle to |distinct grams|) -> LEFT SEMI join positions
-    against the >=min_count gram set (equi-join on the hash — no
-    broadcast assumption: boilerplate-heavy corpora have huge dup
-    sets) -> per-doc count. Grams shuffle as md5 strings so the DuckDB
+    the shuffle to |distinct grams|) -> LEFT join positions against
+    the >=min_count gram set (equi-join on the hash — no broadcast
+    assumption: boilerplate-heavy corpora have huge dup sets) -> ONE
+    per-doc aggregate yielding both the position total and the
+    duplicated count. Grams shuffle as md5 strings so the DuckDB
     oracle reproduces counts bit-for-bit even under (cosmically
     unlikely) digest collisions — a production run would swap in
     xxhash64 for an 8-byte shuffle key, same plan shape.
+
+    The exploded position frame feeds two plan branches (the hot-gram
+    aggregate and the join probe); it is persisted so the interpreted
+    zip_with gram construction runs ONCE, and unpersisted after the
+    (small, one-row-per-doc) result is checkpointed — the same
+    convention as near_dup_pairs above.
     """
-    grams = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in extra_cols],
-        word_grams(F.col(text_col), n).alias("_grams"),
+    from pyspark import StorageLevel
+
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+    pos = (
+        df.select(F.col(id_col), F.explode(word_grams(F.col(text_col), n)).alias("_g"))
+        .select(F.col(id_col), F.md5(F.col("_g")).alias("_gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pos = grams.select(
-        F.col(id_col), F.explode("_grams").alias("_g")
-    ).withColumn("_gh", F.md5(F.col("_g"))).drop("_g")
     hot = (
         pos.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= min_count)
-        .select("_gh")
+        .select("_gh", F.lit(True).alias("_hot"))
     )
-    dup_per_doc = (
-        pos.join(hot, "_gh", "left_semi")
+    per_doc = (
+        pos.join(hot, "_gh", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n_dup"))
+        .agg(
+            F.count(F.lit(1)).alias("_n_grams"),
+            F.count("_hot").alias("_n_dup"),  # count() skips nulls
+        )
     )
-    return (
-        grams.withColumn("n_grams", F.size("_grams").cast("long"))
-        .drop("_grams")
-        .join(dup_per_doc, id_col, "left")
+    out = (
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             *[F.col(c) for c in extra_cols],
-            F.col("n_grams"),
+            F.coalesce("_n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("_n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
             F.when(
-                F.col("n_grams") > 0,
+                F.coalesce("_n_grams", F.lit(0)) > 0,
                 F.round(
                     F.coalesce("_n_dup", F.lit(0)).cast("double")
-                    / F.col("n_grams"),
+                    / F.col("_n_grams"),
                     6,
                 ),
             ).alias("dup_ratio"),
         )
+        .localCheckpoint(eager=True)
     )
+    pos.unpersist()
+    return out

@@ -45,7 +45,14 @@ def unigram_nll_scores(
     """
     base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
     toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
-    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    # The vocab feeds two branches (the scalar total and the scoring
+    # join build side): checkpoint it so the |corpus|-token shuffle
+    # aggregation runs once. toks itself is deliberately NOT persisted
+    # — it re-derives with one narrow scan+split pass, cheaper at the
+    # 100 TB design point than materializing the exploded corpus.
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(
+        eager=True
+    )
     total = vocab.agg(F.sum("_c").alias("_total"))
     cost = (
         toks.join(vocab, "_w")

@@ -66,24 +66,34 @@ def packing_stats(
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-group packing summary: bins produced, docs per bin extremes,
-    and fill efficiency (total tokens / (n_bins * budget) — how much of
-    the reserved token budget real data occupies; >1 is impossible by
-    construction only for the LAST bin's overhang, so efficiency can
-    slightly exceed 1 when the final document overruns the last cut)."""
+    """Per-group packing summary: bins produced, docs-per-start-bin
+    extremes, and fill efficiency.
+
+    ``n_bins`` is the number of budget-sized chunks the concatenated
+    stream actually occupies — ``ceil(total_tokens / budget)`` — NOT
+    the count of distinct bins where some document starts: a document
+    longer than the budget overruns into bins no document starts in,
+    and those chunks exist in the packed output all the same.
+    ``fill_efficiency`` = total_tokens / (n_bins * budget) is therefore
+    always <= 1 (only the last chunk can be partial).
+    ``max_docs_per_bin`` counts document STARTS per bin (the boundary-
+    crossing fragment of a previous doc is not a membership)."""
     binned = with_packing_bins(df, budget, group_col, order_col, text_col)
     per_bin = binned.groupBy(group_col, "bin_id").agg(
         F.count(F.lit(1)).alias("_docs"),
         F.sum("n_tokens").alias("_tokens"),
     )
+    n_bins = F.ceil(
+        F.sum("_tokens").cast("double") / F.lit(int(budget))
+    ).cast("long")
     return per_bin.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_bins"),
+        n_bins.alias("n_bins"),
         F.sum("_docs").alias("n_docs"),
         F.sum("_tokens").alias("total_tokens"),
         F.max("_docs").alias("max_docs_per_bin"),
         F.round(
             F.sum("_tokens").cast("double")
-            / (F.count(F.lit(1)) * F.lit(int(budget))).cast("double"),
+            / (n_bins * F.lit(int(budget))).cast("double"),
             6,
         ).alias("fill_efficiency"),
     )

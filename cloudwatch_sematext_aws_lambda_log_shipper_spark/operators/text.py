@@ -235,8 +235,12 @@ def top_word_ratio(text: Column) -> Column:
 
     Scale: per-row work only; at 100 TB the cost is scan + per-doc sort,
     embarrassingly parallel. (HOF lambdas evaluate interpreted, but each
-    touches only its bound element — no quadratic outer recompute.)"""
-    w = F.array_sort(words(text))
+    touches only its bound element — no quadratic outer recompute.)
+
+    Empty/whitespace-only text yields NULL (split('') produces [''],
+    which must not read as "one word repeated" = maximally repetitive),
+    so the empty-token filter below is load-bearing."""
+    w = F.array_sort(F.filter(words(text), lambda x: x != F.lit("")))
     # runs of equal words are adjacent after the sort; fold to the max
     # run length: state = (best, current_run, prev_word)
     folded = F.aggregate(

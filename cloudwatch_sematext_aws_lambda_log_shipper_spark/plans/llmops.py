@@ -941,19 +941,51 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions sharing /tmp race to an atomic rename, not a torn index.
     # Steady-state timing therefore measures the PROBE path — the thing
     # an index exists for.
+    cache_root = "/tmp/spark_graft_ivf"
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
-        "/tmp/spark_graft_ivf",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-"
+        cache_root,
+        f"{sf_name}-"
         f"{_source_fingerprint(os.path.join(sf_dir, 'embeddings.parquet'))}",
     )
     if not os.path.exists(os.path.join(path, "assigned", "_SUCCESS")):
+        import shutil
+
+        # GC first: superseded fingerprints for this sf (full corpus
+        # copies each — an unbounded /tmp leak otherwise) and temp dirs
+        # abandoned by CRASHED builds. A live concurrent build is young;
+        # only hour-stale .build. dirs are swept, so the GC can never
+        # pull a racing session's in-progress build out from under it.
+        if os.path.isdir(cache_root):
+            import time
+
+            for entry in os.listdir(cache_root):
+                full = os.path.join(cache_root, entry)
+                if full == path:
+                    continue
+                is_build = ".build." in entry
+                superseded = (
+                    entry.startswith(f"{sf_name}-") and not is_build
+                )
+                stale_build = False
+                if is_build:
+                    try:
+                        stale_build = time.time() - os.stat(full).st_mtime > 3600
+                    except OSError:
+                        pass
+                if superseded or stale_build:
+                    shutil.rmtree(full, ignore_errors=True)
         tmp = f"{path}.build.{os.getpid()}"
         build_ivf_index(corpus, tmp)
         try:
             os.rename(tmp, path)
-        except OSError:  # concurrent builder won the rename race
-            import shutil
-
+        except OSError:
+            # Only a lost build race (the target now exists) makes
+            # discarding the fresh build correct; any other rename
+            # failure (EXDEV, permissions) must surface, not silently
+            # delete a good index.
+            if not os.path.isdir(path):
+                raise
             shutil.rmtree(tmp, ignore_errors=True)
     ann = query_ivf_index(spark, path, queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
@@ -1232,11 +1264,12 @@ WITH toks AS (
   FROM binned GROUP BY 1, 2
 )
 SELECT source,
-       count(*) AS n_bins,
+       CAST(CEIL(sum(toks)::DOUBLE / 512) AS BIGINT) AS n_bins,
        CAST(sum(docs) AS BIGINT) AS n_docs,
        CAST(sum(toks) AS BIGINT) AS total_tokens,
        CAST(max(docs) AS BIGINT) AS max_docs_per_bin,
-       ROUND(sum(toks)::DOUBLE / (count(*) * 512), 6) AS fill_efficiency
+       ROUND(sum(toks)::DOUBLE /
+             (CEIL(sum(toks)::DOUBLE / 512) * 512), 6) AS fill_efficiency
 FROM per_bin
 GROUP BY source
 """
@@ -1265,19 +1298,19 @@ WITH w AS (
   FROM documents
 ), freq AS (
   SELECT source, doc_id, count(*) AS cnt
-  FROM w GROUP BY source, doc_id, word
+  FROM w WHERE word != '' GROUP BY source, doc_id, word
 ), ratio AS (
   SELECT source, doc_id,
          ROUND(max(cnt)::DOUBLE / sum(cnt), 6) AS top_ratio
   FROM freq GROUP BY source, doc_id
 )
-SELECT source,
+SELECT d.source,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN top_ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repetitive,
        ROUND(avg(top_ratio), 6) AS avg_top_ratio
-FROM ratio
-GROUP BY source
+FROM documents d LEFT JOIN ratio USING (source, doc_id)
+GROUP BY d.source
 """
 
 

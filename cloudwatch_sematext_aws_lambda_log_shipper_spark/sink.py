@@ -73,7 +73,13 @@ def _write_partitioned(
     producing an unreadable mix. (One table, one layout; migrate by
     rewriting through compact_table.)
     """
-    if batch_id is not None and os.path.isdir(path):
+    # Guard BOTH write paths: a batch-mode append (flat log_date=D
+    # dirs) into a legacy table creates the same unreadable mixed-depth
+    # layout a streaming write would. Only a full-table overwrite
+    # (batch_id None + mode 'overwrite' — wipes the legacy dirs) is
+    # exempt; a streaming dynamic overwrite replaces only its own
+    # partitions, so it needs the guard whatever ``mode`` says.
+    if os.path.isdir(path) and (batch_id is not None or mode != "overwrite"):
         old_layout = any(
             e.startswith("ingest_batch=") for e in os.listdir(path)
         )
@@ -81,8 +87,8 @@ def _write_partitioned(
             raise ValueError(
                 f"{path}: existing table uses the legacy "
                 "ingest_batch=N/log_date=D layout; writing the current "
-                "log_date=D/ingest_batch=N layout into it would create an "
-                "unreadable mixed-depth table. Rewrite the table (e.g. "
+                "log_date=D[/ingest_batch=N] layout into it would create "
+                "an unreadable mixed-depth table. Rewrite the table (e.g. "
                 "read + write_log_table to a fresh path) before appending."
             )
     if batch_id is None:

@@ -100,7 +100,12 @@ class StreamingNearDup:
             batch_df.select(id_col, self.text_col),
             self.text_col, self.shingle_n,
         ).select(id_col, "shingles").localCheckpoint(eager=True)
-        sigs = minhash_signatures(shingled, id_col)
+        # k must track the banding config (band_keys reads columns
+        # mh_0..mh_{b*r-1}); the bare default k=64 only coincides with it
+        # for the default b=16, r=4.
+        sigs = minhash_signatures(
+            shingled, id_col, k=self.num_bands * self.rows_per_band
+        )
         new_bands = self._banded(sigs).localCheckpoint(eager=True)
 
         # intra-batch pairs: the standard self-join path
@@ -134,12 +139,33 @@ class StreamingNearDup:
                 )
                 .distinct()
             )
-            candidates = intra.unionByName(cross).distinct()
+            # A RETRIED batch sees its own docs in the store, so an
+            # intra pair (a, b) can also surface mirrored through the
+            # cross join as (b, a): collapse to ONE row per unordered
+            # pair, keeping the orientation with the smaller new_id
+            # (deterministic — an alert consumer must not double-fire
+            # on retry).
+            candidates = (
+                intra.unionByName(cross)
+                .groupBy(
+                    F.least("new_id", "old_id").alias("_lo"),
+                    F.greatest("new_id", "old_id").alias("_hi"),
+                )
+                .agg(
+                    F.min_by(
+                        F.struct("new_id", "old_id"), F.col("new_id")
+                    ).alias("_p")
+                )
+                .select("_p.new_id", "_p.old_id")
+            )
             # verification corpus: batch shingles + ONLY the store rows
-            # that appear as candidates (semi-join prune — O(|cands|))
+            # that appear as candidates (semi-join prune — O(|cands|));
+            # ids present in BOTH batch and store (retry) must appear
+            # once, or the verify join fans out duplicate alert rows.
             old_ids = candidates.select(F.col("old_id").alias(id_col))
             verify_corpus = shingled.unionByName(
                 store_sh.join(F.broadcast(old_ids), id_col, "left_semi")
+                .join(shingled.select(id_col), id_col, "left_anti")
             )
         else:
             candidates = intra

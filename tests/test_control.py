@@ -375,3 +375,87 @@ def test_compact_table_refuses_inflight_batch_dates(spark, tmp_path):
         compact_table(spark, table, before=None, checkpoint_dir=str(empty_ckpt))
         == {}
     )
+
+
+def test_compact_partition_reattaches_concurrent_leaf(spark, tmp_path):
+    """Concurrent-append safety: a batch leaf that landed while (or
+    crashed after) a fold was in flight — i.e. a leaf in the swept-aside
+    dir that the folded leaf's sidecar does not cover — is re-attached,
+    not deleted."""
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    def clean(i):
+        df = spark.createDataFrame(
+            [Row(awsRegion="r", logGroup="g", logStream="s",
+                 message=f'{{"message":"x{i}","timestamp":"2024-02-01T00:00:01.000Z"}}')]
+        )
+        return split_dlq(parse_log_events(df))[0]
+
+    table = str(tmp_path / "logs")
+    for b in range(2):
+        write_log_table(clean(b), table, batch_id=b)
+    # fold batches 0-1: writes the .folded_batches sidecar
+    compact_partition(spark, table, "2024-02-01")
+    part = os.path.join(table, "log_date=2024-02-01")
+    sidecar = os.path.join(part, "ingest_batch=-1", ".folded_batches")
+    assert os.path.isfile(sidecar)
+    assert open(sidecar).read().splitlines() == [
+        "ingest_batch=0", "ingest_batch=1"
+    ]
+
+    # simulate the crash-after-swap-with-concurrent-write state: the
+    # old-aside dir still exists, holding the folded copies PLUS a
+    # fresh batch (=2) the stream landed mid-fold
+    write_log_table(clean(2), table, batch_id=2)
+    old = os.path.join(table, ".log_date=2024-02-01._compact_old")
+    os.makedirs(old)
+    os.rename(os.path.join(part, "ingest_batch=2"),
+              os.path.join(old, "ingest_batch=2"))
+    shutil.copytree(os.path.join(part, "ingest_batch=-1"),
+                    os.path.join(old, "ingest_batch=0"))
+    assert spark.read.parquet(table).count() == 2  # fresh batch aside
+
+    compact_partition(spark, table, "2024-02-01")
+    # heal re-attached the un-folded leaf and dropped the folded copies
+    assert not os.path.exists(old)
+    assert spark.read.parquet(table).count() == 3
+    rows = {r.message for r in spark.read.parquet(table).collect()}
+    assert rows == {"x0", "x1", "x2"}
+
+
+def test_compact_partition_merges_into_recreated_dir(spark, tmp_path):
+    """If the stream recreates the partition dir between the two swap
+    renames, the folded payload merges in beside the fresh leaf instead
+    of failing (simulated via the equivalent healed state)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        _reattach_unfolded,
+    )
+
+    # build the post-merge layout by hand and check _reattach_unfolded's
+    # contract directly: sidecar-covered leafs stay deleted, others move
+    part = str(tmp_path / "t" / "log_date=2024-03-01")
+    old = str(tmp_path / "t" / ".log_date=2024-03-01._compact_old")
+    os.makedirs(os.path.join(part, "ingest_batch=-1"))
+    with open(os.path.join(part, "ingest_batch=-1", ".folded_batches"), "w") as fh:
+        fh.write("ingest_batch=0\ningest_batch=1")
+    for leaf in ("ingest_batch=0", "ingest_batch=1", "ingest_batch=7"):
+        os.makedirs(os.path.join(old, leaf))
+    _reattach_unfolded(part, old)
+    assert sorted(os.listdir(part)) == ["ingest_batch=-1", "ingest_batch=7"]
+    assert sorted(os.listdir(old)) == ["ingest_batch=0", "ingest_batch=1"]

@@ -102,8 +102,13 @@ def test_packing_bins_concat_then_chunk_semantics(spark):
     stats = {r.source: r for r in packing_stats(df, budget=500).collect()}
     assert stats["x"].n_bins == 2 and stats["x"].max_docs_per_bin == 2
     assert stats["x"].total_tokens == 900
-    assert stats["y"].n_bins == 2 and stats["y"].n_docs == 2
-    assert stats["y"].fill_efficiency == pytest.approx(1202 / 1000, abs=1e-6)
+    assert stats["x"].fill_efficiency == pytest.approx(900 / 1000, abs=1e-6)
+    # the 1200-token doc occupies bins 0-2 even though nothing STARTS in
+    # bin 1: n_bins counts stream chunks (ceil(1202/500) = 3), so fill
+    # efficiency stays <= 1
+    assert stats["y"].n_bins == 3 and stats["y"].n_docs == 2
+    assert stats["y"].max_docs_per_bin == 1
+    assert stats["y"].fill_efficiency == pytest.approx(1202 / 1500, abs=1e-6)
 
 
 def test_top_word_ratio_matches_bruteforce(spark):
@@ -123,9 +128,9 @@ def test_top_word_ratio_matches_bruteforce(spark):
     assert got[1] == 0.25
     assert got[2] == pytest.approx(0.6)
     assert got[3] == 0.75
-    # empty text: split('', '\s+') yields [''] (size 1) -> ratio defined
-    # as 1.0 for the degenerate single-"word" doc; must not error
-    assert got[4] in (1.0, None)
+    # empty text: split('', '\s+') yields [''] — the empty-token filter
+    # must yield NULL, not "one word repeated" (ratio 1.0)
+    assert got[4] is None
 
 
 # --- duplicated n-gram spans --------------------------------------------

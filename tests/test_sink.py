@@ -158,3 +158,19 @@ def test_write_refuses_legacy_layout_mix(spark, tmp_path):
     os.makedirs(os.path.join(table, "ingest_batch=0", "log_date=2019-03-08"))
     with pytest.raises(ValueError, match="legacy"):
         write_log_table(clean, table, batch_id=1)
+
+
+def test_batch_append_also_refuses_legacy_layout(spark, tmp_path):
+    """The layout guard covers BATCH-mode appends too: a flat
+    log_date= append into a legacy ingest_batch-first table would
+    create the same unreadable mixed-depth layout a streaming write
+    would. A full-table overwrite is exempt (it wipes the legacy dirs)."""
+    import pytest
+
+    clean, _dlq = split_dlq(parsed_corpus(spark, n=6))
+    table = str(tmp_path / "logs")
+    os.makedirs(os.path.join(table, "ingest_batch=0", "log_date=2019-03-08"))
+    with pytest.raises(ValueError, match="legacy"):
+        write_log_table(clean, table)  # batch_id=None, mode='append'
+    write_log_table(clean, table, mode="overwrite")  # wipes legacy: fine
+    assert spark.read.parquet(table).count() == clean.count()

@@ -339,3 +339,51 @@ def test_streaming_neardup_guard_across_batches(spark, tmp_path):
     assert (
         bands.filter("ingest_batch = 0").select("doc_id").distinct().count() == 2
     )
+
+
+def test_streaming_neardup_retry_emits_one_row_per_pair(spark, tmp_path):
+    """A retried batch sees its own docs in the store, so an intra pair
+    could surface both as (a,b) and mirrored via the store as (b,a):
+    the guard must emit exactly ONE row per unordered pair (an alert
+    consumer must not double-fire on retry)."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        StreamingNearDup,
+    )
+
+    guard = StreamingNearDup(str(tmp_path / "store"), threshold=0.8)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=text),
+            Row(doc_id=2, text=text + " nu"),
+        ]
+    )
+    first = guard.process_batch(batch, 0).collect()
+    assert {(r.new_id, r.old_id) for r in first} == {(1, 2)}
+    # retry: both docs are now ALSO in the store
+    retry = guard.process_batch(batch, 0).collect()
+    assert len(retry) == 1
+    assert {frozenset((r.new_id, r.old_id)) for r in retry} == {frozenset((1, 2))}
+
+
+def test_streaming_neardup_custom_banding(spark, tmp_path):
+    """Non-default (num_bands, rows_per_band) must compute a matching
+    signature width — the k=64 default only coincides with b*r for the
+    default b=16, r=4."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        StreamingNearDup,
+    )
+
+    guard = StreamingNearDup(
+        str(tmp_path / "store"), threshold=0.8, num_bands=8, rows_per_band=2
+    )
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    b1 = spark.createDataFrame([Row(doc_id=1, text=text)])
+    b2 = spark.createDataFrame([Row(doc_id=2, text=text + " thirteen")])
+    assert guard.process_batch(b1, 0).collect() == []
+    pairs = {(r.new_id, r.old_id) for r in guard.process_batch(b2, 1).collect()}
+    assert pairs == {(2, 1)}
