@@ -648,3 +648,50 @@ def duplicated_ngram_stats(
     )
     pos.unpersist()
     return out
+
+
+def benchmark_overlap_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): flag corpus
+    documents sharing any word n-gram with an evaluation benchmark, so
+    eval answers don't leak into the training set. Output: (id,
+    *extra_cols, n_overlap_grams, contaminated) — one row per corpus
+    doc, counting DISTINCT shared grams (a doc repeating one leaked
+    gram is one overlap, not many).
+
+    Scale: the benchmark side is small by definition (eval sets are
+    thousands of docs, the corpus is billions) — its distinct gram-hash
+    set builds once and BROADCASTS, so the corpus pays one narrow
+    scan + shingle pass and a broadcast semi-join — unlike the
+    symmetric duplicated_ngram_stats shape, nothing corpus-sized is
+    shuffled: the only exchange is the per-doc aggregate over the
+    (typically tiny) positions that survive the semi-join.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+        )
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    base = corpus.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+    pos = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+    ).select(F.col(id_col), F.md5("_g").alias("_gh"))
+    overlap = (
+        pos.join(F.broadcast(bench_grams), "_gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return base.join(overlap, id_col, "left").select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n_overlap_grams"),
+        (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -1548,3 +1548,54 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall_ok", F.col("recall_vs_exact") >= 0.8)
     )
     return sem.crossJoin(F.broadcast(gate))
+
+
+_DECONTAM_ORACLE = r"""
+WITH bench AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE doc_id % 50 = 0
+), bg AS (
+  SELECT DISTINCT md5(gram) AS gh FROM (
+    SELECT unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in range(1, len(w) - 6)])) AS gram
+    FROM bench WHERE len(w) >= 8
+  )
+), corp AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE doc_id % 50 != 0
+), cg AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5(array_to_string(w[i:i+7], ' '))
+                               for i in range(1, len(w) - 6)])) AS gh
+  FROM corp WHERE len(w) >= 8
+), overlap AS (
+  SELECT doc_id, count(*) AS n FROM cg JOIN bg USING (gh) GROUP BY doc_id
+)
+SELECT c.doc_id, c.source,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap_grams,
+       coalesce(o.n, 0) > 0 AS contaminated
+FROM corp c LEFT JOIN overlap o USING (doc_id)
+"""
+
+
+@query("benchmark_decontamination", _DECONTAM_ORACLE)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document stands in for the
+    eval benchmark; the rest of the corpus is flagged on any shared
+    word 8-gram (distinct-counted). The GPT-3/PaLM decontamination
+    recipe as one narrow pass.
+
+    Scale: the benchmark gram set broadcasts, so the corpus scan is
+    narrow (shingle + broadcast semi-join); only the few surviving
+    overlap positions shuffle for the per-doc count — contrast with
+    doc_dup_span_stats, whose symmetric corpus-vs-corpus shape
+    shuffles every gram position."""
+    from ..operators.dedup import benchmark_overlap_flags
+
+    docs = _docs(spark, sf_dir)
+    return benchmark_overlap_flags(
+        corpus=docs.filter(F.col("doc_id") % 50 != 0),
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        n=8,
+    )

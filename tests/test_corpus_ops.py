@@ -294,3 +294,50 @@ def test_unigram_nll_partition_invariant(spark):
          for r in unigram_nll_scores(df.repartition(16, "doc_id")).collect()}
     # DECIMAL summation makes the score bit-identical across layouts
     assert a == b
+
+
+# --- benchmark decontamination ------------------------------------------
+
+
+def test_benchmark_overlap_flags(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        benchmark_overlap_flags,
+    )
+
+    leak = "what is the capital of france the answer is paris"  # 10 words
+    bench = spark.createDataFrame([Row(doc_id=900, source="eval", text=leak)])
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark text verbatim -> 3 distinct shared
+            # 8-grams (positions 1..3 of the 10-word span)
+            Row(doc_id=1, source="web", text="intro words " + leak + " trailing"),
+            Row(doc_id=2, source="web", text="a clean document about spark "
+                                             "joins windows and aggregation "
+                                             "strategies at scale"),
+            Row(doc_id=3, source="web", text="too short to shingle"),
+            # repeats one leaked 8-gram twice -> still ONE distinct overlap
+            Row(doc_id=4, source="web",
+                text="what is the capital of france the answer "
+                     "what is the capital of france the answer"),
+        ]
+    )
+    out = {r.doc_id: r for r in
+           benchmark_overlap_flags(corpus, bench, n=8).collect()}
+    assert out[1].contaminated and out[1].n_overlap_grams == 3
+    assert not out[2].contaminated and out[2].n_overlap_grams == 0
+    assert not out[3].contaminated  # shorter than n: can never overlap
+    assert out[4].contaminated and out[4].n_overlap_grams == 1
+    assert len(out) == 4  # benchmark docs are not in the output
+
+
+def test_benchmark_overlap_uses_broadcast_join(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        benchmark_overlap_flags,
+    )
+
+    bench = spark.createDataFrame([Row(doc_id=0, source="e", text="a b c d e f g h")])
+    corpus = spark.createDataFrame([Row(doc_id=1, source="w", text="a b c d e f g h i")])
+    plan = benchmark_overlap_flags(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    # the gram semi-join must be broadcast (the corpus side never
+    # shuffles its gram positions to meet the benchmark set)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
