@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, normalize_text, word_grams, word_shingles
+from .text import char_shingles, normalize_text, word_grams, word_shingles, words
 
 # A bucket with n members emits n(n-1)/2 candidate pairs, so ONE
 # pathological bucket (thousands of identical/near-identical docs) makes
@@ -695,3 +695,77 @@ def benchmark_overlap_flags(
         F.coalesce("_n", F.lit(0)).cast("long").alias("n_overlap_grams"),
         (F.coalesce("_n", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Exact-substring dedup's OUTPUT side (Lee et al. 2022): rewrite
+    each document with every corpus-duplicated n-gram span cut out. A
+    word is removed when ANY of the n-grams covering it occurs
+    >= ``min_count`` times corpus-wide; what survives is the document's
+    unique content (near-copies collapse to their distinguishing
+    words). Text is rewritten from the normalized (lowercased,
+    whitespace-split) token stream — span dedup operates on tokens,
+    not bytes.
+
+    Output: (id, *extra_cols, n_words, n_removed, clean_text).
+
+    Scale: the same explode -> hash -> count(map-side combine) ->
+    semi-join shape as duplicated_ngram_stats, plus a bounded
+    per-position sequence explode (x n) for coverage and one per-doc
+    collect_set of covered indexes (bounded by document length). The
+    final rewrite is a narrow two-arg filter lambda over the word
+    array.
+    """
+    from pyspark import StorageLevel
+
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], F.col(text_col)
+    )
+    pos = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(word_grams(F.col(text_col), n)).alias("_p", "_g"),
+        )
+        .select(F.col(id_col), F.col("_p"), F.md5(F.col("_g")).alias("_gh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    hot = (
+        pos.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_gh")
+    )
+    covered = (
+        pos.join(hot, "_gh", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + F.lit(n - 1))
+            ).alias("_w_idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_w_idx").alias("_cov"))
+    )
+    w = words(F.col(text_col))
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(w, lambda x, i: ~F.array_contains(cov, i.cast("int")))
+    out = (
+        base.join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.size(w).cast("long").alias("n_words"),
+            F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pos.unpersist()
+    return out

@@ -1599,3 +1599,49 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         benchmark=docs.filter(F.col("doc_id") % 50 == 0),
         n=8,
     )
+
+
+_DUP_SPAN_REMOVAL_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(w[i:i+9], ' ')) AS gh
+  FROM w, unnest(range(1, greatest(len(w) - 8, 1))) AS t(i)
+  WHERE len(w) >= 10
+), cnt AS (
+  SELECT gh, count(*) AS c FROM g GROUP BY gh
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.i + t.o AS widx
+  FROM g JOIN cnt USING (gh), unnest(range(0, 10)) AS t(o)
+  WHERE cnt.c >= 2
+), covlist AS (
+  SELECT doc_id, list(widx) AS cl FROM cov GROUP BY doc_id
+)
+SELECT w.doc_id, w.source,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(coalesce(len(covlist.cl), 0) AS BIGINT) AS n_removed,
+       coalesce(
+         array_to_string([w.w[j] for j in range(1, len(w.w) + 1)
+                          if NOT coalesce(list_contains(covlist.cl, j), false)],
+                         ' '),
+         '') AS clean_text
+FROM w LEFT JOIN covlist USING (doc_id)
+"""
+
+
+@query("doc_dup_span_removal", _DUP_SPAN_REMOVAL_ORACLE)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, output side: every word covered by a
+    corpus-duplicated 10-gram is cut, leaving each document's unique
+    content (planted near-copies collapse to their distinguishing
+    words). Companion to doc_dup_span_stats, which measures what this
+    removes. Hash-checked down to the rewritten text strings.
+
+    Scale: same bucketed shape as the stats pass plus a bounded
+    coverage explode and one per-doc collect_set; the rewrite itself
+    is a narrow per-row lambda."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), n=10, min_count=2)

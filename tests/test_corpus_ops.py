@@ -341,3 +341,27 @@ def test_benchmark_overlap_uses_broadcast_join(spark):
     # the gram semi-join must be broadcast (the corpus side never
     # shuffles its gram positions to meet the benchmark set)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_remove_duplicated_spans_cuts_exactly_the_covered_words(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(_span_docs(spark), n=10).collect()
+    }
+    # docs 1/2 share the 10-word boiler prefix: exactly those 10 words
+    # go, the unique 4-word tails survive
+    assert out[1].clean_text == "unique tail one alpha"
+    assert out[1].n_words == 14 and out[1].n_removed == 10
+    assert out[2].clean_text == "other ending two beta"
+    # doc 3 shares nothing: untouched (normalized token stream)
+    assert out[3].n_removed == 0
+    assert out[3].clean_text == ("entirely different words with no shared "
+                                 "span of any kind here")
+    # doc 4 is shorter than n: can never be covered
+    assert out[4].clean_text == "short doc" and out[4].n_removed == 0
+    # doc 5 = boiler twice: both occurrences covered -> fully removed
+    assert out[5].clean_text == "" and out[5].n_removed == 20
