@@ -601,19 +601,20 @@ def duplicated_ngram_stats(
     xxhash64 for an 8-byte shuffle key, same plan shape.
 
     The exploded position frame feeds two plan branches (the hot-gram
-    aggregate and the join probe); it is persisted so the interpreted
-    zip_with gram construction runs ONCE, and unpersisted after the
-    (small, one-row-per-doc) result is checkpointed — the same
-    convention as near_dup_pairs above.
+    aggregate and the join probe), so the gram construction evaluates
+    twice — DELIBERATELY not persisted: the recompute is one narrow
+    scan+split pass, while materializing the exploded positions means
+    writing an intermediate LARGER than the source (persist + eager
+    checkpoint measured slower end-to-end at bench scale — the extra
+    job launches cost more than the recompute saves). The
+    shingle-persist convention in near_dup_pairs covers a frame read
+    by three branches including a self-join; two narrow reads don't
+    clear that bar.
     """
-    from pyspark import StorageLevel
-
     base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
-    pos = (
-        df.select(F.col(id_col), F.explode(word_grams(F.col(text_col), n)).alias("_g"))
-        .select(F.col(id_col), F.md5(F.col("_g")).alias("_gh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    pos = df.select(
+        F.col(id_col), F.explode(word_grams(F.col(text_col), n)).alias("_g")
+    ).select(F.col(id_col), F.md5(F.col("_g")).alias("_gh"))
     hot = (
         pos.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -644,9 +645,7 @@ def duplicated_ngram_stats(
                 ),
             ).alias("dup_ratio"),
         )
-        .localCheckpoint(eager=True)
     )
-    pos.unpersist()
     return out
 
 
@@ -723,19 +722,15 @@ def remove_duplicated_spans(
     final rewrite is a narrow two-arg filter lambda over the word
     array.
     """
-    from pyspark import StorageLevel
-
     base = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], F.col(text_col)
     )
-    pos = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(word_grams(F.col(text_col), n)).alias("_p", "_g"),
-        )
-        .select(F.col(id_col), F.col("_p"), F.md5(F.col("_g")).alias("_gh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # two narrow reads of the position frame beat materializing it —
+    # see the recompute note on duplicated_ngram_stats
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(word_grams(F.col(text_col), n)).alias("_p", "_g"),
+    ).select(F.col(id_col), F.col("_p"), F.md5(F.col("_g")).alias("_gh"))
     hot = (
         pos.groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -765,7 +760,5 @@ def remove_duplicated_spans(
             F.coalesce(F.size("_cov"), F.lit(0)).cast("long").alias("n_removed"),
             F.concat_ws(" ", kept).alias("clean_text"),
         )
-        .localCheckpoint(eager=True)
     )
-    pos.unpersist()
     return out
