@@ -46,13 +46,13 @@ def unigram_nll_scores(
     base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
     toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
     # The vocab feeds two branches (the scalar total and the scoring
-    # join build side): checkpoint it so the |corpus|-token shuffle
-    # aggregation runs once. toks itself is deliberately NOT persisted
-    # — it re-derives with one narrow scan+split pass, cheaper at the
-    # 100 TB design point than materializing the exploded corpus.
-    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c")).localCheckpoint(
-        eager=True
-    )
+    # join build side) and so aggregates twice; measured, that beats an
+    # eager checkpoint at bench scale (the extra job launch costs more
+    # than the re-aggregation saves — same finding as the dup-span
+    # operators). On a corpus where one vocab pass dominates, persist()
+    # vocab here; nothing else changes. toks re-derives with a narrow
+    # scan+split pass either way.
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
     total = vocab.agg(F.sum("_c").alias("_total"))
     cost = (
         toks.join(vocab, "_w")
