@@ -206,3 +206,56 @@ def test_split_bucket_is_engine_independent(spark, ids, salt):
     )
     assert got == want
     assert all(0 <= b < 65536 for b in got.values())
+
+
+# --- duplicated-span detection vs brute force ---------------------------
+
+span_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),  # tiny vocab forces collisions
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=span_corpora, n=st.integers(min_value=2, max_value=4))
+def test_dup_span_stats_match_bruteforce(spark, corpus, n):
+    """duplicated_ngram_stats == a direct Python recomputation for any
+    corpus/n: position totals, corpus-wide multiplicity counting
+    (within-doc repeats included), and the shorter-than-n edge."""
+    from collections import Counter
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in docs]
+    )
+    got = {r.doc_id: r for r in duplicated_ngram_stats(df, n=n).collect()}
+
+    # brute force: Counter over every gram position in the corpus.
+    # NOTE words('') -> [''] (one empty token), mirroring F.split.
+    def toks(t):
+        return t.lower().strip().split() if t.strip() else [""]
+
+    grams = {
+        i: [tuple(ws[p:p + n]) for p in range(len(ws) - n + 1)]
+        for i, ws in ((i, toks(t)) for i, t in docs)
+    }
+    counts = Counter(g for gs in grams.values() for g in gs)
+    for i, _t in docs:
+        expect_total = len(grams[i])
+        expect_dup = sum(1 for g in grams[i] if counts[g] >= 2)
+        assert got[i].n_grams == expect_total
+        assert got[i].n_dup_grams == expect_dup
+        if expect_total == 0:
+            assert got[i].dup_ratio is None
+        else:
+            assert got[i].dup_ratio == round(expect_dup / expect_total, 6)
