@@ -443,3 +443,158 @@ def events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(std, 6).alias("std_cnt"),
         )
     )
+
+
+# --- funnel analysis ----------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+), counts AS (
+  SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'view>click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'view>click>purchase', count(*) FROM s3
+)
+SELECT step, stage, CAST(users AS BIGINT) AS users,
+       ROUND(users::DOUBLE / (SELECT users FROM counts WHERE step = 1), 6)
+         AS conv_from_first
+FROM counts
+"""
+
+
+@query("user_funnel", _FUNNEL_ORACLE)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click
+    — the strictly-ordered conversion funnel (an unordered
+    count-per-type overcounts users who purchased before viewing).
+
+    Scale: one filtered min-aggregate per stage (map-side combined)
+    cascaded through equi-joins on user_id; each stage's frame only
+    shrinks, and AQE broadcasts the later (small) stages. No windows,
+    no per-user event sorting."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("users"))
+        .select(F.lit(1).alias("step"), F.lit("view").alias("stage"), "users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(2).alias("step"), F.lit("view>click").alias("stage"), "users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(3).alias("step"),
+                F.lit("view>click>purchase").alias("stage"),
+                "users",
+            )
+        )
+    )
+    base = s1.agg(F.count(F.lit(1)).alias("_n1"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "stage",
+        F.col("users").cast("long").alias("users"),
+        F.round(F.col("users").cast("double") / F.col("_n1"), 6).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+# --- cohort retention ---------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+), cohort_size AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM firsts GROUP BY cohort_week
+), joined AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+           AS week_offset,
+         count(DISTINCT a.user_id) AS active_users
+  FROM firsts f JOIN activity a USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(j.cohort_week AS DATE) AS cohort_week, j.week_offset,
+       CAST(j.active_users AS BIGINT) AS active_users,
+       ROUND(j.active_users::DOUBLE / c.cohort_users, 6) AS retention
+FROM joined j JOIN cohort_size c USING (cohort_week)
+"""
+
+
+@query("user_retention_cohorts", _COHORT_ORACLE)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each later week, the share of the cohort still
+    active — the classic retention triangle.
+
+    Scale: two aggregations over events (first-event per user, distinct
+    user-weeks) joined on user_id, then a small per-(cohort, offset)
+    rollup; the cohort-size dimension broadcasts."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    joined = (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+    return joined.join(F.broadcast(cohort_size), "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "week_offset",
+        F.col("active_users").cast("long").alias("active_users"),
+        F.round(
+            F.col("active_users").cast("double") / F.col("cohort_users"), 6
+        ).alias("retention"),
+    )

@@ -60,3 +60,67 @@ def test_events_daily_anomalies_exceed_threshold(spark, sf_dir):
     for r in rows:
         assert r.cnt > r.mean_cnt + 2 * r.std_cnt - 1e-6
         assert not math.isnan(r.std_cnt)
+
+
+def test_user_funnel_enforces_event_order(spark, tmp_path):
+    """A user who purchased BEFORE viewing must not count as converted —
+    the funnel is strictly ordered, not a per-type existence check."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        user_funnel,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: proper view -> click -> purchase
+        Row(event_id=1, ts=t(1), user_id=1, event_type="view", value=1.0, props="{}"),
+        Row(event_id=2, ts=t(2), user_id=1, event_type="click", value=1.0, props="{}"),
+        Row(event_id=3, ts=t(3), user_id=1, event_type="purchase", value=1.0, props="{}"),
+        # user 2: purchase first, then view+click -> stops at view>click
+        Row(event_id=4, ts=t(1), user_id=2, event_type="purchase", value=1.0, props="{}"),
+        Row(event_id=5, ts=t(2), user_id=2, event_type="view", value=1.0, props="{}"),
+        Row(event_id=6, ts=t(3), user_id=2, event_type="click", value=1.0, props="{}"),
+        # user 3: view only
+        Row(event_id=7, ts=t(1), user_id=3, event_type="view", value=1.0, props="{}"),
+        # user 4: click with no view -> not even in the funnel
+        Row(event_id=8, ts=t(1), user_id=4, event_type="click", value=1.0, props="{}"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {r.stage: r for r in user_funnel(spark, sf).collect()}
+    assert got["view"].users == 3
+    assert got["view>click"].users == 2          # users 1 and 2
+    assert got["view>click>purchase"].users == 1  # only user 1
+    assert got["view>click>purchase"].conv_from_first == round(1 / 3, 6)
+
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        user_retention_cohorts,
+    )
+
+    def ev(i, day, user):
+        return Row(event_id=i, ts=dt.datetime(2024, 1, day, 12), user_id=user,
+                   event_type="view", value=1.0, props="{}")
+
+    # week of 2024-01-01 (Mon): users 1,2 start; week of 01-08: user 1
+    # returns, user 3 starts; week of 01-15: user 2 returns
+    rows = [ev(1, 1, 1), ev(2, 2, 2), ev(3, 8, 1), ev(4, 9, 3), ev(5, 15, 2)]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/events.parquet")
+    got = {(str(r.cohort_week), r.week_offset): r
+           for r in user_retention_cohorts(spark, sf).collect()}
+    assert got[("2024-01-01", 0)].active_users == 2
+    assert got[("2024-01-01", 0)].retention == 1.0
+    assert got[("2024-01-01", 1)].active_users == 1  # user 1 back in wk2
+    assert got[("2024-01-01", 1)].retention == 0.5
+    assert got[("2024-01-01", 2)].active_users == 1  # user 2 back in wk3
+    assert got[("2024-01-08", 0)].active_users == 1  # user 3's own cohort
+    assert len(got) == 4
