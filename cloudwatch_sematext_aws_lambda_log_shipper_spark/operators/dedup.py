@@ -762,3 +762,77 @@ def remove_duplicated_spans(
         )
     )
     return out
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hi_col: str = "dh_hi",
+    lo_col: str = "dh_lo",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs over a 64-bit hash held as two non-negative
+    32-bit halves (e.g. the perceptual dHash): pigeonhole the 64 bits
+    into four 16-bit chunks — any pair within Hamming distance 3 must
+    agree on at least one chunk — bucket-join on (chunk, value), then
+    verify exact bit_count(xor) <= max_hamming. The same blocking shape
+    as the SimHash text path, generic over the hash columns.
+
+    Scale: 4 rows per item into a (chunk, value) equi-join; hot buckets
+    capped by the shared mechanism. max_hamming > 3 needs more chunks
+    than 4 for full recall (pigeonhole: chunks = max_hamming + 1)."""
+    h = hashes.filter(
+        F.col(hi_col).isNotNull() & F.col(lo_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"), F.col(hi_col).alias("_hi"),
+        F.col(lo_col).alias("_lo"),
+    )
+    chunks = h.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        (
+                            F.shiftright(F.col("_hi" if j < 2 else "_lo"),
+                                         16 * (j % 2))
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "ck.chunk", "ck.val")
+    chunks = _cap_buckets(chunks, ["chunk", "val"], "_id", max_bucket_size)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ha = h.select(F.col("_id").alias("id_a"), F.col("_hi").alias("_hi_a"),
+                  F.col("_lo").alias("_lo_a"))
+    hb = h.select(F.col("_id").alias("id_b"), F.col("_hi").alias("_hi_b"),
+                  F.col("_lo").alias("_lo_b"))
+    scored = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+                + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+            ).cast("int"),
+        )
+    )
+    return scored.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

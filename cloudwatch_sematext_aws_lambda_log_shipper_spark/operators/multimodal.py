@@ -269,3 +269,64 @@ def sample_frames_stub(df: DataFrame, media_col: str = "media",
         "available in this container; raw-PPM sampling is implemented in "
         "sample_frames"
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dh_hi", T.LongType()),  # dHash bits 0..31 (non-neg)
+        T.StructField("dh_lo", T.LongType()),  # dHash bits 32..63
+    ]
+)
+
+
+def _dhash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
+    """64-bit difference hash of one P6 image: nearest-neighbor sample
+    an 8x9 luminance grid (integer R+G+B sums — no division, so any
+    engine reproduces the bits exactly), then bit (r, c) = grid[r][c] >
+    grid[r][c+1]. Returned as two non-negative 32-bit halves so
+    Hamming math never touches the sign bit. None for non-PPM bytes."""
+    import numpy as np
+
+    m = _PPM_HEADER.match(data)
+    if not m:
+        return None, None
+    w, h = int(m.group(1)), int(m.group(2))
+    need = w * h * 3
+    if len(data) - m.end() < need or w < 9 or h < 8:
+        return None, None
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=m.end())
+    g3 = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(9) * w) // 9
+    grid = g3[ri][:, ci]
+    bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).ravel()  # r*8+c
+    hi = int((bits[:32] << np.arange(32)).sum())
+    lo = int((bits[32:] << np.arange(32)).sum())
+    return hi, lo
+
+
+def dhash_images(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """binary -> (media_id, dh_hi, dh_lo) perceptual difference hash,
+    Arrow-batched. Unlike the content sha, near-identical IMAGES (small
+    pixel perturbations, re-encodes of the same scene) land a few bits
+    apart, so Hamming blocking finds visual near-duplicates the exact
+    hash can't. Undecodable media hashes to null (DLQ-routable)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _dhash_one(bytes(b)) if b is not None else (None, None)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "dh_hi": [t[0] for t in hashes],
+                    "dh_lo": [t[1] for t in hashes],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, DHASH_SCHEMA)

@@ -48,3 +48,77 @@ def test_multimodal_chains_are_narrow(spark, sf_dir):
     assert plan2.count("MapInPandas") == 1
     # _docs spread + countDistinct's two-phase exchange pair; nothing else
     assert plan2.count("Exchange") == 3
+
+
+# --- perceptual dHash + Hamming blocking --------------------------------
+
+
+def _ppm(pixels):
+    """Build a P6 image from a h x w x 3 nested list."""
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for px in row for v in px)
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def test_dhash_hamming_finds_perturbed_image(spark):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        dhash_images,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    base = [[[rng.randrange(256) for _ in range(3)] for _ in range(9)]
+            for _ in range(8)]  # 9x8: grid sampling is identity
+    near = [row[:] for row in base]
+    near[0][0] = [255, 255, 255]  # one pixel: flips at most 1 dHash bit
+    other = [[[rng.randrange(256) for _ in range(3)] for _ in range(9)]
+             for _ in range(8)]
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, media=bytearray(_ppm(base))),
+            Row(media_id=2, media=bytearray(_ppm(near))),
+            Row(media_id=3, media=bytearray(_ppm(other))),
+            Row(media_id=4, media=bytearray(b"not a ppm at all")),
+        ]
+    )
+    hashes = dhash_images(df)
+    got = {r.media_id: (r.dh_hi, r.dh_lo) for r in hashes.collect()}
+    assert got[1] == got[1] and got[1][0] is not None
+    assert got[4] == (None, None)  # undecodable -> null, not a crash
+    # identical-structure images land within hamming 1; random ones far
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in hamming_near_dup_pairs(hashes, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 1
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_dhash_invariant_to_brightness_shift(spark):
+    """dHash compares ADJACENT luminance, so a global brightness shift
+    (every channel +40) leaves the hash bits unchanged — the property
+    that makes it perceptual rather than a content checksum."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        dhash_images,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    base = [[[rng.randrange(180) for _ in range(3)] for _ in range(9)]
+            for _ in range(8)]
+    brighter = [[[v + 40 for v in px] for px in row] for row in base]
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, media=bytearray(_ppm(base))),
+            Row(media_id=2, media=bytearray(_ppm(brighter))),
+        ]
+    )
+    got = {r.media_id: (r.dh_hi, r.dh_lo) for r in dhash_images(df).collect()}
+    assert got[1] == got[2]
