@@ -330,3 +330,75 @@ def dhash_images(
             )
 
     return df.select(id_col, media_col).mapInPandas(fn, DHASH_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),  # integer energy: exact
+    ]
+)
+
+
+def _decode_wav_one(data: bytes):
+    """REAL RIFF/WAVE PCM parse, pure Python struct math — no codec
+    library: header fields + per-sample integer energy (sum of squared
+    int16 samples — integer, so any engine reproduces it exactly;
+    float RMS would not hash-compare). None-tuple for non-WAV bytes or
+    compressed (non-PCM) formats — codec-bound formats stay out of
+    scope exactly like JPEG on the image side."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return (None,) * 5
+    # walk chunks: fmt_ then data (canonical order not assumed)
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None or fmt[0] != 1:  # 1 = uncompressed PCM
+        return (None,) * 5
+    _tag, channels, rate, _byterate, _align, bits = fmt
+    if bits != 16:
+        return (None,) * 5
+    n = len(pcm) // 2
+    samples = struct.unpack_from(f"<{n}h", pcm, 0)
+    return rate, channels, bits, n, sum(s * s for s in samples)
+
+
+def decode_audio_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """binary -> (media_id, sample_rate, channels, bits_per_sample,
+    n_samples, sum_sq) via Arrow-batched mapInPandas — the audio leg of
+    the multimodal path, REAL for WAV/PCM16 the way the image leg is
+    real for PPM. Undecodable media -> nulls (DLQ-routable)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_wav_one(bytes(b)) if b is not None else (None,) * 5
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "sample_rate": [f[0] for f in feats],
+                    "channels": [f[1] for f in feats],
+                    "bits_per_sample": [f[2] for f in feats],
+                    "n_samples": [f[3] for f in feats],
+                    "sum_sq": [f[4] for f in feats],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)

@@ -1759,3 +1759,79 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         dhash_images(imgs), max_bucket_size=None
     )
+
+
+_AUDIO_ORACLE = """
+WITH spec AS (
+  SELECT doc_id,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+         400 + (n_chars * 7) % 1200 AS n
+  FROM documents
+)
+SELECT doc_id AS media_id, sample_rate,
+       1 AS channels, 16 AS bits_per_sample,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum([(((k * 7 + doc_id * 13) % 256 - 128) * 64)
+                      * (((k * 7 + doc_id * 13) % 256 - 128) * 64)
+                      for k in range(0, n)]) AS BIGINT) AS sum_sq
+FROM spec
+"""
+
+
+@query("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO leg of the multimodal path, real end-to-end: every
+    document synthesizes a genuine RIFF/WAVE PCM16 file (deterministic
+    sawtooth samples derived from doc properties), the engine walks
+    the chunk structure and computes integer sample energy from the
+    decoded PCM, and the oracle recomputes every field — including the
+    sum of squared samples — arithmetically. Codec-bound audio formats
+    (mp3 etc.) stay out of scope exactly like JPEG on the image side.
+
+    Scale: synthesis and decode are both Arrow-batched narrow passes;
+    nothing shuffles."""
+    import struct
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_audio_features
+
+    docs = _docs(spark, sf_dir)
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for mid, nch in zip(pdf["media_id"], pdf["n_chars"]):
+                rate = 8000 * (1 + int(mid) % 3)
+                n = 400 + (int(nch) * 7) % 1200
+                k = np.arange(n, dtype=np.int64)
+                samples = (((k * 7 + int(mid) * 13) % 256) - 128) * 64
+                pcm = samples.astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                )
+                media.append(hdr + pcm)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "media": media})
+
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("n_chars")
+    ).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return decode_audio_features(imgs)

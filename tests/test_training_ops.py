@@ -122,3 +122,41 @@ def test_dhash_invariant_to_brightness_shift(spark):
     )
     got = {r.media_id: (r.dh_hi, r.dh_lo) for r in dhash_images(df).collect()}
     assert got[1] == got[2]
+
+
+def test_decode_audio_features_real_wav_parse(spark):
+    import struct
+
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    def wav(samples, rate=8000, extra_chunk=False, fmt_tag=1, bits=16):
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        parts = [b"RIFF", struct.pack("<I", 0), b"WAVE"]
+        if extra_chunk:  # chunk walker must skip unknown chunks
+            parts += [b"LIST", struct.pack("<I", 4), b"info"]
+        parts += [
+            b"fmt ",
+            struct.pack("<IHHIIHH", 16, fmt_tag, 1, rate, rate * 2, 2, bits),
+            b"data",
+            struct.pack("<I", len(pcm)),
+            pcm,
+        ]
+        return b"".join(parts)
+
+    rows = [
+        Row(media_id=1, media=bytearray(wav([100, -50, 3]))),
+        Row(media_id=2, media=bytearray(wav([7], rate=16000, extra_chunk=True))),
+        Row(media_id=3, media=bytearray(wav([1, 2], fmt_tag=85))),  # mp3 tag
+        Row(media_id=4, media=bytearray(b"P6\n1 1\n255\nxxx")),     # not RIFF
+    ]
+    got = {r.media_id: r for r in
+           decode_audio_features(spark.createDataFrame(rows)).collect()}
+    assert got[1].sample_rate == 8000 and got[1].n_samples == 3
+    assert got[1].sum_sq == 100 * 100 + 50 * 50 + 9
+    assert got[2].sample_rate == 16000 and got[2].sum_sq == 49  # LIST skipped
+    assert got[3].sum_sq is None  # compressed formats out of scope
+    assert got[4].sample_rate is None
