@@ -567,3 +567,54 @@ def log_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("still_dlq").alias("outcome"), F.col("n")
     )
     return rec.unionByName(st)
+
+
+_TOP_ERRORS_ORACLE = """
+WITH msgs AS (
+  SELECT event_id % 5 AS m, event_type, value, props FROM events
+), parsed AS (
+  SELECT
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message
+  FROM msgs WHERE m <> 3
+), err AS (
+  SELECT message FROM parsed WHERE lower(message) LIKE '%error%'
+), counts AS (
+  SELECT message, count(*) AS n FROM err GROUP BY message
+)
+SELECT message, CAST(n AS BIGINT) AS n,
+       row_number() OVER (ORDER BY n DESC, message) AS rnk
+FROM counts
+QUALIFY rnk <= 5
+"""
+
+
+@query("log_top_errors", _TOP_ERRORS_ORACLE)
+def log_top_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical downstream question — which error
+    messages dominate? — answered over the REAL parse kernel's output:
+    synthesize the corpus, run decode-free parse + classify, keep
+    severity='error' rows, count per message, window-rank the top 5.
+
+    Scale: the rank window runs over the POST-AGGREGATION frame (one
+    row per distinct error message — tiny by construction), never over
+    raw events; the groupBy is map-side combined."""
+    from pyspark.sql import Window
+
+    clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
+    counts = (
+        clean.filter(F.col("severity") == "error")
+        .groupBy("message")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "message")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("message", F.col("n").cast("long").alias("n"), "rnk")
+    )
