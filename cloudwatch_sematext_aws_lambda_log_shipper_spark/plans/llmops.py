@@ -39,6 +39,7 @@ from ..operators.text import (
     word_shingles,
 )
 from .registry import load, query
+from .synthcache import source_fingerprint
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,25 +61,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_fingerprint(path: str) -> str:
-    """Cheap corpus fingerprint for cache invalidation: md5 over the
-    relative names, sizes, and mtimes of the source parquet file(s) —
-    metadata-only, no data scan, O(#files). A regenerated table under
-    the same path changes the fingerprint even when the byte size is
-    coincidentally equal (mtime moves)."""
-    import hashlib
-    import os
-
-    h = hashlib.md5()
-    if os.path.isdir(path):
-        for root, _dirs, files in sorted(os.walk(path)):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                rel = os.path.relpath(os.path.join(root, f), path)
-                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
-    elif os.path.exists(path):
-        st = os.stat(path)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+    """Shared with the synthesized-corpus cache — see
+    plans/synthcache.py (metadata-only md5 over names/sizes/mtimes)."""
+    return source_fingerprint(path)
 
 
 # --- dedup --------------------------------------------------------------

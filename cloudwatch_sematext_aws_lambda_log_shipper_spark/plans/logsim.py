@@ -28,6 +28,7 @@ from ..operators.parse import parse_log_events, split_dlq
 from ..pipeline import run_batch
 from ..sink import read_log_table, write_log_table
 from .registry import load, query
+from .synthcache import materialize
 
 TS_LIT = "2024-01-01T10:00:00.000Z"
 UUID_PREFIX = "00000000-0000-4000-8000-"
@@ -36,12 +37,28 @@ LOG_STREAM = "2024/01/01/[9]abc123"
 
 
 def synth_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events rows -> (awsRegion, logGroup, logStream, message).
+    """events rows -> (awsRegion, logGroup, logStream, message),
+    materialized once per source corpus (see plans/synthcache.py).
+
+    Real pipelines read STORED records; regenerating per query both
+    mismeasures the parse kernel and makes Catalyst inline the
+    synthesis CASE into every derived-column reference (122 copies in
+    log_top_errors's pre-fix plan — past janino's 64 KB codegen limit,
+    dropping the parse stage to interpreted mode). The stored corpus
+    scans in ~defaultParallelism splits, so no repartition is needed.
+    """
+    return materialize(
+        spark, sf_dir, "log_events", lambda: _synth_log_events_plan(spark, sf_dir)
+    )
+
+
+def _synth_log_events_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual synthesis plan (build side of the cache).
 
     The test events.parquet is one unsplittable row group; the explicit
     repartition spreads the (compute-heavy, codegen'd but per-row
-    expensive) parse kernel across all cores. Real log streams arrive in
-    many source partitions and skip this shuffle.
+    expensive) synthesis across all cores — and sets the stored
+    corpus's file count, so the cached scan parallelizes too.
     """
     n = spark.sparkContext.defaultParallelism
     events = load(spark, sf_dir, "events").repartition(n, "event_id")
@@ -179,6 +196,19 @@ GROUP BY branch
 
 
 def synth_kinesis_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Kinesis-shaped records (base64(gzip(JSON envelope))),
+    materialized once per source corpus (see plans/synthcache.py) —
+    the gzip-encode pandas UDF is synthesis cost, not pipeline cost,
+    and a stored corpus is what Kinesis actually hands the shipper."""
+    return materialize(
+        spark,
+        sf_dir,
+        "kinesis_records",
+        lambda: _synth_kinesis_records_plan(spark, sf_dir),
+    )
+
+
+def _synth_kinesis_records_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events rows -> REAL Kinesis-shaped records (base64(gzip(JSON
     envelope))), built distributed: 5 log events per envelope, every
     10th envelope a CONTROL_MESSAGE, platform lines and Q4 lines mixed
@@ -513,6 +543,22 @@ def log_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..pipeline import replay_dlq
 
+    # The DLQ table is STORED state by definition (it's what the replay
+    # job reads back); materialize the synthesized one like the others.
+    dlq = materialize(
+        spark, sf_dir, "replay_dlq", lambda: _synth_replay_dlq_plan(spark, sf_dir)
+    )
+    recovered, still = replay_dlq(dlq)
+    rec = recovered.groupBy(
+        F.concat(F.lit("recovered_"), F.col("severity")).alias("outcome")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = still.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("still_dlq").alias("outcome"), F.col("n")
+    )
+    return rec.unionByName(st)
+
+
+def _synth_replay_dlq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     events = load(spark, sf_dir, "events").repartition(n, "event_id")
     uid = F.col("user_id").cast("string")
@@ -545,7 +591,7 @@ def log_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_str = F.lit(None).cast("string")
     # decode-class DLQ rows, exactly the shape parse_kinesis_records
     # lands for decode failures (pipeline.py decode_dlq)
-    dlq = events.select(
+    return events.select(
         null_str.alias("function.name"),
         null_str.alias("function.version"),
         null_str.alias("@timestamp"),
@@ -559,14 +605,6 @@ def log_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_corrupt"),
         data.alias("_raw"),
     )
-    recovered, still = replay_dlq(dlq)
-    rec = recovered.groupBy(
-        F.concat(F.lit("recovered_"), F.col("severity")).alias("outcome")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    st = still.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("still_dlq").alias("outcome"), F.col("n")
-    )
-    return rec.unionByName(st)
 
 
 _TOP_ERRORS_ORACLE = """

@@ -1,0 +1,114 @@
+"""Build-once materialization for synthesized test corpora.
+
+The log-pipeline queries synthesize their input corpus (CloudWatch-ish
+log lines / Kinesis records) from the `events` table with deterministic
+SQL expressions. Re-synthesizing per query is a harness artifact — real
+pipelines read STORED records (S3/Kinesis), they never regenerate them —
+and it is actively hostile to Catalyst: filter pushdown and projection
+collapse re-inline the giant synthesis CASE expression into every
+derived-column reference (measured: 122 copies in `log_top_errors`'s
+physical plan, a 103 KB plan string that blows janino's 64 KB method
+limit and drops the whole parse stage out of whole-stage codegen).
+
+So: synthesize ONCE per (sf corpus, synth name), persist as parquet,
+and let every query scan the stored corpus. Filters on parsed columns
+then push down to a parquet scan exactly as they would in production.
+
+Cache layout mirrors the persisted IVF index (plans/llmops.py):
+  /tmp/spark_graft_synth/<sf>-<source fingerprint>-<name>/
+- keyed on a metadata-only fingerprint of the source table, so a
+  regenerated corpus under the same sf dir rebuilds instead of serving
+  stale rows;
+- built into a pid-suffixed temp dir and renamed into place, so
+  concurrent sessions race to an atomic rename, not a torn corpus;
+- superseded fingerprints and hour-stale crashed builds are GC'd.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+CACHE_ROOT = "/tmp/spark_graft_synth"
+
+
+def source_fingerprint(path: str) -> str:
+    """Cheap corpus fingerprint for cache invalidation: md5 over the
+    relative names, sizes, and mtimes of the source parquet file(s) —
+    metadata-only, no data scan, O(#files). A regenerated table under
+    the same path changes the fingerprint even when the byte size is
+    coincidentally equal (mtime moves)."""
+    import hashlib
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def _gc(cache_root: str, keep: str, sf_name: str, name: str) -> None:
+    """Drop superseded fingerprints of the SAME (sf, name) corpus and
+    hour-stale `.build.` dirs abandoned by crashed builds. A live
+    concurrent build is young, so the GC can never pull a racing
+    session's in-progress build out from under it."""
+    if not os.path.isdir(cache_root):
+        return
+    for entry in os.listdir(cache_root):
+        full = os.path.join(cache_root, entry)
+        if full == keep:
+            continue
+        is_build = ".build." in entry
+        superseded = (
+            not is_build
+            and entry.startswith(f"{sf_name}-")
+            and entry.endswith(f"-{name}")
+        )
+        stale_build = False
+        if is_build:
+            try:
+                stale_build = time.time() - os.stat(full).st_mtime > 3600
+            except OSError:
+                pass
+        if superseded or stale_build:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def materialize(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    source: str = "events.parquet",
+) -> DataFrame:
+    """Return `builder()`'s output as a STORED parquet corpus, building
+    it at most once per (source fingerprint, name). The returned frame
+    is a plain parquet scan: downstream filters/projections push down
+    to the scan instead of inlining the synthesis expressions."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(os.path.join(sf_dir, source))
+    path = os.path.join(CACHE_ROOT, f"{sf_name}-{fp}-{name}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _gc(CACHE_ROOT, path, sf_name, name)
+        tmp = f"{path}.build.{os.getpid()}"
+        builder().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Only a lost build race (the target now exists) makes
+            # discarding the fresh build correct; any other rename
+            # failure (permissions, EXDEV) must surface.
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
