@@ -278,10 +278,6 @@ def near_dup_pairs(
 # --- SimHash ------------------------------------------------------------
 
 
-def _mask(i: int):
-    return F.lit(1 << i) if i < 63 else F.lit(-(2**63))
-
-
 def _md5_hex_digit(col: Column, pos: int) -> Column:
     """Value 0-15 of the 1-indexed hex char ``pos`` of an md5 hex string,
     via ascii arithmetic — expressible identically in DuckDB
@@ -302,36 +298,60 @@ def simhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
     reproducible in DuckDB with ascii/substr arithmetic, so the whole
     sketch — not just its output shape — sits under the oracle.
 
-    Explode-then-aggregate like minhash_signatures: 64 codegen'd
-    conditional-sum aggregates over (doc, shingle-hash) rows, partial
-    aggregation before the shuffle.
+    Computed in ONE narrow Arrow pass (mapInPandas): each input row
+    already carries the doc's whole shingle array, so the votes are a
+    per-row numpy popcount — no explode, no shuffle, no aggregate.
+    (The previous explode + 16-digit-extract + 64-conditional-sum
+    aggregation shape was value-identical but ~4x slower: the vote
+    matrix is the same md5 bits either way, and equality old-vs-new is
+    pinned in tests.) Bit mapping: sketch bit i votes on bit i%4 of
+    1-indexed hex digit 16 - i//4 — which is exactly bit i (LSB order)
+    of the big-endian top-64-bits integer of the md5, the form the
+    DuckDB oracle replicates with ascii/substr arithmetic.
     """
-    exploded = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("_s")
-    ).select(F.col(id_col), F.md5("_s").alias("_m"))
-    # one digit-value column per hex char, shared by its 4 bit votes
-    digits = exploded.select(
-        F.col(id_col),
-        *[_md5_hex_digit(F.col("_m"), p).alias(f"d_{p}") for p in range(1, 17)],
+    import hashlib
+
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits must be in (0, 64], got {bits}")
+    id_type = dict(shingled.dtypes)[id_col]
+    n_bits = bits
+    # unpackbits column -> bit index of the big-endian uint64: byte j
+    # (j=0 most significant) bit k (LSB-first) sits at (7-j)*8 + k
+    _perm = [(7 - j) * 8 + k for j in range(8) for k in range(8)]
+
+    def _sigs(batches):
+        import numpy as np
+        import pandas as pd
+
+        inv = np.argsort(np.asarray(_perm))  # column holding H-bit i
+        for pdf in batches:
+            ids, sims = [], []
+            for did, sh in zip(pdf[id_col], pdf["shingles"]):
+                n = len(sh)
+                if n == 0:
+                    continue  # explode semantics: shingle-less docs drop
+                raw = b"".join(
+                    hashlib.md5(s.encode("utf-8")).digest()[:8] for s in sh
+                )
+                bitmat = np.unpackbits(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(n, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                c = bitmat.sum(axis=0, dtype=np.int64)[inv]  # set-count per H-bit
+                set_bits = np.nonzero(2 * c > n)[0]  # vote > 0
+                u = 0
+                for i in set_bits:
+                    if i < n_bits:
+                        u |= 1 << int(i)
+                ids.append(did)
+                sims.append(u - (1 << 64) if u >= 1 << 63 else u)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="object"),
+                                "simhash": pd.Series(sims, dtype="int64")})
+
+    return shingled.select(id_col, "shingles").mapInPandas(
+        _sigs, f"{id_col} {id_type}, simhash long"
     )
-    votes = digits.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(
-                    F.col(f"d_{16 - i // 4}").bitwiseAND(F.lit(1 << (i % 4)))
-                    != 0,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v_{i}")
-            for i in range(bits)
-        ]
-    )
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        sim = sim + F.when(F.col(f"v_{i}") > 0, _mask(i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

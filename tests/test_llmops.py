@@ -137,6 +137,38 @@ def test_identical_docs_have_equal_simhash(spark):
     assert (r.id_a, r.id_b, r.hamming) == (0, 1, 0)
 
 
+def test_simhash_matches_documented_digit_definition(spark):
+    """The Arrow signature pass must equal an INDEPENDENT brute force of
+    the documented sketch: sketch bit i = sign of summed votes on bit
+    i%4 of 1-indexed md5 hex digit 16 - i//4 (the form the DuckDB
+    oracle replicates). Guards the unpackbits bit-order mapping."""
+    import hashlib
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        simhash_signatures,
+        with_shingles,
+    )
+
+    texts = [BASE, BASE + " tail change", "totally different words here now",
+             "unicode café naïve über doc text more words pad"]
+    df = docs_df(spark, texts)
+    sh = with_shingles(df, "text", 3).select("doc_id", "shingles")
+    got = {r.doc_id: r.simhash for r in simhash_signatures(sh).collect()}
+
+    def brute(shingles):
+        votes = [0] * 64
+        for s in shingles:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            for i in range(64):
+                d = int(hx[16 - i // 4 - 1], 16)  # 1-indexed digit 16-i//4
+                votes[i] += 1 if d & (1 << (i % 4)) else -1
+        u = sum(1 << i for i in range(64) if votes[i] > 0)
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    for r in sh.collect():
+        assert got[r.doc_id] == brute(r.shingles), f"doc {r.doc_id}"
+
+
 def test_cosine_topk_self_is_nearest(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     # query vectors included in corpus -> each query's top hit is itself
