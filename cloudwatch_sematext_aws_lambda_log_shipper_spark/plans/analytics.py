@@ -598,3 +598,63 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_users").cast("double") / F.col("cohort_users"), 6
         ).alias("retention"),
     )
+
+
+_ZORDER_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+WHERE user_id BETWEEN 30 AND 90 AND value BETWEEN 40.0 AND 160.0
+GROUP BY event_type
+"""
+
+# The box is fixed so the oracle is scale-independent; selectivity ~10%
+# on the test corpus (user_id spans 0..149, value 0..~490).
+_ZORDER_BOX = {"user_id": (30.0, 90.0), "value": (40.0, 160.0)}
+
+
+@query("events_zorder_scan", _ZORDER_ORACLE)
+def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional BOX query over a Z-ORDERED copy of the events
+    table (operators/layout.py): the layout clusters (user_id, value)
+    jointly, the box decomposes driver-side into a z_bucket IN-list
+    that PartitionFilters the file listing, and the exact residual
+    predicate keeps results identical to the raw-table oracle.
+
+    Scale: this is the 100 TB scan-path story — a conjunctive range
+    predicate over two columns reads only the files whose z-range
+    intersects the box (~box volume fraction of the table), where a
+    single-column layout prunes on one dimension at best. Write cost
+    is one bounds aggregate + one range shuffle, paid once.
+    """
+    from ..operators.layout import (
+        read_zorder_meta,
+        write_zordered,
+        zorder_box_filter,
+    )
+    from .synthcache import materialize_dir
+
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "events_zorder",
+        builder=lambda: load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        writer=lambda df, p: write_zordered(
+            df, p, ["user_id", "value"], bits_per_dim=8, n_buckets=64
+        ),
+    )
+    meta = read_zorder_meta(path)
+    t = spark.read.parquet(path)
+    return (
+        t.filter(zorder_box_filter(meta, _ZORDER_BOX))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

@@ -84,6 +84,40 @@ def _gc(cache_root: str, keep: str, sf_name: str, name: str) -> None:
             shutil.rmtree(full, ignore_errors=True)
 
 
+def materialize_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], DataFrame],
+    source: str = "events.parquet",
+    writer: Callable[[DataFrame, str], None] | None = None,
+) -> str:
+    """Build `builder()`'s output into a STORED parquet corpus at most
+    once per (source fingerprint, name); return the corpus directory.
+    `writer(df, path)` customizes the write (e.g. partitionBy + sidecar
+    metadata) — it must leave a `_SUCCESS` marker at `path`."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(os.path.join(sf_dir, source))
+    path = os.path.join(CACHE_ROOT, f"{sf_name}-{fp}-{name}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _gc(CACHE_ROOT, path, sf_name, name)
+        tmp = f"{path}.build.{os.getpid()}"
+        if writer is None:
+            builder().write.mode("overwrite").parquet(tmp)
+        else:
+            writer(builder(), tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Only a lost build race (the target now exists) makes
+            # discarding the fresh build correct; any other rename
+            # failure (permissions, EXDEV) must surface.
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def materialize(
     spark: SparkSession,
     sf_dir: str,
@@ -95,20 +129,6 @@ def materialize(
     it at most once per (source fingerprint, name). The returned frame
     is a plain parquet scan: downstream filters/projections push down
     to the scan instead of inlining the synthesis expressions."""
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    fp = source_fingerprint(os.path.join(sf_dir, source))
-    path = os.path.join(CACHE_ROOT, f"{sf_name}-{fp}-{name}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _gc(CACHE_ROOT, path, sf_name, name)
-        tmp = f"{path}.build.{os.getpid()}"
-        builder().write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            # Only a lost build race (the target now exists) makes
-            # discarding the fresh build correct; any other rename
-            # failure (permissions, EXDEV) must surface.
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return spark.read.parquet(
+        materialize_dir(spark, sf_dir, name, builder, source)
+    )
