@@ -274,3 +274,54 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    overlap: int = 10,
+):
+    """Split documents into overlapping word-window chunks (the RAG /
+    context-window prep step): chunk i covers words
+    [i*stride, i*stride + chunk_size) with stride = chunk_size -
+    overlap, so consecutive chunks share `overlap` words and no word is
+    dropped. Emits (id, chunk_idx, chunk_text, n_words); blank docs
+    yield no chunks.
+
+    Scale: pure narrow projection + explode — no shuffle, no UDF; the
+    chunk count per doc is ceil((len-overlap)/stride), so output size
+    is ~len/stride rows per doc regardless of corpus size. Chunk ids
+    are (doc id, position), stable under re-runs for downstream joins
+    (embedding tables, citation maps).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    out = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            w.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                "_w", F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("_cw"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_cw", " ").alias("chunk_text"),
+        F.size("_cw").cast("long").alias("n_words"),
+    )

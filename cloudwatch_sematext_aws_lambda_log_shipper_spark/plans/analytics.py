@@ -658,3 +658,53 @@ def events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+_ROLLING_ORACLE = """
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         count(*) OVER w AS n_prev_hour,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+           AS sum_prev_hour
+  FROM events
+  WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+  )
+)
+SELECT user_id, event_id,
+       n_prev_hour,
+       ROUND(sum_prev_hour, 2) AS sum_prev_hour,
+       ROUND(sum_prev_hour / n_prev_hour, 6) AS avg_prev_hour
+FROM f
+"""
+
+
+@query("events_rolling_features", _ROLLING_ORACLE)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-window features (interval RANGE frame): per event,
+    the count / exact sum / mean of the SAME USER's values in the
+    trailing hour (inclusive) — the sliding-aggregate shape feature
+    pipelines and rate limiters run, as a window FRAME instead of the
+    self-join in events_preceding_hour_range_join.
+
+    Scale: one shuffle on user_id, then a single ordered pass per
+    partition with a sliding frame (Spark evaluates RANGE frames
+    incrementally, no per-row rescan). DECIMAL sums keep the frame
+    aggregation order-independent so the DuckDB hash matches.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    ev = load(spark, sf_dir, "events")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double")
+    return ev.select(
+        "user_id",
+        "event_id",
+        n.alias("n_prev_hour"),
+        F.round(s, 2).alias("sum_prev_hour"),
+        F.round(s / n, 6).alias("avg_prev_hour"),
+    )

@@ -1820,3 +1820,37 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return decode_audio_features(imgs)
+
+
+_CHUNK_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, w,
+         unnest(range(GREATEST(CAST(ceil((len(w) - 10) / 40.0) AS INT), 1)))
+           AS chunk_idx
+  FROM w
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+         AS chunk_text,
+       CAST(len(w[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS BIGINT)
+         AS n_words
+FROM c
+"""
+
+
+@query("doc_chunking", _CHUNK_ORACLE)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 50-word windows with 10-word
+    overlap and (doc_id, chunk_idx) identity — the step between a raw
+    corpus and an embedding/retrieval table. Narrow explode, no
+    shuffle; see operators/text.py chunk_documents."""
+    from ..operators.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        chunk_size=50,
+        overlap=10,
+    )

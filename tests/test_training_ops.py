@@ -160,3 +160,44 @@ def test_decode_audio_features_real_wav_parse(spark):
     assert got[2].sample_rate == 16000 and got[2].sum_sq == 49  # LIST skipped
     assert got[3].sum_sq is None  # compressed formats out of scope
     assert got[4].sample_rate is None
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(130)]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(words)),
+            Row(doc_id=2, text="short doc"),
+            Row(doc_id=3, text="   "),  # blank: no chunks
+        ]
+    )
+    out = chunk_documents(df, chunk_size=50, overlap=10)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 130 words, stride 40: ceil((130-10)/40) = 3 chunks
+    assert sorted(k for k in rows if k[0] == 1) == [(1, 0), (1, 1), (1, 2)]
+    c0, c1, c2 = (rows[(1, i)].chunk_text.split(" ") for i in range(3))
+    assert c0 == words[0:50] and c1 == words[40:90] and c2 == words[80:130]
+    assert c0[-10:] == c1[:10]  # overlap shared verbatim
+    # union of chunks covers every word in order
+    assert c0 + c1[10:] + c2[10:] == words
+    assert rows[(2, 0)].chunk_text == "short doc"
+    assert rows[(2, 0)].n_words == 2
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=10, overlap=10)
