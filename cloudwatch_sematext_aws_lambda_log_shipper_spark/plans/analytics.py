@@ -708,3 +708,56 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 2).alias("sum_prev_hour"),
         F.round(s / n, 6).alias("avg_prev_hour"),
     )
+
+
+_PROFILE_ORACLE = """
+SELECT 'event_id' AS column_name, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'ts', count(*), count(*) - count(ts),
+       count(DISTINCT ts) FROM events
+"""
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "ts"]
+
+
+@query("table_profile", _PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style data profiling: per-column row/null/exact-distinct
+    counts in ONE scan — the data-quality audit step every ingest
+    pipeline fronts (null-rate regressions, key-cardinality drift).
+
+    Scale: the multi-distinct aggregate runs as one pass with an
+    Expand (k x row fan-out for k profiled columns, map-side partial
+    aggregation); exact NDV is the oracle-checkable choice here —
+    at 100 TB swap count_distinct for approx_count_distinct per column
+    (the HLL trade the events_daily_approx query already exercises).
+    Profile wide tables in column batches to bound the Expand factor.
+    """
+    ev = load(spark, sf_dir, "events")
+    wide = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(F.col(c)).alias(f"_nn_{c}") for c in _PROFILE_COLS],
+        *[F.count_distinct(F.col(c)).alias(f"_nd_{c}") for c in _PROFILE_COLS],
+    )
+    stack = ", ".join(
+        f"'{c}', n_rows - _nn_{c}, _nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
