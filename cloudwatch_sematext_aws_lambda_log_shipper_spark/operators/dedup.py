@@ -168,15 +168,26 @@ def minhash_candidate_pairs(
     (see DEFAULT_MAX_BUCKET_SIZE) so skew can't make one reducer
     quadratic. Candidates are distinct'd before any verification.
     """
-    banded = _cap_buckets(
+    return banded_candidate_pairs(
         signatures.select(
             F.col(id_col),
             F.explode(band_keys(num_bands, rows_per_band)).alias("bk"),
         ).select(id_col, "bk.band", "bk.key"),
-        ["band", "key"],
         id_col,
         max_bucket_size,
     )
+
+
+def banded_candidate_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """The join half of LSH candidate generation, over an already-banded
+    (id, band, key) frame — callers holding a materialized bands table
+    (e.g. the streaming guard's checkpointed batch bands) skip
+    re-deriving it from signatures."""
+    banded = _cap_buckets(banded, ["band", "key"], id_col, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -40,7 +40,7 @@ from ..operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     _cap_buckets,
     band_keys,
-    minhash_candidate_pairs,
+    banded_candidate_pairs,
     minhash_signatures,
     verify_jaccard,
     with_shingles,
@@ -108,10 +108,10 @@ class StreamingNearDup:
         )
         new_bands = self._banded(sigs).localCheckpoint(eager=True)
 
-        # intra-batch pairs: the standard self-join path
-        intra = minhash_candidate_pairs(
-            sigs, id_col, self.num_bands, self.rows_per_band,
-            self.max_bucket_size,
+        # intra-batch pairs, from the ALREADY-MATERIALIZED bands — the
+        # signature aggregation runs exactly once per batch
+        intra = banded_candidate_pairs(
+            new_bands, id_col, self.max_bucket_size
         ).select(F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"))
 
         # cross-batch pairs: new bands vs stored bands on (band, key).
