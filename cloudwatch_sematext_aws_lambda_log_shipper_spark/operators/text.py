@@ -325,3 +325,72 @@ def chunk_documents(
         F.array_join("_cw", " ").alias("chunk_text"),
         F.size("_cw").cast("long").alias("n_words"),
     )
+
+
+def build_inverted_index(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Posting-list inverted index — the structure the reference's
+    downstream (an Elasticsearch-style log search) is built on,
+    expressed relationally: one (token, id) row per DISTINCT token per
+    document, plus `tok_bucket = pmod(xxhash64(token), n_buckets)` as
+    the partition key. Written partitionBy(tok_bucket), a term lookup
+    prunes the listing to 1/n_buckets of the index before any I/O
+    (same PartitionFilters mechanism as the z-order layout).
+
+    Scale: explode + distinct is one shuffle keyed (token, id);
+    posting lists are row-striped, never collected into arrays, so a
+    stop-word's postings spread across tasks instead of materializing
+    one giant list. n_buckets sizes partitions, not correctness.
+    """
+    return (
+        df.select(
+            F.col(id_col), F.explode(words(F.col(text_col))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+        .withColumn(
+            "tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        )
+    )
+
+
+def term_buckets(spark, terms: list[str], n_buckets: int = 64) -> list[int]:
+    """The buckets the terms' postings live in — computed with Spark's
+    OWN xxhash64 over a one-row local relation (a driver-side scalar
+    job, no index access), so the search filter can never disagree
+    with the index writer's bucketing."""
+    rows = spark.createDataFrame(
+        [(t,) for t in sorted(terms)], "token string"
+    ).select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("b"))
+    return sorted({r.b for r in rows.collect()})
+
+
+def search_index(
+    index,
+    terms: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """AND-search: ids whose documents contain EVERY term. The term
+    list decomposes driver-side into a `tok_bucket IN` predicate (a
+    PartitionFilter on a partitioned index — the listing prunes to at
+    most |terms| of n_buckets buckets before any I/O) plus the exact
+    token IN-list; matching ids intersect via a count-matching
+    aggregate (one shuffle on id, no join chain growing with terms)."""
+    if not terms:
+        raise ValueError("need at least one search term")
+    lows = sorted({t.lower() for t in terms})
+    buckets = term_buckets(index.sparkSession, lows, n_buckets)
+    hits = index.filter(
+        F.col("tok_bucket").isin(buckets) & F.col("token").isin(lows)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count_distinct("token").alias("_nt"))
+        .filter(F.col("_nt") == len(lows))
+        .select(id_col)
+    )

@@ -1854,3 +1854,55 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=50,
         overlap=10,
     )
+
+
+_TOKEN_SEARCH_ORACLE = r"""
+SELECT source, count(*) AS n_docs
+FROM documents
+WHERE list_contains(string_split_regex(lower(trim(text)), '\s+'), 'vector')
+  AND list_contains(string_split_regex(lower(trim(text)), '\s+'), 'merge')
+GROUP BY source
+"""
+
+
+@query("doc_token_search", _TOKEN_SEARCH_ORACLE)
+def doc_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index AND-search — the reference's downstream IS a log
+    search engine, and this is that capability relationally: a
+    posting-list index (one (token, doc) row per distinct token,
+    partitioned by token hash bucket) built once per corpus, then a
+    two-term AND query whose term list prunes the index listing to at
+    most |terms| buckets driver-side before any I/O. Matching docs
+    aggregate by source; the oracle recomputes with brute-force
+    list_contains scans.
+
+    Scale: index build is one explode+distinct shuffle, paid once;
+    each search reads ~|terms|/n_buckets of the index, intersects via
+    a count-matching aggregate, and semi-joins the (small) id set back
+    to the corpus."""
+    from ..operators.text import build_inverted_index, search_index
+    from .synthcache import materialize_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "inverted_index",
+        builder=lambda: build_inverted_index(
+            docs.select("doc_id", "text"), n_buckets=64
+        ),
+        source="documents.parquet",
+        writer=lambda df, p: (
+            df.repartition("tok_bucket")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(p)
+        ),
+    )
+    index = spark.read.parquet(path)
+    ids = search_index(index, ["vector", "merge"], n_buckets=64)
+    return (
+        docs.join(ids, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -201,3 +201,69 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_inverted_index_search_matches_bruteforce(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        build_inverted_index,
+        search_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta gamma"),
+            Row(doc_id=1, text="Alpha beta"),          # case-folds
+            Row(doc_id=2, text="beta gamma delta"),
+            Row(doc_id=3, text="alpha alpha gamma"),   # dup tokens once
+            Row(doc_id=4, text="   "),
+        ]
+    )
+    path = str(tmp_path / "idx")
+    idx = build_inverted_index(df, n_buckets=8)
+    idx.repartition("tok_bucket").write.partitionBy("tok_bucket").parquet(path)
+    index = spark.read.parquet(path)
+
+    got = {r.doc_id for r in search_index(index, ["ALPHA", "gamma"],
+                                          n_buckets=8).collect()}
+    assert got == {0, 3}
+    assert {r.doc_id for r in
+            search_index(index, ["beta"], n_buckets=8).collect()} == {0, 1, 2}
+    assert search_index(index, ["nosuchterm"], n_buckets=8).count() == 0
+    # postings are distinct per (token, doc)
+    assert idx.count() == idx.distinct().count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        search_index(index, [])
+
+
+def test_inverted_index_search_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        build_inverted_index,
+        search_index,
+        term_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"tok{i} common filler") for i in range(40)]
+    )
+    path = str(tmp_path / "idx")
+    build_inverted_index(df, n_buckets=16).repartition(
+        "tok_bucket"
+    ).write.partitionBy("tok_bucket").parquet(path)
+    index = spark.read.parquet(path)
+    res = search_index(index, ["tok7", "common"], n_buckets=16)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tok_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "bucket IN-list did not become a partition filter"
+    assert {r.doc_id for r in res.collect()} == {7}
+    # writer/search bucket agreement: the driver-side bucket of a term
+    # equals the bucket its postings were indexed under
+    [b] = term_buckets(spark, ["tok7"], 16)
+    assert index.filter("token = 'tok7'").collect()[0].tok_bucket == b
