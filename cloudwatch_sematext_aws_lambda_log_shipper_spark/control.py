@@ -372,3 +372,94 @@ def setup(
         for s in sources
     }
     return {"sources": sources, "results": results}
+
+
+def maintain_rollup(
+    spark,
+    table_path: str,
+    rollup_path: str,
+    group_cols: tuple[str, ...] = ("severity",),
+    checkpoint_dir: str | None = None,
+) -> list[str]:
+    """Incrementally maintain a per-date counts MATERIALIZED VIEW over
+    the date-partitioned log table — the daily-severity dashboard
+    query precomputed, refreshed at O(changed days), never O(table).
+
+    Change detection is the per-date file fingerprint (names + sizes +
+    mtimes, metadata-only — the same helper the corpus caches key on):
+    a date partition whose fingerprint matches the manifest is skipped;
+    any change (new micro-batch, late data landing, a DLQ replay, even
+    a compaction refold) re-aggregates JUST that date and dynamic-
+    partition-overwrites its slice of the rollup. Re-aggregating a
+    compacted-but-unchanged day wastes one O(day) pass; detecting that
+    case exactly would require batch ids that survive refolds, and
+    correctness never depends on skipping it.
+
+    Idempotent and crash-safe: the overwrite replaces the date's rows
+    atomically per partition, and the manifest (a `_`-prefixed sidecar
+    Spark's file index ignores) is rewritten via tmp+rename AFTER each
+    date lands — a crash between the two just refreshes that date
+    again next run. With ``checkpoint_dir``, dates carrying a batch
+    newer than the stream's last committed batch are skipped (same
+    in-flight guard as compact_table).
+
+    Scale: each refresh is a partition-pruned scan of one day with
+    map-side partial aggregation; the rollup write touches one
+    directory. 100 TB tables refresh in time proportional to the data
+    that actually arrived since the last run.
+    """
+    from pyspark.sql import functions as F
+
+    from .plans.synthcache import source_fingerprint
+
+    refreshed: list[str] = []
+    if not os.path.isdir(table_path):
+        return refreshed
+    manifest_path = os.path.join(rollup_path, "_rollup_manifest.json")
+    manifest: dict[str, str] = {}
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+    last_committed = (
+        _last_committed_batch(checkpoint_dir)
+        if checkpoint_dir is not None
+        else None
+    )
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("log_date="):
+            continue
+        day = entry.split("=", 1)[1]
+        part_dir = os.path.join(table_path, entry)
+        if last_committed is not None:
+            batches = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(part_dir)
+                if d.startswith("ingest_batch=")
+                and d.split("=", 1)[1].lstrip("-").isdigit()
+            ]
+            if any(b > last_committed for b in batches):
+                continue  # in-flight batch: leave this date stale
+        fp = source_fingerprint(part_dir)
+        if manifest.get(day) == fp:
+            continue
+        day_df = spark.read.parquet(part_dir)
+        if "ingest_batch" in day_df.columns:
+            day_df = day_df.drop("ingest_batch")
+        agg = (
+            day_df.groupBy(*[F.col(f"`{c}`") for c in group_cols])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("log_date", F.lit(day).cast("date"))
+        )
+        (
+            agg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("log_date")
+            .parquet(rollup_path)
+        )
+        manifest[day] = fp
+        tmp = manifest_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, manifest_path)
+        refreshed.append(day)
+    return refreshed

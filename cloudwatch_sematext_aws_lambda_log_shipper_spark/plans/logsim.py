@@ -656,3 +656,63 @@ def log_top_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("message", F.col("n").cast("long").alias("n"), "rnk")
     )
+
+
+_ROLLUP_MV_ORACLE = """
+WITH msgs AS (
+  SELECT event_id % 5 AS m, event_type, value, props FROM events
+), parsed AS (
+  SELECT
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message,
+    CASE WHEN m = 2 THEN DATE '2024-01-01' ELSE DATE '1970-01-01' END AS log_date
+  FROM msgs
+  WHERE m <> 3
+)
+SELECT log_date,
+       CASE WHEN lower(message) LIKE '%error%' THEN 'error' ELSE 'debug' END
+         AS severity,
+       count(*) AS n
+FROM parsed
+GROUP BY log_date, severity
+"""
+
+
+@query("log_rollup_incremental", _ROLLUP_MV_ORACLE)
+def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under the oracle: the clean parse
+    output lands in the log table as TWO micro-batches with
+    maintain_rollup run after each, and the final rollup — built
+    purely incrementally, never from a full-table aggregate — must
+    equal the oracle's one-shot aggregation over everything. Exercises
+    fingerprint change detection, per-date dynamic partition
+    overwrite, and manifest persistence end-to-end.
+
+    Scale: each maintain pass scans only the dates the new batch
+    touched (partition-pruned, map-side combined) and overwrites only
+    those rollup slices — O(arrived data), not O(table)."""
+    import shutil
+
+    from ..control import maintain_rollup
+
+    clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
+    base = os.path.join(
+        "/tmp/spark_graft_sink", os.path.basename(os.path.normpath(sf_dir))
+    )
+    table = os.path.join(base, "rollup_src")
+    rollup = os.path.join(base, "rollup_mv")
+    for p in (table, rollup):
+        shutil.rmtree(p, ignore_errors=True)
+    halves = F.pmod(F.crc32(F.coalesce(F.col("message"), F.lit(""))), F.lit(2))
+    write_log_table(clean.filter(halves == 0), table, batch_id=0)
+    maintain_rollup(spark, table, rollup)
+    write_log_table(clean.filter(halves == 1), table, batch_id=1)
+    maintain_rollup(spark, table, rollup)
+    return spark.read.parquet(rollup).select(
+        "log_date", "severity", F.col("n").cast("long").alias("n")
+    )

@@ -459,3 +459,115 @@ def test_compact_partition_merges_into_recreated_dir(spark, tmp_path):
     _reattach_unfolded(part, old)
     assert sorted(os.listdir(part)) == ["ingest_batch=-1", "ingest_batch=7"]
     assert sorted(os.listdir(old)) == ["ingest_batch=0", "ingest_batch=1"]
+
+
+def _mk_clean(spark, day_msgs):
+    """day_msgs: list of (date_str, message) -> parsed clean frame."""
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.parse import (
+        parse_log_events,
+        split_dlq,
+    )
+
+    rows = [
+        Row(
+            awsRegion="r",
+            logGroup="g",
+            logStream="s",
+            message=f'{{"message":"{m}","timestamp":"{d}T01:00:00.000Z"}}',
+        )
+        for d, m in day_msgs
+    ]
+    clean, _ = split_dlq(parse_log_events(spark.createDataFrame(rows)))
+    return clean
+
+
+def test_maintain_rollup_incremental_and_idempotent(spark, tmp_path):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        maintain_rollup,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    table, rollup = str(tmp_path / "t"), str(tmp_path / "mv")
+    write_log_table(
+        _mk_clean(
+            spark,
+            [("2024-01-01", "a error"), ("2024-01-01", "b"), ("2024-01-02", "c")],
+        ),
+        table,
+        batch_id=0,
+    )
+    assert sorted(maintain_rollup(spark, table, rollup)) == [
+        "2024-01-01",
+        "2024-01-02",
+    ]
+    # unchanged table -> no refreshes, rollup intact
+    assert maintain_rollup(spark, table, rollup) == []
+    # a new batch touching ONLY day 2 refreshes only day 2
+    write_log_table(
+        _mk_clean(spark, [("2024-01-02", "d error")]), table, batch_id=1
+    )
+    assert maintain_rollup(spark, table, rollup) == ["2024-01-02"]
+    got = {
+        (str(r.log_date), r.severity): r.n
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got == {
+        ("2024-01-01", "error"): 1,
+        ("2024-01-01", "debug"): 1,
+        ("2024-01-02", "debug"): 1,
+        ("2024-01-02", "error"): 1,
+    }
+
+
+def test_maintain_rollup_survives_compaction_refold(spark, tmp_path):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        compact_partition,
+        maintain_rollup,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    table, rollup = str(tmp_path / "t"), str(tmp_path / "mv")
+    for b in range(2):
+        write_log_table(
+            _mk_clean(spark, [("2024-01-03", f"m{b}")]), table, batch_id=b
+        )
+    maintain_rollup(spark, table, rollup)
+    before = {
+        (str(r.log_date), r.severity): r.n
+        for r in spark.read.parquet(rollup).collect()
+    }
+    compact_partition(spark, table, "2024-01-03")
+    # refold changes the files -> the day re-aggregates, totals identical
+    assert maintain_rollup(spark, table, rollup) == ["2024-01-03"]
+    after = {
+        (str(r.log_date), r.severity): r.n
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert after == before == {("2024-01-03", "debug"): 2}
+
+
+def test_maintain_rollup_skips_inflight_batches(spark, tmp_path):
+    import os
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.control import (
+        maintain_rollup,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sink import write_log_table
+
+    table, rollup = str(tmp_path / "t"), str(tmp_path / "mv")
+    ckpt = tmp_path / "ckpt" / "commits"
+    ckpt.mkdir(parents=True)
+    (ckpt / "0").write_text("{}")  # last committed batch = 0
+    write_log_table(_mk_clean(spark, [("2024-01-04", "a")]), table, batch_id=0)
+    write_log_table(_mk_clean(spark, [("2024-01-05", "b")]), table, batch_id=1)
+    refreshed = maintain_rollup(
+        spark, table, rollup, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert refreshed == ["2024-01-04"]  # batch 1 not committed -> day 5 stale
+    (ckpt / "1").write_text("{}")
+    assert maintain_rollup(
+        spark, table, rollup, checkpoint_dir=str(tmp_path / "ckpt")
+    ) == ["2024-01-05"]
+    assert os.path.isfile(os.path.join(rollup, "_rollup_manifest.json"))
