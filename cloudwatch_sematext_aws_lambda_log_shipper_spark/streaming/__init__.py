@@ -10,6 +10,7 @@ from .pipeline import (  # noqa: F401
     StreamingShipper,
     correlate_error_context,
     dedup_stream,
+    sessionized_request_stats,
     stream_kinesis_event_files,
     windowed_severity_counts,
 )

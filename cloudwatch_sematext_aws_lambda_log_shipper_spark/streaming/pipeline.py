@@ -130,6 +130,53 @@ def windowed_severity_counts(
     )
 
 
+def sessionized_request_stats(
+    parsed: DataFrame,
+    gap: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAMING sessionization: per (function.name, request id),
+    gap-based session_window aggregation with a watermark — the
+    "how long did each invocation's log burst last, and how noisy was
+    it" question, maintained incrementally as records arrive. The
+    batch twin (`events_session_window`) is oracle-checked; this is
+    the same native operator in update-capable streaming state.
+
+    Scale: state is one open session per active key, closed and
+    emitted once the watermark passes session end + gap; the shuffle
+    keys on (name, request id), so a hot function spreads across its
+    request ids.
+    """
+    with_ts = parsed.withColumn(
+        "event_time", F.try_to_timestamp(F.col("`@timestamp`"))
+    ).filter(
+        F.col("event_time").isNotNull()
+        & F.col("`function.request.id`").isNotNull()
+    )
+    return (
+        with_ts.withWatermark("event_time", watermark_delay)
+        .groupBy(
+            F.session_window("event_time", gap),
+            F.col("`function.name`").alias("function_name"),
+            F.col("`function.request.id`").alias("request_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("severity") == "error").cast("long")
+            ).alias("n_errors"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "function_name",
+            "request_id",
+            "n_events",
+            "n_errors",
+        )
+    )
+
+
 def correlate_error_context(
     parsed: DataFrame,
     max_skew: str = "5 minutes",

@@ -387,3 +387,60 @@ def test_streaming_neardup_custom_banding(spark, tmp_path):
     assert guard.process_batch(b1, 0).collect() == []
     pairs = {(r.new_id, r.old_id) for r in guard.process_batch(b2, 1).collect()}
     assert pairs == {(2, 1)}
+
+
+def test_streaming_sessionization_gap_windows(spark, tmp_path):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        sessionized_request_stats,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    t = "2024-01-01T10:{:02d}:{:02d}.000Z"
+    write_event_file(
+        inp,
+        "a.json",
+        [
+            payload(
+                [
+                    # r1 burst: two events 2.5 min apart -> ONE session
+                    f'{{"message":"a error","requestId":"r1","timestamp":"{t.format(0, 30)}"}}',
+                    f'{{"message":"b","requestId":"r1","timestamp":"{t.format(3, 0)}"}}',
+                    # r1 again far outside the 5-min gap -> SECOND session
+                    f'{{"message":"c","requestId":"r1","timestamp":"{t.format(30, 0)}"}}',
+                    # r2: its own session
+                    f'{{"message":"d","requestId":"r2","timestamp":"{t.format(20, 0)}"}}',
+                    # no request id -> excluded from sessionization
+                    f'{{"message":"e","timestamp":"{t.format(0, 0)}"}}',
+                ]
+            )
+        ],
+    )
+    records = stream_kinesis_event_files(spark, str(inp))
+    sessions = sessionized_request_stats(
+        parse_kinesis_records(records, observe=False), gap="5 minutes"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("req_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    wait_done(q)
+    rows = {
+        (r.request_id, r.session_start.isoformat()): r
+        for r in spark.sql("SELECT * FROM req_sessions").collect()
+    }
+    assert set(rows) == {
+        ("r1", "2024-01-01T10:00:30"),
+        ("r1", "2024-01-01T10:30:00"),
+        ("r2", "2024-01-01T10:20:00"),
+    }
+    burst = rows[("r1", "2024-01-01T10:00:30")]
+    # session end extends gap past the LAST event in the session
+    assert burst.session_end.isoformat() == "2024-01-01T10:08:00"
+    assert (burst.n_events, burst.n_errors) == (2, 1)
+    assert all(r.function_name == "fn-s" for r in rows.values())
+    single = rows[("r2", "2024-01-01T10:20:00")]
+    assert (single.n_events, single.n_errors) == (1, 0)
