@@ -623,3 +623,34 @@ def priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_LATE_SHIP_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("late_shipping_orders", _LATE_SHIP_ORACLE)
+def late_shipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape through the SQL surface: orders per priority with
+    at least one line item shipped 60+ days after the order date — a
+    correlated EXISTS whose predicate mixes the equi key with a
+    non-equi date comparison across BOTH relations, the case the
+    decorrelator must keep inside the join condition.
+
+    Scale: Catalyst's RewritePredicateSubquery turns the EXISTS into a
+    LEFT SEMI join on l_orderkey with the date comparison as a join
+    residual — one shuffle pair on the key, existence short-circuits
+    per probe row, no count-then-filter materialization.
+    """
+    from ..catalog import register_test_tables
+
+    register_test_tables(spark, sf_dir)
+    return spark.sql(_LATE_SHIP_ORACLE)

@@ -59,3 +59,17 @@ def test_log_table_partition_pruning(spark, tmp_path):
     # the date predicate must prune at the scan, not filter post-read
     assert "PartitionFilters" in plan and "log_date" in plan.split("PartitionFilters")[1][:200]
     assert [r.message for r in q.collect()] == ["b"]
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+        late_shipping_orders,
+    )
+
+    df = late_shipping_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the correlated EXISTS must become a semi join with the non-equi
+    # date comparison kept as a join residual — never a per-row subplan
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+    assert df.count() > 0
