@@ -654,3 +654,47 @@ def late_shipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_test_tables(spark, sf_dir)
     return spark.sql(_LATE_SHIP_ORACLE)
+
+
+_TIER_ORACLE = """
+WITH tiers(tier, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9)
+)
+SELECT t.tier, count(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+"""
+
+
+@query("events_value_tier_lookup", _TIER_ORACLE)
+def events_value_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-table enrichment: classify every event by a (lo, hi) tier
+    table with NO equi key at all — the IP-range / SLA-band / price-
+    tier lookup shape. The tier side is broadcast, so the plan is a
+    BroadcastNestedLoopJoin over a 3-row build side: each stream row
+    scans the tiny sorted range list in place, no shuffle of the big
+    side, no cartesian materialization.
+
+    Scale: correct whenever the range table is broadcast-small (the
+    production case for tier/geo tables); a million-range table would
+    instead bucket both sides by range prefix to recover an equi key.
+    """
+    ev = load(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
