@@ -698,3 +698,97 @@ def events_value_tier_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+_CUST_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+"""
+
+
+@query("customer_order_distribution", _CUST_DIST_ORACLE)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over customers — a
+    LEFT OUTER join (zero-order customers MUST survive with count 0,
+    which an inner join silently drops) feeding a double aggregation
+    (count per customer, then count per count).
+
+    Scale: the outer join and the first aggregation share the
+    c_custkey/o_custkey key, so Catalyst runs them in one shuffle
+    domain; the second aggregation's key space is tiny (distinct order
+    counts, tens of values) and collapses map-side before a near-free
+    final exchange. count(o_orderkey) — not count(*) — is the
+    load-bearing detail: it counts non-null matches only, giving the
+    unmatched outer rows their 0.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_IDLE_WEALTHY_ORACLE = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM customer c, pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@query("idle_wealthy_customers", _IDLE_WEALTHY_ORACLE)
+def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers richer than the positive-balance
+    average with no RECENT order (none since 2001-01-01 — the test
+    corpus gives every customer some historical order, so a plain
+    never-ordered predicate would be vacuously empty and the check
+    would pin nothing), rolled up by nation — an uncorrelated scalar
+    aggregate subquery gating an anti join.
+
+    The average is compared by exact cross-multiplication
+    (acctbal * n > sum, all DECIMAL) instead of dividing to a double:
+    a float average is summation-order-dependent, so a boundary
+    customer could flip membership between engines; the cross-multiply
+    keeps the predicate exact and engine-independent.
+
+    Scale: the 1-row aggregate broadcasts into the filter (a
+    BroadcastNestedLoopJoin over a single build row — free), the
+    filter prunes BEFORE the anti join so only rich customers shuffle,
+    and the anti join's build side is orders pre-filtered by the date
+    predicate (pushed to the scan) and pruned to o_custkey only.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).cast("decimal(18,2)").alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich = cust.join(F.broadcast(pos)).filter(bal * F.col("_n") > F.col("_s"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal).cast("double").alias("total_acctbal"),
+    )

@@ -1,0 +1,65 @@
+"""Round-7 relational additions: TPC-H Q13-shaped double aggregation
+(outer-join count histogram) and Q22-shaped scalar-subquery + anti
+join. Same contract as test_relational.py: result sanity + the
+physical-plan properties that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+    customer_order_distribution,
+    idle_wealthy_customers,
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_order_distribution_counts_every_customer_once(spark, sf_dir):
+    rows = customer_order_distribution(spark, sf_dir).collect()
+    n_customers = load(spark, sf_dir, "customer").count()
+    # histogram partitions the customer set: buckets sum to |customer|
+    assert sum(r.n_customers for r in rows) == n_customers
+    assert all(r.n_orders >= 0 for r in rows)
+
+
+def test_order_distribution_outer_join_keeps_zero_order_rows(spark, sf_dir):
+    # remove one customer's orders; that customer must move to the
+    # n_orders=0 bucket instead of vanishing (the inner-join bug)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    victim = cust.select(F.min("c_custkey")).first()[0]
+    per_cust = (
+        cust.join(
+            orders.filter(F.col("o_custkey") != victim),
+            cust.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("n_orders"))
+    )
+    zero = per_cust.filter(F.col("n_orders") == 0).collect()
+    assert [r.c_custkey for r in zero] == [victim]
+
+
+def test_idle_wealthy_predicate_and_plan(spark, sf_dir):
+    df = idle_wealthy_customers(spark, sf_dir)
+    plan = plan_of(df)
+    # the 1-row scalar aggregate must ride a broadcast, and the
+    # no-recent-order predicate must be a proper anti join
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    # every emitted nation bucket holds customers strictly above the
+    # positive-balance mean: per-bucket average > global positive mean
+    cust = load(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("c_acctbal").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    global_avg = pos.s / pos.n
+    for r in rows:
+        assert r.total_acctbal / r.n_customers > global_avg
