@@ -1906,3 +1906,37 @@ def doc_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- heavy hitters (Misra-Gries + exact recount) ------------------------
+
+
+_HEAVY_HITTERS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+), t AS (SELECT count(*) AS n_total FROM toks)
+SELECT c.token AS item, c.n, t.n_total
+FROM c, t
+WHERE c.n * 30 > t.n_total
+ORDER BY n DESC, item
+"""
+
+
+@query("token_heavy_hitters", _HEAVY_HITTERS_ORACLE)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 1/30 of the stream, via Misra-Gries candidate
+    sketching + an exact recount (operators/heavyhitters.py) — the
+    bounded-shuffle alternative to top_tokens' O(|vocab|) aggregate.
+    The oracle is the brute-force exact computation: identical output
+    is the point — the sketch only bounds WORK, never changes the
+    answer (superset guarantee + exact phase-2 threshold).
+    """
+    from ..operators.heavyhitters import heavy_hitters
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", k=30)
