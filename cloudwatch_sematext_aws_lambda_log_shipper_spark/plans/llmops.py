@@ -1940,3 +1940,57 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(words(F.col("text"))).alias("token"))
     return heavy_hitters(toks, "token", k=30)
+
+
+# --- DSIR importance scoring --------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    def digit(p: int) -> str:
+        a = f"ascii(substr(h,{p},1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    bucket = f"(({digit(1)}) * 256 + ({digit(2)}) * 16 + ({digit(3)}))"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source = 'src1' AS is_t,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), b AS (
+  SELECT doc_id, is_t, {bucket} AS bucket
+  FROM (SELECT doc_id, is_t, md5(token) AS h FROM toks)
+), stats AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b,
+         count(*) AS r_b
+  FROM b GROUP BY bucket
+), tot AS (SELECT CAST(SUM(t_b) AS BIGINT) AS t, CAST(SUM(r_b) AS BIGINT) AS r FROM stats)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(SUM(CASE WHEN s.t_b * tot.r > s.r_b * tot.t THEN 1 ELSE 0 END)
+            AS BIGINT) AS target_hits,
+       CAST(ROUND(SUM(ln(CAST((s.t_b + 1) * (tot.r + 4096) AS DOUBLE)
+                         / CAST((s.r_b + 1) * (tot.t + 4096) AS DOUBLE))), 6)
+            AS DOUBLE) AS dsir_logratio
+FROM b JOIN stats s USING (bucket), tot
+GROUP BY doc_id
+ORDER BY dsir_logratio DESC, doc_id
+LIMIT 25
+"""
+
+
+@query("corpus_importance_ranking", _dsir_oracle())
+def corpus_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/importance.py): rank the
+    corpus by hashed-unigram log-likelihood ratio against a target
+    distribution (here: source 'src1' plays the reference corpus), the
+    public importance-resampling recipe for choosing pretraining data.
+    Top 25 by score; `target_hits` is the all-integer companion signal
+    (tokens in target-leaning buckets by exact cross-multiplication).
+    """
+    from ..operators.importance import importance_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = importance_scores(docs, F.col("source") == "src1")
+    return scored.orderBy(
+        F.col("dsir_logratio").desc(), F.col("doc_id")
+    ).limit(25)
