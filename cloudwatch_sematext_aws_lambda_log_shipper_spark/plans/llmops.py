@@ -1994,3 +1994,80 @@ def corpus_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("dsir_logratio").desc(), F.col("doc_id")
     ).limit(25)
+
+
+# --- canonical selection per near-dup cluster ---------------------------
+
+
+_CANONICAL_ORACLE = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM docs WHERE len(w) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+), assign AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT cluster_id,
+       count(*) AS n_members,
+       arg_max(doc_id, n_chars * 4294967296 - doc_id) AS canonical_doc_id,
+       CAST(max(n_chars) AS BIGINT) AS canonical_chars
+FROM assign
+GROUP BY cluster_id
+HAVING count(*) >= 2
+"""
+
+
+@query("near_dup_canonical", _CANONICAL_ORACLE)
+def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering in a real dedup pipeline: per near-dup
+    cluster, KEEP THE BEST document, not an arbitrary one — here the
+    longest text (max n_chars) with min doc_id as the deterministic
+    tie-break, via one max_by over a composite ordering struct. Output
+    covers multi-member clusters only (singletons have nothing to
+    drop).
+
+    Scale: composition of near_dup_clusters (bucketed LSH + min-label
+    propagation) with ONE additional groupBy on cluster_id carrying
+    max_by's single-row state — no window sort, no per-cluster
+    materialization. The ordering key is the ENCODED bigint
+    n_chars * 2^32 - doc_id (this DuckDB build's arg_max takes scalar
+    keys only): total order, engine- and layout-stable, exact while
+    n_chars < 2^31 — far beyond any real document's length.
+    """
+    from ..operators.dedup import near_dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    clusters = near_dup_clusters(docs, max_bucket_size=None)
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                "doc_id",
+                F.col("n_chars").cast("long") * F.lit(4294967296).cast("long")
+                - F.col("doc_id"),
+            ).alias("canonical_doc_id"),
+            F.max("n_chars").cast("long").alias("canonical_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
