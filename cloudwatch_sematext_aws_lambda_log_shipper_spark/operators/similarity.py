@@ -841,3 +841,111 @@ def semdedup_pairs(
     return pairs.dropDuplicates(["id_a", "id_b"]).select(
         "id_a", "id_b", F.round("_cos", 6).alias("cosine")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_size: int = 65536,
+    candidate_margin: int = 4,
+) -> DataFrame:
+    """Exact k-NN GRAPH: every corpus vector's top-k cosine neighbors
+    (self excluded) — the all-pairs sibling of cosine_topk (which
+    serves a handful of query vectors). The k-NN graph is the backbone
+    structure for diversity sampling, graph-based dedup, and
+    cluster-quality audits over a training corpus.
+
+    Two-phase exactness: (1) candidate generation runs the blocked-GEMM
+    pattern of cosine_pairs_exact, keeping the top k+margin per row per
+    chunk via argpartition — numpy BLAS throughput, O(n*(k+margin))
+    candidate volume instead of O(n^2) pairs; (2) the FINAL cosine for
+    each surviving candidate is recomputed JVM-side with the
+    sequential-order dot() fold, so ranking and emitted values are
+    bit-identical to a sequential-evaluation oracle — GEMM's float
+    summation order influences only which candidates reach phase 2,
+    where the margin absorbs its ~1e-15 perturbations.
+
+    Scale: per-chunk candidates shuffle n*(k+margin) skinny rows; the
+    phase-2 join touches only candidate ids; the per-row top-k is one
+    window over <= (k+margin)*n_chunks candidates. Driver holds one
+    chunk at a time, exactly like cosine_pairs_exact.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
+    n_chunks = max(1, math.ceil(c.count() / chunk_size))
+    m = k + candidate_margin
+
+    sc = corpus.sparkSession.sparkContext
+    cand_schema = "src long, dst long"
+    parts = []
+    for ch in range(n_chunks):
+        chunk = c if n_chunks == 1 else c.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
+        )
+        pdf = chunk.toPandas()
+        if len(pdf) == 0:
+            continue
+        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
+        bc = sc.broadcast((chunk_ids, chunk_mat))
+
+        def block(batches, _bc=bc, _m=m):
+            import pandas as pd
+
+            r_ids, r_mat = _bc.value
+            for pdf in batches:
+                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                l_mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                sims = l_mat @ r_mat.T
+                # mask self-matches before the partial sort
+                for i, lid in enumerate(l_ids):
+                    self_pos = np.where(r_ids == lid)[0]
+                    if len(self_pos):
+                        sims[i, self_pos] = -np.inf
+                take = min(_m, sims.shape[1])
+                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                src = np.repeat(l_ids, take)
+                dst = r_ids[idx.ravel()]
+                keep = ~np.isinf(-sims[np.repeat(np.arange(len(l_ids)), take), idx.ravel()])
+                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+        parts.append(c.mapInPandas(block, cand_schema))
+
+    if not parts:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, cosine double, rank int"
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+
+    # phase 2: bit-exact cosine + global top-k per source
+    left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
+    right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
+    scored = (
+        cands.join(left, "src")
+        .join(right, "dst")
+        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("dst").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -2071,3 +2071,40 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# --- exact k-NN graph ---------------------------------------------------
+
+
+_KNN_GRAPH_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM c a JOIN c b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS r
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= 5
+"""
+
+
+@query("embedding_knn_graph", _KNN_GRAPH_ORACLE)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for EVERY corpus vector
+    (operators/similarity.py knn_graph) — the all-pairs k-NN graph
+    behind diversity sampling and graph dedup, vs the oracle's
+    brute-force 250k-pair ranking. Phase-1 GEMM candidates + phase-2
+    sequential-fold rescore keep the emitted cosines bit-comparable.
+    """
+    from ..operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    return knn_graph(emb, k=5)

@@ -1,0 +1,58 @@
+"""Exact k-NN graph: brute-force parity, incl. the multi-chunk path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+    knn_graph,
+)
+
+
+def _vectors(n=80, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, dim)).round(3)
+
+
+def _brute_force(mat, k):
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    np.fill_diagonal(sims, -np.inf)
+    out = set()
+    for i in range(len(mat)):
+        # sort by (-cos, neighbor) to mirror the operator's tie-break
+        order = sorted(range(len(mat)), key=lambda j: (-sims[i, j], j))
+        for rank, j in enumerate(order[:k], start=1):
+            out.add((i, j, rank))
+    return out
+
+
+def test_knn_graph_matches_brute_force(spark):
+    mat = _vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in knn_graph(df, k=3).collect()
+    }
+    assert got == _brute_force(mat, 3)
+
+
+def test_knn_graph_chunked_equals_single_chunk(spark):
+    mat = _vectors(n=60)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    one = {
+        (r.vec_id, r.neighbor_id, r.rank, r.cosine)
+        for r in knn_graph(df, k=4).collect()
+    }
+    many = {
+        (r.vec_id, r.neighbor_id, r.rank, r.cosine)
+        for r in knn_graph(df, k=4, chunk_size=17).collect()
+    }
+    assert one == many
+    assert {(a, b, r) for a, b, r, _ in one} == _brute_force(mat, 4)
