@@ -639,9 +639,13 @@ def log_top_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesize the corpus, run decode-free parse + classify, keep
     severity='error' rows, count per message, window-rank the top 5.
 
-    Scale: the rank window runs over the POST-AGGREGATION frame (one
-    row per distinct error message — tiny by construction), never over
-    raw events; the groupBy is map-side combined."""
+    Scale: the top-5 is taken FIRST with orderBy+limit — a distributed
+    TakeOrderedAndProject (per-partition heaps, no global sort) — so
+    the rank window only ever sees <= 5 rows. Ranking before limiting
+    would instead sort EVERY distinct error message in one partition
+    (WindowExec with no PARTITION BY), which breaks the day a deploy
+    starts templating unique ids into error strings; the groupBy is
+    map-side combined either way."""
     from pyspark.sql import Window
 
     clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
@@ -650,10 +654,10 @@ def log_top_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("message")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    top = counts.orderBy(F.col("n").desc(), "message").limit(5)
     w = Window.orderBy(F.col("n").desc(), "message")
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("message", F.col("n").cast("long").alias("n"), "rnk")
     )
 
