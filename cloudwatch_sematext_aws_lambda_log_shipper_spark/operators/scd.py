@@ -1,0 +1,89 @@
+"""Type-2 slowly-changing-dimension maintenance (SCD2).
+
+The warehouse-side sibling of the control plane's subscription upsert
+(control.py classifies created/unchanged/replaced the same way the
+reference's subscriber.js does for filters): a dimension row is never
+updated in place — a change CLOSES the current version (valid_to :=
+effective time) and INSERTS a new current one, so point-in-time joins
+("what segment was this customer in when the order shipped?") stay
+answerable forever.
+
+Shape: ONE equi join of the current-version slice against the update
+batch on the business key, then three narrow projections unioned with
+the untouched history — no window functions, no per-key sort, no
+driver state. At 100 TB the join shuffles only (current ∪ updates),
+and a dimension bucketed on the key makes it exchange-free
+(operators/bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    eff_col: str = "eff_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply one update batch to an SCD2 dimension.
+
+    ``dim``: key_cols + attr_cols + valid_from + valid_to (null = the
+    current version). ``updates``: key_cols + attr_cols + eff_col, at
+    most one row per key (enforce upstream; last-write-wins folding is
+    the caller's policy decision).
+
+    Semantics per update key:
+    - new key            -> insert (valid_from = eff, open-ended)
+    - all attrs unchanged -> no-op (idempotent re-delivery is safe)
+    - any attr changed    -> close current at eff + insert new current
+    History rows (valid_to set) are never touched.
+    """
+    cur = dim.filter(F.col(to_col).isNull())
+    hist = dim.filter(F.col(to_col).isNotNull())
+
+    u = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
+        F.col(eff_col).alias("_eff"),
+    )
+    cond = None
+    for c in key_cols:
+        e = cur[c] == u[f"_u_{c}"]
+        cond = e if cond is None else cond & e
+    j = cur.join(u, cond, "full_outer")
+
+    def _differs() -> Column:
+        d = F.lit(False)
+        for c in attr_cols:
+            # null-safe inequality: a change to/from NULL is a change
+            d = d | ~cur[c].eqNullSafe(F.col(f"_n_{c}"))
+        return d
+
+    has_update = F.col("_eff").isNotNull()
+    is_new_key = cur[key_cols[0]].isNull()
+    changed = has_update & ~is_new_key & _differs()
+
+    untouched = j.filter(~has_update | (~is_new_key & ~changed)).select(
+        *key_cols, *attr_cols, from_col, to_col
+    )
+    closed = j.filter(changed).select(
+        *key_cols,
+        *attr_cols,
+        F.col(from_col),
+        F.col("_eff").alias(to_col),
+    )
+    opened = j.filter(has_update & (is_new_key | changed)).select(
+        *[F.coalesce(cur[c], F.col(f"_u_{c}")).alias(c) for c in key_cols],
+        *[F.col(f"_n_{c}").alias(c) for c in attr_cols],
+        F.col("_eff").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+    )
+    return hist.select(*key_cols, *attr_cols, from_col, to_col).unionByName(
+        untouched
+    ).unionByName(closed).unionByName(opened)

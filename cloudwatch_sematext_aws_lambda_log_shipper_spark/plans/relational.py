@@ -792,3 +792,62 @@ def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(bal).cast("double").alias("total_acctbal"),
     )
+
+
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, min(o_orderdate) AS eff
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+), chg AS (
+  SELECT c.c_custkey, c.c_mktsegment, u.eff
+  FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+)
+SELECT c_custkey, c_mktsegment AS segment,
+       TIMESTAMP '1995-01-01' AS valid_from, eff AS valid_to
+FROM chg
+UNION ALL
+SELECT c_custkey, 'URGENT-TRACK', eff, NULL FROM chg
+"""
+
+
+@query("customer_segment_scd2", _SCD2_ORACLE)
+def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension maintenance (operators/scd.py):
+    seed an SCD2 customer-segment dimension, derive an update batch
+    (customers move to the 'URGENT-TRACK' segment effective at their
+    FIRST urgent order), apply it, and emit every versioned key's full
+    history — the closed original version plus the new open one. The
+    oracle recomputes both versions set-wise; a close/open/idempotency
+    bug in the operator shifts a date or drops a row and breaks the
+    hash.
+
+    Scale: scd2_apply is one full-outer equi join of the current slice
+    against the update batch plus narrow unions; the update derivation
+    is a filtered min-aggregate on o_custkey. No windows, no per-key
+    sort.
+    """
+    from ..operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min("o_orderdate").alias("eff_ts"))
+        .withColumn("segment", F.lit("URGENT-TRACK"))
+    )
+    applied = scd2_apply(
+        dim, updates, key_cols=["c_custkey"], attr_cols=["segment"]
+    )
+    # versioned keys only: every update here changes the segment, so the
+    # semi join keeps exactly closed+reopened pairs
+    return applied.join(
+        updates.select("c_custkey"), "c_custkey", "left_semi"
+    ).select("c_custkey", "segment", "valid_from", "valid_to")
