@@ -851,3 +851,74 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return applied.join(
         updates.select("c_custkey"), "c_custkey", "left_semi"
     ).select("c_custkey", "segment", "valid_from", "valid_to")
+
+
+_PIT_JOIN_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, min(o_orderdate) AS eff
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+), dim AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         TIMESTAMP '1995-01-01' AS valid_from, u.eff AS valid_to
+  FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT c.c_custkey, 'URGENT-TRACK', u.eff, NULL
+  FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '1995-01-01', NULL
+  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+)
+SELECT d.segment, count(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+GROUP BY d.segment
+"""
+
+
+@query("orders_point_in_time_segment", _PIT_JOIN_ORACLE)
+def orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: attribute every order to the
+    segment the customer was in WHEN THE ORDER WAS PLACED, by joining
+    facts against the SCD2 dimension's validity intervals — the query
+    shape SCD2 exists to serve, and the one an as-of snapshot gets
+    wrong (a customer's later move to URGENT-TRACK must not re-label
+    their historical orders).
+
+    Scale: equi key (custkey) carries the join — one shuffle pair, the
+    interval predicate rides as a cheap join residual; versions per key
+    are few (2 here), so the residual scans a handful of rows per
+    probe. Never a range-only join, never a cartesian.
+    """
+    from ..operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min("o_orderdate").alias("eff_ts"))
+        .withColumn("segment", F.lit("URGENT-TRACK"))
+    )
+    dim = scd2_apply(dim0, updates, key_cols=["c_custkey"], attr_cols=["segment"])
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

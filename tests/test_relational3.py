@@ -63,3 +63,16 @@ def test_idle_wealthy_predicate_and_plan(spark, sf_dir):
     global_avg = pos.s / pos.n
     for r in rows:
         assert r.total_acctbal / r.n_customers > global_avg
+
+
+def test_point_in_time_join_partitions_every_order_once(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+        orders_point_in_time_segment,
+    )
+
+    rows = orders_point_in_time_segment(spark, sf_dir).collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    # validity intervals tile [1995-01-01, inf) per key with no overlap,
+    # so the temporal join is a partition of the fact table
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert any(r.segment == "URGENT-TRACK" for r in rows)
