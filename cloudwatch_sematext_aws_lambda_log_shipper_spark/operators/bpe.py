@@ -1,0 +1,169 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merges).
+
+The classic algorithm (Sennrich et al. 2016, public): pre-tokenize the
+corpus into words, keep a (word, count) frequency table, represent each
+word as a symbol sequence, and repeatedly (1) count adjacent symbol
+pairs weighted by word frequency, (2) merge the most frequent pair
+everywhere. Tokenizer TRAINING is a training-data-pipeline operator the
+same way dedup is: it consumes the whole corpus but its working set
+collapses to the distinct-word table after one scan.
+
+Distribution shape per merge step:
+- pair counting: posexplode the symbol arrays' adjacent pairs ->
+  groupBy(pair) weighted sum — map-side combined, |distinct pairs|
+  rows shuffle, NOT |corpus|;
+- argmax pair: orderBy(count desc, pair) limit 1 — a
+  TakeOrderedAndProject, one row to the driver (the only driver state:
+  the merge table itself, one row per step);
+- merge application: one Arrow-batched mapInPandas pass over the
+  distinct-word table rewriting symbol sequences (an inherently
+  sequential per-word scan — the documented exception to the
+  built-ins-only rule, bounded by |vocab| not |corpus|);
+- localCheckpoint between steps truncates the iterative lineage,
+  exactly like connected_components.
+
+Ties break lexicographically on (left, right), so training is
+deterministic across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — the one full-corpus scan."""
+    return (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _initial_symbols(wf: DataFrame) -> DataFrame:
+    # character symbols + an end-of-word marker, the standard setup
+    return wf.select(
+        "word",
+        "count",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    pairs = symtab.select(
+        "count",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(
+        F.sum("count").alias("pair_count")
+    )
+
+
+def _merge_pass(symtab: DataFrame, left: str, right: str) -> DataFrame:
+    merged = left + right
+
+    def apply_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                res, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "count": pdf["count"], "syms": out}
+            )
+
+    return symtab.mapInPandas(
+        apply_merge, schema="word string, count long, syms array<string>"
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns (merge_table, final symbol
+    table); merge_table rows are (step, left, right, merged, pair_count).
+    Stops early if no pair occurs at least twice (merging singletons is
+    noise).
+    """
+    symtab = _initial_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(symtab)
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_count < 2:
+            break
+        t = top[0]
+        merges.append((step, t.left, t.right, t.left + t.right, t.pair_count))
+        symtab = _merge_pass(symtab, t.left, t.right).localCheckpoint()
+    return merges, symtab
+
+
+def encode_with_merges(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize text with a learned merge list: adds a ``bpe_tokens``
+    array column. Merges apply in training order (the BPE contract).
+    One Arrow-batched pass; the merge list broadcasts with the closure.
+    """
+    order = [(m[1], m[2], m[3]) for m in merges]
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks_out = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in (text or "").lower().split():
+                    syms = list(w) + ["</w>"]
+                    for left, right, merged_sym in order:
+                        res, i, n = [], 0, len(syms)
+                        while i < n:
+                            if (
+                                i + 1 < n
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                res.append(merged_sym)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    toks.extend(syms)
+                toks_out.append(toks)
+            pdf = pdf.copy()
+            pdf["bpe_tokens"] = toks_out
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(enc, schema=f"{schema}, bpe_tokens array<string>")

@@ -2108,3 +2108,24 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return knn_graph(emb, k=5)
+
+
+# --- BPE tokenizer training ---------------------------------------------
+
+
+@query("bpe_merge_table")  # iterative training -> no SQL oracle (rows-only)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn 12
+    merges over the documents corpus and emit the merge table — the
+    artifact a tokenizer-training pipeline ships. Deterministic
+    (lexicographic tie-break), pinned against a pure-Python reference
+    implementation in test_bpe.py; iterative argmax+rewrite has no
+    single-SQL equivalent, so the driver records a rows-only check.
+    """
+    from ..operators.bpe import train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges, _symtab = train_bpe(docs, n_merges=12)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )
