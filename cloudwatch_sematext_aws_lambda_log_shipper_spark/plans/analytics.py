@@ -761,3 +761,53 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+_DECILES_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS pr
+  FROM events
+)
+SELECT event_type, decile,
+       count(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS lo,
+       CAST(MAX(value) AS DOUBLE) AS hi,
+       CAST(ROUND(MAX(pr), 6) AS DOUBLE) AS max_pct_rank
+FROM ranked
+GROUP BY event_type, decile
+"""
+
+
+@query("events_value_deciles", _DECILES_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution bucketing via ranking windows: ntile(10) +
+    percent_rank per event type, rolled up to decile boundary stats —
+    the feature-binning / calibration-table shape. The (value,
+    event_id) compound ordering makes tile assignment TOTAL, so both
+    engines bucket identically even among equal values.
+
+    Scale: the window partitions by event_type (parallel across types;
+    within a type Spark sorts that partition's rows once for both
+    ranking functions — same spill profile as any per-key sort); the
+    decile rollup collapses map-side to 10 rows per type.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+        F.round(F.max("pr"), 6).cast("double").alias("max_pct_rank"),
+    )
