@@ -811,3 +811,60 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").cast("double").alias("hi"),
         F.round(F.max("pr"), 6).cast("double").alias("max_pct_rank"),
     )
+
+
+@query("events_value_quantiles_approx")  # sketch-based -> rows-only check
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile, the
+    Greenwald-Khanna family) vs the exact percentiles, self-auditing:
+    each row carries the approximate value, the exact value, and
+    `within_bound` — whether the approximation's RANK error respects
+    the sketch's accuracy parameter (1/accuracy relative rank error).
+    Approx answers differ by engine/algorithm, so there is no DuckDB
+    hash twin; the truth is carried IN the result instead, the same
+    pattern as the ANN queries' recall_ok.
+
+    Scale: this is the quantile path that works at 100 TB — the sketch
+    is map-side mergeable with O(accuracy * log n) state per partition,
+    while exact percentile_cont needs a full sort per group. The exact
+    side here exists only to audit the sketch at test scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    accuracy = 1000
+    n = ev.count()
+    both = ev.agg(
+        F.percentile_approx("value", qs, accuracy).alias("approx"),
+        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias(
+            "exact"
+        ),
+    ).select(
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "pair")
+    )
+    rank_err = F.lit(1.0) / accuracy
+    # rank of the approx answer must lie within q +- 1/accuracy: audit by
+    # recomputing the approx value's true rank against the exact CDF
+    vals = ev.select("value")
+    out = both.select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias("q"),
+        F.col("pair.approx").alias("approx_value"),
+        F.col("pair.exact").cast("double").alias("exact_value"),
+    )
+    true_rank = (
+        vals.crossJoin(F.broadcast(out.select("q", "approx_value")))
+        .groupBy("q", "approx_value")
+        .agg(
+            (F.sum(F.when(F.col("value") <= F.col("approx_value"), 1).otherwise(0))
+             / F.lit(n)).alias("approx_cdf")
+        )
+    )
+    return (
+        out.join(F.broadcast(true_rank), ["q", "approx_value"])
+        .withColumn(
+            "within_bound",
+            (F.col("approx_cdf") >= F.col("q") - rank_err - F.lit(1.0) / n)
+            & (F.col("approx_cdf") - rank_err - F.lit(1.0) / n <= F.col("q")),
+        )
+        .select("q", "approx_value", "exact_value",
+                F.round("approx_cdf", 6).alias("approx_cdf"), "within_bound")
+    )

@@ -76,3 +76,13 @@ def test_point_in_time_join_partitions_every_order_once(spark, sf_dir):
     # so the temporal join is a partition of the fact table
     assert sum(r.n_orders for r in rows) == n_orders
     assert any(r.segment == "URGENT-TRACK" for r in rows)
+
+
+def test_approx_quantiles_within_sketch_bound(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        events_value_quantiles_approx,
+    )
+
+    rows = events_value_quantiles_approx(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r.within_bound for r in rows)
