@@ -720,3 +720,74 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(rollup).select(
         "log_date", "severity", F.col("n").cast("long").alias("n")
     )
+
+
+_TEMPLATES_ORACLE = r"""
+WITH msgs AS (
+  SELECT event_id % 5 AS m, event_type, value, props FROM events
+), parsed AS (
+  SELECT
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message
+  FROM msgs WHERE m <> 3
+), templ AS (
+  SELECT regexp_replace(
+           regexp_replace(message,
+             '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+             '<uuid>', 'g'),
+           '[0-9]+(\.[0-9]+)?', '<num>', 'g') AS template,
+         message
+  FROM parsed
+)
+SELECT template,
+       count(*) AS n,
+       count(DISTINCT message) AS n_variants,
+       min(message) AS example
+FROM templ
+GROUP BY template
+ORDER BY n DESC, template
+LIMIT 10
+"""
+
+
+@query("log_templates", _TEMPLATES_ORACLE)
+def log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log template mining (the Drain-family problem, He et al. 2017,
+    in its deterministic masking form): collapse variable fragments —
+    UUIDs first, then numbers — into placeholders, so the million
+    distinct raw lines fold into their handful of generating templates
+    with per-template volume, variant cardinality, and an example.
+    This is THE operation a log platform runs above the parse kernel:
+    alert on template volume, not raw-string volume.
+
+    Scale: masking is two codegen'd regexp_replace projections (narrow,
+    no Python); the aggregate shuffles one row per (template, message)
+    for the distinct count, bounded by variant cardinality, not event
+    count; top-10 is TakeOrderedAndProject.
+    """
+    clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
+    uuid_re = (
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(F.col("message"), uuid_re, "<uuid>"),
+        r"[0-9]+(\.[0-9]+)?",
+        "<num>",
+    ).alias("template")
+    return (
+        clean.select(template, "message")
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("message")).alias("n_variants"),
+            F.min("message").alias("example"),
+        )
+        .orderBy(F.col("n").desc(), "template")
+        .limit(10)
+    )
