@@ -949,3 +949,58 @@ def knn_graph(
             "rank",
         )
     )
+
+
+def ann_knn_graph_ivf(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    fit_sample_limit: int = 25_000,
+    centers=None,
+) -> DataFrame:
+    """APPROXIMATE k-NN graph — the 100 TB path where knn_graph's exact
+    O(n^2 d) GEMM is unaffordable. IVF formulation: every vector files
+    into its nearest centroid's inverted list (one Arrow assignment
+    pass), every vector PROBES its nprobe nearest centroids, and
+    scoring joins probes to lists on the cluster id — a plain shuffle
+    equi join whose per-cluster work is |cluster| x (probes landing
+    there), i.e. ~nprobe/n_clusters of the exact pair count, adapting
+    to the data distribution like every IVF path here.
+
+    Unlike ann_topk_ivf (whose handful of query probes BROADCAST), the
+    probe side is the whole corpus, so both sides shuffle on cluster —
+    the correct shape when queries == corpus. Output: (query_id,
+    neighbor_id, cosine, rnk) — feed through with_recall_at_k against
+    knn_graph at test scale for the quality gate.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("c_vec"),
+    )
+    if centers is None:
+        centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    assigned = c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec")))
+    probes = corpus.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn(
+        "cluster",
+        F.explode(_probe_factory(centers, nprobe)(F.col("q_vec"))),
+    )
+    scored = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_batch(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )

@@ -2129,3 +2129,25 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+@query("embedding_knn_graph_ivf")  # approximate -> rows-only + recall gate
+def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-approximate k-NN graph with the recall gate: the scale path
+    for embedding_knn_graph (exact GEMM is O(n^2 d); this joins
+    inverted lists to multi-probes on the cluster key). Every row
+    carries recall_at_k vs the EXACT graph plus the recall_ok mean
+    floor — the same self-auditing contract as the other ANN queries.
+    """
+    from ..operators.similarity import (
+        ann_knn_graph_ivf,
+        knn_graph,
+        with_recall_at_k,
+    )
+
+    emb = _emb(spark, sf_dir)
+    approx = ann_knn_graph_ivf(emb, k=5, nprobe=6)
+    exact = knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("query_id"), "neighbor_id"
+    )
+    return with_recall_at_k(approx, exact, k=5, min_mean_recall=0.5)
