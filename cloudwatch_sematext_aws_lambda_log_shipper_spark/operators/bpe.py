@@ -38,6 +38,21 @@ from pyspark.sql import functions as F
 from .text import words
 
 
+def _merge_syms(syms, left: str, right: str, merged: str) -> list:
+    """Apply one (left, right) -> merged rewrite to a symbol sequence,
+    left-to-right, non-overlapping — the single definition both training
+    and encoding use, so their semantics cannot diverge."""
+    res, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the corpus — the one full-corpus scan."""
     return (
@@ -80,17 +95,7 @@ def _merge_pass(symtab: DataFrame, left: str, right: str) -> DataFrame:
 
     def apply_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                res, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+            out = [_merge_syms(syms, left, right, merged) for syms in pdf["syms"]]
             yield pd.DataFrame(
                 {"word": pdf["word"], "count": pdf["count"], "syms": out}
             )
@@ -144,19 +149,7 @@ def encode_with_merges(
                 for w in (text or "").lower().split():
                     syms = list(w) + ["</w>"]
                     for left, right, merged_sym in order:
-                        res, i, n = [], 0, len(syms)
-                        while i < n:
-                            if (
-                                i + 1 < n
-                                and syms[i] == left
-                                and syms[i + 1] == right
-                            ):
-                                res.append(merged_sym)
-                                i += 2
-                            else:
-                                res.append(syms[i])
-                                i += 1
-                        syms = res
+                        syms = _merge_syms(syms, left, right, merged_sym)
                     toks.extend(syms)
                 toks_out.append(toks)
             pdf = pdf.copy()

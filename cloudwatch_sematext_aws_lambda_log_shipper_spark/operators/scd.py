@@ -9,11 +9,11 @@ effective time) and INSERTS a new current one, so point-in-time joins
 answerable forever.
 
 Shape: ONE equi join of the current-version slice against the update
-batch on the business key, then three narrow projections unioned with
-the untouched history — no window functions, no per-key sort, no
-driver state. At 100 TB the join shuffles only (current ∪ updates),
-and a dimension bucketed on the key makes it exchange-free
-(operators/bucketing.py).
+batch on the business key, whose rows each explode into their 1-2
+output versions (close + reopen for changes) — a single physical join
+branch, no window functions, no per-key sort, no driver state. At
+100 TB the join shuffles only (current ∪ updates), and a dimension
+bucketed on the key makes it exchange-free (operators/bucketing.py).
 """
 
 from __future__ import annotations
@@ -69,21 +69,45 @@ def scd2_apply(
     is_new_key = cur[key_cols[0]].isNull()
     changed = has_update & ~is_new_key & _differs()
 
-    untouched = j.filter(~has_update | (~is_new_key & ~changed)).select(
-        *key_cols, *attr_cols, from_col, to_col
+    # every joined row maps to 1-2 output rows; building them as a
+    # per-row struct ARRAY + one explode keeps the full-outer join in
+    # exactly one physical branch — filter+union per row class would
+    # re-execute the join (and re-scan both inputs) once per class
+    to_type = dim.schema[to_col].dataType
+
+    def row_struct(keys, attrs, vfrom, vto) -> Column:
+        return F.struct(
+            *[k.alias(c) for k, c in zip(keys, key_cols)],
+            *[a.alias(c) for a, c in zip(attrs, attr_cols)],
+            vfrom.alias(from_col),
+            vto.cast(to_type).alias(to_col),
+        )
+
+    cur_row = row_struct(
+        [cur[c] for c in key_cols],
+        [cur[c] for c in attr_cols],
+        cur[from_col],
+        cur[to_col],
     )
-    closed = j.filter(changed).select(
-        *key_cols,
-        *attr_cols,
-        F.col(from_col),
-        F.col("_eff").alias(to_col),
+    closed_row = row_struct(
+        [cur[c] for c in key_cols],
+        [cur[c] for c in attr_cols],
+        cur[from_col],
+        F.col("_eff"),
     )
-    opened = j.filter(has_update & (is_new_key | changed)).select(
-        *[F.coalesce(cur[c], F.col(f"_u_{c}")).alias(c) for c in key_cols],
-        *[F.col(f"_n_{c}").alias(c) for c in attr_cols],
-        F.col("_eff").alias(from_col),
-        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+    opened_row = row_struct(
+        [F.coalesce(cur[c], F.col(f"_u_{c}")) for c in key_cols],
+        [F.col(f"_n_{c}") for c in attr_cols],
+        F.col("_eff"),
+        F.lit(None),
     )
+    rows = (
+        F.when(~has_update, F.array(cur_row))
+        .when(is_new_key, F.array(opened_row))
+        .when(~changed, F.array(cur_row))  # idempotent re-delivery
+        .otherwise(F.array(closed_row, opened_row))
+    )
+    exploded = j.select(F.explode(rows).alias("_r")).select("_r.*")
     return hist.select(*key_cols, *attr_cols, from_col, to_col).unionByName(
-        untouched
-    ).unionByName(closed).unionByName(opened)
+        exploded
+    )

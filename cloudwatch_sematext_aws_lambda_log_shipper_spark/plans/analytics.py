@@ -828,43 +828,67 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     is map-side mergeable with O(accuracy * log n) state per partition,
     while exact percentile_cont needs a full sort per group. The exact
     side here exists only to audit the sketch at test scale.
+
+    The 6-row sketch output is localCheckpoint'd EAGERLY before the
+    audit join: the GK merge is shuffle-arrival-order sensitive, so
+    re-evaluating the agg subtree in two plan branches and rejoining on
+    the float approx_value could silently drop rows on an unlucky run;
+    materializing once makes both branches read the same values. The
+    bound itself is the two-sided RANK guarantee: some rank of the
+    returned value must lie in [(q - eps)n, (q + eps)n], i.e. its
+    min-rank (count of strictly-smaller values) can't sit above the
+    window and its max-rank (count of <=) can't sit below it — a
+    <=-only check would flag correct answers whenever the returned
+    value is heavily tied.
     """
     ev = load(spark, sf_dir, "events")
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     accuracy = 1000
-    n = ev.count()
-    both = ev.agg(
-        F.percentile_approx("value", qs, accuracy).alias("approx"),
-        F.expr(f"percentile(value, array({','.join(map(str, qs))}))").alias(
-            "exact"
-        ),
-    ).select(
-        F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "pair")
+    out = (
+        ev.agg(
+            F.percentile_approx("value", qs, accuracy).alias("approx"),
+            F.expr(
+                f"percentile(value, array({','.join(map(str, qs))}))"
+            ).alias("exact"),
+        )
+        .select(F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "pair"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in qs]), F.col("i") + 1
+            ).alias("q"),
+            F.col("pair.approx").alias("approx_value"),
+            F.col("pair.exact").cast("double").alias("exact_value"),
+        )
+        .localCheckpoint(eager=True)
     )
-    rank_err = F.lit(1.0) / accuracy
-    # rank of the approx answer must lie within q +- 1/accuracy: audit by
-    # recomputing the approx value's true rank against the exact CDF
-    vals = ev.select("value")
-    out = both.select(
-        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias("q"),
-        F.col("pair.approx").alias("approx_value"),
-        F.col("pair.exact").cast("double").alias("exact_value"),
-    )
-    true_rank = (
-        vals.crossJoin(F.broadcast(out.select("q", "approx_value")))
+    eps = F.lit(1.0) / accuracy
+    ranks = (
+        ev.select("value")
+        .crossJoin(F.broadcast(out.select("q", "approx_value")))
         .groupBy("q", "approx_value")
         .agg(
-            (F.sum(F.when(F.col("value") <= F.col("approx_value"), 1).otherwise(0))
-             / F.lit(n)).alias("approx_cdf")
+            F.sum(
+                F.when(F.col("value") < F.col("approx_value"), 1).otherwise(0)
+            ).alias("_lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_value"), 1).otherwise(0)
+            ).alias("_le"),
+            F.count(F.lit(1)).alias("_n"),
         )
     )
+    slack = F.lit(1.0) / F.col("_n")
     return (
-        out.join(F.broadcast(true_rank), ["q", "approx_value"])
+        out.join(F.broadcast(ranks), ["q", "approx_value"])
         .withColumn(
             "within_bound",
-            (F.col("approx_cdf") >= F.col("q") - rank_err - F.lit(1.0) / n)
-            & (F.col("approx_cdf") - rank_err - F.lit(1.0) / n <= F.col("q")),
+            (F.col("_lt") / F.col("_n") <= F.col("q") + eps + slack)
+            & (F.col("_le") / F.col("_n") >= F.col("q") - eps - slack),
         )
-        .select("q", "approx_value", "exact_value",
-                F.round("approx_cdf", 6).alias("approx_cdf"), "within_bound")
+        .select(
+            "q",
+            "approx_value",
+            "exact_value",
+            F.round(F.col("_le") / F.col("_n"), 6).alias("approx_cdf"),
+            "within_bound",
+        )
     )

@@ -794,12 +794,41 @@ def idle_wealthy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_ORACLE = """
-WITH upd AS (
+# shared by customer_segment_scd2 and orders_point_in_time_segment —
+# the dimension seed + update-batch derivation must stay identical
+# between the SCD2 builder and its point-in-time consumer (and their
+# oracles share the same CTE text below), or the two queries' version
+# semantics silently diverge.
+_SEGMENT_UPD_CTE = """upd AS (
   SELECT o_custkey AS c_custkey, min(o_orderdate) AS eff
   FROM orders WHERE o_orderpriority = '1-URGENT'
   GROUP BY o_custkey
-), chg AS (
+)"""
+
+
+def _segment_scd2_inputs(spark: SparkSession, sf_dir: str):
+    """(dim0, updates) for the customer-segment SCD2 dimension: seed
+    every customer's current segment at 1995-01-01, move customers to
+    'URGENT-TRACK' effective at their FIRST urgent order."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min("o_orderdate").alias("eff_ts"))
+        .withColumn("segment", F.lit("URGENT-TRACK"))
+    )
+    return dim0, updates
+
+
+_SCD2_ORACLE = f"""
+WITH {_SEGMENT_UPD_CTE}, chg AS (
   SELECT c.c_custkey, c.c_mktsegment, u.eff
   FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
 )
@@ -829,20 +858,7 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.scd import scd2_apply
 
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    dim = cust.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-    )
-    updates = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.min("o_orderdate").alias("eff_ts"))
-        .withColumn("segment", F.lit("URGENT-TRACK"))
-    )
+    dim, updates = _segment_scd2_inputs(spark, sf_dir)
     applied = scd2_apply(
         dim, updates, key_cols=["c_custkey"], attr_cols=["segment"]
     )
@@ -853,12 +869,8 @@ def customer_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "segment", "valid_from", "valid_to")
 
 
-_PIT_JOIN_ORACLE = """
-WITH upd AS (
-  SELECT o_custkey AS c_custkey, min(o_orderdate) AS eff
-  FROM orders WHERE o_orderpriority = '1-URGENT'
-  GROUP BY o_custkey
-), dim AS (
+_PIT_JOIN_ORACLE = f"""
+WITH {_SEGMENT_UPD_CTE}, dim AS (
   SELECT c.c_custkey, c.c_mktsegment AS segment,
          TIMESTAMP '1995-01-01' AS valid_from, u.eff AS valid_to
   FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
@@ -895,20 +907,8 @@ def orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.scd import scd2_apply
 
-    cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    dim0 = cust.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-    )
-    updates = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(F.min("o_orderdate").alias("eff_ts"))
-        .withColumn("segment", F.lit("URGENT-TRACK"))
-    )
+    dim0, updates = _segment_scd2_inputs(spark, sf_dir)
     dim = scd2_apply(dim0, updates, key_cols=["c_custkey"], attr_cols=["segment"])
     joined = orders.join(
         dim,

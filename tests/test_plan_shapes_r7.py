@@ -62,10 +62,11 @@ def test_scd2_apply_is_one_join(spark):
         "k long, attr string, eff_ts timestamp",
     )
     plan = plan_of(scd2_apply(dim, upd, ["k"], ["attr"]))
-    # close/open/insert/no-op all derive from ONE full-outer equi join;
-    # a per-branch re-join would multiply the dimension scan cost
+    # close/open/insert/no-op all derive from ONE full-outer equi join
+    # executed ONCE (struct-array + explode, not filter+union per row
+    # class, which would re-run the join and re-scan both inputs 3x)
     n_joins = plan.count("Join ")
-    assert n_joins <= 3  # one logical join; Spark may split per union branch
+    assert n_joins == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
