@@ -1004,3 +1004,108 @@ def ann_knn_graph_ivf(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    chunk_size: int = 65536,
+    candidate_margin: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-k most-similar neighbors with a DIFFERENT label — the examples
+    a metric-learning loss needs most. Same two-phase shape as
+    knn_graph (GEMM candidates -> bit-exact JVM rescore), with the
+    label mask applied INSIDE the candidate kernel: same-label columns
+    are -inf before the partial sort, so the top-(k+margin) slots are
+    never wasted on positives and a label-dominated neighborhood can't
+    starve the candidate set.
+
+    Scale: identical cost profile to knn_graph — candidates are
+    n*(k+margin) skinny rows per chunk, the rescore join touches only
+    candidate ids, the final window partitions by source id.
+    """
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        F.col(label_col).cast("string").alias("_lbl"),
+    )
+    n_chunks = max(1, math.ceil(c.count() / chunk_size))
+    m = k + candidate_margin
+
+    sc = corpus.sparkSession.sparkContext
+    parts = []
+    for ch in range(n_chunks):
+        chunk = c if n_chunks == 1 else c.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
+        )
+        pdf = chunk.toPandas()
+        if len(pdf) == 0:
+            continue
+        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        chunk_lbls = pdf["_lbl"].to_numpy(dtype=object)
+        chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
+        bc = sc.broadcast((chunk_ids, chunk_lbls, chunk_mat))
+
+        def block(batches, _bc=bc, _m=m):
+            import pandas as pd
+
+            r_ids, r_lbls, r_mat = _bc.value
+            for pdf in batches:
+                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                l_lbls = pdf["_lbl"].to_numpy(dtype=object)
+                l_mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                sims = l_mat @ r_mat.T
+                # mask SAME-label pairs (which includes self): only
+                # cross-label columns may become candidates
+                mask = l_lbls[:, None] == r_lbls[None, :]
+                sims[mask] = -np.inf
+                take = min(_m, sims.shape[1])
+                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                src = np.repeat(l_ids, take)
+                dst = r_ids[idx.ravel()]
+                flat = sims[np.repeat(np.arange(len(l_ids)), take), idx.ravel()]
+                keep = ~np.isinf(-flat)
+                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+        parts.append(c.mapInPandas(block, "src long, dst long"))
+
+    if not parts:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, negative_id long, cosine double, rank int"
+        )
+    cands = parts[0]
+    for p in parts[1:]:
+        cands = cands.unionByName(p)
+
+    left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
+    right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
+    scored = (
+        cands.join(left, "src")
+        .join(right, "dst")
+        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("dst").alias("negative_id"),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )

@@ -2151,3 +2151,38 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "neighbor_id"
     )
     return with_recall_at_k(approx, exact, k=5, min_mean_recall=0.5)
+
+
+_HARD_NEG_ORACLE = """
+WITH c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS negative_id,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM c a JOIN c b ON a.label <> b.label
+), ranked AS (
+  SELECT vec_id, negative_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, negative_id) AS r
+  FROM pairs
+)
+SELECT vec_id, negative_id, ROUND(cos, 6) AS cosine, CAST(r AS INT) AS rank
+FROM ranked WHERE r <= 2
+"""
+
+
+@query("embedding_hard_negatives", _HARD_NEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    every vector's top-2 most-similar CROSS-label neighbors — the
+    contrastive-training examples that matter — vs the oracle's
+    brute-force cross-label ranking. The label mask runs inside the
+    GEMM candidate kernel; emitted cosines come from the bit-exact
+    sequential rescore.
+    """
+    from ..operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(emb, k=2)

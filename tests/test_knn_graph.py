@@ -79,3 +79,37 @@ def test_ivf_graph_finds_planted_duplicates(spark):
     for i in range(10):
         assert by_q[100 + i][0] == i
         assert by_q[i][0] == 100 + i
+
+
+def test_hard_negatives_are_cross_label_and_exact(spark):
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    mat = _vectors(n=50, dim=10, seed=5)
+    labels = [f"L{i % 3}" for i in range(50)]
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in row], labels[i])
+            for i, row in enumerate(mat)
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    got = hard_negatives(df, k=2, chunk_size=13).collect()  # multi-chunk
+    by_src = {}
+    for r in got:
+        assert labels[r.vec_id] != labels[r.negative_id]  # cross-label only
+        by_src.setdefault(r.vec_id, []).append((r.rank, r.negative_id))
+
+    # brute-force the exact cross-label top-2 with the same tie-break
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for i in range(50):
+        order = sorted(
+            (j for j in range(50) if labels[j] != labels[i]),
+            key=lambda j: (-sims[i, j], j),
+        )
+        expect = [(r + 1, j) for r, j in enumerate(order[:2])]
+        assert sorted(by_src[i]) == expect
