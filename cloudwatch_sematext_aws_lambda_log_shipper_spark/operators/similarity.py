@@ -843,6 +843,110 @@ def semdedup_pairs(
     )
 
 
+def _gemm_candidates(
+    c, m: int, chunk_size: int, label_masked: bool
+):
+    """Shared candidate kernel for knn_graph / hard_negatives: chunk the
+    corpus by id-hash, broadcast each normalized chunk, and stream the
+    corpus through a blocked GEMM keeping each row's top-m columns —
+    masking either self-matches (graph) or ALL same-label columns
+    (negatives) before the partial sort. Returns (src, dst) rows.
+
+    `c` must be (_id, _v[, _lbl]) with _lbl present iff label_masked.
+    Driver memory is O(chunk); candidate volume is n*m per chunk.
+    """
+    import math
+
+    import numpy as np
+
+    n_chunks = max(1, math.ceil(c.count() / chunk_size))
+    sc = c.sparkSession.sparkContext
+    parts = []
+    for ch in range(n_chunks):
+        chunk = c if n_chunks == 1 else c.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
+        )
+        pdf = chunk.toPandas()
+        if len(pdf) == 0:
+            continue
+        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        chunk_lbls = (
+            pdf["_lbl"].to_numpy(dtype=object) if label_masked else None
+        )
+        chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
+        bc = sc.broadcast((chunk_ids, chunk_lbls, chunk_mat))
+
+        def block(batches, _bc=bc, _m=m, _lm=label_masked):
+            import pandas as pd
+
+            r_ids, r_lbls, r_mat = _bc.value
+            for pdf in batches:
+                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
+                l_mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                sims = l_mat @ r_mat.T
+                if _lm:
+                    l_lbls = pdf["_lbl"].to_numpy(dtype=object)
+                    # same-label columns (includes self) can never be
+                    # negatives — mask them out of candidacy entirely
+                    sims[l_lbls[:, None] == r_lbls[None, :]] = -np.inf
+                else:
+                    for i, lid in enumerate(l_ids):
+                        self_pos = np.where(r_ids == lid)[0]
+                        if len(self_pos):
+                            sims[i, self_pos] = -np.inf
+                take = min(_m, sims.shape[1])
+                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                src = np.repeat(l_ids, take)
+                dst = r_ids[idx.ravel()]
+                flat = sims[np.repeat(np.arange(len(l_ids)), take), idx.ravel()]
+                keep = ~np.isinf(-flat)
+                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+        stream_cols = ["_id", "_v", "_lbl"] if label_masked else ["_id", "_v"]
+        parts.append(
+            c.select(*stream_cols).mapInPandas(block, "src long, dst long")
+        )
+
+    if not parts:
+        return None
+    cands = parts[0]
+    for pt in parts[1:]:
+        cands = cands.unionByName(pt)
+    return cands
+
+
+def _rescore_topk(c, cands, k: int, id_col: str, out_col: str):
+    """Phase 2 shared by knn_graph / hard_negatives: recompute each
+    candidate's cosine with the sequential-order dot() fold (bit-
+    identical to a sequential-evaluation oracle) and window-rank the
+    global top-k per source — GEMM float order only ever influenced
+    WHICH candidates reached this exact ranking."""
+    from pyspark.sql import Window
+
+    left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
+    right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
+    scored = (
+        cands.join(left, "src")
+        .join(right, "dst")
+        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("dst").alias(out_col),
+            F.round("_cos", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int,
@@ -858,97 +962,68 @@ def knn_graph(
     cluster-quality audits over a training corpus.
 
     Two-phase exactness: (1) candidate generation runs the blocked-GEMM
-    pattern of cosine_pairs_exact, keeping the top k+margin per row per
+    kernel (_gemm_candidates), keeping the top k+margin per row per
     chunk via argpartition — numpy BLAS throughput, O(n*(k+margin))
     candidate volume instead of O(n^2) pairs; (2) the FINAL cosine for
-    each surviving candidate is recomputed JVM-side with the
-    sequential-order dot() fold, so ranking and emitted values are
-    bit-identical to a sequential-evaluation oracle — GEMM's float
-    summation order influences only which candidates reach phase 2,
-    where the margin absorbs its ~1e-15 perturbations.
+    each surviving candidate is recomputed JVM-side (_rescore_topk), so
+    ranking and emitted values are bit-identical to a sequential-
+    evaluation oracle — GEMM's float summation order influences only
+    which candidates reach phase 2, where the margin absorbs its
+    ~1e-15 perturbations.
 
     Scale: per-chunk candidates shuffle n*(k+margin) skinny rows; the
     phase-2 join touches only candidate ids; the per-row top-k is one
     window over <= (k+margin)*n_chunks candidates. Driver holds one
     chunk at a time, exactly like cosine_pairs_exact.
     """
-    import math
-
-    import numpy as np
-
-    from pyspark.sql import Window
-
-    c = corpus.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v"))
-    n_chunks = max(1, math.ceil(c.count() / chunk_size))
-    m = k + candidate_margin
-
-    sc = corpus.sparkSession.sparkContext
-    cand_schema = "src long, dst long"
-    parts = []
-    for ch in range(n_chunks):
-        chunk = c if n_chunks == 1 else c.filter(
-            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
-        )
-        pdf = chunk.toPandas()
-        if len(pdf) == 0:
-            continue
-        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
-        chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
-        bc = sc.broadcast((chunk_ids, chunk_mat))
-
-        def block(batches, _bc=bc, _m=m):
-            import pandas as pd
-
-            r_ids, r_mat = _bc.value
-            for pdf in batches:
-                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
-                l_mat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-                )
-                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
-                sims = l_mat @ r_mat.T
-                # mask self-matches before the partial sort
-                for i, lid in enumerate(l_ids):
-                    self_pos = np.where(r_ids == lid)[0]
-                    if len(self_pos):
-                        sims[i, self_pos] = -np.inf
-                take = min(_m, sims.shape[1])
-                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-                src = np.repeat(l_ids, take)
-                dst = r_ids[idx.ravel()]
-                keep = ~np.isinf(-sims[np.repeat(np.arange(len(l_ids)), take), idx.ravel()])
-                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
-
-        parts.append(c.mapInPandas(block, cand_schema))
-
-    if not parts:
+    c = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
+    )
+    cands = _gemm_candidates(
+        c, k + candidate_margin, chunk_size, label_masked=False
+    )
+    if cands is None:
         return corpus.sparkSession.createDataFrame(
             [], f"{id_col} long, neighbor_id long, cosine double, rank int"
         )
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
+    return _rescore_topk(c, cands, k, id_col, "neighbor_id")
 
-    # phase 2: bit-exact cosine + global top-k per source
-    left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
-    right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
-    scored = (
-        cands.join(left, "src")
-        .join(right, "dst")
-        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    chunk_size: int = 65536,
+    candidate_margin: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-k most-similar neighbors with a DIFFERENT label — the examples
+    a metric-learning loss needs most. Same two-phase shape as
+    knn_graph (shared _gemm_candidates/_rescore_topk kernels), with the
+    label mask applied INSIDE the candidate kernel: same-label columns
+    are -inf before the partial sort, so the top-(k+margin) slots are
+    never wasted on positives and a label-dominated neighborhood can't
+    starve the candidate set.
+
+    Scale: identical cost profile to knn_graph — candidates are
+    n*(k+margin) skinny rows per chunk, the rescore join touches only
+    candidate ids, the final window partitions by source id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        F.col(label_col).cast("string").alias("_lbl"),
     )
-    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("src").alias(id_col),
-            F.col("dst").alias("neighbor_id"),
-            F.round("_cos", 6).alias("cosine"),
-            "rank",
+    cands = _gemm_candidates(
+        c, k + candidate_margin, chunk_size, label_masked=True
+    )
+    if cands is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, negative_id long, cosine double, rank int"
         )
-    )
+    return _rescore_topk(c, cands, k, id_col, "negative_id")
 
 
 def ann_knn_graph_ivf(
@@ -1003,109 +1078,4 @@ def ann_knn_graph_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
-    )
-
-
-def hard_negatives(
-    corpus: DataFrame,
-    k: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    label_col: str = "label",
-    chunk_size: int = 65536,
-    candidate_margin: int = 4,
-) -> DataFrame:
-    """Hard-negative mining for contrastive training: each vector's
-    top-k most-similar neighbors with a DIFFERENT label — the examples
-    a metric-learning loss needs most. Same two-phase shape as
-    knn_graph (GEMM candidates -> bit-exact JVM rescore), with the
-    label mask applied INSIDE the candidate kernel: same-label columns
-    are -inf before the partial sort, so the top-(k+margin) slots are
-    never wasted on positives and a label-dominated neighborhood can't
-    starve the candidate set.
-
-    Scale: identical cost profile to knn_graph — candidates are
-    n*(k+margin) skinny rows per chunk, the rescore join touches only
-    candidate ids, the final window partitions by source id.
-    """
-    import math
-
-    import numpy as np
-
-    from pyspark.sql import Window
-
-    c = corpus.select(
-        F.col(id_col).alias("_id"),
-        as_double(F.col(vec_col)).alias("_v"),
-        F.col(label_col).cast("string").alias("_lbl"),
-    )
-    n_chunks = max(1, math.ceil(c.count() / chunk_size))
-    m = k + candidate_margin
-
-    sc = corpus.sparkSession.sparkContext
-    parts = []
-    for ch in range(n_chunks):
-        chunk = c if n_chunks == 1 else c.filter(
-            F.pmod(F.xxhash64("_id"), F.lit(n_chunks)) == ch
-        )
-        pdf = chunk.toPandas()
-        if len(pdf) == 0:
-            continue
-        chunk_ids = pdf["_id"].to_numpy(dtype=np.int64)
-        chunk_lbls = pdf["_lbl"].to_numpy(dtype=object)
-        chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
-        bc = sc.broadcast((chunk_ids, chunk_lbls, chunk_mat))
-
-        def block(batches, _bc=bc, _m=m):
-            import pandas as pd
-
-            r_ids, r_lbls, r_mat = _bc.value
-            for pdf in batches:
-                l_ids = pdf["_id"].to_numpy(dtype=np.int64)
-                l_lbls = pdf["_lbl"].to_numpy(dtype=object)
-                l_mat = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
-                )
-                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
-                sims = l_mat @ r_mat.T
-                # mask SAME-label pairs (which includes self): only
-                # cross-label columns may become candidates
-                mask = l_lbls[:, None] == r_lbls[None, :]
-                sims[mask] = -np.inf
-                take = min(_m, sims.shape[1])
-                idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-                src = np.repeat(l_ids, take)
-                dst = r_ids[idx.ravel()]
-                flat = sims[np.repeat(np.arange(len(l_ids)), take), idx.ravel()]
-                keep = ~np.isinf(-flat)
-                yield pd.DataFrame({"src": src[keep], "dst": dst[keep]})
-
-        parts.append(c.mapInPandas(block, "src long, dst long"))
-
-    if not parts:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{id_col} long, negative_id long, cosine double, rank int"
-        )
-    cands = parts[0]
-    for p in parts[1:]:
-        cands = cands.unionByName(p)
-
-    left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
-    right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
-    scored = (
-        cands.join(left, "src")
-        .join(right, "dst")
-        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
-    )
-    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("src").alias(id_col),
-            F.col("dst").alias("negative_id"),
-            F.round("_cos", 6).alias("cosine"),
-            "rank",
-        )
     )
