@@ -1121,3 +1121,58 @@ def ann_knn_graph_ivf(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def kcenter_sample(
+    corpus: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float | None]]:
+    """Greedy k-center diversity sampling (Gonzalez 1985 2-approx; the
+    coreset-selection pattern behind diversity-first data pruning):
+    start from the minimum id, then repeatedly take the vector FARTHEST
+    (max min-cosine-distance) from everything selected so far. Returns
+    [(step, center_id, dist_to_selected)] — dist is the selection-time
+    farthest distance (None for the seed), i.e. the coverage radius
+    AFTER step-1 centers.
+
+    Determinism across engines: vectors are normalized elementwise
+    (x / sqrt(dot(e,e))) and distances are 1 - sequential-fold dot of
+    the normalized vectors, so every double matches a DuckDB oracle
+    bit-for-bit and the (dist DESC, id) argmax picks the same center.
+
+    Scale per step: ONE narrow pass over the corpus — min-distance
+    column folds with the new center's vector (a broadcast-as-literal
+    k x dim constant), the argmax is TakeOrdered(1). Driver holds the
+    selected centers only. localCheckpoint every few steps truncates
+    the iterative lineage. m steps = m cheap jobs, exactly like
+    connected_components' rounds.
+    """
+    raw = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_e")
+    )
+    nrm = F.sqrt(dot(F.col("_e"), F.col("_e")))
+    base = raw.select(
+        "_id",
+        F.transform(F.col("_e"), lambda x: x / nrm).alias("_u"),
+    )
+
+    seed = base.orderBy("_id").limit(1).collect()[0]
+    out: list[tuple[int, int, float | None]] = [(1, seed["_id"], None)]
+    center_u = seed["_u"]
+
+    cur = base.withColumn("_md", F.lit(None).cast("double"))
+    for step in range(2, m + 1):
+        lit_center = F.array(*[F.lit(float(x)) for x in center_u])
+        d = F.lit(1.0) - dot(F.col("_u"), lit_center)
+        cur = cur.withColumn(
+            "_md",
+            F.when(F.col("_md").isNull(), d).otherwise(F.least(F.col("_md"), d)),
+        )
+        if step % 4 == 0:
+            cur = cur.localCheckpoint()
+        far = cur.orderBy(F.col("_md").desc(), "_id").limit(1).collect()[0]
+        out.append((step, far["_id"], float(far["_md"])))
+        center_u = far["_u"]
+    return out

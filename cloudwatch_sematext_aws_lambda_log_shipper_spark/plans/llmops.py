@@ -2186,3 +2186,67 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return hard_negatives(emb, k=2)
+
+
+# --- greedy k-center diversity sampling ---------------------------------
+
+
+def _kcenter_oracle(m: int) -> str:
+    """Generate the m-step greedy k-center selection as chained CTEs —
+    each step recomputes the running min-distance column and takes the
+    (dist DESC, id) argmax, mirroring operators/similarity.py
+    kcenter_sample expression-for-expression (normalize, sequential
+    dot, least-fold), so every selected center and distance matches
+    bit-for-bit."""
+    dot_c = "list_dot_product(n.u, (SELECT u FROM n JOIN s{i} ON n.vec_id = s{i}.cid))"
+    lines = [
+        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        "n AS (SELECT vec_id,"
+        " list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM c),",
+        "s1 AS (SELECT min(vec_id) AS cid FROM n),",
+        "d1 AS (SELECT n.vec_id, n.u,"
+        f" 1 - {dot_c.format(i=1)} AS md FROM n),",
+    ]
+    for step in range(2, m + 1):
+        prev = f"d{step - 1}"
+        lines.append(
+            f"s{step} AS (SELECT vec_id AS cid, md FROM {prev}"
+            " ORDER BY md DESC, vec_id LIMIT 1),"
+        )
+        if step < m:
+            lines.append(
+                f"d{step} AS (SELECT n.vec_id, n.u,"
+                f" least(p.md, 1 - {dot_c.format(i=step)}) AS md"
+                f" FROM {prev} p JOIN n ON p.vec_id = n.vec_id),"
+            )
+    lines[-1] = lines[-1].rstrip(",")
+    sel = [
+        "SELECT 1 AS step, (SELECT cid FROM s1) AS center_id,"
+        " CAST(NULL AS DOUBLE) AS dist"
+    ]
+    for step in range(2, m + 1):
+        sel.append(
+            f"SELECT {step} AS step, cid AS center_id,"
+            f" CAST(ROUND(md, 6) AS DOUBLE) AS dist FROM s{step}"
+        )
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("embedding_kcenter_sample", _kcenter_oracle(10))
+def embedding_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sampling (Gonzalez 2-approx coreset
+    selection) under the HASH gate: 10 selection steps, each one narrow
+    corpus pass + TakeOrdered(1) argmax, checked against a 10-level
+    chained-CTE DuckDB oracle — the second iterative algorithm (after
+    connected components) whose every step the oracle replays exactly.
+    Output: selection order, center ids, and the shrinking coverage
+    radius (max-min distance at selection time).
+    """
+    from ..operators.similarity import kcenter_sample
+
+    emb = _emb(spark, sf_dir)
+    rows = kcenter_sample(emb, m=10)
+    df = spark.createDataFrame(
+        rows, "step int, center_id long, dist double"
+    )
+    return df.select("step", "center_id", F.round("dist", 6).alias("dist"))

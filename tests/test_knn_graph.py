@@ -113,3 +113,32 @@ def test_hard_negatives_are_cross_label_and_exact(spark):
         )
         expect = [(r + 1, j) for r, j in enumerate(order[:2])]
         assert sorted(by_src[i]) == expect
+
+
+def test_kcenter_picks_spread_and_radius_shrinks(spark):
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    # three tight blobs far apart: the first 3 selections after the
+    # seed must cover all three blobs before refining within any one
+    rng = np.random.default_rng(2)
+    blobs = []
+    for b, center in enumerate([(10, 0, 0), (0, 10, 0), (0, 0, 10)]):
+        for i in range(20):
+            v = np.array(center, dtype=float) + rng.normal(scale=0.05, size=3)
+            blobs.append((b * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(blobs, "vec_id long, embedding array<double>")
+    sel = kcenter_sample(df, m=5)
+    assert [s[0] for s in sel] == [1, 2, 3, 4, 5]
+    blob_of = lambda cid: cid // 100  # noqa: E731
+    # after 3 selections every blob has a center
+    assert {blob_of(cid) for _, cid, _ in sel[:3]} == {0, 1, 2}
+    # coverage radius is non-increasing from step 2 on
+    dists = [d for _, _, d in sel[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    # determinism under repartitioning
+    sel2 = kcenter_sample(df.repartition(7), m=5)
+    assert sel == sel2
