@@ -1015,7 +1015,11 @@ def hard_negatives(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
         F.col(label_col).cast("string").alias("_lbl"),
-    )
+    ).filter(F.col(label_col).isNotNull())
+    # NULL-label rows are excluded entirely — as sources AND as
+    # candidates. This matches SQL label <> label semantics (NULL
+    # compares to nothing), where a numpy object-equality mask would
+    # instead treat None as a real label distinct from every other.
     cands = _gemm_candidates(
         c, k + candidate_margin, chunk_size, label_masked=True
     )
@@ -1049,14 +1053,20 @@ def ann_knn_graph_ivf(
     Unlike ann_topk_ivf (whose handful of query probes BROADCAST), the
     probe side is the whole corpus, so both sides shuffle on cluster —
     the correct shape when queries == corpus. Scoring runs as ONE
-    cogrouped applyInPandas per cluster: a |members| x |probes| GEMM
-    that emits only each probe's within-cluster top-k — the
+    cogrouped applyInPandas per cluster: a (probe-batch x |members|)
+    GEMM that emits only each probe's within-cluster top-k — the
     row-explosion alternative (join -> |cluster| x |probes| scored
     rows -> global window) materializes ~nprobe/n_clusters of the full
     pair matrix through the shuffle and was measured 2-3x slower at
     sf0.1. The global window then ranks <= nprobe*k candidates per
     query. Output: (query_id, neighbor_id, cosine, rnk) — feed through
     with_recall_at_k against knn_graph at test scale for the gate.
+
+    Task memory is O(|cluster members| + probe batch): one inverted
+    list is held per task while probes stream in fixed batches, so
+    n_clusters must scale with the corpus so a list fits an executor —
+    the standard IVF sizing rule (n_clusters ~ n/target_list_size, or
+    sqrt(n)), same as build_ivf_index's partition layout.
     """
     import numpy as np
 
@@ -1082,29 +1092,41 @@ def ann_knn_graph_ivf(
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cos": []}
             )
-        q_ids = left["query_id"].to_numpy(dtype=np.int64)
-        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in left["q_vec"]])
-        q_mat = q_mat / np.maximum(
-            np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
-        )
         m_ids = right["neighbor_id"].to_numpy(dtype=np.int64)
         m_mat = np.stack([np.asarray(v, dtype=np.float64) for v in right["c_vec"]])
         m_mat = m_mat / np.maximum(
             np.linalg.norm(m_mat, axis=1, keepdims=True), 1e-12
         )
-        sims = q_mat @ m_mat.T
-        sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # self
-        take = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        flat = sims[np.repeat(np.arange(len(q_ids)), take), idx.ravel()]
-        keep = ~np.isinf(-flat)
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, take)[keep],
-                "neighbor_id": m_ids[idx.ravel()][keep],
-                "cos": flat[keep],
-            }
-        )
+        # the member list is held once (that's what sizing n_clusters
+        # bounds); probes stream through in fixed batches so the GEMM
+        # intermediate is (batch x members), never (all probes x members)
+        probe_batch = 8192
+        frames = []
+        for lo in range(0, len(left), probe_batch):
+            chunk = left.iloc[lo : lo + probe_batch]
+            q_ids = chunk["query_id"].to_numpy(dtype=np.int64)
+            q_mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in chunk["q_vec"]]
+            )
+            q_mat = q_mat / np.maximum(
+                np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = q_mat @ m_mat.T
+            sims[q_ids[:, None] == m_ids[None, :]] = -np.inf  # self
+            take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            flat = sims[np.repeat(np.arange(len(q_ids)), take), idx.ravel()]
+            keep = ~np.isinf(-flat)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, take)[keep],
+                        "neighbor_id": m_ids[idx.ravel()][keep],
+                        "cos": flat[keep],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
     scored = (
         probes.groupBy("cluster")
@@ -1149,30 +1171,50 @@ def kcenter_sample(
     the iterative lineage. m steps = m cheap jobs, exactly like
     connected_components' rounds.
     """
+    if m <= 0:
+        return []
     raw = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_e")
     )
-    nrm = F.sqrt(dot(F.col("_e"), F.col("_e")))
-    base = raw.select(
+    # norm as its OWN column: embedding it inside the transform lambda
+    # would re-fold the dim-length dot once per element (O(dim^2)
+    # interpreted steps per row). greatest(., 1e-12) keeps a zero
+    # vector from normalizing to all-NaN — NaN sorts above every real
+    # value in the descending argmax and would be selected forever.
+    # The oracle applies the identical guard, so doubles still match.
+    normed = raw.withColumn(
+        "_n", F.greatest(F.sqrt(dot(F.col("_e"), F.col("_e"))), F.lit(1e-12))
+    )
+    base = normed.select(
         "_id",
-        F.transform(F.col("_e"), lambda x: x / nrm).alias("_u"),
+        F.transform(F.col("_e"), lambda x: x / F.col("_n")).alias("_u"),
     )
 
-    seed = base.orderBy("_id").limit(1).collect()[0]
+    seeds = base.orderBy("_id").limit(1).collect()
+    if not seeds:
+        return []
+    seed = seeds[0]
     out: list[tuple[int, int, float | None]] = [(1, seed["_id"], None)]
     center_u = seed["_u"]
 
     cur = base.withColumn("_md", F.lit(None).cast("double"))
+    center_id = seed["_id"]
     for step in range(2, m + 1):
         lit_center = F.array(*[F.lit(float(x)) for x in center_u])
         d = F.lit(1.0) - dot(F.col("_u"), lit_center)
+        # a SELECTED point's distance-to-set is 0 BY IDENTITY, not by
+        # arithmetic: a zero vector normalizes to u=0 whose cosine
+        # distance to itself computes 1, and it would win the argmax
+        # forever. The oracle applies the same CASE, so values match.
         cur = cur.withColumn(
             "_md",
-            F.when(F.col("_md").isNull(), d).otherwise(F.least(F.col("_md"), d)),
+            F.when(F.col("_id") == F.lit(center_id), F.lit(0.0))
+            .when(F.col("_md").isNull(), d)
+            .otherwise(F.least(F.col("_md"), d)),
         )
         if step % 4 == 0:
             cur = cur.localCheckpoint()
         far = cur.orderBy(F.col("_md").desc(), "_id").limit(1).collect()[0]
         out.append((step, far["_id"], float(far["_md"])))
-        center_u = far["_u"]
+        center_u, center_id = far["_u"], far["_id"]
     return out

@@ -2199,24 +2199,32 @@ def _kcenter_oracle(m: int) -> str:
     dot, least-fold), so every selected center and distance matches
     bit-for-bit."""
     dot_c = "list_dot_product(n.u, (SELECT u FROM n JOIN s{i} ON n.vec_id = s{i}.cid))"
+    # MATERIALIZED: each d-level references n two+ times (join + the
+    # scalar center lookup); without the hint DuckDB inlines the parquet
+    # scan per reference and the 10-level chain exhausts open-file
+    # handles. Semantics are identical; each CTE evaluates once.
     lines = [
-        "WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
-        "n AS (SELECT vec_id,"
-        " list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM c),",
-        "s1 AS (SELECT min(vec_id) AS cid FROM n),",
-        "d1 AS (SELECT n.vec_id, n.u,"
-        f" 1 - {dot_c.format(i=1)} AS md FROM n),",
+        "WITH c AS MATERIALIZED"
+        " (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        "n AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS u FROM c),",
+        "s1 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM n),",
+        "d1 AS MATERIALIZED (SELECT n.vec_id, n.u,"
+        " CASE WHEN n.vec_id = (SELECT cid FROM s1) THEN 0.0"
+        f" ELSE 1 - {dot_c.format(i=1)} END AS md FROM n),",
     ]
     for step in range(2, m + 1):
         prev = f"d{step - 1}"
         lines.append(
-            f"s{step} AS (SELECT vec_id AS cid, md FROM {prev}"
+            f"s{step} AS MATERIALIZED (SELECT vec_id AS cid, md FROM {prev}"
             " ORDER BY md DESC, vec_id LIMIT 1),"
         )
         if step < m:
             lines.append(
-                f"d{step} AS (SELECT n.vec_id, n.u,"
-                f" least(p.md, 1 - {dot_c.format(i=step)}) AS md"
+                f"d{step} AS MATERIALIZED (SELECT n.vec_id, n.u,"
+                f" CASE WHEN n.vec_id = (SELECT cid FROM s{step}) THEN 0.0"
+                f" ELSE least(p.md, 1 - {dot_c.format(i=step)}) END AS md"
                 f" FROM {prev} p JOIN n ON p.vec_id = n.vec_id),"
             )
     lines[-1] = lines[-1].rstrip(",")

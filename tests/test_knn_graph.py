@@ -142,3 +142,45 @@ def test_kcenter_picks_spread_and_radius_shrinks(spark):
     # determinism under repartitioning
     sel2 = kcenter_sample(df.repartition(7), m=5)
     assert sel == sel2
+
+
+def test_hard_negatives_null_labels_excluded(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    mat = _vectors(n=12, dim=6, seed=9)
+    rows = [
+        (i, [float(x) for x in row], None if i < 3 else f"L{i % 2}")
+        for i, row in enumerate(mat)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = hard_negatives(df, k=2).collect()
+    # SQL label <> label semantics: NULL-label rows are neither sources
+    # nor candidates
+    ids = {r.vec_id for r in got} | {r.negative_id for r in got}
+    assert ids and not (ids & {0, 1, 2})
+
+
+def test_kcenter_zero_vector_and_empty_edges(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0]),  # zero vector must not poison the argmax
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = kcenter_sample(df, m=3)
+    assert len(sel) == 3
+    assert all(d is None or not (d != d) for _, _, d in sel)  # no NaN dists
+    assert len({cid for _, cid, _ in sel}) == 3  # never re-selects
+
+    assert kcenter_sample(df, m=0) == []
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_sample(empty, m=4) == []
