@@ -87,3 +87,20 @@ def with_weighted_sample(
     bucket = split_bucket(F.col(id_col), salt)
     keep = bucket < F.round(rate * F.lit(BUCKETS)).cast("int")
     return df.withColumn("sampled", keep)
+
+
+def es_priority_key(id_col: Column, weight: Column, salt: str = "") -> Column:
+    """Efraimidis-Spirakis priority for weighted sampling WITHOUT
+    replacement: key = u^(1/w) with u uniform per item; the k largest
+    keys are a weighted sample. Computed in log space — ln(u)/w — which
+    is order-equivalent and numerically tame. The 'random' u derives
+    from the 16-bit md5 bucket ((bucket + 0.5) / 65536, never 0 or 1),
+    so the draw is a pure function of (id, salt): reproducible across
+    runs, engines, and partitionings, re-rollable by salt — the same
+    determinism contract as with_split.
+
+    Scale: a narrow projection; the k-largest selection compiles to
+    TakeOrderedAndProject. One corpus pass, no shuffle, no RNG state.
+    """
+    u = (split_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
+    return F.log(u) / weight

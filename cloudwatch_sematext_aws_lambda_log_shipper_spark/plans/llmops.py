@@ -2258,3 +2258,49 @@ def embedding_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "step int, center_id long, dist double"
     )
     return df.select("step", "center_id", F.round("dist", 6).alias("dist"))
+
+
+# --- weighted reservoir (Efraimidis-Spirakis) ---------------------------
+
+
+_WEIGHTED_RESERVOIR_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR) || 'es') AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, n_chars,
+         ln(({_DUCK_BUCKET} + 0.5) / 65536.0) / n_chars AS es_key
+  FROM hashed
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(ROUND(es_key, 6) AS DOUBLE) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("corpus_weighted_reservoir", _WEIGHTED_RESERVOIR_ORACLE)
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    the distributed-reservoir standard): priority u^(1/w) per doc with
+    w = n_chars, top-20 by priority — longer documents proportionally
+    likelier, yet the whole draw is a deterministic function of
+    (doc_id, salt) via the md5 bucket, so the oracle replays it
+    bit-for-bit. The log-space key keeps the comparison monotone and
+    engine-exact (same doubles into ln on both sides).
+
+    Scale: one narrow pass + TakeOrderedAndProject; the 'reservoir'
+    never materializes — the top-k IS the sample.
+    """
+    from ..operators.sampling import es_priority_key
+
+    docs = _docs(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(
+            es_priority_key(F.col("doc_id"), F.col("n_chars"), salt="es"), 6
+        ).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(20)

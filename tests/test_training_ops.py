@@ -267,3 +267,32 @@ def test_inverted_index_search_prunes_partitions(spark, tmp_path):
     # equals the bucket its postings were indexed under
     [b] = term_buckets(spark, ["tok7"], 16)
     assert index.filter("token = 'tok7'").collect()[0].tok_bucket == b
+
+
+def test_es_priority_weighted_sampling_properties(spark):
+    """Efraimidis-Spirakis: heavier items must be sampled more often
+    across salts, and the draw must be layout-independent."""
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+        es_priority_key,
+    )
+
+    rows = [(i, 1000 if i < 10 else 10) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def sample_ids(salt, frame):
+        keyed = frame.select(
+            "doc_id", es_priority_key(F.col("doc_id"), F.col("w"), salt).alias("k")
+        )
+        return [r.doc_id for r in keyed.orderBy(F.col("k").desc(), "doc_id").limit(10).collect()]
+
+    heavy_hits = sum(
+        sum(1 for i in sample_ids(f"s{t}", df) if i < 10) for t in range(8)
+    )
+    # 10 heavy items carry 100x the weight of each of 100 light items:
+    # heavy share of each 10-item sample should dominate
+    assert heavy_hits >= 8 * 5
+
+    # determinism: same salt, different layout -> identical sample
+    assert sample_ids("fixed", df) == sample_ids("fixed", df.repartition(13))
