@@ -892,3 +892,66 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             "within_bound",
         )
     )
+
+
+_WINSORIZE_ORACLE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_raw,
+       CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi)
+                     AS DECIMAL(12,2))) AS DOUBLE) AS sum_winsorized,
+       CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("events_value_winsorized", _WINSORIZE_ORACLE)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the outlier-clipping every feature /
+    quality pipeline runs before aggregating heavy-tailed signals: exact
+    p05/p95 per event_type, values clipped into the band, raw vs
+    clipped sums side by side. The per-GROUP percentile joined back to
+    the rows is the shape the global-quantile queries don't cover.
+
+    Determinism: percentile() interpolates exactly like DuckDB's
+    quantile_cont on the same doubles; the clip (least/greatest) is
+    exact; both sums go through DECIMAL so no float summation order
+    leaks. Clipped values are percentile outputs — rounding them would
+    diverge, DECIMAL(12,2) cast truncation is identical in both
+    engines only because the inputs are 2-decimal values or exact
+    percent interpolations thereof.
+
+    Scale: bounds is a per-group exact-percentile aggregate (sorted
+    per group — the documented exact-quantile cost; swap in
+    percentile_approx at 100 TB), broadcast back onto the fact rows;
+    one shuffle for bounds, one map-side-combined final aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    outlier = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_raw"),
+            F.sum(clipped.cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_winsorized"),
+            F.sum(F.when(outlier, 1).otherwise(0)).cast("long").alias("n_clipped"),
+        )
+    )
