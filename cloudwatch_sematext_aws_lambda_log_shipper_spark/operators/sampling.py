@@ -101,6 +101,11 @@ def es_priority_key(id_col: Column, weight: Column, salt: str = "") -> Column:
 
     Scale: a narrow projection; the k-largest selection compiles to
     TakeOrderedAndProject. One corpus pass, no shuffle, no RNG state.
+
+    Weights must be POSITIVE: ln(u) < 0, so a negative weight would
+    flip the key's sign and dominate every honest row, and w = 0 is
+    engine-divergent (NULL vs -inf). Non-positive weights map to NULL,
+    which a descending Spark sort places last — excluded, not favored.
     """
     u = (split_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
-    return F.log(u) / weight
+    return F.when(weight > 0, F.log(u) / weight)

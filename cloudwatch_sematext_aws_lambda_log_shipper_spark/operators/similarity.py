@@ -1011,11 +1011,11 @@ def hard_negatives(
     n*(k+margin) skinny rows per chunk, the rescore join touches only
     candidate ids, the final window partitions by source id.
     """
-    c = corpus.select(
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
         F.col(label_col).cast("string").alias("_lbl"),
-    ).filter(F.col(label_col).isNotNull())
+    )
     # NULL-label rows are excluded entirely — as sources AND as
     # candidates. This matches SQL label <> label semantics (NULL
     # compares to nothing), where a numpy object-equality mask would
@@ -1062,11 +1062,14 @@ def ann_knn_graph_ivf(
     query. Output: (query_id, neighbor_id, cosine, rnk) — feed through
     with_recall_at_k against knn_graph at test scale for the gate.
 
-    Task memory is O(|cluster members| + probe batch): one inverted
-    list is held per task while probes stream in fixed batches, so
-    n_clusters must scale with the corpus so a list fits an executor —
-    the standard IVF sizing rule (n_clusters ~ n/target_list_size, or
-    sqrt(n)), same as build_ivf_index's partition layout.
+    Task memory: cogrouped applyInPandas MATERIALIZES both sides of a
+    group before the function runs, so a task holds one inverted list
+    PLUS every probe row landing on that cluster (~nprobe/n_clusters of
+    the corpus); the probe_batch loop bounds only the GEMM
+    intermediate, not probe storage. Size n_clusters so
+    (1 + nprobe) * n / n_clusters vectors fit an executor — stricter
+    than the classic members-only IVF rule; n_clusters ~ sqrt(n)
+    satisfies it with room at any realistic scale.
     """
     import numpy as np
 
@@ -1215,6 +1218,10 @@ def kcenter_sample(
         if step % 4 == 0:
             cur = cur.localCheckpoint()
         far = cur.orderBy(F.col("_md").desc(), "_id").limit(1).collect()[0]
+        if float(far["_md"]) <= 0.0:
+            # every point is already a selected center (m > n): stop
+            # rather than re-emit the min-id row with dist 0 forever
+            break
         out.append((step, far["_id"], float(far["_md"])))
         center_u, center_id = far["_u"], far["_id"]
     return out

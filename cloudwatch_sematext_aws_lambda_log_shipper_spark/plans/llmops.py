@@ -2269,11 +2269,11 @@ WITH hashed AS (
   FROM documents
 ), keyed AS (
   SELECT doc_id, n_chars,
-         ln(({_DUCK_BUCKET} + 0.5) / 65536.0) / n_chars AS es_key
+         CAST(ROUND(ln(({_DUCK_BUCKET} + 0.5) / 65536.0) / n_chars, 6)
+              AS DOUBLE) AS es_key
   FROM hashed
 )
-SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-       CAST(ROUND(es_key, 6) AS DOUBLE) AS es_key
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, es_key
 FROM keyed
 ORDER BY es_key DESC, doc_id
 LIMIT 20

@@ -184,3 +184,15 @@ def test_kcenter_zero_vector_and_empty_edges(spark):
     assert kcenter_sample(df, m=0) == []
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kcenter_sample(empty, m=4) == []
+
+
+def test_kcenter_stops_when_all_points_selected(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    rows = [(i, [float(i == j) for j in range(3)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = kcenter_sample(df, m=6)  # m > n: must stop at 3 distinct
+    assert len(sel) == 3
+    assert len({cid for _, cid, _ in sel}) == 3

@@ -86,3 +86,20 @@ def test_approx_quantiles_within_sketch_bound(spark, sf_dir):
     rows = events_value_quantiles_approx(spark, sf_dir).collect()
     assert len(rows) == 6
     assert all(r.within_bound for r in rows)
+
+
+def test_winsorized_sums_clip_and_conserve(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        events_value_winsorized,
+    )
+
+    rows = events_value_winsorized(spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events")
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        # clipping pulls tails toward the center: the clipped sum can
+        # move either way but clipped rows must exist (5% each tail)
+        assert r.n_clipped > 0
+        assert r.n_clipped <= int(r.n * 0.11) + 2
+        assert r.sum_winsorized != r.sum_raw
