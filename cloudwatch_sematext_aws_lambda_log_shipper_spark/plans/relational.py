@@ -922,3 +922,95 @@ def orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT p.p_brand,
+       count(*) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+GROUP BY p.p_brand
+"""
+
+
+@query("brand_discount_revenue", _DISJUNCTIVE_ORACLE)
+def brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose predicate is an OR of AND-groups
+    mixing columns from BOTH relations — the case that breaks naive
+    pushdown. Catalyst extracts the common-prefix conjuncts it can
+    (each OR branch constrains p_brand/p_size and l_quantity, so a
+    derived disjunctive filter pushes to EACH scan) while the cross-
+    relation residual stays on the join — exactly what you want: the
+    scans shrink first, the equi key (l_partkey = p_partkey) still
+    carries the join, no cartesian anywhere.
+
+    Scale: part is broadcast; lineitem never shuffles; revenue follows
+    the DECIMAL-exact discipline.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(5, 20) & q.between(10, 35))
+        | ((b == "Brand#3") & sz.between(10, 40) & q.between(20, 50))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+        )
+    )
+
+
+_SOLE_LATE_ORACLE = """
+WITH late AS (
+  SELECT l.l_suppkey, l.l_orderkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, count(*) AS n_blamed
+FROM supplier s JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+"""
+
+
+@query("suppliers_sole_blame", _SOLE_LATE_ORACLE)
+def suppliers_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers SOLELY responsible for a late
+    multi-supplier order — one correlated EXISTS (someone else supplied
+    the order) and one correlated NOT EXISTS (nobody else was late) on
+    the same key, the dual-quantifier pattern that needs BOTH a semi
+    and an anti join against differently-filtered views of one table.
+
+    Through the SQL surface: Catalyst decorrelates the EXISTS to a
+    LEFT SEMI on l_orderkey (supplier-inequality as residual) and the
+    NOT EXISTS to a LEFT ANTI on the late CTE — two shuffles on the
+    same key the `late` derivation already grouped by, so AQE can reuse
+    the exchange; no per-row subquery execution survives.
+    """
+    from ..catalog import register_test_tables
+
+    register_test_tables(spark, sf_dir)
+    return spark.sql(_SOLE_LATE_ORACLE)

@@ -103,3 +103,33 @@ def test_winsorized_sums_clip_and_conserve(spark, sf_dir):
         assert r.n_clipped > 0
         assert r.n_clipped <= int(r.n * 0.11) + 2
         assert r.sum_winsorized != r.sum_raw
+
+
+def test_disjunctive_join_pushes_filters_and_stays_equi(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+        brand_discount_revenue,
+    )
+
+    df = brand_discount_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the derived single-side disjunction must reach the part scan:
+    # every branch constrains p_brand, so a brand filter appears below
+    # the join, not only in the join condition
+    assert plan.count("Brand#1") >= 2  # scan-side filter + residual
+    rows = df.collect()
+    assert {r.p_brand for r in rows} == {"Brand#1", "Brand#2", "Brand#3"}
+
+
+def test_sole_blame_excludes_shared_blame_orders(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+        suppliers_sole_blame,
+    )
+
+    rows = suppliers_sole_blame(spark, sf_dir).collect()
+    assert rows and all(r.n_blamed >= 1 for r in rows)
+    plan = suppliers_sole_blame(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # dual quantifier decorrelates to one semi + one anti join
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
