@@ -29,6 +29,7 @@ rows, thousands at most), and no stage is O(|vocab|).
 
 from __future__ import annotations
 
+import heapq
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,8 +47,9 @@ def _mg_merge(counts: dict[str, int], batch: pd.Series, k: int) -> dict[str, int
     for item, c in vc.items():
         counts[item] = counts.get(item, 0) + int(c)
     if len(counts) > k:
-        # (k+1)th largest value; nlargest is O(n log k)
-        cut = sorted(counts.values(), reverse=True)[k]
+        # (k+1)th largest value via a bounded heap: O(n log k), not a
+        # full sort — the summary is trimmed once per Arrow batch
+        cut = heapq.nlargest(k + 1, counts.values())[-1]
         counts = {i: c - cut for i, c in counts.items() if c - cut > 0}
     return counts
 
@@ -91,7 +93,13 @@ def heavy_hitters(
     # value and collapses every non-candidate into a single NULL
     # overflow key map-side (a giant IN-literal would bloat the plan and
     # skip codegen once the candidate set reaches thousands)
-    stream = items.select(F.col(item_col).cast("string").alias("_v"))
+    # NULL items are excluded from BOTH phases: mg_candidates dropna()s
+    # them, so counting them here would inflate n_total (the threshold
+    # denominator) with rows that can never be emitted — the contract is
+    # "count * k > n_total over non-NULL items"
+    stream = items.select(
+        F.col(item_col).cast("string").alias("_v")
+    ).filter(F.col("_v").isNotNull())
     tagged = stream.join(
         F.broadcast(cands), stream["_v"] == cands["item"], "left"
     ).select("item")

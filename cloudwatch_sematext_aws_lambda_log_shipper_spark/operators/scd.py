@@ -43,11 +43,19 @@ def scd2_apply(
     - all attrs unchanged -> no-op (idempotent re-delivery is safe)
     - any attr changed    -> close current at eff + insert new current
     History rows (valid_to set) are never touched.
+
+    Dirty batches: ``eff_col`` is required non-null — NULL-eff rows are
+    malformed (a new key would open an all-NULL interval; a change
+    would close the current version at NULL) and are DROPPED before the
+    join. An update whose eff precedes the current version's
+    ``valid_from`` is OUT OF ORDER (applying it would invert the
+    interval, valid_to < valid_from); it is treated as stale and
+    ignored, preserving the tiling invariant under late re-delivery.
     """
     cur = dim.filter(F.col(to_col).isNull())
     hist = dim.filter(F.col(to_col).isNotNull())
 
-    u = updates.select(
+    u = updates.filter(F.col(eff_col).isNotNull()).select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         *[F.col(c).alias(f"_n_{c}") for c in attr_cols],
         F.col(eff_col).alias("_eff"),
@@ -67,7 +75,14 @@ def scd2_apply(
 
     has_update = F.col("_eff").isNotNull()
     is_new_key = cur[key_cols[0]].isNull()
-    changed = has_update & ~is_new_key & _differs()
+    # out-of-order guard: an eff before the current version's start can
+    # only produce an inverted interval — treat as stale (no-op)
+    changed = (
+        has_update
+        & ~is_new_key
+        & (F.col("_eff") >= cur[from_col])
+        & _differs()
+    )
 
     # every joined row maps to 1-2 output rows; building them as a
     # per-row struct ARRAY + one explode keeps the full-outer join in

@@ -150,7 +150,9 @@ def cosine_pairs_exact(
                 l_mat = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
                 )
-                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                l_mat = l_mat / np.maximum(
+                    np.linalg.norm(l_mat, axis=1, keepdims=True), 1e-12
+                )
                 sims = l_mat @ r_mat.T
                 li, ri = np.where(sims >= _thr)
                 a, b, s = l_ids[li], r_ids[ri], sims[li, ri]
@@ -874,7 +876,12 @@ def _gemm_candidates(
             pdf["_lbl"].to_numpy(dtype=object) if label_masked else None
         )
         chunk_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        chunk_mat = chunk_mat / np.linalg.norm(chunk_mat, axis=1, keepdims=True)
+        # same zero-norm guard as cluster_topk/kcenter_sample: a zero
+        # embedding must yield 0-similarity rows, not NaNs that outrank
+        # every real neighbor in argpartition
+        chunk_mat = chunk_mat / np.maximum(
+            np.linalg.norm(chunk_mat, axis=1, keepdims=True), 1e-12
+        )
         bc = sc.broadcast((chunk_ids, chunk_lbls, chunk_mat))
 
         def block(batches, _bc=bc, _m=m, _lm=label_masked):
@@ -886,7 +893,9 @@ def _gemm_candidates(
                 l_mat = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
                 )
-                l_mat = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+                l_mat = l_mat / np.maximum(
+                    np.linalg.norm(l_mat, axis=1, keepdims=True), 1e-12
+                )
                 sims = l_mat @ r_mat.T
                 if _lm:
                     l_lbls = pdf["_lbl"].to_numpy(dtype=object)

@@ -1004,13 +1004,48 @@ def suppliers_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key, the dual-quantifier pattern that needs BOTH a semi
     and an anti join against differently-filtered views of one table.
 
-    Through the SQL surface: Catalyst decorrelates the EXISTS to a
-    LEFT SEMI on l_orderkey (supplier-inequality as residual) and the
-    NOT EXISTS to a LEFT ANTI on the late CTE — two shuffles on the
-    same key the `late` derivation already grouped by, so AQE can reuse
-    the exchange; no per-row subquery execution survives.
+    The plan is the decorrelated form built EXPLICITLY with the
+    DataFrame API (independent of the oracle text, so the cross-engine
+    gate stays a real check): the EXISTS becomes a LEFT SEMI join of
+    the late rows against lineitem on l_orderkey with the
+    supplier-inequality as a non-equi residual, and the NOT EXISTS
+    becomes a LEFT ANTI against the late set on the same key — both
+    shuffles land on l_orderkey, which the `late` derivation already
+    partitioned by, so AQE reuses the exchange; supplier is broadcast.
+    No per-row subquery execution anywhere.
     """
-    from ..catalog import register_test_tables
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
 
-    register_test_tables(spark, sf_dir)
-    return spark.sql(_SOLE_LATE_ORACLE)
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_suppkey", "l_orderkey")
+    )
+    # EXISTS: someone ELSE supplied a line of this order
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    with_others = late.alias("l1").join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: nobody ELSE was late on this order
+    sole = with_others.alias("l1").join(
+        late.alias("l3"),
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(
+            F.broadcast(supplier),
+            sole.l_suppkey == supplier.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_blamed"))
+    )

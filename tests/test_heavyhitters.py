@@ -85,3 +85,19 @@ def test_n_total_counts_overflow_bucket(spark):
     row = heavy_hitters(items, "token", k=10).first()
     assert row is not None
     assert row.n_total == items.count()
+
+
+def test_null_items_excluded_from_total(spark):
+    # NULLs can never be candidates (mg_candidates drops them), so they
+    # must not inflate the phase-2 threshold denominator either: the
+    # contract is count * k > n_total over NON-NULL items
+    rows = [("hot",)] * 30 + [("x%d" % i,) for i in range(60)] + [(None,)] * 200
+    items = spark.createDataFrame(rows, "token string").repartition(4)
+    out = heavy_hitters(items, "token", k=3).collect()
+    # non-null stream: 90 rows, hot=30 -> 30*3 > 90 is FALSE (strict),
+    # so use k=4: 30*4=120 > 90 -> hot is a heavy hitter. With NULLs
+    # wrongly counted (n_total=290) 30*4=120 > 290 would fail.
+    out4 = heavy_hitters(items, "token", k=4).collect()
+    assert [r.item for r in out4] == ["hot"]
+    assert out4[0].n == 30 and out4[0].n_total == 90
+    assert [r.item for r in out] == []  # strict threshold boundary

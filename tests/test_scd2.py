@@ -63,3 +63,34 @@ def test_exactly_one_current_version_per_key(spark):
     cur = _apply(spark).filter(F.col("valid_to").isNull())
     counts = cur.groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in counts)
+
+
+def test_null_eff_rows_are_dropped(spark):
+    # a NULL-eff update row is malformed (would open an all-NULL row
+    # for a new key / close the current version at NULL) — dropped
+    dirty = spark.createDataFrame(
+        [(1, "a2", None), (42, "ghost", None)], SCHEMA_UPD
+    )
+    out = {(r.k, r.attr, r.valid_from, r.valid_to)
+           for r in scd2_apply(_dim(spark), dirty, ["k"], ["attr"]).collect()}
+    base = {(r.k, r.attr, r.valid_from, r.valid_to)
+            for r in _dim(spark).collect()}
+    assert out == base  # the whole batch was a no-op
+    assert not any(k == 42 for k, _, _, _ in out)
+
+
+def test_out_of_order_eff_is_stale_noop(spark):
+    # eff BEFORE the current version's valid_from would invert the
+    # interval (valid_to < valid_from) — treated as stale, ignored
+    stale = spark.createDataFrame(
+        [(1, "a2", TS(2019, 6, 1))], SCHEMA_UPD  # cur valid_from=2020-1-1
+    )
+    out = {(r.k, r.attr, r.valid_from, r.valid_to)
+           for r in scd2_apply(_dim(spark), stale, ["k"], ["attr"]).collect()}
+    base = {(r.k, r.attr, r.valid_from, r.valid_to)
+            for r in _dim(spark).collect()}
+    assert out == base
+    # tiling invariant holds: no inverted interval anywhere
+    assert not any(
+        vt is not None and vt < vf for _, _, vf, vt in out
+    )
