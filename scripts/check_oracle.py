@@ -6,10 +6,18 @@ and an order-insensitive value hash (columns sorted by name, rows
 sorted, values stringified with float rounding).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Env:
+  ORACLE_STRICT=1      driver-parity cell formatting (full float repr)
+  ORACLE_SWEEP_OUT=f   also write the per-query result map as JSON to f
+                       (the committed ORACLE_SWEEP_r{N}.json artifact —
+                       the driver's rotation samples ~50 of the declared
+                       queries per round; this records ALL of them)
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -63,16 +71,32 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as exc:  # a broken query must not hide the rest
+            print(f"  {name:35s} ERR  {str(exc)[:120]}")
+            failures.append(name)
+            record[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:300],
+            }
+            continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"  {name:35s} rows={len(srows):8d}  (no oracle, rows-only) {dt:5.1f}s")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "no_oracle", "sec": round(dt, 1),
+            }
             continue
         ocols_rows = con.execute(oracles[name])
         orows = ocols_rows.fetchall()
@@ -82,6 +106,11 @@ def main():
         ok = (sc == oc) and (sn == on) and (sh == oh)
         status = "OK " if ok else "FAIL"
         print(f"  {name:35s} {status} rows={sn}/{on} {dt:5.1f}s")
+        record[name] = {
+            "rows_match": sn == on, "schema_match": sc == oc,
+            "hash_match": sh == oh, "spark_rows": sn, "oracle_rows": on,
+            "err": None, "sec": round(dt, 1),
+        }
         if not ok:
             failures.append(name)
             if sc != oc:
@@ -90,6 +119,12 @@ def main():
             for diff, label in ((sset - oset, "spark-only"), (oset - sset, "duck-only")):
                 for line in sorted(diff)[:5]:
                     print(f"    {label}: {line.replace(chr(31), ' | ')}")
+    out = os.environ.get("ORACLE_SWEEP_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"wrote {len(record)} results to {out}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
