@@ -24,9 +24,18 @@ How it scales to 100 TB:
   bucket's files); heavy skew wants quantile boundaries, which drop
   into the same interleave unchanged — documented, not implemented.
 
-Columns must be numeric (int/float/date/timestamp castable to double).
-Nulls bucket to cell 0 (they cluster, but range predicates never
-match them — the residual filter handles correctness).
+Dimension kinds:
+- "num": int/float/date/timestamp castable to double — width-bucketed
+  from global min/max; supports RANGE (box) predicates.
+- "hash": strings (or any high-cardinality key with equality-only
+  predicates) — the cell is pmod(xxhash64(col), 2^bits), no bounds
+  scan needed. An EQUALITY predicate on a hash dim prunes exactly like
+  a point box on a numeric dim; ranges are meaningless by design.
+  This is what lets the log table cluster on
+  (`@timestamp` num, `function.name` hash).
+
+Nulls bucket to cell 0 (they cluster, but range/equality predicates
+never match them — the residual filter handles correctness).
 """
 
 from __future__ import annotations
@@ -34,7 +43,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +58,11 @@ class ZorderMeta:
     n_buckets: int
     mins: list[float]
     maxs: list[float]
+    kinds: list[str] = field(default_factory=list)  # "num" | "hash"
+
+    def __post_init__(self):
+        if not self.kinds:  # pre-r8 sidecars: all dims numeric
+            self.kinds = ["num"] * len(self.cols)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
@@ -58,17 +72,56 @@ class ZorderMeta:
         return ZorderMeta(**json.loads(s))
 
 
+
+def _qcol(name: str) -> Column:
+    """Column ref with backtick quoting, so dimension names containing
+    dots (the log table's `function.name`, `@timestamp`) resolve as
+    top-level columns, not struct field paths."""
+    return F.col("`" + name + "`")
+
+def _as_num(df: DataFrame, c: str) -> Column:
+    """Numeric view of a dimension column. TIMESTAMP_NTZ has no direct
+    double cast in Spark 4 — route it through TIMESTAMP (session tz is
+    pinned to UTC in session.py, so wall time == instant and the epoch
+    double agrees with driver-side datetime.timestamp() math)."""
+    col = _qcol(c)
+    if dict(df.dtypes).get(c) == "timestamp_ntz":
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
 def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
-    """Width-bucket a value into [0, 2^bits) from global bounds.
-    width_bucket returns 1..n+1 (codegen'd); clamp and 0-base. Nulls
-    land in cell 0 (width_bucket propagates null -> coalesce)."""
+    """Width-bucket a (numeric) value into [0, 2^bits) from global
+    bounds. width_bucket returns 1..n+1 (codegen'd); clamp and 0-base.
+    Nulls land in cell 0 (width_bucket propagates null -> coalesce)."""
     n = 1 << bits
-    if hi <= lo:  # constant column: everything in cell 0
+    if hi is None or lo is None or hi <= lo:  # constant/all-null column
         return F.lit(0).cast("long")
-    b = F.width_bucket(col.cast("double"), F.lit(lo), F.lit(hi), F.lit(n))
+    b = F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(n))
     return F.coalesce(
         F.least(F.greatest(b - 1, F.lit(0)), F.lit(n - 1)), F.lit(0)
     ).cast("long")
+
+
+def _hash_cell(col: Column, bits: int) -> Column:
+    """Dictionary-free cell for string/equality dims: the low `bits`
+    bits of xxhash64 (JVM-side, codegen'd). Nulls land in cell 0 so the
+    layout stays total; equality residuals never match them anyway."""
+    n = 1 << bits
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(col), F.lit(n))
+    ).cast("long")
+
+
+def hash_cell_value(spark, value, bits: int) -> int:
+    """The cell a VALUE lands in on a hash dim — evaluated by the SAME
+    JVM xxhash64 the write side used (one empty-plan job, microseconds;
+    a Python reimplementation that drifted by one bit would silently
+    break the superset guarantee)."""
+    row = spark.range(1).select(
+        _hash_cell(F.lit(value), bits).alias("c")
+    ).collect()[0]
+    return int(row["c"])
 
 
 def _interleave(cells: list[Column], bits: int) -> Column:
@@ -93,7 +146,11 @@ def zorder_columns(
 ) -> DataFrame:
     """Append `z` (Morton value) and `z_bucket` (top bits of z) columns."""
     cells = [
-        _cell(F.col(c), meta.mins[j], meta.maxs[j], meta.bits_per_dim)
+        _hash_cell(_qcol(c), meta.bits_per_dim)
+        if meta.kinds[j] == "hash"
+        else _cell(
+            _as_num(df, c), meta.mins[j], meta.maxs[j], meta.bits_per_dim
+        )
         for j, c in enumerate(meta.cols)
     ]
     z = _interleave(cells, meta.bits_per_dim)
@@ -111,27 +168,42 @@ def write_zordered(
     cols: list[str],
     bits_per_dim: int = 8,
     n_buckets: int = 64,
+    kinds: list[str] | None = None,
 ) -> ZorderMeta:
     """Write `df` z-ordered by `cols`: directory-partitioned on
     z_bucket, range-partitioned + sorted on (z_bucket, z) within, with
     the bucketing bounds in a sidecar so readers can decompose box
-    queries. One extra aggregate job (global min/max) + one shuffle
-    (the range partition) — the same cost shape as any clustered write.
+    queries. One extra aggregate job (global min/max, numeric dims
+    only) + one shuffle (the range partition) — the same cost shape as
+    any clustered write.
+
+    ``kinds`` per dim: "num" (range-bucketed) or "hash" (xxhash64
+    cell — for string keys with equality predicates). Defaults by
+    dtype: StringType -> "hash", everything else -> "num".
     """
     if n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{j}")
-          for j, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{j}")
-          for j, c in enumerate(cols)],
-    ).collect()[0]
+    if kinds is None:
+        dtypes = dict(df.dtypes)
+        kinds = ["hash" if dtypes[c] == "string" else "num" for c in cols]
+    num_js = [j for j, k in enumerate(kinds) if k == "num"]
+    mins: list[float] = [0.0] * len(cols)
+    maxs: list[float] = [float((1 << bits_per_dim) - 1)] * len(cols)
+    if num_js:
+        bounds = df.agg(
+            *[F.min(_as_num(df, cols[j])).alias(f"lo_{j}") for j in num_js],
+            *[F.max(_as_num(df, cols[j])).alias(f"hi_{j}") for j in num_js],
+        ).collect()[0]
+        for j in num_js:
+            mins[j] = bounds[f"lo_{j}"]
+            maxs[j] = bounds[f"hi_{j}"]
     meta = ZorderMeta(
         cols=list(cols),
         bits_per_dim=bits_per_dim,
         n_buckets=n_buckets,
-        mins=[bounds[f"lo_{j}"] for j in range(len(cols))],
-        maxs=[bounds[f"hi_{j}"] for j in range(len(cols))],
+        mins=mins,
+        maxs=maxs,
+        kinds=list(kinds),
     )
     out = zorder_columns(df, meta)
     (
@@ -177,7 +249,7 @@ def _bucket_dim_ranges(meta: ZorderMeta, bucket: int):
 
 def _value_to_cell(v: float, lo: float, hi: float, bits: int) -> int:
     n = 1 << bits
-    if hi <= lo:
+    if lo is None or hi is None or hi <= lo:
         return 0
     if v <= lo:
         return 0
@@ -187,16 +259,33 @@ def _value_to_cell(v: float, lo: float, hi: float, bits: int) -> int:
 
 
 def zbucket_candidates(
-    meta: ZorderMeta, box: dict[str, tuple[float, float]]
+    meta: ZorderMeta,
+    box: dict[str, tuple[float, float]],
+    eq: dict[str, object] | None = None,
+    spark=None,
 ) -> list[int]:
     """Buckets whose hyper-rectangle intersects `box` ({col: (lo, hi)},
     inclusive; omitted columns are unconstrained). Superset guarantee:
     every row satisfying the box predicate lives in a returned bucket.
-    Pure driver-side integer math — no data access."""
+    Pure driver-side integer math — no data access (except `eq` on hash
+    dims, which costs one empty-plan JVM hash evaluation per value).
+
+    ``eq``: {col: value} EQUALITY predicates on hash dims — each pins
+    that dim to exactly the value's hash cell (no +-1 slack needed:
+    the hash is computed by the same JVM expression the writer used,
+    so it is exact by construction). Requires ``spark``."""
     n_cells = 1 << meta.bits_per_dim
     cell_box = {}
+    for c, v in (eq or {}).items():
+        j = meta.cols.index(c)
+        if meta.kinds[j] != "hash":
+            raise ValueError(f"eq predicate on non-hash dim {c!r}")
+        cell = hash_cell_value(spark, v, meta.bits_per_dim)
+        cell_box[j] = (cell, cell)
     for c, (lo, hi) in box.items():
         j = meta.cols.index(c)
+        if meta.kinds[j] == "hash":
+            raise ValueError(f"range predicate on hash dim {c!r}")
         # +-1 cell slack: this float math must never disagree with the
         # JVM width_bucket by a cell at a box edge (superset guarantee
         # beats a marginally tighter IN-list)
@@ -227,13 +316,27 @@ def zbucket_candidates(
 
 
 def zorder_box_filter(
-    meta: ZorderMeta, box: dict[str, tuple[float, float]]
+    meta: ZorderMeta,
+    box: dict[str, tuple[float, float]],
+    eq: dict[str, object] | None = None,
+    spark=None,
+    residual_box: dict[str, tuple] | None = None,
 ) -> Column:
     """The full predicate for a box query on a z-ordered table: the
     bucket IN-list (partition-prunes the file listing) AND the exact
-    residual per-column ranges. Null-safe: nulls never satisfy a range."""
-    cands = zbucket_candidates(meta, box)
+    residual per-column predicates (ranges on numeric dims, equality on
+    hash dims). Null-safe: nulls never satisfy either.
+
+    ``residual_box`` optionally overrides the residual VALUES per box
+    column (e.g. the box gives epoch-seconds doubles for the cell math
+    while the residual compares real timestamp literals); the bucket
+    candidates always come from ``box``."""
+    cands = zbucket_candidates(meta, box, eq=eq, spark=spark)
     pred = F.col("z_bucket").isin(cands)
-    for c, (lo, hi) in box.items():
-        pred = pred & F.col(c).between(F.lit(lo), F.lit(hi))
+    res = dict(box)
+    res.update(residual_box or {})
+    for c, (lo, hi) in res.items():
+        pred = pred & _qcol(c).between(F.lit(lo), F.lit(hi))
+    for c, v in (eq or {}).items():
+        pred = pred & (_qcol(c) == F.lit(v))
     return pred

@@ -791,3 +791,99 @@ def log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "template")
         .limit(10)
     )
+
+
+# Multi-function structured corpus for the log-table z-order layout:
+# every events row becomes one structured line whose timestamp is the
+# row's real ts (ms precision — both engines ms-floor for membership
+# parity) and whose logGroup varies per row, so the parsed table gets a
+# genuinely clustered (`@timestamp`, `function.name`) key space.
+_LOG_ZORDER_ORACLE = """
+SELECT severity, count(*) AS n
+FROM (
+  SELECT CASE WHEN lower(event_type || ' processed') LIKE '%error%'
+              THEN 'error' ELSE 'debug' END AS severity
+  FROM events
+  WHERE user_id % 8 = 3
+    AND date_trunc('millisecond', ts)
+        BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+            AND TIMESTAMP '2024-01-22 00:00:00'
+)
+GROUP BY severity
+"""
+
+
+@query("log_zorder_scan", _LOG_ZORDER_ORACLE)
+def log_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered LOG table: cluster on (`@timestamp` numeric,
+    `function.name` hash-encoded string) — the log table's natural keys
+    — and run the canonical ops query "errors for function X in a time
+    window". The string dim uses the xxhash64 cell encoding
+    (operators/layout.py "hash" kind): the equality predicate pins that
+    dim to ONE cell driver-side, intersects with the time range's cell
+    span, and lands as a `z_bucket IN (...)` PartitionFilter before the
+    residual (exact) predicates run.
+
+    Scale: at 100 TB this reads ~|window|/|span| x 1/2^min(bits,log2 n_fns)
+    of the table's files; a date-only layout reads every function's
+    files in the window, ~8x more here. Write cost is the same single
+    range shuffle as any clustered write.
+    """
+    import datetime as _dt
+
+    from ..operators.layout import (
+        read_zorder_meta,
+        write_zordered,
+        zorder_box_filter,
+    )
+    from .synthcache import materialize_dir
+
+    def _builder() -> DataFrame:
+        n = spark.sparkContext.defaultParallelism
+        events = load(spark, sf_dir, "events").repartition(n, "event_id")
+        uid = F.col("user_id").cast("string")
+        uuid = F.concat(F.lit(UUID_PREFIX), F.lpad(uid, 12, "0"))
+        msg = F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            F.lit("\t"), uuid, F.lit("\t"),
+            F.col("event_type"), F.lit(" processed"),
+        )
+        raw = events.select(
+            F.lit("us-east-1").alias("awsRegion"),
+            F.concat(
+                F.lit("/aws/lambda/fn-"),
+                (F.col("user_id") % 8).cast("string"),
+            ).alias("logGroup"),
+            F.lit(LOG_STREAM).alias("logStream"),
+            msg.alias("message"),
+        )
+        clean, _dlq = split_dlq(parse_log_events(raw))
+        return clean.select(
+            F.col("`@timestamp`").cast("timestamp").alias("@timestamp"),
+            F.col("`function.name`").alias("function.name"),
+            "severity",
+        )
+
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "log_zorder",
+        builder=_builder,
+        writer=lambda df, p: write_zordered(
+            df, p, ["@timestamp", "function.name"],
+            bits_per_dim=8, n_buckets=64,
+        ),
+    )
+    meta = read_zorder_meta(path)
+    t = spark.read.parquet(path)
+    lo, hi = _dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 22)
+    pred = zorder_box_filter(
+        meta,
+        box={"@timestamp": (lo.timestamp(), hi.timestamp())},
+        eq={"function.name": "fn-3"},
+        spark=spark,
+        residual_box={"@timestamp": (lo, hi)},
+    )
+    return t.filter(pred).groupBy("severity").agg(
+        F.count(F.lit(1)).alias("n")
+    )

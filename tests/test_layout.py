@@ -138,3 +138,69 @@ def test_rejects_bad_config(spark, sf_dir):
     meta = ZorderMeta(["a"] * 8, 8, 64, [0.0] * 8, [1.0] * 8)
     with pytest.raises(ValueError, match="exceeds 63"):
         zorder_columns(df.withColumn("a", F.lit(1.0)), meta)
+
+
+@pytest.fixture(scope="module")
+def hash_ztable(spark, sf_dir, tmp_path_factory):
+    # (ts numeric, event_type hash-string) — the log-table key shape
+    path = str(tmp_path_factory.mktemp("zorder") / "events_hash")
+    df = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    meta = write_zordered(df, path, ["ts", "event_type"],
+                          bits_per_dim=8, n_buckets=64)
+    return path, meta, df
+
+
+def test_hash_dim_kind_inferred_and_persisted(hash_ztable):
+    path, meta, _ = hash_ztable
+    assert meta.kinds == ["num", "hash"]
+    assert read_zorder_meta(path).kinds == ["num", "hash"]
+
+
+def test_hash_dim_equality_matches_raw_scan(hash_ztable, spark):
+    import datetime as dt
+    path, meta, df = hash_ztable
+    t = spark.read.parquet(path)
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    pred = zorder_box_filter(
+        meta,
+        box={"ts": (lo.timestamp(), hi.timestamp())},
+        eq={"event_type": "click"},
+        spark=spark,
+        residual_box={"ts": (lo, hi)},
+    )
+    got = sorted(r.event_id for r in t.filter(pred).collect())
+    want = sorted(
+        r.event_id
+        for r in df.filter(
+            (F.col("event_type") == "click") & F.col("ts").between(lo, hi)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_hash_dim_equality_prunes_partitions(hash_ztable, spark):
+    # the string-equality predicate must pin ONE hash cell, shrinking
+    # the bucket IN-list well below all 64 — and land as a
+    # PartitionFilter on z_bucket in the physical plan
+    path, meta, _ = hash_ztable
+    cands = zbucket_candidates(
+        meta, {}, eq={"event_type": "click"}, spark=spark
+    )
+    assert 0 < len(cands) < meta.n_buckets / 2
+    t = spark.read.parquet(path)
+    df = t.filter(
+        zorder_box_filter(meta, {}, eq={"event_type": "click"}, spark=spark)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "z_bucket" in pf, "hash-dim IN-list not a partition filter"
+
+
+def test_hash_dim_rejects_range_and_num_rejects_eq(hash_ztable, spark):
+    _, meta, _ = hash_ztable
+    with pytest.raises(ValueError, match="range predicate on hash dim"):
+        zbucket_candidates(meta, {"event_type": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="eq predicate on non-hash dim"):
+        zbucket_candidates(meta, {}, eq={"ts": 5}, spark=spark)

@@ -606,3 +606,29 @@ def test_semdedup_finds_planted_pairs_with_multiassign(spark):
     assert {(100, 101), (100, 102), (101, 102)} <= got
     # orientation + threshold respected
     assert all(r.id_a < r.id_b and r.cosine >= 0.999 for r in sem)
+
+
+def test_lsh_recall_gate_flips_on_degraded_config(spark, sf_dir):
+    # The recall_ok gate must actually TRIP: 12 hyperplanes without
+    # multiprobe slice near-uniform vectors into ~4096 buckets, so a
+    # query's single probe bucket holds almost no true neighbors and
+    # mean recall collapses below the 0.25 floor. The production knobs
+    # (num_planes=4, multiprobe=True) restore it — both directions
+    # asserted against the SAME gate column the emitted snapshot
+    # carries, so this pins that a quality regression is visible.
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(corpus, queries, 5)
+
+    bad = with_recall_at_k(
+        ann_topk_lsh(corpus, queries, 5, num_planes=12, multiprobe=False),
+        exact, 5, min_mean_recall=0.25,
+    )
+    assert bad.select("recall_ok").distinct().collect()[0].recall_ok is False
+
+    good = with_recall_at_k(
+        ann_topk_lsh(corpus, queries, 5, num_planes=4, multiprobe=True),
+        exact, 5, min_mean_recall=0.25,
+    )
+    assert good.select("recall_ok").distinct().collect()[0].recall_ok is True
