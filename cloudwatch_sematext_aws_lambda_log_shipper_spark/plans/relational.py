@@ -1049,3 +1049,43 @@ def suppliers_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_blamed"))
     )
+
+
+@query("customer_segment_scd2_stream", _SCD2_ORACLE)
+def customer_segment_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance (streaming/scd.py) replayed under the
+    batch oracle, like log_rollup_incremental: the SAME update set as
+    customer_segment_scd2 arrives as three micro-batches (split by
+    c_custkey % 3), with batch 0's rows RE-DELIVERED inside batch 1 —
+    the at-least-once duplication a Kinesis CDC feed actually produces.
+    The maintainer folds each batch last-write-wins, applies via
+    scd2_apply, and commits a batch_id-keyed dimension version; the
+    final committed version must match the one-shot batch application
+    digit-for-digit under the DuckDB oracle, proving re-delivery
+    no-ops and version commits compose.
+
+    Scale: each micro-batch costs one full-outer equi join against the
+    current slice plus a dimension-sized rewrite — the right shape for
+    dimension tables; facts belong in the append-only log path.
+    """
+    import os
+    import shutil
+
+    from ..streaming.scd import StreamingScd2Maintainer
+
+    dim0, updates = _segment_scd2_inputs(spark, sf_dir)
+    state = os.path.join(
+        "/tmp/spark_graft_scd_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(state, ignore_errors=True)  # deterministic replay
+    m = StreamingScd2Maintainer(
+        spark, state, ["c_custkey"], ["segment"], seed=dim0
+    )
+    part = F.pmod(F.col("c_custkey"), F.lit(3))
+    m.apply_batch(updates.filter(part == 0), 0)
+    m.apply_batch(updates.filter(part <= 1), 1)  # re-delivers batch 0
+    m.apply_batch(updates.filter(part == 2), 2)
+    return m.current().join(
+        updates.select("c_custkey"), "c_custkey", "left_semi"
+    ).select("c_custkey", "segment", "valid_from", "valid_to")

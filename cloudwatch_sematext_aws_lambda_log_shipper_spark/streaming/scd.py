@@ -1,0 +1,178 @@
+"""Streaming SCD2 dimension maintenance.
+
+The production shape of operators/scd.py's batch ``scd2_apply``: a
+change stream (CDC feed, Kinesis compaction topic, file drops) drives
+dimension maintenance through ``foreachBatch`` — each micro-batch
+folds to last-write-wins per key, applies as ONE scd2 batch, and
+commits a new dimension version keyed on the micro-batch id, the same
+exactly-once discipline ``StreamingShipper._ship_batch`` uses for the
+log table (streaming/pipeline.py:57-64).
+
+Exactly-once protocol (foreachBatch is at-least-once; a failed batch
+retries with the SAME batch_id):
+
+1. read the committed pointer (`_COMMITTED` json: last batch_id +
+   version dir); if this batch_id was already committed -> SKIP (the
+   crash happened after commit, the retry must be a no-op)
+2. read the committed dimension version, fold the batch last-write-
+   wins per key (max eff wins; the intra-batch intermediate versions
+   collapse by design — document it, don't pretend micro-batch
+   boundaries are transaction boundaries)
+3. ``scd2_apply`` -> write parquet to ``v<batch_id>`` (mode overwrite:
+   a retry that crashed mid-write replaces its own partial output)
+4. atomically publish the pointer (tmp file + os.rename)
+
+A crash between 3 and 4 re-runs 2-3 against the OLD committed version
+and overwrites the same ``v<batch_id>`` dir — idempotent. A crash
+after 4 hits the skip in 1. Version dirs older than ``keep_versions``
+are pruned after commit (time travel for the last K batches comes
+free).
+
+At 100 TB: each version write is a full dimension rewrite — right for
+dimensions (even huge ones are tiny next to facts); a fact-scale
+mutable table wants a log-structured table format instead, which is
+out of scope here and orthogonal to the apply semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.scd import scd2_apply
+
+_COMMITTED = "_COMMITTED"
+
+
+def fold_last_write_wins(
+    updates: DataFrame, key_cols: list[str], attr_cols: list[str],
+    eff_col: str = "eff_ts",
+) -> DataFrame:
+    """One row per key: the row with the greatest eff (ties broken by
+    the attr tuple, so the fold is deterministic under re-partitioning).
+    A single max_by aggregate — no window, no per-key sort."""
+    pick = F.max_by(
+        F.struct(*[F.col(c) for c in attr_cols], F.col(eff_col)),
+        F.struct(F.col(eff_col), *[F.col(c) for c in attr_cols]),
+    ).alias("_w")
+    return (
+        updates.filter(F.col(eff_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(pick)
+        .select(*key_cols, "_w.*")
+    )
+
+
+class StreamingScd2Maintainer:
+    """foreachBatch-driven SCD2 dimension at ``state_dir``.
+
+    ``seed`` (a batch DataFrame with key+attr+valid_from+valid_to
+    columns) initializes version v-1 on first use.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        key_cols: list[str],
+        attr_cols: list[str],
+        eff_col: str = "eff_ts",
+        seed: DataFrame | None = None,
+        keep_versions: int = 3,
+    ):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.key_cols = key_cols
+        self.attr_cols = attr_cols
+        self.eff_col = eff_col
+        self.keep_versions = keep_versions
+        os.makedirs(state_dir, exist_ok=True)
+        if self._read_pointer() is None:
+            if seed is None:
+                raise ValueError("state_dir has no committed version; pass seed")
+            seed.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "vseed")
+            )
+            self._publish(-1, "vseed")
+
+    # -- commit pointer ---------------------------------------------------
+
+    def _read_pointer(self) -> dict | None:
+        p = os.path.join(self.state_dir, _COMMITTED)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish(self, batch_id: int, version_dir: str) -> None:
+        p = os.path.join(self.state_dir, _COMMITTED)
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": version_dir}, f)
+        os.rename(tmp, p)  # atomic on POSIX: the pointer is never torn
+
+    # -- public API -------------------------------------------------------
+
+    def current(self) -> DataFrame:
+        ptr = self._read_pointer()
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, ptr["dir"])
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body. Safe under retries (same batch_id) and
+        under replays of already-committed ids."""
+        ptr = self._read_pointer()
+        if batch_id <= ptr["batch_id"]:
+            return  # committed before the crash; retry is a no-op
+        folded = fold_last_write_wins(
+            batch_df, self.key_cols, self.attr_cols, self.eff_col
+        )
+        new_dim = scd2_apply(
+            self.current(),
+            folded,
+            key_cols=self.key_cols,
+            attr_cols=self.attr_cols,
+            eff_col=self.eff_col,
+        )
+        vdir = f"v{batch_id}"
+        new_dim.write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, vdir)
+        )
+        self._publish(batch_id, vdir)
+        self._prune(keep_dir=vdir)
+
+    def _prune(self, keep_dir: str) -> None:
+        def _vnum(d: str) -> int:
+            return -1 if d == "vseed" else int(d[1:])
+
+        versions = sorted(
+            (
+                d for d in os.listdir(self.state_dir)
+                if d.startswith("v") and os.path.isdir(
+                    os.path.join(self.state_dir, d)
+                )
+            ),
+            key=_vnum,  # numeric: lexicographic would drop v2 after v10
+        )
+        # never prune the live pointer target, regardless of sort order
+        stale = [d for d in versions if d != keep_dir]
+        for d in stale[: max(0, len(stale) - (self.keep_versions - 1))]:
+            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+
+    def attach(self, updates_stream: DataFrame, checkpoint_dir: str,
+               available_now: bool = True) -> StreamingQuery:
+        """Wire a streaming updates frame into the maintainer."""
+        writer = (
+            updates_stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName("scd2_maintainer")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
