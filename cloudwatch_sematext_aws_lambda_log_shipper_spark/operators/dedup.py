@@ -867,3 +867,91 @@ def hamming_near_dup_pairs(
     return scored.filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def duplicated_char_spans(
+    df: DataFrame,
+    min_len: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT character-level duplicated spans — the real Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better")
+    exact-substring answer, which the word-n-gram operator
+    (duplicated_ngram_stats) only approximates: a word-boundary shift
+    or a repeat shorter than n words is invisible to word grams but
+    found here.
+
+    Definition: character position p (1-based) is *duplicated* when the
+    length-``min_len`` substring starting at p occurs >= ``min_count``
+    times across the corpus (multiplicity — within-document repeats
+    count). The union of ALL duplicated substrings of length >= L
+    equals the union of [p, p+L) over duplicated positions (any longer
+    duplicated substring is tiled by its own duplicated L-grams), so
+    merging overlapping/touching intervals per document yields each
+    document's MAXIMAL duplicated spans — exactly what a corpus-wide
+    suffix array produces, computed with joins instead of one giant
+    sorted structure.
+
+    Output: (id, span_start, span_end, span_len), 1-based, end
+    exclusive.
+
+    Scale (the published algorithm's cost class — a suffix array is
+    also O(total chars)):
+    - the position explode is ~|chars| narrow rows; the gram count
+      shuffles once with map-side partial aggregation, bounded by
+      |distinct grams|;
+    - positions re-join the >= min_count gram set with an equi join —
+      no broadcast assumption (boilerplate corpora have huge dup sets);
+    - grams shuffle as the RAW L-char strings so the DuckDB oracle is
+      replicated exactly, collision-free by construction; a production
+      run would shuffle xxhash64(gram) (8 bytes vs L) and accept the
+      2^-64 collision odds — same plan shape;
+    - interval merging is a per-document window (lag + running sum
+      islands) — partitioned by doc id, never global, state bounded by
+      one document's positions.
+    """
+    L = int(min_len)
+    from pyspark.sql import Window
+
+    eligible = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
+    )
+    grams = eligible.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length(text_col) - F.lit(L - 1))
+        ).alias("pos"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        id_col, "pos", F.expr(f"substring(_t, pos, {L})").alias("_g")
+    )
+    hot = (
+        grams.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    covered = grams.join(hot, "_g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # new island when the gap to the previous covered position exceeds
+    # L ([p,p+L) and [q,q+L) merge iff q <= p + L); first row's null
+    # lag compares null -> otherwise(0) -> island 0
+    island = F.sum(
+        F.when(F.col("pos") > F.lag("pos").over(w) + L, 1).otherwise(0)
+    ).over(w)
+    return (
+        covered.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + L).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )

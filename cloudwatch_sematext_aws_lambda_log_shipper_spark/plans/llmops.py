@@ -2304,3 +2304,42 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(20)
+
+
+_DUP_SPAN_EXACT_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(text, CAST(pos AS INT), 30) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS pos
+        FROM documents WHERE length(text) >= 30)
+), hot AS (
+  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM hot)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos > prev + 30 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM cov)
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 30 AS span_end,
+       CAST(max(pos) + 30 - min(pos) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("doc_dup_span_exact", _DUP_SPAN_EXACT_ORACLE)
+def doc_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT character-level duplicated spans (Lee et al. exact-
+    substring dedup; operators/dedup.py duplicated_char_spans): every
+    maximal span whose 30-char windows each repeat corpus-wide —
+    including word-boundary-shifted and sub-word duplication the word
+    10-gram operator (doc_dup_span_stats) cannot see. The oracle
+    recomputes the same maximal spans from scratch in DuckDB.
+    """
+    from ..operators.dedup import duplicated_char_spans
+
+    return duplicated_char_spans(_docs(spark, sf_dir), min_len=30)

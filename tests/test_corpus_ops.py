@@ -365,3 +365,86 @@ def test_remove_duplicated_spans_cuts_exactly_the_covered_words(spark):
     assert out[4].clean_text == "short doc" and out[4].n_removed == 0
     # doc 5 = boiler twice: both occurrences covered -> fully removed
     assert out[5].clean_text == "" and out[5].n_removed == 20
+
+
+# --- exact character-level duplicated spans ------------------------------
+
+
+def test_char_spans_find_what_word_grams_miss(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_char_spans,
+        duplicated_ngram_stats,
+    )
+
+    # a 6-word, 44-char phrase duplicated across two docs: invisible to
+    # word 10-grams (needs 10 consecutive shared words), found exactly
+    # by 30-char windows — including across a word-boundary SHIFT (doc
+    # b's prefix ends without a space so the shared text starts mid-
+    # token from a word-gram perspective)
+    shared = "the quick brown fox jumps over lazy dogs tod"  # 44 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "unique lead-in text one " + shared + " unique tail one"),
+            (2, "completely different opening" + shared + " and another end"),
+            (3, "no duplication in this document at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    words_stats = {
+        r.doc_id: r.n_dup_grams
+        for r in duplicated_ngram_stats(
+            docs, n=10, extra_cols=()
+        ).collect()
+    }
+    assert words_stats == {1: 0, 2: 0, 3: 0}  # word grams: blind
+
+    spans = duplicated_char_spans(docs, min_len=30).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.span_len)
+        )
+    assert set(by_doc) == {1, 2}
+    # the maximal span is the shared phrase PLUS the trailing space both
+    # docs also share — exactly the suffix-array answer, one char longer
+    # than the "intended" plant (1-based, end exclusive)
+    truly_shared = shared + " "
+    (s1,) = by_doc[1]
+    text1 = "unique lead-in text one " + shared + " unique tail one"
+    assert text1[s1[0] - 1 : s1[1] - 1] == truly_shared
+    (s2,) = by_doc[2]
+    text2 = "completely different opening" + shared + " and another end"
+    assert text2[s2[0] - 1 : s2[1] - 1] == truly_shared
+    assert s1[2] == s2[2] == len(truly_shared)
+
+
+def test_char_spans_merge_overlapping_regions(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_char_spans,
+    )
+
+    # two duplicated regions whose [p, p+L) tilings touch must merge
+    # into ONE maximal span; a far-apart third region stays separate
+    a = "A" * 40
+    b = "B" * 40
+    # repeat-free gap > L ("x"*100 would itself be duplicated — every
+    # 30-window of a uniform run is identical, and within-doc
+    # multiplicity counts)
+    gap = " ".join(f"g{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, a + b + gap + "Q" * 35),
+            (2, "zzz " + a + b + " yyy"),
+            (3, "Q" * 35 + " unrelated suffix padding here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_char_spans(docs, min_len=30).collect()
+    )
+    doc1 = [s for s in spans if s[0] == 1]
+    assert len(doc1) == 2  # merged A+B block, separate Q block
+    assert doc1[0][1] == 1 and doc1[0][2] == 80  # a+b merged maximal
+    # within-doc repeats count toward min_count too: "Q"*35 in docs 1&3
+    assert any(s[0] == 3 for s in spans)
