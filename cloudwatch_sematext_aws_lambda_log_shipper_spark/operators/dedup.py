@@ -955,3 +955,76 @@ def duplicated_char_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def remove_duplicated_char_spans(
+    df: DataFrame,
+    min_len: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-exact span REMOVAL — the output side of
+    duplicated_char_spans, byte-identical to what a suffix-array pass
+    would cut (Lee et al. 2022): every maximal duplicated span is
+    excised and the surviving segments re-concatenate in order,
+    preserving the original bytes of everything kept (the word-level
+    remove_duplicated_spans rewrites from the normalized token stream;
+    this one never re-tokenizes).
+
+    Output: (id, n_chars, n_removed, clean_text). Documents with no
+    duplicated span pass through verbatim.
+
+    Scale: spans per document are FEW (maximal, disjoint, separated by
+    >= 1 char by construction), so the segment window + the
+    collect_list rebuild are bounded by span count, not text length —
+    no per-character state anywhere beyond the detection pass itself.
+    """
+    from pyspark.sql import Window
+
+    spans = duplicated_char_spans(df, min_len, min_count, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    segs = spans.select(
+        F.col(id_col),
+        F.coalesce(F.lag("span_end").over(w), F.lit(1)).alias("_s"),
+        F.col("span_start").cast("long").alias("_e"),
+    )
+    tails = spans.groupBy(id_col).agg(
+        F.max("span_end").cast("long").alias("_s"),
+        F.sum("span_len").cast("long").alias("_removed"),
+    )
+    seg_union = segs.select(id_col, F.col("_s").cast("long"), "_e").unionByName(
+        tails.select(
+            id_col, "_s", F.lit(None).cast("long").alias("_e")
+        )
+    )
+    base = df.select(F.col(id_col), F.col(text_col))
+    seg_text = F.expr(
+        f"substring({text_col}, CAST(_s AS INT), "
+        f"CAST(coalesce(_e, length({text_col}) + 1) - _s AS INT))"
+    )
+    rebuilt = (
+        base.join(seg_union, id_col)
+        .select(
+            F.col(id_col), F.struct(F.col("_s"), seg_text.alias("_t")).alias("_seg")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("_seg")), lambda x: x["_t"]
+                ),
+                "",
+            ).alias("_ct")
+        )
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(tails.select(id_col, "_removed"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.length(text_col).cast("long").alias("n_chars"),
+            F.coalesce("_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("_ct", F.col(text_col)).alias("clean_text"),
+        )
+    )

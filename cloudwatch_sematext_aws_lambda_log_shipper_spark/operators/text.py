@@ -9,7 +9,7 @@ cost is scan-bound. These generalize the reference's string kernel
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # BPE-ish token classes: alpha runs, digit runs, single non-alnum marks.
@@ -393,4 +393,79 @@ def search_index(
         .agg(F.count_distinct("token").alias("_nt"))
         .filter(F.col("_nt") == len(lows))
         .select(id_col)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to a bag-of-terms query
+    (Robertson/Sparck Jones; the Lucene-style idf ln(1 + (N-df+.5)/(df+.5))
+    variant) — the RANKED retrieval counterpart of the boolean
+    inverted-index search (token_search), and the classic relevance
+    baseline a log/doc platform serves.
+
+    Numeric determinism (the unigram-NLL discipline, operators/lm.py):
+    each (doc, term) contribution is one deterministic scalar
+    expression — written in the exact same associativity as the DuckDB
+    oracle — rounded to 9 decimals and summed as DECIMAL(20,9), so the
+    per-document score is order-independent and engine-exact; a
+    last-ulp ln() disagreement between libms is absorbed by the
+    9-decimal rounding.
+
+    Output: (id, score DOUBLE rounded to 6) for every document matching
+    at least one term.
+
+    Scale: one tokenize pass; doc lengths aggregate map-side; the
+    query-term filter keeps |terms| rows per doc BEFORE any shuffle, so
+    tf/df aggregates are tiny; df and the (N, total-length) scalars
+    broadcast. The only corpus-sized shuffle is the doc-length
+    aggregate, shared with any other per-doc statistic.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_t")
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_total")
+    )
+    qt = toks.filter(F.col("_t").isin(list(terms)))
+    dfreq = qt.groupBy("_t").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    tf = qt.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    j = (
+        tf.join(F.broadcast(dfreq), "_t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("_total").cast("double") / F.col("_n")
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    # associativity mirrors the oracle SQL exactly — fp is not
+    # associative, and the 9-decimal rounding only absorbs ulp-level
+    # drift, not reordered reductions
+    score_t = (
+        idf
+        * (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+        )
+    )
+    per_term = j.select(
+        F.col(id_col),
+        F.round(score_t, 9).cast("decimal(20,9)").alias("_s"),
+    )
+    return per_term.groupBy(id_col).agg(
+        F.round(F.sum("_s"), 6).cast("double").alias("score")
     )

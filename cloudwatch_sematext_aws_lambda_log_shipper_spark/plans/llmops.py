@@ -2343,3 +2343,120 @@ def doc_dup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import duplicated_char_spans
 
     return duplicated_char_spans(_docs(spark, sf_dir), min_len=30)
+
+
+_BM25_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM dl
+), qt AS (
+  SELECT doc_id, t FROM toks WHERE t IN ('dup', 'vector', 'scan')
+), dfreq AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM qt GROUP BY t
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t
+), per AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                             / (CAST(s.total AS DOUBLE) / s.n))),
+         9) AS DECIMAL(20,9)) AS sc
+  FROM tf
+  JOIN dfreq d USING (t)
+  JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id, CAST(round(SUM(sc), 6) AS DOUBLE) AS score
+FROM per GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("doc_bm25_search", _BM25_ORACLE)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.py bm25_scores): top-10
+    documents for the query {dup, vector, scan} — tf saturation, idf
+    down-weighting of common terms, doc-length normalization. The
+    oracle recomputes the identical score expression in DuckDB; the
+    9-decimal DECIMAL contribution sum makes the comparison exact (see
+    the operator's determinism note).
+
+    Scale: corpus-sized work is one tokenize + one per-doc length
+    aggregate; everything term-specific filters to |query terms| rows
+    per doc first. Top-10 is TakeOrderedAndProject.
+    """
+    from ..operators.text import bm25_scores
+
+    scored = bm25_scores(
+        _docs(spark, sf_dir), terms=["dup", "vector", "scan"]
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+
+
+_DUP_SPAN_EXACT_REMOVAL_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(text, CAST(pos AS INT), 30) AS g
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 29)) AS pos
+        FROM documents WHERE length(text) >= 30)
+), hot AS (
+  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, pos FROM pos WHERE g IN (SELECT g FROM hot)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN pos > prev + 30 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM cov)
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 30 AS span_end,
+         max(pos) + 30 - min(pos) AS span_len
+  FROM isl GROUP BY doc_id, island
+), segs AS (
+  SELECT doc_id,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                                      ORDER BY span_start), 1) AS s,
+         span_start AS e
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(span_end), NULL FROM spans GROUP BY doc_id
+), rebuilt AS (
+  SELECT d.doc_id,
+         string_agg(
+           substr(d.text, CAST(g.s AS INT),
+                  CAST(coalesce(g.e, length(d.text) + 1) - g.s AS INT)),
+           '' ORDER BY g.s) AS ct
+  FROM documents d JOIN segs g USING (doc_id) GROUP BY d.doc_id
+), removed AS (
+  SELECT doc_id, SUM(span_len) AS nr FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       CAST(coalesce(r2.nr, 0) AS BIGINT) AS n_removed,
+       coalesce(r.ct, d.text) AS clean_text
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN removed r2 USING (doc_id)
+"""
+
+
+@query("doc_dup_span_exact_removal", _DUP_SPAN_EXACT_REMOVAL_ORACLE)
+def doc_dup_span_exact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-exact duplicated-span removal
+    (operators/dedup.py remove_duplicated_char_spans): every maximal
+    30-char-window duplicated span excised, surviving bytes
+    re-concatenated verbatim. clean_text compares as an exact string
+    against the DuckDB reconstruction — no floats anywhere, the
+    strongest kind of cross-engine check.
+    """
+    from ..operators.dedup import remove_duplicated_char_spans
+
+    return remove_duplicated_char_spans(_docs(spark, sf_dir), min_len=30)

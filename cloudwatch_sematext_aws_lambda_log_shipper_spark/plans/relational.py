@@ -1089,3 +1089,158 @@ def customer_segment_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.current().join(
         updates.select("c_custkey"), "c_custkey", "left_semi"
     ).select("c_custkey", "segment", "valid_from", "valid_to")
+
+
+_SMALL_LOT_ORACLE = """
+WITH pavg AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pavg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.cnt < a.sq
+"""
+
+
+@query("small_lot_revenue", _SMALL_LOT_ORACLE)
+def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from SMALL-LOT orders — lineitems whose
+    quantity is below 20% of their part's average quantity, i.e. a
+    correlated scalar aggregate (avg per l_partkey) consumed by the
+    outer row's predicate. Decorrelated explicitly: ONE per-part
+    aggregate joined back on the part key.
+
+    The threshold comparison is the exact integer-cross-multiply form
+    (qty * 5 * cnt < sum  <=>  qty < 0.2 * sum/cnt) in DECIMAL — no
+    float division at the boundary, so Spark and the oracle agree
+    digit-for-digit no matter the summation order.
+
+    Scale: the brand filter pushes to the part scan and BROADCASTS the
+    ~1/25 slice; the per-part aggregate map-side combines; both joins
+    ride the same l_partkey — at 100 TB lineitem shuffles once on
+    partkey and AQE reuses the exchange for the agg and the join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qdec = F.col("l_quantity").cast("decimal(12,2)")
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum(qdec).alias("_sq"), F.count(F.lit(1)).alias("_cnt")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pavg.withColumnRenamed("l_partkey", "_pk"),
+              F.col("l_partkey") == F.col("_pk"))
+        .filter(qdec * 5 * F.col("_cnt") < F.col("_sq"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+_LARGE_VOLUME_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@query("large_volume_orders", _LARGE_VOLUME_ORACLE)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    — an IN over a GROUP BY ... HAVING subquery on the SAME fact table
+    the outer query re-aggregates. The classic plan trap is computing
+    the group-by twice; here the HAVING set becomes ONE left-semi join
+    and both aggregations shuffle on l_orderkey/o_orderkey, so AQE can
+    reuse the exchange.
+
+    Scale: the semi join keeps ~2% of orders before the wide 3-table
+    join runs; customer broadcasts against the surviving slice.
+    DECIMAL-exact quantity sums on both sides of the gate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    qdec = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qdec).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    kept = orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        kept.join(li, kept.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qdec).cast("double").alias("total_qty"))
+    )
+
+
+_DOMINANT_SUPPLIER_ORACLE = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+), pt AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS tq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT s.s_name, count(*) AS n_dominated
+FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE sp.q * 5 > pt.tq
+GROUP BY s.s_name
+"""
+
+
+@query("dominant_part_suppliers", _DOMINANT_SUPPLIER_ORACLE)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (reformulated without partsupp, which the test
+    schema lacks): suppliers shipping MORE THAN 20% of some part's
+    total volume — a correlated aggregate inside HAVING, decorrelated
+    into two grouped views of one fact table joined on the correlation
+    key. Exact integer-cross-multiply threshold (q * 5 > tq, DECIMAL)
+    — see small_lot_revenue.
+
+    Scale: both aggregates map-side combine and shuffle on keys that
+    share the l_partkey prefix; the (supp,part)-level frame is already
+    |distinct pairs|, so the join after it is small; supplier
+    broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    qdec = F.col("l_quantity").cast("decimal(12,2)")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(qdec).alias("q"))
+    pt = li.groupBy("l_partkey").agg(F.sum(qdec).alias("tq")).withColumnRenamed(
+        "l_partkey", "_pk"
+    )
+    dominated = sp.join(pt, sp.l_partkey == F.col("_pk")).filter(
+        F.col("q") * 5 > F.col("tq")
+    )
+    return (
+        dominated.join(
+            F.broadcast(supplier), dominated.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated"))
+    )

@@ -448,3 +448,57 @@ def test_char_spans_merge_overlapping_regions(spark):
     assert doc1[0][1] == 1 and doc1[0][2] == 80  # a+b merged maximal
     # within-doc repeats count toward min_count too: "Q"*35 in docs 1&3
     assert any(s[0] == 3 for s in spans)
+
+
+# --- BM25 ranked retrieval ----------------------------------------------
+
+
+def test_bm25_semantics(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        bm25_scores,
+    )
+
+    filler = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common " + filler),             # both terms, short
+            (2, "rare common " + filler + " " + filler),  # same, longer doc
+            (3, "common " + filler),                  # common term only
+            (4, "rare rare rare " + filler),          # tf saturation probe
+            (5, filler),                              # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score
+           for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert 5 not in got                   # no matching term -> no row
+    assert got[1] > got[2]                # length normalization
+    assert got[1] > got[3]                # idf: rare term outweighs common
+    assert got[4] > got[3]                # repeated rare term scores high
+    # tf saturation: 3x the tf must be well under 3x the score
+    one_rare = {r.doc_id: r.score
+                for r in bm25_scores(docs, ["rare"]).collect()}
+    assert one_rare[4] < 3 * one_rare[1]
+
+
+def test_char_span_removal_preserves_unique_bytes(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        remove_duplicated_char_spans,
+    )
+
+    shared = "the quick brown fox jumps over lazy dogs tod"  # 44 chars
+    t1 = "unique lead-in text one " + shared + " unique tail one"
+    t2 = "completely different opening" + shared + " and another end"
+    t3 = "no duplication in this document at all whatsoever here"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in
+           remove_duplicated_char_spans(docs, min_len=30).collect()}
+    # the truly shared region is shared + trailing space (45 chars) —
+    # byte-exact excision, everything else verbatim
+    assert out[1].clean_text == "unique lead-in text one " + "unique tail one"
+    assert out[2].clean_text == "completely different opening" + "and another end"
+    assert out[1].n_removed == out[2].n_removed == len(shared) + 1
+    assert out[3].clean_text == t3 and out[3].n_removed == 0
+    assert out[1].n_chars == len(t1)
