@@ -1234,3 +1234,181 @@ def kcenter_sample(
         out.append((step, far["_id"], float(far["_md"])))
         center_u, center_id = far["_u"], far["_id"]
     return out
+
+
+# --- IVF-PQ (product quantization) --------------------------------------
+
+
+def fit_pq_codebooks(
+    c: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    fit_sample_limit: int = 25_000,
+):
+    """Driver-side product-quantization codebook fit (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the (unit-normalized) vector into ``m`` contiguous subspaces
+    and run bounded Lloyd per subspace on the same deterministic
+    hash-ordered sample discipline as ``_fit_centroids``.
+
+    Returns an (m, n_codes, dim/m) float64 ndarray. Driver memory is
+    the sample (bounded) + the codebooks (KBs); at 100 TB nothing about
+    the fit changes — codebook quality saturates at tens of thousands
+    of samples.
+
+    ``c`` must be (neighbor_id, c_vec) like the other kernels.
+    """
+    import numpy as np
+
+    sample = (
+        c.orderBy(F.xxhash64("neighbor_id"))
+        .select("c_vec")
+        .limit(fit_sample_limit)
+        .toPandas()["c_vec"]
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, n_codes, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        ctr = Xj[rng.choice(len(Xj), size=min(n_codes, len(Xj)), replace=False)]
+        for _ in range(8):
+            d2 = ((Xj[:, None, :] - ctr[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for t in range(len(ctr)):
+                members = Xj[assign == t]
+                if len(members):
+                    ctr[t] = members.mean(axis=0)
+        books[j, : len(ctr)] = ctr
+    return books
+
+
+def pq_encode(
+    df: DataFrame, books, vec_col: str = "c_vec", out_col: str = "pq_codes"
+) -> DataFrame:
+    """One narrow Arrow pass appending each vector's PQ code word —
+    ``m`` tinyints replacing dim floats (64x smaller for dim=64/m=8:
+    THIS is why PQ is the 100 TB in-memory path; the raw vectors stay
+    on disk for the refine step only). Encoding = per-subspace nearest
+    codebook entry in L2 over the unit-normalized vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, ByteType
+
+    m, n_codes, sub = books.shape
+    flat = books  # broadcast via closure; a few KB
+
+    @F.pandas_udf(ArrayType(ByteType()))
+    def encode(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        X = np.stack(v.to_numpy())
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        codes = np.zeros((len(X), m), dtype=np.int8)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            d2 = ((Xj[:, None, :] - flat[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(F.col(vec_col)))
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 8,
+    m: int = 16,
+    n_codes: int = 32,
+    refine_factor: int = 8,
+    seed: int = 42,
+    fit_sample_limit: int = 25_000,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance (ADC) scoring and exact refine —
+    the standard billion-scale ANN architecture (FAISS IVFPQ shape):
+
+    1. coarse IVF: Lloyd centroids partition the corpus; queries probe
+       ``nprobe`` clusters (reusing the IVF-flat machinery);
+    2. PQ: every corpus vector compresses to ``m`` one-byte codes
+       (pq_encode) — the probed candidate set is scored WITHOUT
+       touching raw vectors: per query, one (m x n_codes) lookup table
+       of subspace inner products, then approx_cos = sum of m table
+       lookups per candidate (vectorized fancy-indexing, applyInPandas
+       grouped by query);
+    3. refine: the approx top-(k * refine_factor) shortlist re-scores
+       EXACT cosine against the raw vectors (one semi-joined fetch) and
+       the final top-k ranks on that — so PQ error can only cost
+       recall, never corrupt a returned similarity.
+
+    Scale: the scan path reads nprobe/n_clusters of the corpus as
+    8-byte codes instead of 512-byte vectors (~64x less memory
+    bandwidth — the entire point); raw vectors are touched for
+    |queries| * k * refine_factor rows only. Returns the same
+    (query_id, neighbor_id, cosine, rnk) shape as the other ANN ops.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    books = fit_pq_codebooks(c, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit)
+    assigned = pq_encode(
+        c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec"))), books
+    ).select("neighbor_id", "cluster", "pq_codes")
+
+    probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
+    cand = assigned.join(F.broadcast(probes), "cluster").select(
+        "query_id", "q_vec", "neighbor_id", "pq_codes"
+    )
+
+    import numpy as np
+    import pandas as pd
+
+    shortlist = k * refine_factor
+    mm, nn, sub = books.shape
+
+    def adc(key, pdf):
+        # one group per query: build the LUT once, score all candidate
+        # code words with fancy indexing, keep the approx shortlist
+        q = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        lut = np.zeros((mm, nn))
+        for j in range(mm):
+            lut[j] = books[j] @ q[j * sub : (j + 1) * sub]
+        codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+        scores = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+        take = min(shortlist, len(pdf))
+        idx = np.argpartition(-scores, take - 1)[:take]
+        return pd.DataFrame(
+            {"query_id": pdf["query_id"].iloc[0], "neighbor_id": pdf["neighbor_id"].iloc[idx]}
+        )
+
+    approx = cand.groupBy("query_id").applyInPandas(
+        adc, "query_id long, neighbor_id long"
+    )
+    # exact refine on the shortlist only
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    fetched = (
+        approx.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine_batch(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        fetched.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )

@@ -2460,3 +2460,24 @@ def doc_dup_span_exact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import remove_duplicated_char_spans
 
     return remove_duplicated_char_spans(_docs(spark, sf_dir), min_len=30)
+
+
+@query("embedding_ann_ivfpq")  # approximate by design -> rows-only check
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with ADC scoring and exact refine (operators/
+    similarity.py ann_topk_ivfpq) — the billion-scale architecture:
+    coarse IVF probe, candidates scored from 8-byte PQ code words via a
+    per-query lookup table (the corpus's raw vectors untouched), then
+    the approx shortlist re-ranked with exact cosine. Emits
+    `recall_at_k` vs the exact top-k and the `recall_ok` gate at the
+    IVF floor (0.5) — refine guarantees returned cosines are exact, so
+    PQ error can only cost recall, which the gate makes visible.
+    """
+    from ..operators.similarity import ann_topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_ivfpq(corpus=corpus, queries=queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)

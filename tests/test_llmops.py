@@ -632,3 +632,56 @@ def test_lsh_recall_gate_flips_on_degraded_config(spark, sf_dir):
         exact, 5, min_mean_recall=0.25,
     )
     assert good.select("recall_ok").distinct().collect()[0].recall_ok is True
+
+
+def test_ivfpq_planted_duplicate_and_recall(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        ann_topk_ivfpq,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    # plant each query INTO the corpus under a shifted id: IVF-PQ must
+    # return the exact duplicate as rank 1 with cosine ~1.0 (the refine
+    # step scores the shortlist exactly, so the dup cannot be outranked)
+    planted = corpus.unionByName(
+        queries.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    out = ann_topk_ivfpq(corpus=planted, queries=queries, k=3)
+    top1 = {r.query_id: r for r in out.filter("rnk = 1").collect()}
+    assert len(top1) == 10
+    for qid, r in top1.items():
+        assert r.neighbor_id == qid + 100000
+        assert abs(r.cosine - 1.0) < 1e-6
+
+    # recall floor on the unplanted corpus (same floor as IVF-flat:
+    # refine makes PQ error a shortlist-quality issue only)
+    exact = cosine_topk(corpus, queries, 5)
+    pq = with_recall_at_k(
+        ann_topk_ivfpq(corpus, queries, 5), exact, 5, min_mean_recall=0.5
+    )
+    assert pq.select("recall_ok").distinct().collect()[0].recall_ok is True
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        as_double,
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("c_vec"),
+    )
+    books = fit_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    enc = pq_encode(emb, books)
+    rows = enc.select("neighbor_id", "pq_codes").collect()
+    assert all(len(r.pq_codes) == 8 for r in rows)  # 8 bytes per vector
+    assert all(0 <= c < 16 for r in rows for c in r.pq_codes)
+    # layout-independence: a repartitioned copy encodes identically
+    enc2 = {r.neighbor_id: list(r.pq_codes)
+            for r in pq_encode(emb.repartition(7), books).collect()}
+    assert {r.neighbor_id: list(r.pq_codes) for r in rows} == enc2
