@@ -955,3 +955,121 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(outlier, 1).otherwise(0)).cast("long").alias("n_clipped"),
         )
     )
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+), rec AS (
+  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.event_type, q.day, q.n, q.i, round(0.3 * q.n + 0.7 * r.ewma, 9)
+  FROM seq q JOIN rec r ON q.event_type = r.event_type AND q.i = r.i + 1
+)
+SELECT event_type, day, n, ewma FROM rec
+"""
+
+
+@query("events_ewma_daily", _EWMA_ORACLE)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event volume —
+    the sequential RECURRENCE (s_t = a*x_t + (1-a)*s_{t-1}) that window
+    frames cannot express: the oracle replays it as a recursive CTE,
+    the engine as ONE ordered fold per series (array_sort +
+    F.aggregate) emitting every timestep. Each step rounds to 9
+    decimals BEFORE feeding the next, so the recurrence is
+    engine-exact (a last-ulp multiply disagreement cannot compound).
+
+    Scale: the fold's state is one series' daily points — the series is
+    an AGGREGATE (one row per (type, day)), bounded by the calendar,
+    not by event count; the heavy work (daily counts) is a map-side
+    combined groupBy. A million-key series set folds in parallel, one
+    row per series.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = F.lit(0.3)
+    xs = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("_xs")
+    )
+    folded = F.aggregate(
+        "_xs",
+        F.array().cast("array<struct<day:date,n:bigint,ewma:double>>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["n"].alias("n"),
+                    F.when(F.size(acc) == 0, x["n"].cast("double"))
+                    .otherwise(
+                        F.round(
+                            a * x["n"]
+                            + (F.lit(1.0) - a)
+                            * F.try_element_at(acc, F.lit(-1))["ewma"],
+                            9,
+                        )
+                    )
+                    .alias("ewma"),
+                )
+            ),
+        ),
+    )
+    return (
+        xs.select("event_type", F.explode(folded).alias("_r"))
+        .select("event_type", "_r.day", "_r.n", "_r.ewma")
+    )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       CAST(median(n) OVER (PARTITION BY event_type ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS med7
+FROM daily
+"""
+
+
+@query("events_rolling_median", _ROLLING_MEDIAN_ORACLE)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling EXACT median of daily volume per event
+    type — an order-statistic over an interval RANGE frame (robust
+    baseline for spike detection; the mean-based anomaly queries are
+    skew-sensitive, the median is not). Exact percentile over integer
+    counts interpolates identically in both engines.
+
+    Scale: the window partitions by event type over the DAILY aggregate
+    (calendar-bounded rows per series), never over raw events; the
+    daily counts themselves are one map-side combined groupBy.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.percentile(F.col("n"), F.lit(0.5)).over(w).alias("med7"),
+    )
