@@ -1,0 +1,108 @@
+"""Streaming EWMA spike detection: the batch recurrence
+(plans/analytics.py events_ewma_daily) lifted into query state.
+
+Each key's exponentially-weighted average folds forward across
+micro-batches via applyInPandasWithState — state is ONE (ewma, count)
+pair per key, checkpointed with the query, restart-safe. Every
+incoming row is emitted back with its post-update ewma and an
+``is_spike`` flag (value > spike_factor x the PRE-update average, so a
+spike is judged against history, never against itself).
+
+Ordering semantics (the standard streaming tradeoff, documented not
+hidden): rows are event-time ordered WITHIN a micro-batch (sorted
+before folding); ACROSS batches the fold follows arrival order. When
+batches arrive time-ordered — the normal case for an append-only log —
+the result is identical to the batch fold over the whole ordered
+stream (pinned by test). Out-of-order arrival beyond that needs a
+watermark + sorted state store, which is a different operator.
+
+Each step rounds to 9 decimals before feeding the next — the same
+engine-exactness discipline as the batch recurrence, so a batch replay
+of the same splits reproduces the stream bit-for-bit.
+
+Scale: the shuffle keys on the EWMA key (series id); state is O(keys),
+two scalars each. The fold is one pandas pass per key per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("is_spike", T.BooleanType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _ewma_fold_factory(alpha: float, spike_factor: float):
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev, n = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            "ts", kind="stable"
+        )
+        ewmas, spikes = [], []
+        for v in rows["value"].astype(float):
+            spikes.append(prev is not None and v > spike_factor * prev)
+            prev = v if prev is None else round(
+                alpha * v + (1.0 - alpha) * prev, 9
+            )
+            ewmas.append(prev)
+            n += 1
+        state.update((prev, n))
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "ts": rows["ts"],
+                "value": rows["value"].astype(float),
+                "ewma": ewmas,
+                "is_spike": spikes,
+            }
+        )
+
+    return fold
+
+
+def streaming_ewma(
+    points: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    spike_factor: float = 2.0,
+) -> DataFrame:
+    """Stateful streaming EWMA + spike flags, updated every micro-batch
+    (update output mode). ``points`` must be a streaming frame of
+    (key, ts, value)."""
+    keyed = points.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        _ewma_fold_factory(alpha, spike_factor),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
