@@ -469,3 +469,60 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         F.round(F.sum("_s"), 6).cast("double").alias("score")
     )
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing text embeddings (the 'hashing trick', Weinberger
+    et al., ICML 2009): each token folds into one of ``dim`` buckets by
+    its md5 digits with a hash-derived sign, per-bucket SIGNED counts
+    accumulate, and the vector L2-normalizes — a deterministic,
+    engine-replicable text vectorizer that makes the whole embedding
+    pipeline (kNN, ANN, clustering, dedup) runnable on raw text with
+    zero model weights.
+
+    Everything is exact integers until one division: bucket and sign
+    come from the md5-digit arithmetic the DuckDB oracle replicates
+    digit-for-digit (the DSIR/SimHash trick), the signed counts and the
+    squared norm are integer aggregates, and the only float op is
+    s / sqrt(sum s^2) rounded to 6 — identical in any IEEE engine.
+
+    Output: (id, dim_idx, weight) SPARSE rows (zero buckets omitted);
+    documents with no tokens emit nothing.
+
+    Scale: one token scan -> one (id, dim_idx) aggregate (map-side
+    combined; keys = |docs| x dim) -> one per-doc norm aggregate. No
+    broadcast, no Python.
+    """
+    from .dedup import _md5_hex_digit
+
+    h = F.md5(F.col("_tok"))
+    bucket = F.pmod(
+        _md5_hex_digit(h, 1) * 16 + _md5_hex_digit(h, 2), F.lit(dim)
+    )
+    sign = F.when(_md5_hex_digit(h, 3) >= 8, F.lit(1)).otherwise(F.lit(-1))
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_tok")
+    )
+    signed = toks.select(
+        F.col(id_col), bucket.alias("dim_idx"), sign.alias("_sg")
+    )
+    v = signed.groupBy(id_col, "dim_idx").agg(
+        F.sum("_sg").cast("long").alias("_s")
+    )
+    norm = v.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_s") * F.col("_s"))).alias("_nrm")
+    )
+    return (
+        v.join(norm, id_col)
+        .filter(F.col("_s") != 0)
+        .select(
+            F.col(id_col),
+            F.col("dim_idx").cast("long").alias("dim_idx"),
+            F.round(F.col("_s") / F.col("_nrm"), 6).alias("weight"),
+        )
+    )

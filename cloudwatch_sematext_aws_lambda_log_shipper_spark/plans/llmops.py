@@ -2481,3 +2481,116 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_ivfpq(corpus=corpus, queries=queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
+
+
+def _hash_emb_cte() -> str:
+    """Shared DuckDB CTE text: the hashed-embedding sparse rows,
+    replicating operators/text.py hashed_embeddings digit-for-digit."""
+    def digit(p: int) -> str:
+        a = f"ascii(substr(h,{p},1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    return rf"""toks AS (
+  SELECT doc_id, md5(unnest(string_split_regex(lower(trim(text)), '\s+'))) AS h
+  FROM documents
+), signed AS (
+  SELECT doc_id,
+         (({digit(1)}) * 16 + ({digit(2)})) % 64 AS dim_idx,
+         CASE WHEN ({digit(3)}) >= 8 THEN 1 ELSE -1 END AS sg
+  FROM toks
+), v AS (
+  SELECT doc_id, dim_idx, CAST(SUM(sg) AS BIGINT) AS s
+  FROM signed GROUP BY doc_id, dim_idx
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM v GROUP BY doc_id
+), emb AS (
+  SELECT v.doc_id, CAST(v.dim_idx AS BIGINT) AS dim_idx,
+         CAST(round(v.s / nrm.nrm, 6) AS DOUBLE) AS weight
+  FROM v JOIN nrm USING (doc_id) WHERE v.s <> 0
+)"""
+
+
+_HASH_EMB_ORACLE = f"WITH {_hash_emb_cte()}\nSELECT doc_id, dim_idx, weight FROM emb"
+
+
+@query("doc_hash_embeddings", _HASH_EMB_ORACLE)
+def doc_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (operators/text.py
+    hashed_embeddings): 64-dim signed-count hashed vectors,
+    L2-normalized, emitted sparse — a zero-model deterministic
+    vectorizer feeding the embedding pipeline from raw text. Exact
+    integers until one division; the oracle replays the md5-digit
+    bucket/sign arithmetic digit-for-digit.
+    """
+    from ..operators.text import hashed_embeddings
+
+    return hashed_embeddings(_docs(spark, sf_dir), dim=64)
+
+
+_TEXT_KNN_ORACLE = f"""
+WITH {_hash_emb_cte()}, dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         CAST(ROUND(SUM(CAST(q.weight AS DECIMAL(8,6))
+                        * CAST(c.weight AS DECIMAL(8,6))), 6) AS DOUBLE)
+           AS cosine
+  FROM emb q JOIN emb c USING (dim_idx)
+  WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("doc_text_knn", _TEXT_KNN_ORACLE)
+def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text k-nearest-neighbors, end to end and EXACT: hashed
+    embeddings -> sparse dot products via a dim_idx equi join -> top-3
+    per query. Unit vectors make dot == cosine; products of 6-decimal
+    weights are exact DECIMAL(16,12) terms, so the pairwise similarity
+    sum is order-independent and hash-identical across engines — the
+    strongest cross-engine check an embedding pipeline can get.
+
+    Scale note: the sparse-dot join keys on dim_idx (64 values) — fine
+    while the query side is small (it broadcasts); a large query set
+    wants the dense blocked-GEMM path (operators/similarity.py), which
+    this query's embedding output feeds directly.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import hashed_embeddings
+
+    emb = hashed_embeddings(_docs(spark, sf_dir), dim=64)
+    wdec = lambda c: F.col(c).cast("decimal(8,6)")
+    q = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        "dim_idx",
+        wdec("weight").alias("_qw"),
+    )
+    c = emb.select(
+        F.col("doc_id").alias("neighbor_id"),
+        "dim_idx",
+        wdec("weight").alias("_cw"),
+    )
+    dots = (
+        c.join(F.broadcast(q), "dim_idx")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("_qw") * F.col("_cw")), 6)
+            .cast("double")
+            .alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        dots.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
