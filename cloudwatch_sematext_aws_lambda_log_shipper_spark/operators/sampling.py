@@ -109,3 +109,40 @@ def es_priority_key(id_col: Column, weight: Column, salt: str = "") -> Column:
     """
     u = (split_bucket(id_col, salt) + F.lit(0.5)) / F.lit(float(BUCKETS))
     return F.when(weight > 0, F.log(u) / weight)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-allocation stratified sampling: every stratum contributes
+    exactly ceil(fraction * n_stratum) rows (proportional allocation,
+    never the binomial wobble of per-row Bernoulli draws), selected in
+    md5-priority order so the draw is deterministic, engine-replicable,
+    and re-rollable via ``salt``.
+
+    Output: the sampled rows (all input columns).
+
+    Scale: one window rank per stratum over a narrow (keys + digest)
+    projection — the rank partitions by stratum, so no global sort;
+    stratum counts ride the same window (count over the partition), so
+    ONE shuffle total. Heavily skewed strata are the same rows a
+    groupBy would move; for a pathological single-stratum corpus,
+    pre-salt the stratum key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols)
+    pri = F.md5(
+        F.concat_ws("\x1f", *strata_cols, F.col(id_col).cast("string"),
+                    F.lit(salt))
+    )
+    ranked = df.withColumn("_pri", pri).withColumn(
+        "_rk",
+        F.row_number().over(w.orderBy(F.col("_pri"), F.col(id_col))),
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    quota = F.ceil(F.col("_n") * F.lit(fraction))
+    return ranked.filter(F.col("_rk") <= quota).drop("_pri", "_rk", "_n")

@@ -2594,3 +2594,78 @@ def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+_STRATIFIED_ORACLE = r"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || chr(31) || CAST(doc_id AS VARCHAR)
+                        || chr(31)), doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= CEIL(n * 0.2)
+"""
+
+
+@query("corpus_stratified_sample", _STRATIFIED_ORACLE)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-allocation stratified sampling (operators/sampling.py
+    stratified_sample_exact): every source contributes exactly
+    ceil(0.2 * n_source) documents, drawn in deterministic md5-priority
+    order — proportional allocation with zero binomial wobble, the
+    right way to build an eval slice whose source mix matches the
+    corpus. The oracle replays the identical ranked draw.
+    """
+    from ..operators.sampling import stratified_sample_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample_exact(docs, ["source"], 0.2)
+
+
+_VOCAB_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), tf AS (
+  SELECT source, t, count(*) AS c FROM toks GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(ROUND(count(*) * 1.0 / SUM(c), 6) AS DOUBLE) AS type_token_ratio
+FROM tf GROUP BY source
+"""
+
+
+@query("corpus_vocab_stats", _VOCAB_STATS_ORACLE)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics — token count, type count,
+    hapax legomena, type/token ratio: the Heaps'/Zipf-style corpus
+    statistics a data curator reads before mixing sources (a crawl
+    slice with a collapsing type/token ratio is boilerplate; an
+    inflating hapax share is OCR noise).
+
+    Scale: one tokenize pass -> (source, token) aggregate (map-side
+    combined, bounded by per-source vocabulary) -> per-source rollup.
+    All integers until one final division.
+    """
+    from ..operators.text import words as _words
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(_words(F.col("text"))).alias("t")
+    )
+    tf = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
+        ).alias("type_token_ratio"),
+    )

@@ -502,3 +502,24 @@ def test_char_span_removal_preserves_unique_bytes(spark):
     assert out[1].n_removed == out[2].n_removed == len(shared) + 1
     assert out[3].clean_text == t3 and out[3].n_removed == 0
     assert out[1].n_chars == len(t1)
+
+
+def test_stratified_sample_exact_quota_and_salt(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample_exact(df, ["source"], 0.3)
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    assert by_src == {"big": 30, "small": 3}  # ceil(0.3*100), ceil(0.3*7)
+    # deterministic: same draw twice
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in stratified_sample_exact(df, ["source"], 0.3).collect()}
+    assert a == b
+    # salt re-rolls the draw but keeps quotas exact
+    c = {r.doc_id
+         for r in stratified_sample_exact(df, ["source"], 0.3, salt="s2").collect()}
+    assert len(c) == len(a) and c != a
