@@ -1073,3 +1073,79 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.percentile(F.col("n"), F.lit(0.5)).over(w).alias("med7"),
     )
+
+
+def _kmv_oracle() -> str:
+    k, m = 16, float(1 << 48)
+    return f"""
+WITH eh AS (
+  SELECT DISTINCT event_type,
+         try_cast('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+  FROM events
+), rk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM eh
+), sk AS (
+  SELECT event_type, list(h ORDER BY h) AS sketch
+  FROM rk WHERE rk <= {k} GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS set_a, b.event_type AS set_b,
+         a.sketch AS ska, b.sketch AS skb,
+         list_slice(list_sort(list_distinct(flatten([a.sketch, b.sketch]))),
+                    1, {k}) AS m
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), est AS (
+  SELECT set_a, set_b, ska, skb, m,
+         CASE WHEN len(m) < {k} THEN CAST(len(m) AS DOUBLE)
+              ELSE round({float(k - 1)} * {m} / m[least({k}, len(m))], 4)
+         END AS est_union
+  FROM pairs
+), est2 AS (
+  SELECT set_a, set_b, est_union,
+         round(len([x FOR x IN m
+                    IF list_contains(ska, x) AND list_contains(skb, x)])
+               * est_union / len(m), 4) AS est_intersection
+  FROM est
+), inter AS (
+  SELECT a.event_type AS set_a, b.event_type AS set_b,
+         count(*) AS exact_intersection
+  FROM eh a JOIN eh b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), cnt AS (
+  SELECT event_type, count(*) AS n FROM eh GROUP BY 1
+)
+SELECT e.set_a, e.set_b, e.est_union, e.est_intersection,
+       CAST(ca.n + cb.n - coalesce(i.exact_intersection, 0) AS BIGINT)
+         AS exact_union,
+       CAST(coalesce(i.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection,
+       abs(e.est_union - (ca.n + cb.n - coalesce(i.exact_intersection, 0)))
+         / (ca.n + cb.n - coalesce(i.exact_intersection, 0))
+         <= {3.0 / (k ** 0.5)} AS within_bound
+FROM est2 e
+LEFT JOIN inter i ON e.set_a = i.set_a AND e.set_b = i.set_b
+JOIN cnt ca ON ca.event_type = e.set_a
+JOIN cnt cb ON cb.event_type = e.set_b
+"""
+
+
+@query("audience_overlap_kmv", _kmv_oracle())
+def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with set-algebra estimators
+    (operators/sketches.py): per event-type user sketches (k=16
+    smallest md5-derived hashes), pairwise union/intersection ESTIMATES
+    — the O(k) audience-overlap primitive — alongside the exact audit
+    counts and a `within_bound` gate. Every estimator value is
+    deterministic md5 arithmetic, so unlike most sketches this one is
+    fully hash-checked against the oracle, estimation error and all.
+    """
+    from ..operators.sketches import kmv_hash, kmv_overlap, kmv_sketches
+
+    ev = load(spark, sf_dir, "events")
+    sketches = kmv_sketches(ev, "event_type", "user_id", k=16)
+    exact = ev.select(
+        "event_type", kmv_hash(F.col("user_id")).alias("_h")
+    ).distinct()
+    return kmv_overlap(sketches, exact, "event_type", k=16)

@@ -124,3 +124,35 @@ def test_retention_cohorts_triangle(spark, tmp_path):
     assert got[("2024-01-01", 2)].active_users == 1  # user 2 back in wk3
     assert got[("2024-01-08", 0)].active_users == 1  # user 3's own cohort
     assert len(got) == 4
+
+
+def test_kmv_exact_collapse_and_bound(spark):
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sketches import (
+        kmv_hash,
+        kmv_overlap,
+        kmv_sketches,
+    )
+
+    # sets SMALLER than k: the sketch holds the whole hashed set, so
+    # estimators collapse to exact values
+    rows = [("A", i) for i in range(10)] + [("B", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "s string, u long")
+    sk = kmv_sketches(df, "s", "u", k=64)
+    exact = df.select("s", kmv_hash(F.col("u")).alias("_h")).distinct()
+    out = kmv_overlap(sk, exact, "s", k=64).collect()[0]
+    assert out.est_union == out.exact_union == 15
+    assert out.est_intersection == out.exact_intersection == 5
+    assert out.within_bound is True
+
+    # sets larger than k: real estimation, bound holds on random-ish
+    # (md5-hashed) elements
+    big = [("A", i) for i in range(500)] + [("B", i) for i in range(250, 750)]
+    dfb = spark.createDataFrame(big, "s string, u long")
+    skb = kmv_sketches(dfb, "s", "u", k=32)
+    exb = dfb.select("s", kmv_hash(F.col("u")).alias("_h")).distinct()
+    ob = kmv_overlap(skb, exb, "s", k=32).collect()[0]
+    assert ob.exact_union == 750 and ob.exact_intersection == 250
+    assert ob.within_bound is True
+    assert ob.est_union != ob.exact_union  # genuinely estimating
