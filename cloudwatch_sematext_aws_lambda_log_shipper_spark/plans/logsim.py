@@ -887,3 +887,199 @@ def log_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.filter(pred).groupBy("severity").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_MULTILINE_ORACLE = """
+WITH lines AS (
+  SELECT 'stream-' || CAST(user_id % 4 AS VARCHAR) AS stream,
+         event_id * 4 + i AS line_no,
+         CASE WHEN i = 0
+              THEN event_type || ' failed for user ' || CAST(user_id AS VARCHAR)
+              ELSE '  at frame_' || CAST(i AS VARCHAR) END AS line,
+         i = 0 AS is_start
+  FROM (SELECT event_id, user_id, event_type,
+               unnest(generate_series(0, event_id % 3)) AS i
+        FROM events)
+  WHERE NOT (i = 0 AND event_id < 4)
+), isl AS (
+  SELECT stream, line_no, line, is_start,
+         SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY stream ORDER BY line_no) AS evt
+  FROM lines
+)
+SELECT stream, CAST(evt AS BIGINT) AS event_no,
+       max(CASE WHEN is_start THEN line END) AS head,
+       string_agg(line, chr(10) ORDER BY line_no) AS block,
+       count(*) AS n_lines,
+       evt = 0 AS orphan
+FROM isl GROUP BY stream, evt
+"""
+
+
+@query("log_multiline_reassembly", _MULTILINE_ORACLE)
+def log_multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line event reassembly (operators/multiline.py): stack-
+    trace-shaped corpora (a head line + 0-2 indented continuation
+    frames per event, streams cut mid-trace to exercise the orphan
+    path) stitched back into logical events by the per-stream
+    lag-islands window. The oracle rebuilds every block byte-for-byte
+    — head selection, ordered newline join, orphan flagging.
+
+    Scale: windows partition by log stream (CloudWatch's ordering
+    unit); no global sort; the reassembly groupBy shuffles on
+    (stream, island).
+    """
+    from ..operators.multiline import reassemble_lines
+
+    ev = load(spark, sf_dir, "events")
+    lines = (
+        ev.select(
+            F.concat(F.lit("stream-"), (F.col("user_id") % 4).cast("string"))
+            .alias("logStream"),
+            "event_id",
+            "user_id",
+            "event_type",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("event_id") % 3).cast("int"))
+            ).alias("i"),
+        )
+        .filter(~((F.col("i") == 0) & (F.col("event_id") < 4)))
+        .select(
+            "logStream",
+            (F.col("event_id") * 4 + F.col("i")).alias("line_no"),
+            F.when(
+                F.col("i") == 0,
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(" failed for user "),
+                    F.col("user_id").cast("string"),
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("  at frame_"), F.col("i").cast("string"))
+            )
+            .alias("line"),
+        )
+    )
+    out = reassemble_lines(
+        lines, is_start=~F.col("line").startswith("  ")
+    )
+    return out.select(
+        F.col("logStream").alias("stream"),
+        "event_no",
+        "head",
+        "block",
+        "n_lines",
+        "orphan",
+    )
+
+
+_TEMPLATE_DRIFT_ORACLE = r"""
+WITH msgs AS (
+  SELECT event_id, event_id % 5 AS m, event_type, value, props FROM events
+), parsed AS (
+  SELECT event_id % 2 = 0 AS in_a,
+    CASE
+      WHEN m = 0 THEN props
+      WHEN m = 1 THEN event_type || ' happened'
+      WHEN m = 2 THEN event_type || ' processed'
+      ELSE 'plain text for ' || event_type ||
+           (CASE WHEN value > 150 THEN ' error detected' ELSE '' END)
+    END AS message
+  FROM msgs WHERE m <> 3
+), templ AS (
+  SELECT in_a,
+         regexp_replace(
+           regexp_replace(message,
+             '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+             '<uuid>', 'g'),
+           '[0-9]+(\.[0-9]+)?', '<num>', 'g') AS template
+  FROM parsed
+), c AS (
+  SELECT template,
+         SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS n_b
+  FROM templ GROUP BY template
+), tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb,
+         count(*) AS k
+  FROM c
+)
+SELECT template, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(round(
+         ((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+         * ln(((n_a + 1.0) * (tb + k)) / ((n_b + 1.0) * (ta + k))),
+       6) AS DOUBLE) AS psi_term
+FROM c, tot
+"""
+
+
+@query("log_template_drift", _TEMPLATE_DRIFT_ORACLE)
+def log_template_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-distribution drift between two log windows (population
+    stability index, the standard drift score): per template, PSI term
+    (p_a - p_b) * ln(p_a / p_b) with Laplace +1 smoothing — a template
+    whose share collapses or explodes between windows dominates the
+    score, which is how an ops platform catches "the app started
+    logging something new" before any threshold alert fires. Windows
+    here are the deterministic event-parity split; production swaps in
+    time ranges.
+
+    Determinism: counts and totals are integers; each PSI term is ONE
+    fixed-order float expression over them (the ln sees a ratio of
+    exact integer products), rounded to 6 — identical in any IEEE
+    engine, no cross-term summation anywhere.
+
+    Scale: template masking is two codegen'd regexp_replace
+    projections; the aggregate is bounded by template cardinality; the
+    totals broadcast as a one-row scalar.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = F.col("event_id") % 5
+    message = (
+        F.when(m == 0, F.col("props"))
+        .when(m == 1, F.concat(F.col("event_type"), F.lit(" happened")))
+        .when(m == 2, F.concat(F.col("event_type"), F.lit(" processed")))
+        .otherwise(
+            F.concat(
+                F.lit("plain text for "),
+                F.col("event_type"),
+                F.when(F.col("value") > 150, F.lit(" error detected"))
+                .otherwise(F.lit("")),
+            )
+        )
+    )
+    uuid_re = (
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(message, uuid_re, "<uuid>"),
+        r"[0-9]+(\.[0-9]+)?",
+        "<num>",
+    )
+    templ = ev.filter(m != 3).select(
+        (F.col("event_id") % 2 == 0).alias("in_a"), template.alias("template")
+    )
+    c = templ.groupBy("template").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("n_b"),
+    )
+    tot = c.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    pa = (F.col("n_a") + F.lit(1.0)) / (F.col("_ta") + F.col("_k"))
+    pb = (F.col("n_b") + F.lit(1.0)) / (F.col("_tb") + F.col("_k"))
+    lr = F.log(
+        ((F.col("n_a") + F.lit(1.0)) * (F.col("_tb") + F.col("_k")))
+        / ((F.col("n_b") + F.lit(1.0)) * (F.col("_ta") + F.col("_k")))
+    )
+    return j.select(
+        "template",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((pa - pb) * lr, 6).alias("psi_term"),
+    )
