@@ -875,6 +875,7 @@ def duplicated_char_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """EXACT character-level duplicated spans — the real Lee et al.
     ("Deduplicating Training Data Makes Language Models Better")
@@ -904,10 +905,12 @@ def duplicated_char_spans(
       |distinct grams|;
     - positions re-join the >= min_count gram set with an equi join —
       no broadcast assumption (boilerplate corpora have huge dup sets);
-    - grams shuffle as the RAW L-char strings so the DuckDB oracle is
-      replicated exactly, collision-free by construction; a production
-      run would shuffle xxhash64(gram) (8 bytes vs L) and accept the
-      2^-64 collision odds — same plan shape;
+    - by default grams shuffle as the RAW L-char strings so the DuckDB
+      oracle is replicated exactly, collision-free by construction;
+      ``hash_grams=True`` is the 100 TB path — shuffle xxhash64(gram)
+      (8 bytes instead of L, an L/8x smaller exchange) and accept the
+      2^-64 collision odds; the plan shape is identical and a pytest
+      pins result equality between the modes;
     - interval merging is a per-document window (lag + running sum
       islands) — partitioned by doc id, never global, state bounded by
       one document's positions.
@@ -925,7 +928,13 @@ def duplicated_char_spans(
         ).alias("pos"),
         F.col(text_col).alias("_t"),
     ).select(
-        id_col, "pos", F.expr(f"substring(_t, pos, {L})").alias("_g")
+        id_col,
+        "pos",
+        (
+            F.xxhash64(F.expr(f"substring(_t, pos, {L})"))
+            if hash_grams
+            else F.expr(f"substring(_t, pos, {L})")
+        ).alias("_g"),
     )
     hot = (
         grams.groupBy("_g")

@@ -1367,7 +1367,7 @@ def ann_topk_ivfpq(
 
     probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
     cand = assigned.join(F.broadcast(probes), "cluster").select(
-        "query_id", "q_vec", "neighbor_id", "pq_codes"
+        "query_id", "cluster", "q_vec", "neighbor_id", "pq_codes"
     )
 
     import numpy as np
@@ -1377,8 +1377,13 @@ def ann_topk_ivfpq(
     mm, nn, sub = books.shape
 
     def adc(key, pdf):
-        # one group per query: build the LUT once, score all candidate
-        # code words with fancy indexing, keep the approx shortlist
+        # one group per (query, probed cluster): build the LUT once,
+        # score that inverted list's code words with fancy indexing,
+        # keep a per-cluster shortlist. Grouping by (query, cluster) —
+        # not by query alone — bounds applyInPandas's in-memory group
+        # at ONE inverted list (~|corpus|/n_clusters), where a
+        # per-query group would materialize every probed list at once
+        # (nprobe/n_clusters of the corpus — OOM at scale).
         q = np.asarray(pdf["q_vec"].iloc[0], dtype=np.float64)
         q = q / max(np.linalg.norm(q), 1e-12)
         lut = np.zeros((mm, nn))
@@ -1389,11 +1394,25 @@ def ann_topk_ivfpq(
         take = min(shortlist, len(pdf))
         idx = np.argpartition(-scores, take - 1)[:take]
         return pd.DataFrame(
-            {"query_id": pdf["query_id"].iloc[0], "neighbor_id": pdf["neighbor_id"].iloc[idx]}
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": pdf["neighbor_id"].iloc[idx],
+                "adc_score": scores[idx],
+            }
         )
 
-    approx = cand.groupBy("query_id").applyInPandas(
-        adc, "query_id long, neighbor_id long"
+    # per-cluster shortlists -> global approx shortlist per query (the
+    # window ranks nprobe * shortlist tiny rows, never the full lists)
+    per_cluster = cand.groupBy("query_id", "cluster").applyInPandas(
+        adc, "query_id long, neighbor_id long, adc_score double"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    approx = (
+        per_cluster.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
     )
     # exact refine on the shortlist only
     q = queries.select(

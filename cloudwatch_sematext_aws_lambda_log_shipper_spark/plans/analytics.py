@@ -966,13 +966,16 @@ WITH RECURSIVE daily AS (
          row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
   FROM daily
 ), rec AS (
-  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS ewma
+  SELECT event_type, day, n, i, n * 1000000000 AS s9
   FROM seq WHERE i = 1
   UNION ALL
-  SELECT q.event_type, q.day, q.n, q.i, round(0.3 * q.n + 0.7 * r.ewma, 9)
+  SELECT q.event_type, q.day, q.n, q.i,
+         (3 * q.n * 1000000000 + 7 * r.s9 + 5) // 10
   FROM seq q JOIN rec r ON q.event_type = r.event_type AND q.i = r.i + 1
 )
-SELECT event_type, day, n, ewma FROM rec
+SELECT event_type, day, n,
+       CAST(s9 AS DOUBLE) / 1000000000.0 AS ewma
+FROM rec
 """
 
 
@@ -982,9 +985,13 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sequential RECURRENCE (s_t = a*x_t + (1-a)*s_{t-1}) that window
     frames cannot express: the oracle replays it as a recursive CTE,
     the engine as ONE ordered fold per series (array_sort +
-    F.aggregate) emitting every timestep. Each step rounds to 9
-    decimals BEFORE feeding the next, so the recurrence is
-    engine-exact (a last-ulp multiply disagreement cannot compound).
+    F.aggregate) emitting every timestep. The recurrence runs in
+    SCALED INTEGERS (s9 = ewma * 10^9; half-up integer step) — no
+    float op feeds the next step, so the sequence is bit-exact in any
+    engine; only the final display division touches doubles. (A
+    round(double, 9)-per-step formulation differed from DuckDB in the
+    last decimal under strict full-repr comparison — engines' double
+    rounding disagrees at ulp scale; integers cannot.)
 
     Scale: the fold's state is one series' daily points — the series is
     an AGGREGATE (one row per (type, day)), bounded by the calendar,
@@ -997,36 +1004,48 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = F.lit(0.3)
     xs = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("day", "n"))).alias("_xs")
     )
-    folded = F.aggregate(
-        "_xs",
-        F.array().cast("array<struct<day:date,n:bigint,ewma:double>>"),
-        lambda acc, x: F.concat(
+
+    def step(acc, x):
+        prev = F.try_element_at(acc, F.lit(-1))["s9"]
+        # half-up integer step: (3*n*1e9 + 7*s9 + 5) div 10, computed
+        # as (num - num mod 10) / 10 so the double division is over an
+        # exact multiple of 10 (exact below 2^53 — daily counts up to
+        # ~1e5 stay 1000x inside that)
+        num = x["n"] * F.lit(3000000000) + prev * F.lit(7) + F.lit(5)
+        s9 = ((num - F.pmod(num, F.lit(10))) / F.lit(10)).cast("long")
+        return F.concat(
             acc,
             F.array(
                 F.struct(
                     x["day"].alias("day"),
                     x["n"].alias("n"),
-                    F.when(F.size(acc) == 0, x["n"].cast("double"))
-                    .otherwise(
-                        F.round(
-                            a * x["n"]
-                            + (F.lit(1.0) - a)
-                            * F.try_element_at(acc, F.lit(-1))["ewma"],
-                            9,
-                        )
+                    F.when(
+                        F.size(acc) == 0, x["n"] * F.lit(1000000000)
                     )
-                    .alias("ewma"),
+                    .otherwise(s9)
+                    .alias("s9"),
                 )
             ),
-        ),
+        )
+
+    folded = F.aggregate(
+        "_xs",
+        F.array().cast("array<struct<day:date,n:bigint,s9:bigint>>"),
+        step,
     )
     return (
         xs.select("event_type", F.explode(folded).alias("_r"))
-        .select("event_type", "_r.day", "_r.n", "_r.ewma")
+        .select(
+            "event_type",
+            "_r.day",
+            "_r.n",
+            (F.col("_r.s9").cast("double") / F.lit(1000000000.0)).alias(
+                "ewma"
+            ),
+        )
     )
 
 

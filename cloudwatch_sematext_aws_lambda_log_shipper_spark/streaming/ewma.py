@@ -16,9 +16,11 @@ the result is identical to the batch fold over the whole ordered
 stream (pinned by test). Out-of-order arrival beyond that needs a
 watermark + sorted state store, which is a different operator.
 
-Each step rounds to 9 decimals before feeding the next — the same
-engine-exactness discipline as the batch recurrence, so a batch replay
-of the same splits reproduces the stream bit-for-bit.
+Each step rounds to 9 decimals before feeding the next, so a batch
+replay of the same splits in the same Python runtime reproduces the
+stream exactly. (The batch query goes further — a scaled-integer
+recurrence, bit-exact across ENGINES — because it faces a cross-engine
+oracle; stream state only ever compares against its own replay.)
 
 Scale: the shuffle keys on the EWMA key (series id); state is O(keys),
 two scalars each. The fold is one pandas pass per key per batch.

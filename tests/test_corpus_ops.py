@@ -523,3 +523,25 @@ def test_stratified_sample_exact_quota_and_salt(spark):
     c = {r.doc_id
          for r in stratified_sample_exact(df, ["source"], 0.3, salt="s2").collect()}
     assert len(c) == len(a) and c != a
+
+
+def test_char_spans_hash_grams_mode_identical(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        duplicated_char_spans,
+    )
+
+    shared = "the quick brown fox jumps over lazy dogs tod"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique lead-in text one " + shared + " unique tail one"),
+            (2, "completely different opening" + shared + " and another end"),
+            (3, "no duplication in this document at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = sorted(tuple(r) for r in duplicated_char_spans(docs, 30).collect())
+    hashed = sorted(
+        tuple(r)
+        for r in duplicated_char_spans(docs, 30, hash_grams=True).collect()
+    )
+    assert raw == hashed  # the 8-byte-shuffle scale path changes nothing
