@@ -1168,3 +1168,53 @@ def audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", kmv_hash(F.col("user_id")).alias("_h")
     ).distinct()
     return kmv_overlap(sketches, exact, "event_type", k=16)
+
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), dow AS (
+  SELECT event_type, day, n, dayofweek(day) AS dw FROM daily
+), seas AS (
+  SELECT event_type, dw,
+         CAST(SUM(n) AS DECIMAL(20,6)) / count(*) AS dow_mean
+  FROM dow GROUP BY event_type, dw
+)
+SELECT d.event_type, d.day, d.n,
+       CAST(s.dow_mean AS DOUBLE) AS dow_mean,
+       CAST(d.n - s.dow_mean AS DOUBLE) AS residual
+FROM dow d JOIN seas s ON d.event_type = s.event_type AND d.dw = s.dw
+"""
+
+
+@query("events_seasonal_decomposition", _SEASONAL_ORACLE)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonal decomposition of daily volume: per (event type,
+    day-of-week) mean as the seasonal component, residual = actual -
+    seasonal — the deseasonalized series anomaly detectors should run
+    on (a Monday spike is only a spike relative to Mondays). The means
+    are exact DECIMAL(20,6) divisions of integer sums, so the whole
+    decomposition hash-matches across engines.
+
+    Scale: the seasonal table is (types x 7) rows — broadcast; the
+    daily aggregate is the only corpus-sized pass.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("dw", F.dayofweek("day"))
+    )
+    seas = daily.groupBy("event_type", "dw").agg(
+        (
+            F.sum("n").cast("decimal(20,6)") / F.count(F.lit(1))
+        ).alias("_dm")
+    )
+    return daily.join(F.broadcast(seas), ["event_type", "dw"]).select(
+        "event_type",
+        "day",
+        "n",
+        F.col("_dm").cast("double").alias("dow_mean"),
+        (F.col("n") - F.col("_dm")).cast("double").alias("residual"),
+    )

@@ -1244,3 +1244,103 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated"))
     )
+
+
+_INTEGRITY_ORACLE = """
+SELECT 'orders.o_custkey -> customer' AS constraint_name,
+       (SELECT count(*) FROM orders) AS n_rows,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE l.l_partkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_quantity in [1, 50]',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+UNION ALL
+SELECT 'orders.o_orderkey unique',
+       (SELECT count(*) FROM orders),
+       (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders)
+"""
+
+
+@query("referential_integrity_audit", _INTEGRITY_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit: foreign-key orphans (anti joins), a range
+    constraint, and a uniqueness check, one row per constraint — the
+    validation pass a pipeline runs BEFORE publishing a snapshot, as a
+    query instead of a side toolchain.
+
+    Scale: each FK check is ONE left-anti join (broadcast when the
+    parent is a dimension, shuffled hash otherwise — Catalyst's
+    choice); range and uniqueness checks are single aggregates with
+    map-side combine. Violation counts, not violating rows — the audit
+    stays tiny; a debug run filters the same anti join for samples.
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+
+    def one(name, n_df, v_df):
+        # (count, count) as two scalar aggregates joined into one row —
+        # everything stays ONE lazy plan, no driver-side .count() loop
+        n = n_df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        v = v_df.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        return (
+            n.crossJoin(v)
+            .withColumn("constraint_name", F.lit(name))
+            .select("constraint_name", "n_rows", "n_violations")
+        )
+
+    def fk(name, child, fk_col, parent, pk_col):
+        orphans = child.filter(F.col(fk_col).isNotNull()).join(
+            parent, child[fk_col] == parent[pk_col], "left_anti"
+        )
+        return one(name, child, orphans)
+
+    checks = [
+        fk("orders.o_custkey -> customer", orders, "o_custkey",
+           customer, "c_custkey"),
+        fk("lineitem.l_orderkey -> orders", lineitem, "l_orderkey",
+           orders, "o_orderkey"),
+        fk("lineitem.l_partkey -> part", lineitem, "l_partkey",
+           part, "p_partkey"),
+        one(
+            "lineitem.l_quantity in [1, 50]",
+            lineitem,
+            lineitem.filter(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+            ),
+        ),
+        orders.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .withColumn("constraint_name", F.lit("orders.o_orderkey unique"))
+        .select("constraint_name", "n_rows", "n_violations"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
