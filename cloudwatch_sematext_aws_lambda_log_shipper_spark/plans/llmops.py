@@ -2669,3 +2669,80 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.lit(1.0) / F.sum("c"), 6
         ).alias("type_token_ratio"),
     )
+
+
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Chained-CTE replay of the scaled-integer PageRank — one CTE per
+    iteration (the k-center oracle pattern), over the brute-force
+    exact k-NN edge set."""
+    its = []
+    prev = "it0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""it{i} AS (
+  SELECT n.node, t.t + coalesce(c.inflow, 0) AS s
+  FROM nodes n
+  CROSS JOIN (SELECT (1000000000000 * 15) // (100 * count(*)) AS t
+              FROM nodes) t
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM((p.s * 85) // (100 * d.deg)) AS inflow
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c USING (node)
+)""")
+        prev = f"it{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM c a JOIN c b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS r
+  FROM pairs
+), edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM ranked WHERE r <= 5
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), it0 AS (
+  SELECT n.node, (SELECT 1000000000000 // count(*) FROM nodes) AS s
+  FROM nodes n
+),
+{chain}
+SELECT node, s AS pr_scaled,
+       CAST(s AS DOUBLE) / 1000000000000.0 AS pr
+FROM {prev}
+"""
+
+
+@query("embedding_pagerank", _pagerank_oracle())
+def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact embedding k-NN graph
+    (operators/graph.py): mass concentrates on vectors central to
+    dense regions — a global redundancy/canonicality signal beside
+    SemDeDup's per-cluster view. The whole iteration runs in SCALED
+    INTEGERS (10 steps, damping 85/100, floor divisions), so the
+    emitted BIGINT state is bit-exact and the oracle replays all ten
+    iterations as chained CTEs over the brute-force edge set —
+    an iterative graph algorithm under the full hash gate, not a
+    rows-only waiver.
+    """
+    from ..operators.graph import pagerank
+    from ..operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    edges = knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, n_iter=10)

@@ -156,3 +156,28 @@ def test_kmv_exact_collapse_and_bound(spark):
     assert ob.exact_union == 750 and ob.exact_intersection == 250
     assert ob.within_bound is True
     assert ob.est_union != ob.exact_union  # genuinely estimating
+
+
+def test_pagerank_hub_concentration_and_determinism(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import (
+        MASS,
+        pagerank,
+    )
+
+    # star graph: everyone points at the hub, hub points at node 1
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.pr_scaled for r in pagerank(df, n_iter=10).collect()}
+    # the hub and its sole target trade mass in a 2-cycle (their order
+    # oscillates with iteration parity by design); both must dominate
+    # every plain leaf, and the leaves — receiving only teleport — are
+    # exactly equal
+    leaves = [out[i] for i in range(2, 8)]
+    assert min(out[0], out[1]) > max(leaves)
+    assert len(set(leaves)) == 1
+    # floor divisions only ever LEAK mass; total never exceeds MASS
+    assert sum(out.values()) <= MASS
+    # layout-independence: bit-identical state under repartitioning
+    out2 = {r.node: r.pr_scaled
+            for r in pagerank(df.repartition(7), n_iter=10).collect()}
+    assert out == out2
