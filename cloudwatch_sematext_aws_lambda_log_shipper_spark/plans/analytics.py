@@ -1218,3 +1218,76 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("_dm").cast("double").alias("dow_mean"),
         (F.col("n") - F.col("_dm")).cast("double").alias("residual"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT p.event_id,
+         first(e.event_type ORDER BY e.ts, e.event_id) AS channel
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.ts >= p.ts - INTERVAL 7 DAY
+   AND e.ts < p.ts
+  GROUP BY p.event_id
+)
+SELECT t.channel, count(*) AS n_purchases,
+       CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM purchases p JOIN touch t ON p.event_id = t.event_id
+GROUP BY t.channel
+"""
+
+
+@query("purchase_first_touch_attribution", _ATTRIBUTION_ORACLE)
+def purchase_first_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution: every purchase credits the user's
+    EARLIEST event in the trailing 7 days — the equi-keyed band join
+    (user id carries the shuffle, the time interval rides as residual)
+    followed by ONE min_by per purchase, no per-user sort, no window
+    over raw events. Deterministic tie-break (ts, event_id); revenue is
+    the DECIMAL-exact discipline.
+
+    Scale: same join shape as events_preceding_hour_range_join —
+    shuffles on user_id only; the min_by aggregate is map-side
+    combinable; the final rollup is |channels| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    # fresh column names for the probe side: purchases derives from the
+    # same scan, so raw ev columns would be ambiguous after the join
+    probe = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+        F.col("event_type").alias("e_type"),
+    )
+    touch = (
+        purchases.join(
+            probe,
+            (F.col("e_user") == F.col("p_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("e_ts") < F.col("p_ts")),
+        )
+        .groupBy("p_id", "p_value")
+        .agg(
+            F.min_by(
+                F.col("e_type"), F.struct(F.col("e_ts"), F.col("e_id"))
+            ).alias("channel")
+        )
+    )
+    return touch.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("p_value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
