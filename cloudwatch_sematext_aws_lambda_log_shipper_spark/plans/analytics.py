@@ -1178,12 +1178,12 @@ WITH daily AS (
   SELECT event_type, day, n, dayofweek(day) AS dw FROM daily
 ), seas AS (
   SELECT event_type, dw,
-         CAST(SUM(n) AS DECIMAL(20,6)) / count(*) AS dow_mean
+         (2 * SUM(n) * 1000000 + count(*)) // (2 * count(*)) AS dm6
   FROM dow GROUP BY event_type, dw
 )
 SELECT d.event_type, d.day, d.n,
-       CAST(s.dow_mean AS DOUBLE) AS dow_mean,
-       CAST(d.n - s.dow_mean AS DOUBLE) AS residual
+       CAST(s.dm6 AS DOUBLE) / 1000000.0 AS dow_mean,
+       CAST(d.n * 1000000 - s.dm6 AS DOUBLE) / 1000000.0 AS residual
 FROM dow d JOIN seas s ON d.event_type = s.event_type AND d.dw = s.dw
 """
 
@@ -1194,8 +1194,9 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     day-of-week) mean as the seasonal component, residual = actual -
     seasonal — the deseasonalized series anomaly detectors should run
     on (a Monday spike is only a spike relative to Mondays). The means
-    are exact DECIMAL(20,6) divisions of integer sums, so the whole
-    decomposition hash-matches across engines.
+    are half-up SCALED-INTEGER divisions (micro-units) — engines
+    disagree on decimal/double division semantics at ulp scale under
+    strict full-repr comparison; integer arithmetic cannot.
 
     Scale: the seasonal table is (types x 7) rows — broadcast; the
     daily aggregate is the only corpus-sized pass.
@@ -1206,17 +1207,23 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("dw", F.dayofweek("day"))
     )
+    # half-up scaled-integer mean (dm6 = mean * 10^6): engines disagree
+    # on decimal-vs-double division semantics, integers cannot — the
+    # same rule as the EWMA recurrence
     seas = daily.groupBy("event_type", "dw").agg(
-        (
-            F.sum("n").cast("decimal(20,6)") / F.count(F.lit(1))
-        ).alias("_dm")
+        F.expr(
+            "(2 * sum(n) * 1000000 + count(*)) div (2 * count(*))"
+        ).alias("_dm6")
     )
     return daily.join(F.broadcast(seas), ["event_type", "dw"]).select(
         "event_type",
         "day",
         "n",
-        F.col("_dm").cast("double").alias("dow_mean"),
-        (F.col("n") - F.col("_dm")).cast("double").alias("residual"),
+        (F.col("_dm6").cast("double") / F.lit(1000000.0)).alias("dow_mean"),
+        (
+            (F.col("n") * F.lit(1000000) - F.col("_dm6")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("residual"),
     )
 
 

@@ -2679,7 +2679,7 @@ def _pagerank_oracle(n_iter: int = 10) -> str:
     prev = "it0"
     for i in range(1, n_iter + 1):
         its.append(f"""it{i} AS (
-  SELECT n.node, t.t + coalesce(c.inflow, 0) AS s
+  SELECT n.node, CAST(t.t + coalesce(c.inflow, 0) AS BIGINT) AS s
   FROM nodes n
   CROSS JOIN (SELECT (1000000000000 * 15) // (100 * count(*)) AS t
               FROM nodes) t
@@ -2716,11 +2716,12 @@ WITH c AS (
 ), deg AS (
   SELECT src, count(*) AS deg FROM edges GROUP BY src
 ), it0 AS (
-  SELECT n.node, (SELECT 1000000000000 // count(*) FROM nodes) AS s
+  SELECT n.node,
+         CAST((SELECT 1000000000000 // count(*) FROM nodes) AS BIGINT) AS s
   FROM nodes n
 ),
 {chain}
-SELECT node, s AS pr_scaled,
+SELECT node, CAST(s AS BIGINT) AS pr_scaled,
        CAST(s AS DOUBLE) / 1000000000000.0 AS pr
 FROM {prev}
 """

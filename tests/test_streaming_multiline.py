@@ -11,18 +11,26 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.multiline import
 )
 
 
-def _write_lines(path, name, rows):
-    with open(path / name, "w") as f:
+def _write_lines(path, name, rows=None, mtime=0):
+    # FileStreamSource orders pending files by MODIFICATION TIME and
+    # breaks ties arbitrarily — sub-second writes can reorder the
+    # micro-batches. Pin strictly increasing whole-second mtimes so the
+    # batch sequence is deterministic.
+    import os
+
+    p = path / name
+    with open(p, "w") as f:
         for stream, no, line in rows:
             f.write(json.dumps(
                 {"logStream": stream, "line_no": no, "line": line}) + "\n")
+    os.utime(p, (mtime, mtime))
 
 
 def test_cross_batch_stitch_and_orphans(spark, tmp_path):
     inp = tmp_path / "in"
     inp.mkdir()
     # batch 1: s1 head + one frame; s2 begins MID-TRACE (orphan frames)
-    _write_lines(inp, "b1.json", [
+    _write_lines(inp, "b1.json", mtime=1700000000, rows=[
         ("s1", 1, "NullPointerException in handler"),
         ("s1", 2, "  at com.example.A(A.java:1)"),
         ("s2", 1, "  at com.example.Z(Z.java:9)"),
@@ -31,7 +39,7 @@ def test_cross_batch_stitch_and_orphans(spark, tmp_path):
     # batch 2: s1 gets ANOTHER frame of the same trace (cross-batch),
     # then a new head (completing event 1); s2 gets its first head
     # (completing the orphan block)
-    _write_lines(inp, "b2.json", [
+    _write_lines(inp, "b2.json", mtime=1700000010, rows=[
         ("s1", 3, "  at com.example.B(B.java:2)"),
         ("s1", 4, "Timeout in worker"),
         ("s1", 5, "  at com.example.C(C.java:3)"),
@@ -41,7 +49,7 @@ def test_cross_batch_stitch_and_orphans(spark, tmp_path):
     # successor path (the quiet-stream timeout flush is timing-
     # dependent, so the test pins the deterministic path and disables
     # the timeout outright)
-    _write_lines(inp, "b3.json", [("s1", 6, "Third head")])
+    _write_lines(inp, "b3.json", mtime=1700000020, rows=[("s1", 6, "Third head")])
 
     stream = (
         spark.readStream.schema("logStream string, line_no long, line string")
