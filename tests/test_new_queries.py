@@ -181,3 +181,36 @@ def test_pagerank_hub_concentration_and_determinism(spark):
     out2 = {r.node: r.pr_scaled
             for r in pagerank(df.repartition(7), n_iter=10).collect()}
     assert out == out2
+
+
+def test_batch_reassemble_lines_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multiline import (
+        reassemble_lines,
+    )
+
+    rows = [
+        # s1: head + 2 frames, head alone, orphan-free
+        ("s1", 1, "Boom happened"),
+        ("s1", 2, "  at A"),
+        ("s1", 3, "  at B"),
+        ("s1", 4, "Second event"),
+        # s2: begins mid-trace (orphans), then a head
+        ("s2", 1, "  at Z"),
+        ("s2", 2, "Fresh head"),
+    ]
+    df = spark.createDataFrame(rows, "logStream string, line_no long, line string")
+    out = {(r.logStream, r.event_no): r for r in reassemble_lines(
+        df, is_start=~F.col("line").startswith("  ")
+    ).collect()}
+    e1 = out[("s1", 1)]
+    assert e1.head == "Boom happened"
+    assert e1.block == "Boom happened\n  at A\n  at B"
+    assert e1.n_lines == 3 and e1.orphan is False
+    e2 = out[("s1", 2)]
+    assert e2.block == "Second event" and e2.n_lines == 1
+    orphan = out[("s2", 0)]
+    assert orphan.orphan is True and orphan.head is None
+    assert orphan.block == "  at Z"
+    assert out[("s2", 1)].head == "Fresh head"

@@ -69,3 +69,26 @@ def test_ivfpq_prunes_to_pq_codes(spark, sf_dir):
     plan = plan_of(ann_topk_ivfpq(corpus, queries, k=3))
     assert "pq_codes" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_is_equi_keyed(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        purchase_first_touch_attribution,
+    )
+
+    plan = plan_of(purchase_first_touch_attribution(spark, sf_dir))
+    # the band join must carry the USER equi key (shuffle/broadcast hash
+    # join with the time interval as residual), never a cartesian or a
+    # pure range join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_integrity_audit_uses_anti_joins(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.relational import (
+        referential_integrity_audit,
+    )
+
+    plan = plan_of(referential_integrity_audit(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
