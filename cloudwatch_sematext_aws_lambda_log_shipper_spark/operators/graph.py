@@ -53,6 +53,15 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge set (tiny or fully-filtered corpus): no nodes, no
+        # ranks — return an empty frame with the contract schema rather
+        # than dividing by zero below.
+        return nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("pr_scaled"),
+            F.lit(None).cast("double").alias("pr"),
+        )
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     ew = e.join(outdeg, "_src").localCheckpoint(eager=True)
 

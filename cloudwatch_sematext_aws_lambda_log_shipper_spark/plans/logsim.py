@@ -876,7 +876,13 @@ def log_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = read_zorder_meta(path)
     t = spark.read.parquet(path)
-    lo, hi = _dt.datetime(2024, 1, 8), _dt.datetime(2024, 1, 22)
+    # Timezone-aware: naive .timestamp() interprets the wall time in the
+    # HOST zone, while the write-side cell math is UTC-epoch (session tz
+    # pinned UTC) — on a non-UTC host the box would shift by the offset
+    # and could break the bucket superset guarantee.
+    utc = _dt.timezone.utc
+    lo = _dt.datetime(2024, 1, 8, tzinfo=utc)
+    hi = _dt.datetime(2024, 1, 22, tzinfo=utc)
     pred = zorder_box_filter(
         meta,
         box={"@timestamp": (lo.timestamp(), hi.timestamp())},

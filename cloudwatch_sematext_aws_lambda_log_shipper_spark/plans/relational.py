@@ -1068,17 +1068,18 @@ def customer_segment_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     current slice plus a dimension-sized rewrite — the right shape for
     dimension tables; facts belong in the append-only log path.
     """
-    import os
     import shutil
+    import tempfile
 
     from ..streaming.scd import StreamingScd2Maintainer
 
     dim0, updates = _segment_scd2_inputs(spark, sf_dir)
-    state = os.path.join(
-        "/tmp/spark_graft_scd_stream",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(state, ignore_errors=True)  # deterministic replay
+    # Per-invocation state dir: the dimension is rebuilt deterministically
+    # each run, and a shared fixed path races when pytest and the oracle
+    # sweep replay the same sf_dir concurrently (one rmtree's the other's
+    # committed version mid-read).
+    state = tempfile.mkdtemp(prefix="spark_graft_scd_stream_")
+    shutil.rmtree(state, ignore_errors=True)  # maintainer recreates it
     m = StreamingScd2Maintainer(
         spark, state, ["c_custkey"], ["segment"], seed=dim0
     )

@@ -18,8 +18,10 @@ ordering). Leading continuations with no head ever seen emit as
 orphan events on the same completion rules.
 
 Scale: state is one partial event per ACTIVE stream — bounded by the
-open-trace length, evicted on timeout; the shuffle keys on the stream
-id, CloudWatch's natural partition unit.
+open-trace length; a timeout flush shrinks it to the bare emitted
+counter (kept so event_no stays a true running per-stream counter
+across quiet periods). The shuffle keys on the stream id, CloudWatch's
+natural partition unit.
 """
 
 from __future__ import annotations
@@ -62,14 +64,23 @@ def _reassemble_factory(start_prefix_not: str, timeout_ms: int):
     ) -> Iterator[pd.DataFrame]:
         stream = key[0]
         if state.hasTimedOut:
-            # quiet-stream flush: ship the open event, clear state
+            # quiet-stream flush: ship the open event, but KEEP the
+            # emitted counter — state.remove() here would restart
+            # event_no at 1 on the stream's next line, duplicating
+            # (stream, event_no) pairs in the append output. Re-seed
+            # with an empty open event instead (the fold below treats
+            # empty open_lines as "nothing pending").
             open_lines, open_is_head, n_emitted = state.get
-            state.remove()
+            if open_lines:
+                n_emitted += 1
+            # No new timeout: the re-seeded (counter-only) state is a few
+            # bytes and sleeps until the stream's next line arrives.
+            state.update(([], False, n_emitted))
             if open_lines:
                 yield pd.DataFrame(
                     {
                         "stream": [stream],
-                        "event_no": [n_emitted + 1],
+                        "event_no": [n_emitted],
                         "head": [open_lines[0] if open_is_head else None],
                         "block": ["\n".join(open_lines)],
                         "n_lines": [len(open_lines)],

@@ -1,0 +1,77 @@
+"""Round-9 additions: ADVICE-fix regressions + new operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_empty_edges(spark):
+    """ADVICE r8: an empty edge set (fully-filtered corpus) must yield
+    an empty frame with the contract schema, not ZeroDivisionError."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, n_iter=3)
+    assert out.columns == ["node", "pr_scaled", "pr"]
+    assert out.count() == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in to drive the timeout branch of the
+    streaming-multiline fold deterministically (real processing-time
+    timeouts are wall-clock dependent)."""
+
+    def __init__(self, value, timed_out):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.exists = value is not None
+        self.removed = False
+        self.updated = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+        self._value = v
+        self.exists = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_streaming_multiline_timeout_keeps_counter():
+    """ADVICE r8: a quiet-stream timeout flush must NOT reset the
+    running event_no — the next head on the stream continues the
+    counter instead of duplicating (stream, event_no) pairs."""
+    import pandas as pd
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.multiline import (
+        _reassemble_factory,
+    )
+
+    fold = _reassemble_factory("  ", 1000)
+
+    # stream has emitted 4 events; event 5 is open when the timeout fires
+    st = _FakeState((["head5", "  cont"], True, 4), timed_out=True)
+    out = list(fold(("s1",), iter([]), st))
+    assert len(out) == 1 and out[0]["event_no"].tolist() == [5]
+    assert not st.removed and st.updated == ([], False, 5)
+
+    # the next line after the flush continues at 6, not 1
+    st2 = _FakeState(([], False, 5), timed_out=False)
+    batch = pd.DataFrame({"line_no": [10, 11, 12],
+                          "line": ["head6", "  c", "head7"]})
+    out2 = pd.concat(list(fold(("s1",), iter([batch]), st2)),
+                     ignore_index=True)
+    assert out2["event_no"].tolist() == [6]
+    assert st2.updated == (["head7"], True, 6)
+
+    # timeout with an EMPTY re-seeded state emits nothing, keeps counter
+    st3 = _FakeState(([], False, 5), timed_out=True)
+    assert list(fold(("s1",), iter([]), st3)) == []
+    assert st3.updated == ([], False, 5)
