@@ -53,14 +53,21 @@ def _merge_syms(syms, left: str, right: str, merged: str) -> list:
     return res
 
 
-def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(word, count) over the corpus — the one full-corpus scan."""
-    return (
-        docs.select(F.explode(words(F.col(text_col))).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("count"))
+def word_freq_table(
+    docs: DataFrame, text_col: str = "text", word_filter=None
+) -> DataFrame:
+    """(word, count) over the corpus — the one full-corpus scan.
+
+    ``word_filter``: optional Column predicate over ``word`` applied
+    after tokenization (BPE pre-tokenizers conventionally restrict the
+    training charset; it also lets callers reserve a delimiter
+    character for serialized symbol-sequence artifacts)."""
+    wf = docs.select(F.explode(words(F.col(text_col))).alias("word")).filter(
+        F.col("word") != ""
     )
+    if word_filter is not None:
+        wf = wf.filter(word_filter)
+    return wf.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 
 
 def _initial_symbols(wf: DataFrame) -> DataFrame:
@@ -106,14 +113,16 @@ def _merge_pass(symtab: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text"
+    docs: DataFrame, n_merges: int, text_col: str = "text", word_filter=None
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns (merge_table, final symbol
     table); merge_table rows are (step, left, right, merged, pair_count).
     Stops early if no pair occurs at least twice (merging singletons is
-    noise).
+    noise). ``word_filter`` is forwarded to :func:`word_freq_table`.
     """
-    symtab = _initial_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    symtab = _initial_symbols(
+        word_freq_table(docs, text_col, word_filter=word_filter)
+    ).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (

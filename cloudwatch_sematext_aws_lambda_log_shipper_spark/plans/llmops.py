@@ -2113,19 +2113,94 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE tokenizer training ---------------------------------------------
 
 
-@query("bpe_merge_table")  # iterative training -> no SQL oracle (rows-only)
+def _bpe_word_cte() -> str:
+    """Shared oracle base: the (word, cnt) table with the delimiter
+    guard, and each word's initial symbol string — symbols joined by
+    ';;' and wrapped in single ';', so one DuckDB ``replace`` of
+    ';L;;R;' -> ';LR;' is EXACTLY the left-to-right non-overlapping
+    BPE merge pass (runs of a repeated pair share no delimiter chars,
+    and both symbols are fully delimited so no prefix can false-match;
+    replace scans the input left-to-right without rescanning output,
+    which is the textbook merge order)."""
+    return r"""
+wf AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND word NOT LIKE '%;%'
+  GROUP BY word
+), syms0 AS (
+  SELECT word, cnt,
+         ';' || array_to_string(
+           list_append([x for x in string_split(word, '')], '</w>'), ';;'
+         ) || ';' AS s
+  FROM wf
+)"""
+
+
+def _bpe_step_ctes(n_merges: int) -> str:
+    """One (pair-count -> argmax -> rewrite) CTE triple per merge step —
+    the embedding_pagerank chained-CTE replay applied to BPE."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        p = f"syms{k - 1}"
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each level references syms{k-1} twice (pair-count path + the
+        # rewrite) — inlining would expand the 12-step chain 2^12-fold.
+        steps.append(f"""p{k} AS MATERIALIZED (
+  SELECT l, r, SUM(cnt) AS c FROM (
+    SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+    FROM (SELECT cnt, string_split(trim(s, ';'), ';;') AS syms,
+                 unnest(generate_series(1, len(string_split(trim(s, ';'), ';;')) - 1)) AS i
+          FROM {p})
+  ) GROUP BY l, r
+), m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1
+), syms{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, ';' || m.l || ';;' || m.r || ';',
+                    ';' || m.l || m.r || ';') AS s
+  FROM {p} CROSS JOIN m{k} m
+)""")
+    return ",\n".join(steps)
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+WITH {_bpe_word_cte().strip()},
+{_bpe_step_ctes(n_merges)}
+SELECT * FROM (
+{rows}
+) WHERE pair_count >= 2
+"""
+
+
+@query("bpe_merge_table", _bpe_oracle())
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): learn 12
     merges over the documents corpus and emit the merge table — the
     artifact a tokenizer-training pipeline ships. Deterministic
-    (lexicographic tie-break), pinned against a pure-Python reference
-    implementation in test_bpe.py; iterative argmax+rewrite has no
-    single-SQL equivalent, so the driver records a rows-only check.
+    (lexicographic tie-break) and, since round 9, under the FULL hash
+    gate: the oracle replays all 12 argmax+rewrite iterations as
+    chained CTEs (the embedding_pagerank technique), with each merge
+    pass expressed as one string ``replace`` over a delimiter-encoded
+    symbol sequence — bit-identical to the engine's mapInPandas
+    rewrite because both implement the same left-to-right
+    non-overlapping merge. Words containing the reserved ';' delimiter
+    are excluded on BOTH sides (none exist in the corpus; the filter
+    makes the equivalence unconditional).
     """
     from ..operators.bpe import train_bpe
 
     docs = _docs(spark, sf_dir)
-    merges, _symtab = train_bpe(docs, n_merges=12)
+    merges, _symtab = train_bpe(
+        docs, n_merges=12, word_filter=~F.col("word").contains(";")
+    )
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
