@@ -2206,6 +2206,85 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenize_pack_oracle(n_merges: int = 12, budget: int = 128) -> str:
+    """documents -> BPE tokens -> concat-then-chunk packing, fully
+    replayed: the merge chain comes from _bpe_step_ctes, per-word token
+    counts from the final symbol table, per-doc counts from the (doc,
+    word) frequency join, and the bins from the same running-offset
+    window the engine uses."""
+    return rf"""
+WITH {_bpe_word_cte().strip()},
+{_bpe_step_ctes(n_merges)},
+wtok AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(trim(s, ';'), ';;')) AS BIGINT) AS wn
+  FROM syms{n_merges}
+), dtf AS (
+  SELECT doc_id, word, count(*) AS k FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY doc_id, word
+), doc_tok AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(SUM(t.k * w.wn), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN dtf t ON t.doc_id = d.doc_id
+  LEFT JOIN wtok w ON w.word = t.word
+  GROUP BY d.doc_id, d.source
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS bin_offset
+  FROM doc_tok
+)
+SELECT doc_id, source, n_tokens, bin_offset,
+       CAST(floor(bin_offset / {budget}.0) AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
+@query("corpus_tokenize_pack", _tokenize_pack_oracle())
+def corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-pipeline deliverable: documents -> trained
+    BPE tokens (operators/bpe.py, the pinned 12-merge table) -> packed
+    fixed-length sequences (operators/packing.py, concat-then-chunk at
+    a 128-token budget per source shard). Each doc emits its REAL
+    subword count (size of its encoded token array, not an estimate),
+    its token offset in the shard stream, and the bin it starts in.
+
+    The oracle replays the whole composition: the bpe_merge_table CTE
+    chain for the merges, per-word encoded lengths from the final
+    symbol table joined to (doc, word) frequencies — counts don't need
+    word order, which keeps the replay a join instead of a per-doc
+    fold — and the same running-offset window for bins. Shares
+    bpe_merge_table's reserved-';' precondition (zero such words in
+    the corpus; training filters them on both sides).
+
+    Scale: encode is one Arrow-batched narrow pass (merge list
+    broadcasts with the closure); the ONLY shuffle is the packing
+    window's partition-by-source exchange — pinned in
+    test_r9.py::test_tokenize_pack_single_exchange. Shard granularity
+    bounds window size (module docstring in packing.py).
+    """
+    from ..operators.bpe import encode_with_merges, train_bpe
+    from ..operators.packing import with_packing_bins
+
+    docs = _docs(spark, sf_dir)
+    merges, _symtab = train_bpe(
+        docs, n_merges=12, word_filter=~F.col("word").contains(";")
+    )
+    enc = encode_with_merges(docs, merges)
+    packed = with_packing_bins(
+        enc,
+        budget=128,
+        group_col="source",
+        order_col="doc_id",
+        tokens=F.size("bpe_tokens").cast("long"),
+    )
+    return packed.select("doc_id", "source", "n_tokens", "bin_offset", "bin_id")
+
+
 @query("embedding_knn_graph_ivf")  # approximate -> rows-only + recall gate
 def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-approximate k-NN graph with the recall gate: the scale path

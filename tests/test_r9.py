@@ -75,3 +75,29 @@ def test_streaming_multiline_timeout_keeps_counter():
     st3 = _FakeState(([], False, 5), timed_out=True)
     assert list(fold(("s1",), iter([]), st3)) == []
     assert st3.updated == ([], False, 5)
+
+
+def test_tokenize_pack_single_exchange(spark, sf_dir):
+    """corpus_tokenize_pack's only shuffle beyond the test-data fan-out
+    (_docs' explicit repartition) is the packing window's
+    partition-by-source exchange — encode is a narrow Arrow pass."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        corpus_tokenize_pack,
+    )
+
+    df = corpus_tokenize_pack(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 2
+    assert sum("hashpartitioning(source" in ln for ln in ex) == 1
+    assert sum("REPARTITION_BY_NUM" in ln for ln in ex) == 1
+    assert "CartesianProduct" not in plan
+
+    # bin arithmetic sanity on real output: offsets are the running sum
+    # of n_tokens in doc_id order within each source
+    rows = df.collect()
+    by_src = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        off = by_src.get(r.source, 0)
+        assert r.bin_offset == off and r.bin_id == off // 128
+        by_src[r.source] = off + r.n_tokens
