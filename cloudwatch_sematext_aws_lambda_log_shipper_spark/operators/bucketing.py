@@ -19,15 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     num_buckets: int = 16,
     sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) managed parquet table.
+    ``bucket_col`` may be a composite key (list) — e.g. the LSH band
+    join buckets on (band, key).
 
     Sorting within buckets additionally enables merge joins without a
     per-task sort."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # A managed-table location can outlive the metastore entry (fresh
@@ -38,10 +41,10 @@ def write_bucketed(
     writer = (
         df.write.mode(mode)
         .format("parquet")
-        .bucketBy(num_buckets, bucket_col)
+        .bucketBy(num_buckets, cols[0], *cols[1:])
     )
     if sort:
-        writer = writer.sortBy(bucket_col)
+        writer = writer.sortBy(cols[0], *cols[1:])
     writer.saveAsTable(table_name)
 
 

@@ -286,6 +286,46 @@ def near_dup_pairs(
     return result
 
 
+def near_dup_pairs_from_store(
+    shingled: DataFrame,
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """near_dup_pairs over PERSISTED artifacts (plans/sigstore.py): the
+    shingling/signing scans are gone, and with ``banded`` bucketed on
+    (band, key) and ``shingled`` on ``id_col`` the band self-join and
+    the verify joins read co-located buckets — no persist/unpersist
+    bookkeeping, no Exchange on the stored sides. Same results as
+    near_dup_pairs by construction (identical signature math upstream).
+    """
+    cands = banded_candidate_pairs(banded, id_col, max_bucket_size)
+    return verify_jaccard(cands, shingled, id_col, threshold)
+
+
+def near_dup_clusters_from_store(
+    shingled: DataFrame,
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """near_dup_clusters over the persisted artifacts; ``shingled``
+    carries EVERY doc (zero-shingle docs included) so singleton cluster
+    assignment is complete."""
+    pairs = near_dup_pairs_from_store(
+        shingled, banded, id_col, threshold, max_bucket_size
+    )
+    comp = connected_components(pairs)
+    all_ids = shingled.select(F.col(id_col).alias("node"))
+    clustered = all_ids.join(comp, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce("comp", F.col("node")).alias("cluster_id"),
+    )
+    return clustered.withColumn("keep", (F.col(id_col) == F.col("cluster_id")))
+
+
 # --- SimHash ------------------------------------------------------------
 
 

@@ -125,9 +125,18 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle brute-forces all pairs — feasible at sf0.01, which is
     exactly the point: the engine's banded plan produces brute-force
     answers WITHOUT the quadratic join.
+
+    r9: reads the PERSISTED signature store (plans/sigstore.py) — the
+    shingle/sign scans run once per corpus fingerprint, and the band
+    self-join is Exchange-free over the (band, key)-bucketed table
+    (pinned in test_r9.py).
     """
-    return near_dup_pairs(_docs(spark, sf_dir), threshold=0.8,
-                          max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
+    from ..operators.dedup import near_dup_pairs_from_store
+    from .sigstore import signature_tables
+
+    shingled, banded = signature_tables(spark, sf_dir)
+    return near_dup_pairs_from_store(shingled, banded, threshold=0.8,
+                                     max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 def _simhash_oracle() -> str:
@@ -610,11 +619,16 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure over the brute-force pair graph — tractable at
     sf0.01, which is the point: the engine's iterative join loop
     reproduces closure semantics without materializing reachability.
-    """
-    from ..operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(_docs(spark, sf_dir),
-                             max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
+    r9: pair generation reads the persisted signature store
+    (plans/sigstore.py) instead of re-shingling per run.
+    """
+    from ..operators.dedup import near_dup_clusters_from_store
+    from .sigstore import signature_tables
+
+    shingled, banded = signature_tables(spark, sf_dir)
+    return near_dup_clusters_from_store(shingled, banded,
+                                        max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
 # --- TF-IDF vocabulary ranking ------------------------------------------
@@ -1059,12 +1073,14 @@ def near_dup_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     typo perturbs only 5 char windows vs n word-shingles, so this
     catches typo/diacritic-level edits word shingles miss. Same
     MinHash-LSH banding + exact-Jaccard verify machinery, char unit;
-    brute-force DuckDB oracle."""
-    return near_dup_pairs(
-        _docs(spark, sf_dir),
-        threshold=0.8,
-        shingle_unit="char",
-        shingle_n=5,
+    brute-force DuckDB oracle. r9: char-5-gram signature store
+    (plans/sigstore.py), no per-run re-signing."""
+    from ..operators.dedup import near_dup_pairs_from_store
+    from .sigstore import signature_tables
+
+    shingled, banded = signature_tables(spark, sf_dir, unit="char", n=5)
+    return near_dup_pairs_from_store(
+        shingled, banded, threshold=0.8,
         max_bucket_size=None,  # cap off: oracle models the uncapped set
     )
 
@@ -2052,11 +2068,16 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars * 2^32 - doc_id (this DuckDB build's arg_max takes scalar
     keys only): total order, engine- and layout-stable, exact while
     n_chars < 2^31 — far beyond any real document's length.
+
+    r9: clustering reads the persisted signature store.
     """
-    from ..operators.dedup import near_dup_clusters
+    from ..operators.dedup import near_dup_clusters_from_store
+    from .sigstore import signature_tables
 
     docs = _docs(spark, sf_dir)
-    clusters = near_dup_clusters(docs, max_bucket_size=None)
+    shingled, banded = signature_tables(spark, sf_dir)
+    clusters = near_dup_clusters_from_store(shingled, banded,
+                                            max_bucket_size=None)
     joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     return (
         joined.groupBy("cluster_id")

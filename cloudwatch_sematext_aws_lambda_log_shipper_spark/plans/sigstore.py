@@ -1,0 +1,105 @@
+"""Persisted near-dup signature artifacts (the r8 verdict's top lever).
+
+Every batch near-dup query used to re-shingle and re-MinHash the corpus
+per run — pure recomputed preprocessing. This module computes the
+(shingles, signatures) table ONCE per (corpus fingerprint, shingle
+config) via the synthcache materialization (atomic rename, fingerprint
+invalidation, GC of superseded builds), then registers two BUCKETED
+session tables over it so the hot joins run Exchange-free:
+
+- ``ndsh_*`` (doc_id, shingles), bucketed+sorted by doc_id — the exact
+  Jaccard verify joins read co-located buckets;
+- ``ndbk_*`` (doc_id, band, key), bucketed+sorted by (band, key) — the
+  LSH band self-join needs no shuffle on EITHER side (both sides are
+  the same bucketed table), which at 100 TB is the near-dup family's
+  dominant exchange.
+
+The artifact stores the full MinHash signature columns too, so other
+band geometries can re-band without re-signing. Signature math is the
+SAME with_shingles/minhash_signatures/band_keys code the one-shot path
+uses — results are bit-identical, so the brute-force oracles are
+untouched.
+
+Bucketed tables live in the session catalog (in-memory, no metastore
+process lock) backed by the persistent warehouse dir; re-registering
+from the parquet artifact in a fresh session costs one small bucketed
+write, not the shingling/signing scan. Superseded warehouse dirs are
+dropped by write_bucketed's overwrite; stale-fingerprint artifact dirs
+by the synthcache GC.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bucketing import write_bucketed
+from ..operators.dedup import band_keys, minhash_signatures, with_shingles
+from .registry import load
+from .synthcache import materialize_dir
+
+# (sparkContext id, table name) -> registered this session
+_REGISTERED: set[tuple[str, str]] = set()
+
+
+def _builder(spark: SparkSession, sf_dir: str, unit: str, n: int, k: int):
+    def build() -> DataFrame:
+        par = spark.sparkContext.defaultParallelism
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = docs.repartition(par, "doc_id")  # single-file test corpus
+        sh = with_shingles(docs, "text", n, unit).select("doc_id", "shingles")
+        sigs = minhash_signatures(sh, "doc_id", k)
+        # left join keeps zero-shingle docs (null signature columns):
+        # they can never near-dup match but cluster queries need every
+        # doc_id present for singleton assignment.
+        return sh.join(sigs, "doc_id", "left")
+
+    return build
+
+
+def signature_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    unit: str = "word",
+    n: int = 3,
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+    num_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (shingled, banded) as bucketed session tables:
+    shingled = (doc_id, shingles) bucketed by doc_id;
+    banded = (doc_id, band, key) bucketed by (band, key)."""
+    k = num_bands * rows_per_band
+    name = f"ndsig-{unit}{n}-k{k}"
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        name,
+        _builder(spark, sf_dir, unit, n, k),
+        source="documents.parquet",
+    )
+    # the artifact dir basename carries sf + fingerprint + config — the
+    # sanitized form keys the session tables, so a regenerated corpus
+    # registers fresh tables instead of serving stale buckets
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(path))
+    sh_tbl, bk_tbl = f"ndsh_{base}", f"ndbk_{base}_{num_bands}x{rows_per_band}"
+    ctx = spark.sparkContext.applicationId
+    if (ctx, sh_tbl) not in _REGISTERED or not spark.catalog.tableExists(sh_tbl):
+        art = spark.read.parquet(path)
+        write_bucketed(
+            art.select("doc_id", "shingles"), sh_tbl, "doc_id", num_buckets
+        )
+        banded = (
+            art.filter(F.col("mh_0").isNotNull())
+            .select(
+                "doc_id",
+                F.explode(band_keys(num_bands, rows_per_band)).alias("bk"),
+            )
+            .select("doc_id", "bk.band", "bk.key")
+        )
+        write_bucketed(banded, bk_tbl, ["band", "key"], num_buckets)
+        _REGISTERED.add((ctx, sh_tbl))
+    return spark.table(sh_tbl), spark.table(bk_tbl)

@@ -77,6 +77,46 @@ def test_streaming_multiline_timeout_keeps_counter():
     assert st3.updated == ([], False, 5)
 
 
+def test_signature_store_band_join_exchange_free(spark, sf_dir):
+    """The persisted (band, key)-bucketed signature table makes the LSH
+    band self-join Exchange-free on BOTH sides (SortMergeJoin over
+    co-located buckets); the only remaining exchange is the candidate
+    distinct. Also pins store-backed == one-shot pair identity."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
+        banded_candidate_pairs,
+        near_dup_pairs,
+        near_dup_pairs_from_store,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.sigstore import (
+        signature_tables,
+    )
+
+    sh, bk = signature_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = banded_candidate_pairs(bk, "doc_id", None)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("band" in ln for ln in ex)  # join sides co-located
+    assert len(ex) == 1  # the candidate-pair distinct only
+
+    stored = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_dup_pairs_from_store(sh, bk, max_bucket_size=None).collect()
+    )
+    docs = load(spark, sf_dir, "documents")
+    oneshot = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_dup_pairs(docs, max_bucket_size=None).collect()
+    )
+    assert stored == oneshot and len(stored) > 0
+
+
 def test_tokenize_pack_single_exchange(spark, sf_dir):
     """corpus_tokenize_pack's only shuffle beyond the test-data fan-out
     (_docs' explicit repartition) is the packing window's
