@@ -1366,6 +1366,22 @@ def ann_topk_ivfpq(
     ).select("neighbor_id", "cluster", "pq_codes")
 
     probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
+    return _ivfpq_adc_refine(c, assigned, probes, books, k, refine_factor)
+
+
+def _ivfpq_adc_refine(
+    c: DataFrame,
+    assigned: DataFrame,
+    probes: DataFrame,
+    books,
+    k: int,
+    refine_factor: int,
+) -> DataFrame:
+    """Shared ADC + exact-refine tail of IVF-PQ search. ``c`` is the raw
+    (neighbor_id, c_vec) frame (refine only); ``assigned`` the
+    (neighbor_id, cluster, pq_codes) code table (one-shot or the
+    persisted index's partition-pruned scan); ``probes`` from
+    _query_probes with (query_id, q_vec, cluster) rows."""
     cand = assigned.join(F.broadcast(probes), "cluster").select(
         "query_id", "cluster", "q_vec", "neighbor_id", "pq_codes"
     )
@@ -1414,10 +1430,9 @@ def ann_topk_ivfpq(
         .filter(F.col("_r") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact refine on the shortlist only
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
-    )
+    # exact refine on the shortlist only; the query vectors come off the
+    # probe frame (one row per query after dedup — tiny, broadcast)
+    q = probes.select("query_id", "q_vec").dropDuplicates(["query_id"])
     fetched = (
         approx.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -1431,3 +1446,117 @@ def ann_topk_ivfpq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    seed: int = 42,
+    fit_sample_limit: int = 25_000,
+) -> None:
+    """Persist an IVF-PQ index (the r8 verdict's missing amortization):
+    coarse centroids + PQ codebooks (tiny parquet sidecars) + the
+    per-vector code table written PARTITIONED BY cluster. The one-shot
+    ann_topk_ivfpq re-fits centroids AND codebooks AND re-encodes the
+    whole corpus per call; this build pays that once, and query time
+    reads ~nprobe/n_clusters of 8-ish-byte code words (partition
+    pruning, see query_ivfpq_index) — the FAISS on-disk IVFPQ shape.
+
+    Same deterministic fits as the one-shot path (hash-ordered sample,
+    seeded Lloyd), so a fresh index returns bit-identical results to
+    ann_topk_ivfpq with equal parameters (pinned in test_r9.py).
+    """
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    books = fit_pq_codebooks(
+        c, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    mm, nn, sub = books.shape
+    spark.createDataFrame(
+        [
+            (j, t, [float(x) for x in books[j, t]])
+            for j in range(mm)
+            for t in range(nn)
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    (
+        pq_encode(
+            c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec"))),
+            books,
+        )
+        .select("neighbor_id", "cluster", "pq_codes")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "codes"))
+    )
+    # completion marker at the index root (the cache layer's contract)
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    refine_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index. The probed cluster ids become a
+    partition IN-filter on the code-table scan (reads nprobe/n_clusters
+    of the CODE bytes — raw vectors are only touched by the exact
+    refine's shortlist fetch against ``corpus``)."""
+    import os
+
+    import numpy as np
+
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centers = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    cb = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    mm = 1 + max(r["subspace"] for r in cb)
+    nn = 1 + max(r["code"] for r in cb)
+    sub = len(cb[0]["center"])
+    books = np.zeros((mm, nn, sub))
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["center"]
+
+    probes = _query_probes(queries, centers, nprobe, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    needed = sorted(
+        r["cluster"] for r in probes.select("cluster").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cluster").isin(needed)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    return _ivfpq_adc_refine(c, codes, probes, books, k, refine_factor)

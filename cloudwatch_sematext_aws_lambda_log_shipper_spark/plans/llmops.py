@@ -2658,6 +2658,36 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
 
 
+@query("embedding_ann_ivfpq_index")  # approximate by design -> rows-only check
+def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF-PQ path (r9, the verdict's amortization ask):
+    centroids + PQ codebooks + the cluster-partitioned code table are
+    built ONCE per corpus fingerprint (synthcache cache layer — atomic
+    rename, fingerprint invalidation) and every query run just probes:
+    the cluster IN-filter partition-prunes the code scan, raw vectors
+    are touched only by the refine shortlist. Identical results to the
+    one-shot embedding_ann_ivfpq by construction (deterministic seeded
+    fits; pinned in test_r9.py), so the same recall contract applies.
+    """
+    from ..operators.similarity import build_ivfpq_index, query_ivfpq_index
+    from .synthcache import materialize_dir
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "ivfpq",
+        builder=lambda: corpus,
+        source="embeddings.parquet",
+        writer=lambda df, p: build_ivfpq_index(df, p),
+    )
+    ann = query_ivfpq_index(spark, path, corpus, queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
+
+
 def _hash_emb_cte() -> str:
     """Shared DuckDB CTE text: the hashed-embedding sparse rows,
     replicating operators/text.py hashed_embeddings digit-for-digit."""

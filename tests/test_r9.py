@@ -117,6 +117,37 @@ def test_signature_store_band_join_exchange_free(spark, sf_dir):
     assert stored == oneshot and len(stored) > 0
 
 
+def test_ivfpq_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path):
+    """A fresh persisted IVF-PQ index returns BIT-identical rows to the
+    one-shot ann_topk_ivfpq (same seeds, same deterministic fits), and
+    its code scan partition-prunes to the probed clusters."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        ann_topk_ivfpq,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(corpus, path)
+
+    via_index = query_ivfpq_index(spark, path, corpus, queries, k=5, nprobe=4)
+    oneshot = ann_topk_ivfpq(corpus=corpus, queries=queries, k=5, nprobe=4)
+    a = sorted(map(tuple, via_index.collect()))
+    b = sorted(map(tuple, oneshot.collect()))
+    assert a == b and len(a) > 0
+
+    # the code-table scan must carry a cluster PartitionFilter
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "codes" in ln]
+    assert scans and any("PartitionFilters" in ln and "cluster" in ln
+                         for ln in scans)
+
+
 def test_tokenize_pack_single_exchange(spark, sf_dir):
     """corpus_tokenize_pack's only shuffle beyond the test-data fan-out
     (_docs' explicit repartition) is the packing window's
