@@ -27,11 +27,26 @@ the (tiny) candidate id set, so verification reads O(|candidates|)
 rows regardless of corpus size. At 100 TB, bucket the bands table on
 (band, key) to make the per-batch join exchange-free on the store
 side.
+
+Small-file control (r9): every micro-batch appends one
+``ingest_batch=N`` leaf per store table, so thousands of batches turn
+the per-batch store scan into a file-listing bottleneck.
+``StreamingNearDup.compact`` folds all COMMITTED batch leafs (plus any
+previous folded leaf) into one fresh negative-id leaf — real batch ids
+are non-negative, so a folded leaf can never collide with a retried
+batch's dynamic overwrite, and only batches at or before the stream's
+last committed id fold (checkpoint-aware, same refusal contract as
+control.compact_table). The swap is crash-recoverable: the folded
+payload is fully written (with _SUCCESS) before any source leaf moves
+aside, the commit point is a single directory rename to a
+never-before-used leaf name, and ``_heal_folds`` rolls an interrupted
+fold back (or completes its cleanup) on the next call.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -194,3 +209,107 @@ class StreamingNearDup:
                 .parquet(path)
             )
         return alerts
+
+    def compact(
+        self,
+        spark: SparkSession,
+        up_to_batch: int | None = None,
+        checkpoint_dir: str | None = None,
+        target_files: int = 1,
+    ) -> dict[str, int]:
+        """Fold per-micro-batch store leafs into one compact leaf per
+        table. ``checkpoint_dir`` (the writing stream's checkpoint)
+        bounds folding at the last COMMITTED batch — an in-flight
+        batch's leaf is never folded, so its retry's dynamic overwrite
+        cannot land beside a folded copy of itself. Without either
+        bound the caller asserts quiescence (maintenance window), the
+        same contract as control.compact_table(before=None).
+
+        Returns {table_path: files_before} for tables actually folded.
+        Alerts are unchanged by construction: the fold rewrites the
+        same rows into fewer files (pinned in test_r9.py)."""
+        if checkpoint_dir is not None:
+            from ..control import _last_committed_batch
+
+            up_to_batch = _last_committed_batch(checkpoint_dir)
+        out: dict[str, int] = {}
+        for path in (self.bands_path, self.shingled_path):
+            n = _fold_store(spark, path, up_to_batch, target_files)
+            if n:
+                out[path] = n
+        return out
+
+
+def _heal_folds(table_path: str) -> None:
+    """Recover an interrupted fold: the tmp/old sidecar names encode
+    the target leaf id, so 'did the commit rename happen' is decidable
+    — leaf present: finish cleanup; leaf absent: roll the source leafs
+    back and drop the unreferenced tmp payload."""
+    for entry in os.listdir(table_path):
+        if not (entry.startswith(".fold_tmp_") or entry.startswith(".fold_old_")):
+            continue
+        f = entry.split("_")[-1]
+        leaf = os.path.join(table_path, f"ingest_batch={f}")
+        tmp = os.path.join(table_path, f".fold_tmp_{f}")
+        old = os.path.join(table_path, f".fold_old_{f}")
+        if os.path.isdir(leaf):
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            for d in os.listdir(old):
+                os.rename(os.path.join(old, d), os.path.join(table_path, d))
+            os.rmdir(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _fold_store(
+    spark: SparkSession,
+    table_path: str,
+    up_to_batch: int | None,
+    target_files: int,
+) -> int:
+    """Fold one store table's committed ``ingest_batch=`` leafs (plus
+    any earlier folded leaf) into a single fresh negative-id leaf.
+    Returns the pre-fold file count (0 = nothing to fold)."""
+    if not os.path.isdir(table_path):
+        return 0
+    _heal_folds(table_path)
+    ids: dict[str, int] = {}
+    for d in os.listdir(table_path):
+        if d.startswith("ingest_batch="):
+            tail = d.split("=", 1)[1]
+            if tail.lstrip("-").isdigit():
+                ids[d] = int(tail)
+    fold = [
+        d
+        for d, i in ids.items()
+        if i < 0 or up_to_batch is None or i <= up_to_batch
+    ]
+    n_files = sum(
+        1
+        for d in fold
+        for _r, _dirs, files in os.walk(os.path.join(table_path, d))
+        for fn in files
+        if fn.startswith("part-")
+    )
+    if len(fold) <= 1 and n_files <= target_files:
+        return 0
+    f = min([0] + [i for i in ids.values() if i < 0]) - 1
+    tmp = os.path.join(table_path, f".fold_tmp_{f}")
+    old = os.path.join(table_path, f".fold_old_{f}")
+    (
+        spark.read.parquet(*[os.path.join(table_path, d) for d in fold])
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, f"ingest_batch={f}"))
+    )
+    os.makedirs(old, exist_ok=True)
+    for d in fold:
+        os.rename(os.path.join(table_path, d), os.path.join(old, d))
+    # commit point: a single rename to a never-before-used leaf name
+    os.rename(
+        os.path.join(tmp, f"ingest_batch={f}"),
+        os.path.join(table_path, f"ingest_batch={f}"),
+    )
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n_files

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 
@@ -115,6 +117,83 @@ def test_signature_store_band_join_exchange_free(spark, sf_dir):
         for r in near_dup_pairs(docs, max_bucket_size=None).collect()
     )
     assert stored == oneshot and len(stored) > 0
+
+
+def test_streaming_neardup_store_compaction(spark, sf_dir, tmp_path):
+    """N micro-batches then compaction: identical alerts on the next
+    batch, identical store contents, bounded file count; a retried
+    batch after compaction stays exactly-once (its leaf was not folded
+    because it was not yet committed)."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.neardup import (
+        StreamingNearDup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def alerts_set(df):
+        return sorted((r.new_id, r.old_id, r.jaccard) for r in df.collect())
+
+    plain = StreamingNearDup(str(tmp_path / "plain"), max_bucket_size=None)
+    comp = StreamingNearDup(str(tmp_path / "comp"), max_bucket_size=None)
+    for i in range(3):
+        a = alerts_set(plain.process_batch(batches[i], i))
+        b = alerts_set(comp.process_batch(batches[i], i))
+        assert a == b
+
+    # batches 0..2 committed -> foldable; nothing in flight
+    folded = comp.compact(spark, up_to_batch=2)
+    assert folded  # something was actually folded
+    for tbl in ("bands", "shingled"):
+        p = str(tmp_path / "comp" / tbl)
+        leafs = [d for d in os.listdir(p) if d.startswith("ingest_batch=")]
+        assert leafs == ["ingest_batch=-1"]
+        n_files = sum(
+            1
+            for _r, _d, files in os.walk(p)
+            for f in files
+            if f.startswith("part-")
+        )
+        assert n_files <= 1
+
+    # identical store contents after the fold
+    for tbl in ("bands", "shingled"):
+        rows = lambda root: sorted(  # noqa: E731
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / root / tbl))
+                .drop("ingest_batch")
+                .collect(),
+            )
+        )
+        assert rows("plain") == rows("comp")
+
+    # next batch alerts identical; a RETRY of it (dynamic overwrite of
+    # its own un-folded leaf) changes nothing
+    a3 = alerts_set(plain.process_batch(batches[3], 3))
+    b3 = alerts_set(comp.process_batch(batches[3], 3))
+    b3_retry = alerts_set(comp.process_batch(batches[3], 3))
+    assert a3 == b3 == b3_retry
+    for tbl in ("bands", "shingled"):
+        rows = lambda root: sorted(  # noqa: E731
+            map(
+                tuple,
+                spark.read.parquet(str(tmp_path / root / tbl))
+                .drop("ingest_batch")
+                .collect(),
+            )
+        )
+        assert rows("plain") == rows("comp")
+
+    # second compaction folds the folded leaf + batch 3 into -2
+    comp.compact(spark, up_to_batch=3)
+    leafs = [
+        d
+        for d in os.listdir(str(tmp_path / "comp" / "bands"))
+        if d.startswith("ingest_batch=")
+    ]
+    assert leafs == ["ingest_batch=-2"]
 
 
 def test_ivfpq_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path):
