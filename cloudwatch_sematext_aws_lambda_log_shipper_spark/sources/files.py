@@ -20,10 +20,12 @@ from pyspark.sql import types as T
 # dir ships avro-1.12.1 / avro-ipc / avro-mapred (core-internal
 # dependencies) but NOT the spark-avro_2.13 DataSource connector, so
 # format('avro') cannot resolve ("Failed to find data source: avro").
-# On a cluster with the connector deployed, adding 'avro' to _FORMATS
-# with the same _TS_OPTS is the complete change (avro stores
-# timestamps as typed long micros — no timestampFormat needed).
-_FORMATS = ("parquet", "orc", "json", "csv", "text")
+# r9: 'avro' is served by the vendored pure-Python OCF codec
+# (sources/avro_ocf.py — distributed mapInPandas read/write over the
+# public container-file spec, timestamps as typed long micros). On a
+# cluster with the connector deployed, swapping the routing back to
+# format('avro') is the complete change.
+_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
 
 # Text formats default to millisecond timestamps — a silent microsecond
 # truncation on round-trip. Pin lossless formats for BOTH timestamp
@@ -48,6 +50,12 @@ def read_table(
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
     if fmt == "text":
         return spark.read.text(path)  # fixed (value string) schema
+    if fmt == "avro":
+        if schema is None:
+            raise ValueError("avro requires an explicit schema (no inference pass)")
+        from .avro_ocf import read_avro
+
+        return read_avro(spark, path, schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -65,6 +73,11 @@ def write_table(
 ) -> None:
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    if fmt == "avro":
+        from .avro_ocf import write_avro
+
+        write_avro(df, path, mode=mode)
+        return
     writer = df.write.mode(mode)
     if fmt == "csv":
         writer.options(header="true", **_TS_OPTS).csv(path)

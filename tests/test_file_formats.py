@@ -12,7 +12,7 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.files import (
     write_table,
 )
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "avro"])
 def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
     ev = load(spark, sf_dir, "events").limit(200)
     # Declare the frame's ACTUAL ts flavor (timestamp vs timestamp_ntz):
@@ -34,6 +34,36 @@ def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
 def test_schemaless_json_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="explicit schema"):
         read_table(spark, str(tmp_path), "json")
+
+
+def test_avro_nulls_deflate_and_ntz(spark, tmp_path):
+    """Vendored OCF path specifics: nullable columns round-trip Nones,
+    the deflate codec decodes, TIMESTAMP_NTZ survives losslessly, and a
+    reader-schema mismatch errors instead of mis-decoding."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    rows = [
+        (1, "a", 1.5, bytearray(b"\x00\xff"), dt.datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        (2, None, None, None, None),
+        (None, "c", -0.25, bytearray(b""), dt.datetime(1969, 12, 31, 23, 59, 59)),
+    ]
+    schema = ("id long, s string, x double, b binary, ts timestamp_ntz")
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "avro_deflate")
+    n = write_avro(df.repartition(2), out, codec="deflate")
+    assert n == 3
+    back = read_avro(spark, out, schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    with _pytest.raises(Exception, match="schema mismatch"):
+        read_avro(spark, out, "id long, s string, x double, b binary, ts timestamp").collect()
 
 
 def test_text_roundtrip_raw_log_lines(spark, tmp_path):
