@@ -1,0 +1,167 @@
+"""Scale-stress harness (r9 verdict ask #4): measure how the top-5
+bench queries actually scale when the corpus grows 10x, instead of
+arguing from plan shapes.
+
+Builds scaled copies of the sf tables with DuckDB:
+- documents: copy i appends the copy index to EVERY word (disjoint
+  shingle sets across copies, so near-dup pair counts stay ~linear in
+  the scale factor — 10 verbatim clones would near-dup-match each
+  other and blow the PAIR count up ~100x, measuring output explosion
+  instead of engine scaling);
+- embeddings: copy i scales each component by (1 + i/10000) — breaks
+  exact-tie pathologies while keeping the geometry;
+- events: id/user offsets per copy, distributions untouched.
+
+Usage:
+  python scripts/scale_stress.py build  [base_sf_dir] [scales...]
+  python scripts/scale_stress.py run    [base_sf_dir] [scales...]
+  python scripts/scale_stress.py all    [base_sf_dir] [scales...]
+
+Timing protocol: per (query, scale) one WARMUP run (builds synthcache
+corpora, signature stores, persisted indexes — the amortized artifacts
+a steady-state deployment already has), then two timed runs, min
+taken. The scaling exponent is log(T_s/T_1)/log(s). Results land in
+/tmp/spark_graft_scale/scale_stress.json for PROFILE_r09.md.
+
+Run on a quiet host (no concurrent pytest/bench — 32 cores contend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+OUT_ROOT = "/tmp/spark_graft_scale"
+QUERIES = [
+    "near_dup_stream_guard",
+    "log_top_errors",
+    "embedding_ann_ivfpq",
+    "embedding_pagerank",
+    "doc_dup_span_exact",
+]
+
+
+def build_scaled(base: str, n: int) -> str:
+    import duckdb
+
+    out = os.path.join(OUT_ROOT, f"{os.path.basename(os.path.normpath(base))}-x{n}")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def _text_expr(i: int) -> str:
+        if i == 0:
+            return "text"
+        return (
+            "regexp_replace(text, '(" + r"\S" + "+)', '"
+            + r"\1" + f"{i}', 'g')"
+        )
+
+    docs = " UNION ALL ".join(
+        f"""SELECT doc_id + {i * 10_000_000} AS doc_id,
+               {_text_expr(i)} AS text,
+               lang, source,
+               CAST(length({_text_expr(i)}) AS BIGINT) AS n_chars
+           FROM read_parquet('{base}/documents.parquet')"""
+        for i in range(n)
+    )
+    con.sql(f"COPY ({docs}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+    emb = " UNION ALL ".join(
+        f"""SELECT vec_id + {i * 10_000_000} AS vec_id,
+               CAST([x * (1 + {i} * 0.0001) for x in embedding] AS FLOAT[]) AS embedding,
+               label
+           FROM read_parquet('{base}/embeddings.parquet')"""
+        for i in range(n)
+    )
+    con.sql(f"COPY ({emb}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+    ev = " UNION ALL ".join(
+        f"""SELECT event_id + {i * 100_000_000} AS event_id, ts,
+               user_id + {i * 1_000_000} AS user_id,
+               event_type, value, props
+           FROM read_parquet('{base}/events.parquet')"""
+        for i in range(n)
+    )
+    con.sql(f"COPY ({ev}) TO '{out}/events.parquet' (FORMAT PARQUET)")
+
+    # relational tables aren't scaled (the five queries don't read
+    # them) but load() may be pointed at the dir; leave them absent so
+    # a mistaken dependency fails loudly instead of measuring 1x data.
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def run_queries(dirs: dict[int, str]) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import QUERIES as REG
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
+    import cloudwatch_sematext_aws_lambda_log_shipper_spark.plans  # noqa: F401 register
+
+    spark = get_spark("scale_stress")
+    results: dict[str, dict] = {q: {} for q in QUERIES}
+    for scale, d in sorted(dirs.items()):
+        for q in QUERIES:
+            fn = REG[q]
+            t_warm = time.time()
+            fn(spark, d).count()  # warmup: builds caches/stores/indexes
+            warm = time.time() - t_warm
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                n_rows = fn(spark, d).count()
+                times.append(time.time() - t0)
+            results[q][scale] = {
+                "warmup_s": round(warm, 2),
+                "min_s": round(min(times), 2),
+                "runs": [round(t, 2) for t in times],
+                "rows": n_rows,
+            }
+            print(f"x{scale} {q:28s} warm={warm:6.1f}s "
+                  f"min={min(times):6.2f}s rows={n_rows}", flush=True)
+    import math
+
+    scales = sorted(dirs)
+    if len(scales) >= 2:
+        s1, s2 = scales[0], scales[-1]
+        for q in QUERIES:
+            t1 = results[q][s1]["min_s"]
+            t2 = results[q][s2]["min_s"]
+            results[q]["exponent"] = round(
+                math.log(max(t2, 1e-9) / max(t1, 1e-9)) / math.log(s2 / s1), 3
+            )
+    results["_host_load"] = list(os.getloadavg())
+    return results
+
+
+def main() -> None:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "all"
+    base = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    scales = [int(s) for s in sys.argv[3:]] or [1, 10]
+    dirs = {}
+    for s in scales:
+        if cmd in ("build", "all"):
+            dirs[s] = build_scaled(base, s)
+            print(f"built x{s}: {dirs[s]}", flush=True)
+        else:
+            dirs[s] = os.path.join(
+                OUT_ROOT, f"{os.path.basename(os.path.normpath(base))}-x{s}"
+            )
+    if cmd in ("run", "all"):
+        res = run_queries(dirs)
+        out = os.path.join(OUT_ROOT, "scale_stress.json")
+        with open(out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps({q: res[q].get("exponent") for q in QUERIES}))
+        print(f"written {out}")
+
+
+if __name__ == "__main__":
+    main()
