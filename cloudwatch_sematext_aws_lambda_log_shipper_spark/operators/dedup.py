@@ -301,7 +301,13 @@ def near_dup_pairs_from_store(
     near_dup_pairs by construction (identical signature math upstream).
     """
     cands = banded_candidate_pairs(banded, id_col, max_bucket_size)
-    return verify_jaccard(cands, shingled, id_col, threshold)
+    # The candidate set is bytes-small (two ids per row) but each row
+    # drags CPU-heavy array intersections through the verify join — AQE's
+    # size-based coalesce folds the few-MB exchange to ONE task and
+    # serializes that work (measured 12s -> 2.5s on char-5-grams at
+    # sf0.1). Spread it explicitly, same rationale as plans._docs.
+    par = shingled.sparkSession.sparkContext.defaultParallelism
+    return verify_jaccard(cands.repartition(par), shingled, id_col, threshold)
 
 
 def near_dup_clusters_from_store(
