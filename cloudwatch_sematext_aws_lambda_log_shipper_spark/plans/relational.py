@@ -1080,16 +1080,22 @@ def customer_segment_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # committed version mid-read).
     state = tempfile.mkdtemp(prefix="spark_graft_scd_stream_")
     shutil.rmtree(state, ignore_errors=True)  # maintainer recreates it
-    m = StreamingScd2Maintainer(
-        spark, state, ["c_custkey"], ["segment"], seed=dim0
-    )
-    part = F.pmod(F.col("c_custkey"), F.lit(3))
-    m.apply_batch(updates.filter(part == 0), 0)
-    m.apply_batch(updates.filter(part <= 1), 1)  # re-delivers batch 0
-    m.apply_batch(updates.filter(part == 2), 2)
-    return m.current().join(
-        updates.select("c_custkey"), "c_custkey", "left_semi"
-    ).select("c_custkey", "segment", "valid_from", "valid_to")
+    try:
+        m = StreamingScd2Maintainer(
+            spark, state, ["c_custkey"], ["segment"], seed=dim0
+        )
+        part = F.pmod(F.col("c_custkey"), F.lit(3))
+        m.apply_batch(updates.filter(part == 0), 0)
+        m.apply_batch(updates.filter(part <= 1), 1)  # re-delivers batch 0
+        m.apply_batch(updates.filter(part == 2), 2)
+        out = m.current().join(
+            updates.select("c_custkey"), "c_custkey", "left_semi"
+        ).select("c_custkey", "segment", "valid_from", "valid_to")
+        # Materialize (dimension-sized) before reclaiming the state dir:
+        # the caller collects lazily, after the finally below has run.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
 
 
 _SMALL_LOT_ORACLE = """

@@ -87,7 +87,15 @@ def signature_tables(
     base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(path))
     sh_tbl, bk_tbl = f"ndsh_{base}", f"ndbk_{base}_{num_bands}x{rows_per_band}"
     ctx = spark.sparkContext.applicationId
-    if (ctx, sh_tbl) not in _REGISTERED or not spark.catalog.tableExists(sh_tbl):
+    # key on BOTH tables + bucket count: sh_tbl alone would let a second
+    # call with a different band geometry at the same k (16x4 then 8x8)
+    # or different num_buckets skip the build and fail on spark.table(bk_tbl)
+    reg_key = (ctx, sh_tbl, bk_tbl, num_buckets)
+    if (
+        reg_key not in _REGISTERED
+        or not spark.catalog.tableExists(sh_tbl)
+        or not spark.catalog.tableExists(bk_tbl)
+    ):
         art = spark.read.parquet(path)
         write_bucketed(
             art.select("doc_id", "shingles"), sh_tbl, "doc_id", num_buckets
@@ -101,5 +109,5 @@ def signature_tables(
             .select("doc_id", "bk.band", "bk.key")
         )
         write_bucketed(banded, bk_tbl, ["band", "key"], num_buckets)
-        _REGISTERED.add((ctx, sh_tbl))
+        _REGISTERED.add(reg_key)
     return spark.table(sh_tbl), spark.table(bk_tbl)

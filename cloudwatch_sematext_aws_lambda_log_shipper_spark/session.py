@@ -30,7 +30,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))
+        # 24g, not the full host RAM: with a 90g heap G1's young gen
+        # balloons to ~45GB and allocation-heavy paths (gzip Arrow UDF,
+        # variant parse) hit 2-10s young-GC pauses — measured 10-120s
+        # intermittent stalls on identical queries. 24g keeps pauses
+        # sub-100ms at sf0.1 while leaving headroom for broadcast joins.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),

@@ -123,13 +123,23 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
 # --- write ---------------------------------------------------------------
 
 
-def _column_values(pdf, name: str, kind: str) -> list:
+def _column_values(pdf, name: str, kind: str, mask_col: str | None) -> list:
     """Python values (None for null) for one column of an Arrow batch.
     Integer columns go through pandas' nullable Int64 so a null-bearing
-    column (which Arrow hands over as float64) round-trips exactly."""
+    column (which Arrow hands over as float64) round-trips exactly.
+    Float/double columns use a JVM-computed not-null mask (``mask_col``)
+    because pandas float64 conflates SQL NULL with a legitimate NaN
+    value — ``pd.isna`` alone would silently turn NaN into null."""
     import pandas as pd
 
     s = pdf[name]
+    if kind in ("float", "double"):
+        if mask_col is not None:  # nullable: mask decides, NaN is a value
+            return [
+                float(v) if nn else None
+                for v, nn in zip(s, pdf[mask_col])
+            ]
+        return [float(v) for v in s]  # non-nullable: every NaN is a value
     if kind in ("timestamp", "timestamp_ntz"):
         return [
             None if pd.isna(v) else int(pd.Timestamp(v).value) // 1000
@@ -141,9 +151,9 @@ def _column_values(pdf, name: str, kind: str) -> list:
     return [None if pd.isna(v) else v for v in s]
 
 
-def _encode_block(pdf, specs, codec: str) -> tuple[bytes, int]:
+def _encode_block(pdf, specs, codec: str, masks: dict) -> tuple[bytes, int]:
     cols = [
-        (_column_values(pdf, name, kind), kind, nullable)
+        (_column_values(pdf, name, kind, masks.get(name)), kind, nullable)
         for name, kind, nullable in specs
     ]
     out = bytearray()
@@ -192,6 +202,20 @@ def write_avro(
     schema = df.schema
     specs = [(f.name, _kind(f.dataType), f.nullable) for f in schema.fields]
     meta_schema = json.dumps(avro_schema_for(schema)).encode()
+    # JVM-side not-null masks for nullable float/double columns: the
+    # Arrow->pandas hop hands floats over as float64 where NULL and NaN
+    # are the same bit pattern, so null-ness must be computed before it.
+    masks = {
+        name: f"__nn_{i}"
+        for i, (name, kind, nullable) in enumerate(specs)
+        if nullable and kind in ("float", "double")
+    }
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        "*",
+        *[F.col(c).isNotNull().alias(m) for c, m in masks.items()],
+    )
 
     def write_part(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -214,7 +238,7 @@ def write_avro(
                 header.append(0)  # end of map
                 fh = open(fname, "wb")
                 fh.write(bytes(header) + sync)
-            data, n = _encode_block(pdf, specs, codec)
+            data, n = _encode_block(pdf, specs, codec, masks)
             head = bytearray()
             _enc_long(head, n)
             _enc_long(head, len(data))
@@ -339,6 +363,7 @@ def read_avro(
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     want = {f.name: _kind(f.dataType) for f in schema.fields}
+    want_nullable = {f.name: f.nullable for f in schema.fields}
     names = [f.name for f in schema.fields]
 
     files = (
@@ -349,6 +374,7 @@ def read_avro(
     )
 
     def decode(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -360,6 +386,13 @@ def read_avro(
                         f"avro schema mismatch: file has {got}, reader "
                         f"asked for {want}"
                     )
+                for name, _kind_, file_nullable in specs:
+                    if file_nullable and not want_nullable[name]:
+                        raise ValueError(
+                            f"avro nullability mismatch: file field "
+                            f"{name!r} is nullable but the reader schema "
+                            f"declares it non-nullable"
+                        )
                 by_name = {name: c for (name, _k, _n), c in zip(specs, cols)}
                 out = {}
                 for name in names:
@@ -368,6 +401,19 @@ def read_avro(
                     if kind in ("timestamp", "timestamp_ntz"):
                         out[name] = pd.to_datetime(
                             pd.Series(c, dtype="object"), unit="us"
+                        )
+                    elif kind in ("float", "double"):
+                        # masked FloatingArray: NaN stays a VALUE (the
+                        # mask, not the bit pattern, marks nulls) and the
+                        # pandas->Arrow hop honors the mask, so a stored
+                        # NaN round-trips instead of collapsing to null.
+                        vals = np.array(
+                            [float("nan") if v is None else v for v in c],
+                            dtype="float64",
+                        )
+                        mask = np.array([v is None for v in c], dtype=bool)
+                        out[name] = pd.Series(
+                            pd.arrays.FloatingArray(vals, mask)
                         )
                     else:
                         out[name] = pd.Series(c, dtype="object")

@@ -101,7 +101,19 @@ def run_queries(dirs: dict[int, str]) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import QUERIES as REG
     from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
-    import cloudwatch_sematext_aws_lambda_log_shipper_spark.plans  # noqa: F401 register
+    # plans/__init__.py is intentionally empty — import the concrete plan
+    # modules (the way __spark_entry__.py does) so @query decorators run
+    # and the registry is populated; a bare `import ...plans` registers
+    # nothing and REG[q] would raise KeyError.
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (  # noqa: F401
+        analytics,
+        llmops,
+        logsim,
+        relational,
+    )
+    missing = [q for q in QUERIES if q not in REG]
+    if missing:
+        raise SystemExit(f"registry missing queries: {missing}")
 
     spark = get_spark("scale_stress")
     results: dict[str, dict] = {q: {} for q in QUERIES}

@@ -66,6 +66,39 @@ def test_avro_nulls_deflate_and_ntz(spark, tmp_path):
         read_avro(spark, out, "id long, s string, x double, b binary, ts timestamp").collect()
 
 
+def test_avro_nan_vs_null_and_nullability_check(spark, tmp_path):
+    """NaN is a VALUE, not a null: a nullable double column holding both
+    NaN and NULL round-trips with the distinction intact (JVM-computed
+    not-null mask on write, masked FloatingArray on read), and a reader
+    schema that declares a file-nullable field non-nullable errors
+    instead of silently delivering nulls."""
+    import math
+
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    schema = "id long, x double, y float"
+    df = spark.createDataFrame(
+        [(1, float("nan"), 2.5), (2, None, float("nan")), (3, 0.5, None)],
+        schema,
+    )
+    out = str(tmp_path / "avro_nan")
+    assert write_avro(df, out) == 3
+    got = {r.id: (r.x, r.y) for r in read_avro(spark, out, schema).collect()}
+    assert math.isnan(got[1][0]) and got[1][1] == 2.5
+    assert got[2][0] is None and math.isnan(got[2][1])
+    assert got[3][0] == 0.5 and got[3][1] is None
+
+    with _pytest.raises(Exception, match="nullability mismatch"):
+        read_avro(
+            spark, out, "id long, x double not null, y float"
+        ).collect()
+
+
 def test_text_roundtrip_raw_log_lines(spark, tmp_path):
     """Raw log files land as a single `value` column — the ingestion
     shape for plain-text logs, feeding straight into parse_log_events."""
