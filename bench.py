@@ -105,6 +105,18 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def gc_millis(spark) -> int:
+    """Cumulative JVM GC time (ms) across all collectors, via the GC
+    MX beans. Per-query deltas make heap-class defects visible in-band:
+    round 9's 90g default heap produced 2-10s young-GC pauses that read
+    exactly like co-tenant noise until a judge attached a GC log."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -130,18 +142,23 @@ def main() -> None:
             failed.add(name)
             print(f"bench: {name} FAILED (warmup): {exc}", file=sys.stderr)
         spark.catalog.clearCache()
+    gc_runs: dict[str, list[int]] = {}
+    gc_timed_start = gc_millis(spark)
     for _pass in range(2):  # interleaved timed passes (see module doc)
         for name, fn in qs.items():
             if name in failed:
                 continue
             try:
+                g0 = gc_millis(spark)
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 runs.setdefault(name, []).append(time.time() - t0)
+                gc_runs.setdefault(name, []).append(gc_millis(spark) - g0)
             except Exception as exc:  # a broken query must not hide the rest
                 failed.add(name)
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+    gc_timed_ms = gc_millis(spark) - gc_timed_start
 
     timings = {name: round(min(ts), 2) for name, ts in runs.items()}
     for name in failed:
@@ -159,6 +176,14 @@ def main() -> None:
             ratio = ts[1] / ts[0]
             if ratio > noise["ratio"]:
                 noise = {"q": name, "ratio": round(ratio, 2)}
+    # Unstable queries: run pair differing by >3x in EITHER direction
+    # (ratio>3 on a non-first run = contamination or GC lottery; the
+    # r9 heap defect made log_dlq_replay land anywhere in 3-127s on
+    # identical code — this flag would have caught it in-band).
+    unstable = sorted(
+        n for n, ts in runs.items()
+        if len(ts) == 2 and min(ts) > 0 and max(ts) / min(ts) > 3.0
+    )
     print(
         "bench per-run times: "
         + json.dumps({n: [round(t, 2) for t in ts] for n, ts in runs.items()}),
@@ -186,6 +211,9 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "runs": {n: [round(t, 2) for t in ts] for n, ts in runs.items()},
+        "gc_ms": gc_runs,  # per-run JVM GC time deltas, ms
+        "gc_timed_ms": gc_timed_ms,  # total GC inside the timed region
+        "unstable": unstable,  # run pair spread >3x — GC or co-tenant
         "noise": noise,
         "load": load,  # 1/5/15-min at start + 1-min at end
         "streaming": streaming,
@@ -216,6 +244,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": slowest,
                 "queries_full": "BENCH_FULL.json",
+                "gc_timed_ms": gc_timed_ms,
+                "unstable": unstable[:8],  # bounded for the tail capture
                 "noise": noise,
                 "load": load,
                 "streaming": streaming,
