@@ -55,11 +55,19 @@ def importance_scores(
     is_target: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance: (id, n_tokens, target_hits,
     dsir_logratio). Higher logratio = token mix closer to the target
     distribution than to the raw pool. ``is_target`` marks the rows
     that DEFINE the target distribution; every row is scored.
+
+    ``exact_sum=True`` rounds each per-token log term to 9 decimals and
+    sums as DECIMAL(20,9) (cast back to double): order-independent and
+    therefore bit-stable across engines/partitionings — use it when the
+    per-doc score itself sits under a value-hash gate (the default
+    round-after-double-sum is fine for top-k ranking but the tail
+    digits depend on summation order).
     """
     toks = docs.select(
         F.col(id_col),
@@ -81,8 +89,13 @@ def importance_scores(
     num = ((F.col("t_b") + 1) * (F.col("_R") + N_BUCKETS)).cast("double")
     den = ((F.col("r_b") + 1) * (F.col("_T") + N_BUCKETS)).cast("double")
     term = F.log(num / den)
+    score = (
+        F.sum(F.round(term, 9).cast("decimal(20,9)")).cast("double")
+        if exact_sum
+        else F.round(F.sum(term), 6)
+    )
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(lean, 1).otherwise(0)).cast("long").alias("target_hits"),
-        F.round(F.sum(term), 6).alias("dsir_logratio"),
+        score.alias("dsir_logratio"),
     )

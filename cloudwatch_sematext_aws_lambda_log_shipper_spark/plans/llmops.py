@@ -2134,7 +2134,7 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BPE tokenizer training ---------------------------------------------
 
 
-def _bpe_word_cte() -> str:
+def _bpe_word_cte(src: str = "documents") -> str:
     """Shared oracle base: the (word, cnt) table with the delimiter
     guard, and each word's initial symbol string — symbols joined by
     ';;' and wrapped in single ';', so one DuckDB ``replace`` of
@@ -2142,12 +2142,14 @@ def _bpe_word_cte() -> str:
     BPE merge pass (runs of a repeated pair share no delimiter chars,
     and both symbols are fully delimited so no prefix can false-match;
     replace scans the input left-to-right without rescanning output,
-    which is the textbook merge order)."""
-    return r"""
+    which is the textbook merge order). ``src`` lets composed oracles
+    train on a CTE (e.g. the curated survivor set) instead of the raw
+    documents table."""
+    return rf"""
 wf AS (
   SELECT word, count(*) AS cnt FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-    FROM documents
+    FROM {src}
   ) WHERE word <> '' AND word NOT LIKE '%;%'
   GROUP BY word
 ), syms0 AS (
@@ -2952,3 +2954,291 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, n_iter=10)
+
+
+# --- end-to-end curation pipeline ---------------------------------------
+
+
+def _curate_e2e_oracle(n_merges: int = 12, budget: int = 128) -> str:
+    """Replays the SIX-stage curation chain in one DuckDB query:
+    lang/quality gate -> exact dedup -> near-dup canonical (full-corpus
+    clusters, canonical chosen among survivors) -> benchmark
+    decontamination -> DSIR weighting (9-decimal DECIMAL term sum) ->
+    BPE tokenize + pack, with the BPE training corpus and the packing
+    stream both being the CURATED survivor set. Every stage reuses the
+    CTE technique its standalone oracle proved out."""
+
+    def digit(p: int) -> str:
+        a = f"ascii(substr(h,{p},1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    bucket = f"(({digit(1)}) * 256 + ({digit(2)}) * 16 + ({digit(3)}))"
+    return rf"""
+WITH RECURSIVE
+s1 AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      CAST(ROUND(
+        (least(length(text) / 200.0, 1.0) +
+         least(len(string_split_regex(lower(trim(text)), '\s+')) / 40.0, 1.0)) / 2.0
+        * greatest(1.0 - (len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE
+                          / greatest(length(text), 1)) * 4.0, 0.0),
+      6) AS DECIMAL(10,6)) AS q,
+      len([x for x in string_split_regex(lower(trim(text)), '\s+')
+           if x IN ('the','a','of','and','is')]) AS en,
+      len([x for x in string_split_regex(lower(trim(text)), '\s+')
+           if x IN ('el','la','de','que','los')]) AS es,
+      len([x for x in string_split_regex(lower(trim(text)), '\s+')
+           if x IN ('der','die','das','und','ist')]) AS de,
+      len([x for x in string_split_regex(lower(trim(text)), '\s+')
+           if x IN ('le','la','les','des','est')]) AS fr,
+      len([x for x in string_split_regex(lower(trim(text)), '\s+')
+           if x IN ('的','是','了','在','我')]) AS zh
+    FROM documents
+  )
+  WHERE q >= 0.4 AND (
+    (en > es AND en > de AND en > fr AND en > zh AND en > 0) OR
+    (es > en AND es > de AND es > fr AND es > zh AND es > 0) OR
+    (de > en AND de > es AND de > fr AND de > zh AND de > 0) OR
+    (fr > en AND fr > es AND fr > de AND fr > zh AND fr > 0) OR
+    (zh > en AND zh > es AND zh > de AND zh > fr AND zh > 0))
+), s2 AS MATERIALIZED (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN s1 USING (doc_id)
+  GROUP BY md5(d.text)
+), nd AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), ndsh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS s
+  FROM nd WHERE len(w) >= 3
+), ndpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ndsh a JOIN ndsh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+), ndedges AS (
+  SELECT id_a AS a, id_b AS b FROM ndpairs
+  UNION SELECT id_b, id_a FROM ndpairs
+), reach(a, b) AS (
+  SELECT a, b FROM ndedges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ndedges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+), assign AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+), s3 AS MATERIALIZED (
+  SELECT arg_max(a.doc_id, a.n_chars * 4294967296 - a.doc_id) AS doc_id
+  FROM assign a JOIN s2 USING (doc_id)
+  GROUP BY a.cluster_id
+), bench AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents WHERE doc_id % 50 = 0
+), bg AS MATERIALIZED (
+  SELECT DISTINCT md5(gram) AS gh FROM (
+    SELECT unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                                 for i in range(1, len(w) - 6)])) AS gram
+    FROM bench WHERE len(w) >= 8
+  )
+), corp AS (
+  SELECT d.doc_id, string_split_regex(lower(trim(d.text)), '\s+') AS w
+  FROM documents d JOIN s3 USING (doc_id) WHERE d.doc_id % 50 != 0
+), cg AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5(array_to_string(w[i:i+7], ' '))
+                               for i in range(1, len(w) - 6)])) AS gh
+  FROM corp WHERE len(w) >= 8
+), hitdocs AS (
+  SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gh)
+), s4 AS MATERIALIZED (
+  SELECT c.doc_id FROM corp c
+  WHERE NOT EXISTS (SELECT 1 FROM hitdocs h WHERE h.doc_id = c.doc_id)
+), curated AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN s4 USING (doc_id)
+), dtoks AS (
+  SELECT doc_id, source = 'src1' AS is_t,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM curated
+), db AS (
+  SELECT doc_id, is_t, {bucket} AS bucket
+  FROM (SELECT doc_id, is_t, md5(token) AS h FROM dtoks)
+), dstats AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_b,
+         count(*) AS r_b
+  FROM db GROUP BY bucket
+), dtot AS (
+  SELECT CAST(SUM(t_b) AS BIGINT) AS t, CAST(SUM(r_b) AS BIGINT) AS r
+  FROM dstats
+), dsir AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(ln(CAST((s.t_b + 1) * (dtot.r + 4096) AS DOUBLE)
+                                / CAST((s.r_b + 1) * (dtot.t + 4096) AS DOUBLE)),
+                             9) AS DECIMAL(20,9))) AS DOUBLE) AS dsir_logratio
+  FROM db JOIN dstats s USING (bucket), dtot
+  GROUP BY doc_id
+), {_bpe_word_cte("curated").strip()},
+{_bpe_step_ctes(n_merges)},
+wtok AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(trim(s, ';'), ';;')) AS BIGINT) AS wn
+  FROM syms{n_merges}
+), dtf AS (
+  SELECT doc_id, word, count(*) AS k FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM curated
+  ) WHERE word <> '' GROUP BY doc_id, word
+), doc_tok AS (
+  SELECT c.doc_id, c.source,
+         CAST(COALESCE(SUM(t.k * w.wn), 0) AS BIGINT) AS n_tokens
+  FROM curated c
+  LEFT JOIN dtf t ON t.doc_id = c.doc_id
+  LEFT JOIN wtok w ON w.word = t.word
+  GROUP BY c.doc_id, c.source
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS bin_offset
+  FROM doc_tok
+)
+SELECT p.doc_id, p.source, p.n_tokens, p.bin_offset,
+       CAST(floor(p.bin_offset / {budget}.0) AS BIGINT) AS bin_id,
+       ds.dsir_logratio
+FROM packed p JOIN dsir ds USING (doc_id)
+"""
+
+
+@query("corpus_curate_e2e", _curate_e2e_oracle())
+def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship LLM-data deliverable: the full curation pipeline the
+    individual operators exist for, composed end-to-end under the hash
+    gate. Six stages:
+
+      1. language/quality gate — keep docs with a confident language
+         prediction (lang_id != 'und') and rounded quality >= 0.4
+         (DECIMAL(10,6) compare: exact cross-engine);
+      2. exact dedup — min-doc_id canonical per md5(text) group among
+         survivors;
+      3. near-dup canonical — clusters come from the PERSISTED
+         signature store (full-corpus MinHash-LSH, Exchange-free band
+         join); within each cluster the canonical is chosen among the
+         docs still alive after stages 1-2 (longest text, min-id
+         tie-break via the encoded bigint key);
+      4. benchmark decontamination — every 50th doc of the FULL corpus
+         stands in for the eval benchmark (external sets don't get
+         filtered); surviving docs sharing any word 8-gram are dropped,
+         as are the benchmark members themselves;
+      5. DSIR importance weighting over the curated pool (target =
+         source 'src1'), per-token log terms rounded to 9 decimals and
+         summed as DECIMAL(20,9) so the per-doc score is bit-stable;
+      6. BPE tokenize + pack — the 12-merge tokenizer is TRAINED on the
+         curated corpus (not the raw one), every survivor is encoded,
+         and the token stream packs into 128-token bins per source.
+
+    Output: one row per curated doc with its packed position and DSIR
+    weight. The oracle replays all six stages as one CTE chain.
+
+    Scale audit (the no-re-shuffle claim, pinned in test_r10.py):
+    stages 2-3 are WINDOW keeps (min-id per md5 hash, best-doc per
+    cluster), not semi joins of a frame against its own aggregate —
+    the self-join form evaluates the survivor spine twice per stage
+    (2^k replay over k chained stages); the window pays the identical
+    exchange once. Stage 4 is a broadcast-semi + one anti join. The
+    only corpus-wide exchanges are the ones the standalone stages
+    already pay (content-hash window, cluster join against the
+    persisted store, DSIR bucket aggregate, per-source packing
+    window); the curated set persists once for its four consumers
+    (BPE train, DSIR, encode, packing) — the in-session equivalent of
+    the inter-stage checkpoint a production pipeline writes."""
+    from pyspark.sql import Window
+
+    from ..operators.bpe import encode_with_merges, train_bpe
+    from ..operators.dedup import near_dup_clusters_from_store
+    from ..operators.importance import importance_scores
+    from ..operators.packing import with_packing_bins
+    from ..operators.text import lang_id, quality_score, word_shingles
+    from .sigstore import signature_tables
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    q6 = F.round(quality_score(t), 6).cast("decimal(10,6)")
+    s1 = docs.filter((lang_id(t) != F.lit("und")) & (q6 >= 0.4))
+
+    # Stages 2-3 as WINDOW keeps, not self-semi-joins: a semi join
+    # against an aggregate of the same frame evaluates the survivor
+    # spine TWICE per stage (2^k blowup over k chained stages); the
+    # window pays the identical exchange (md5 hash / cluster_id) but
+    # reads the spine once.
+    s2 = (
+        s1.withColumn(
+            "_min_id", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("_min_id"))
+        .drop("_min_id")
+    )
+
+    shingled, banded = signature_tables(spark, sf_dir)
+    clusters = near_dup_clusters_from_store(
+        shingled, banded, max_bucket_size=None
+    ).select("doc_id", "cluster_id")
+    best = F.col("n_chars").cast("long") * F.lit(4294967296).cast(
+        "long"
+    ) - F.col("doc_id")
+    s3 = (
+        s2.join(clusters, "doc_id")
+        .withColumn(
+            "_best", F.max(best).over(Window.partitionBy("cluster_id"))
+        )
+        .filter(best == F.col("_best"))
+        .drop("_best", "cluster_id")
+    )
+
+    # Stage 4: benchmark gram set broadcasts; one anti join drops any
+    # survivor sharing an 8-gram (existence, not count — same keep set
+    # as benchmark_overlap_flags' contaminated=false slice).
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(word_shingles(t, 8)).alias("_g"))
+        .select(F.md5("_g").alias("_gh"))
+        .distinct()
+    )
+    s3b = s3.filter(F.col("doc_id") % 50 != 0)
+    hit_ids = (
+        s3b.select("doc_id", F.explode(word_shingles(t, 8)).alias("_g"))
+        .select("doc_id", F.md5("_g").alias("_gh"))
+        .join(F.broadcast(bench_grams), "_gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    curated = s3b.join(hit_ids, "doc_id", "left_anti")
+    # Materialize the curated corpus ONCE (MEMORY_AND_DISK): four
+    # consumers read it (BPE training's eager collect, DSIR, encode,
+    # packing) and would otherwise each replay the whole stage-1..4
+    # spine — filters, md5 groupBy, cluster semi-joins, decontam. A
+    # production pipeline checkpoints the curated set between stages
+    # for exactly this reason; persist() is the in-session equivalent.
+    curated = curated.persist()
+
+    dsir = importance_scores(
+        curated, F.col("source") == "src1", exact_sum=True
+    ).select("doc_id", "dsir_logratio")
+
+    merges, _symtab = train_bpe(
+        curated, n_merges=12, word_filter=~F.col("word").contains(";")
+    )
+    enc = encode_with_merges(curated, merges)
+    packed = with_packing_bins(
+        enc,
+        budget=128,
+        group_col="source",
+        order_col="doc_id",
+        tokens=F.size("bpe_tokens").cast("long"),
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "bin_offset", "bin_id"
+    ).join(dsir, "doc_id")
