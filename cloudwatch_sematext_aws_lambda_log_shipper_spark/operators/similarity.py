@@ -1458,27 +1458,43 @@ def build_ivfpq_index(
     n_codes: int = 32,
     seed: int = 42,
     fit_sample_limit: int = 25_000,
+    fit_df: DataFrame | None = None,
 ) -> None:
     """Persist an IVF-PQ index (the r8 verdict's missing amortization):
     coarse centroids + PQ codebooks (tiny parquet sidecars) + the
-    per-vector code table written PARTITIONED BY cluster. The one-shot
-    ann_topk_ivfpq re-fits centroids AND codebooks AND re-encodes the
-    whole corpus per call; this build pays that once, and query time
-    reads ~nprobe/n_clusters of 8-ish-byte code words (partition
-    pruning, see query_ivfpq_index) — the FAISS on-disk IVFPQ shape.
+    per-vector code table written PARTITIONED BY (ingest_batch,
+    cluster). The one-shot ann_topk_ivfpq re-fits centroids AND
+    codebooks AND re-encodes the whole corpus per call; this build pays
+    that once, and query time reads ~nprobe/n_clusters of 8-ish-byte
+    code words (partition pruning, see query_ivfpq_index) — the FAISS
+    on-disk IVFPQ shape.
 
     Same deterministic fits as the one-shot path (hash-ordered sample,
     seeded Lloyd), so a fresh index returns bit-identical results to
     ann_topk_ivfpq with equal parameters (pinned in test_r9.py).
+
+    ``fit_df`` fits centroids/codebooks on a different frame than the
+    encoded corpus (train-on-sample; also the reference construction
+    for the append-path equivalence test). The ``ingest_batch=0`` leaf
+    holds the build; :func:`append_ivfpq_index` adds leafs 1, 2, ...
+    and :func:`compact_ivfpq_index` folds them.
     """
     import os
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
-    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
+    fit = (
+        c
+        if fit_df is None
+        else fit_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("c_vec"),
+        )
+    )
+    centers = _fit_centroids(fit, n_clusters, seed, fit_sample_limit)
     books = fit_pq_codebooks(
-        c, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit
+        fit, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -1500,9 +1516,10 @@ def build_ivfpq_index(
             books,
         )
         .select("neighbor_id", "cluster", "pq_codes")
+        .withColumn("ingest_batch", F.lit(0))
         .repartition("cluster")
         .write.mode("overwrite")
-        .partitionBy("cluster")
+        .partitionBy("ingest_batch", "cluster")
         .parquet(os.path.join(path, "codes"))
     )
     # completion marker at the index root (the cache layer's contract)
@@ -1510,21 +1527,9 @@ def build_ivfpq_index(
         pass
 
 
-def query_ivfpq_index(
-    spark,
-    path: str,
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    nprobe: int = 8,
-    refine_factor: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Search a persisted IVF-PQ index. The probed cluster ids become a
-    partition IN-filter on the code-table scan (reads nprobe/n_clusters
-    of the CODE bytes — raw vectors are only touched by the exact
-    refine's shortlist fetch against ``corpus``)."""
+def _load_ivfpq_artifacts(spark, path: str):
+    """(centers, books) numpy arrays from a persisted index's sidecars
+    — shared by query and append."""
     import os
 
     import numpy as np
@@ -1546,6 +1551,98 @@ def query_ivfpq_index(
     books = np.zeros((mm, nn, sub))
     for r in cb:
         books[r["subspace"], r["code"]] = r["center"]
+    return centers, books
+
+
+def append_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF-PQ index: assign the NEW
+    vectors to the EXISTING centroids, encode with the EXISTING
+    codebooks, and land them as the ``ingest_batch=<batch_id>`` leaf of
+    the cluster-partitioned code table — real corpora append; a
+    build-once index would force a full refit+re-encode per delivery.
+
+    Exactly-once under retry: the write is a DYNAMIC partition
+    overwrite, so re-delivering the same (batch_id, vectors) replaces
+    its own (batch, cluster) leafs instead of duplicating rows — the
+    same batch-id-keyed idempotence the streaming stores use
+    (streaming/neardup.py). Centroids/codebooks are frozen by design
+    (the FAISS add-with-fixed-quantizer contract): appended vectors get
+    exactly the codes a from-scratch encode with the original
+    artifacts would give, pinned in test_r10.py.
+    """
+    import os
+
+    if batch_id <= 0:
+        raise ValueError("append batch_id must be >= 1 (0 is the build leaf)")
+    spark = corpus.sparkSession
+    centers, books = _load_ivfpq_artifacts(spark, path)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    (
+        pq_encode(
+            c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec"))),
+            books,
+        )
+        .select("neighbor_id", "cluster", "pq_codes")
+        .withColumn("ingest_batch", F.lit(int(batch_id)))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "cluster")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    up_to_batch: int | None = None,
+    target_files: int = 1,
+) -> int:
+    """Fold the code table's append leafs into one compact negative-id
+    leaf, preserving the ``cluster=`` sub-partitioning (partition
+    pruning must survive the fold). Same crash-recoverable
+    rename-commit fold as the streaming stores (streaming/neardup.py
+    ``_fold_store``); ``up_to_batch`` bounds folding when an ingest is
+    still in flight. Returns the pre-fold file count (0 = no-op)."""
+    import os
+
+    from ..streaming.neardup import _fold_store
+
+    return _fold_store(
+        spark,
+        os.path.join(path, "codes"),
+        up_to_batch,
+        target_files,
+        partition_by=["cluster"],
+    )
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    refine_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index. The probed cluster ids become a
+    partition IN-filter on the code-table scan (reads nprobe/n_clusters
+    of the CODE bytes — raw vectors are only touched by the exact
+    refine's shortlist fetch against ``corpus``)."""
+    import os
+
+    centers, books = _load_ivfpq_artifacts(spark, path)
 
     probes = _query_probes(queries, centers, nprobe, id_col, vec_col).localCheckpoint(
         eager=True
@@ -1553,8 +1650,10 @@ def query_ivfpq_index(
     needed = sorted(
         r["cluster"] for r in probes.select("cluster").distinct().collect()
     )
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("cluster").isin(needed)
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("cluster").isin(needed))
+        .select("neighbor_id", "cluster", "pq_codes")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")

@@ -266,10 +266,14 @@ def _fold_store(
     table_path: str,
     up_to_batch: int | None,
     target_files: int,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Fold one store table's committed ``ingest_batch=`` leafs (plus
     any earlier folded leaf) into a single fresh negative-id leaf.
-    Returns the pre-fold file count (0 = nothing to fold)."""
+    ``partition_by`` preserves sub-partition directories inside the
+    folded leaf (e.g. the IVF-PQ code table's ``cluster=`` dirs, whose
+    partition pruning must survive the fold). Returns the pre-fold
+    file count (0 = nothing to fold)."""
     if not os.path.isdir(table_path):
         return 0
     _heal_folds(table_path)
@@ -296,12 +300,20 @@ def _fold_store(
     f = min([0] + [i for i in ids.values() if i < 0]) - 1
     tmp = os.path.join(table_path, f".fold_tmp_{f}")
     old = os.path.join(table_path, f".fold_old_{f}")
-    (
-        spark.read.parquet(*[os.path.join(table_path, d) for d in fold])
-        .coalesce(target_files)
-        .write.mode("overwrite")
-        .parquet(os.path.join(tmp, f"ingest_batch={f}"))
-    )
+    reader = spark.read
+    if partition_by:
+        # leafs carry sub-partition dirs: multiple roots with nested
+        # partitions need the table base path for a consistent
+        # discovery (else CONFLICTING_DIRECTORY_STRUCTURES)
+        reader = reader.option("basePath", table_path)
+    folded = reader.parquet(*[os.path.join(table_path, d) for d in fold])
+    if partition_by:
+        folded = folded.drop("ingest_batch")
+    folded = folded.coalesce(target_files)
+    writer = folded.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(tmp, f"ingest_batch={f}"))
     os.makedirs(old, exist_ok=True)
     for d in fold:
         os.rename(os.path.join(table_path, d), os.path.join(old, d))

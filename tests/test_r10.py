@@ -81,3 +81,83 @@ def test_curate_e2e_monotone_stages(spark, sf_dir):
         if r.doc_id in out_ids:
             per_cluster[r.cluster_id] = per_cluster.get(r.cluster_id, 0) + 1
     assert per_cluster and max(per_cluster.values()) == 1
+
+
+def test_ivfpq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """append(batch2) after build(batch1) is equivalent to building
+    over batch1 ∪ batch2 with the fit frozen on batch1 (the FAISS
+    add-with-fixed-quantizer contract): identical code-table rows and
+    identical probe results. Re-delivering the same append batch is a
+    no-op (dynamic partition overwrite), and compaction folds the
+    append leafs without changing results or losing the cluster
+    PartitionFilter."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    b1 = corpus.filter(F.col("vec_id") % 3 != 0)
+    b2 = corpus.filter(F.col("vec_id") % 3 == 0)
+
+    inc = str(tmp_path / "inc")
+    build_ivfpq_index(b1, inc)
+    append_ivfpq_index(b2, inc, batch_id=1)
+
+    ref = str(tmp_path / "ref")
+    build_ivfpq_index(corpus, ref, fit_df=b1)
+
+    def codes_rows(path):
+        df = spark.read.parquet(f"{path}/codes")
+        return sorted(
+            (r.neighbor_id, r.cluster, tuple(r.pq_codes)) for r in df.collect()
+        )
+
+    assert codes_rows(inc) == codes_rows(ref) and len(codes_rows(inc)) > 0
+
+    def probe(path):
+        return sorted(
+            map(
+                tuple,
+                query_ivfpq_index(
+                    spark, path, corpus, queries, k=5, nprobe=4
+                ).collect(),
+            )
+        )
+
+    expected = probe(ref)
+    assert probe(inc) == expected and len(expected) > 0
+
+    # retry the same batch: dynamic overwrite makes it exactly-once
+    append_ivfpq_index(b2, inc, batch_id=1)
+    assert codes_rows(inc) == codes_rows(ref)
+
+    # fold: fewer files, same rows/results, pruning intact
+    import os
+
+    def n_files(path):
+        return sum(
+            1
+            for _r, _d, files in os.walk(f"{path}/codes")
+            for fn in files
+            if fn.startswith("part-")
+        )
+
+    before = n_files(inc)
+    assert compact_ivfpq_index(spark, inc) == before
+    assert n_files(inc) < before
+    assert codes_rows(inc) == codes_rows(ref)
+    res = query_ivfpq_index(spark, inc, corpus, queries, k=5, nprobe=4)
+    assert sorted(map(tuple, res.collect())) == expected
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "codes" in ln
+    ]
+    assert scans and any(
+        "PartitionFilters" in ln and "cluster" in ln for ln in scans
+    )
