@@ -1,0 +1,606 @@
+"""Minimal baseline-JPEG codec — pure Python/numpy, implemented from
+the PUBLIC ITU-T T.81 / ISO 10918-1 specification (baseline sequential
+DCT, 8-bit, Huffman entropy coding) plus the JFIF color conventions
+(ITU-R BT.601 YCbCr with full-range chroma centered at 128).
+
+Why vendored: the container ships no PIL/opencv, which left JPEG — the
+dominant real-world image format in any multimodal corpus — behind a
+documented stub (multimodal.py, rounds 7-9). Same pattern as the Avro
+OCF codec in sources/avro_ocf.py: implement the public wire format
+from scratch so the Spark-side pipeline (mapInPandas feature extract /
+resize / dHash) covers real files, not just the raw-PPM test format.
+
+Coverage:
+- :func:`decode_baseline_jpeg` — SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI
+  marker walk, canonical Huffman decode (tables read from the FILE's
+  DHT segments — any spec-valid baseline JPEG decodes, whatever
+  encoder produced it), restart-marker handling, dequantize +
+  de-zigzag + exact float 2-D IDCT, sampling-factor chroma upsampling
+  (replication), BT.601 YCbCr->RGB. Grayscale (1 comp) and color
+  (3 comp, any h/v factors 1-2: 4:4:4, 4:2:2, 4:2:0). Progressive
+  (SOF2) and arithmetic coding error loudly — out of baseline scope.
+- :func:`encode_baseline_jpeg` — grayscale or RGB input, 4:4:4, the
+  spec's example Huffman tables (Annex K) embedded via DHT (the
+  decoder reads whatever DHT says, so the file is self-describing),
+  flat or quality-scaled quantization. Exists so the codec is
+  round-trip testable with zero external dependencies, and as the
+  write path for image sinks.
+
+Determinism: all DCT math in float64 with a fixed operation order;
+integer outputs via round-half-away + clip. No randomness anywhere.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared constants ----------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16)
+_ALPHA = np.full(8, np.sqrt(2 / 8))
+_ALPHA[0] = np.sqrt(1 / 8)
+_DCT_M = _C * _ALPHA[:, None]  # forward: X = M @ x @ M.T ; inverse: M.T @ X @ M
+
+
+def _idct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ block @ _DCT_M
+
+
+def _fdct2(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+# spec example tables (T.81 Annex K): embedded in DHT by the encoder,
+# so they are file metadata, not a decoder assumption.
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# flat-ish example luminance quant table (T.81 Table K.1)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+
+# --- Huffman -------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol via canonical code assignment (T.81
+    Annex C): codes of each length are consecutive, starting from
+    double the first code of the previous length."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    return {
+        sym: (length, code)
+        for (length, code), sym in _build_decode_table(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 byte stuffing unstuffed,
+    restart markers (0xFFD0-D7) surfaced via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.d):
+                self.acc = (self.acc << 8) | 0  # pad past EOI per spec
+                self.nbits += 8
+                continue
+            b = self.d[self.pos]
+            if b == 0xFF:
+                nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    self.marker = nxt  # stop consuming; pad from here
+                    continue
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in scan")
+
+    def restart(self) -> None:
+        """Consume an expected RSTn: drop padding bits, eat marker.
+        ``_fill`` leaves ``pos`` AT the 0xFF when it latches a marker,
+        so both paths land here with pos on the marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet reached in byte stream: scan forward
+            while self.pos + 1 < len(self.d):
+                if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+                    break
+                self.pos += 1
+        self.marker = None
+        if (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2  # step past 0xFF 0xDn
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (T.81 F.2.2.1)."""
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+# --- decoder -------------------------------------------------------------
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_components) from the SOF header alone — a real
+    marker-walk parse without entropy decode, for metadata extraction
+    over corpora where full pixel decode would be wasted work. None for
+    non-JPEG bytes."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return None
+    pos = 2
+    while pos + 3 < len(data):
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                 0xCD, 0xCE, 0xCF):
+            h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
+            return w, h, data[pos + 7]
+        if m == 0xDA:
+            return None  # scan before SOF: malformed
+        pos += seglen
+    return None
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline-sequential JPEG to an (h, w, 3) uint8 RGB
+    array (grayscale replicates to 3 channels). Raises ValueError on
+    non-JPEG bytes and NotImplementedError on progressive/arithmetic
+    streams."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # standalone
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                qt[tid] = tbl
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = _build_decode_table(bits, vals)
+                p += 17 + n
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq}
+                )
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{m:02X}): progressive/"
+                "hierarchical/arithmetic coding is out of scope"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"], comp["ta"] = tables >> 4, tables & 0xF
+                scan.append(comp)
+            pos += seglen
+            return _decode_scan(
+                data, pos, h, w, comps, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seglen
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, pos, h, w, comps, scan, qt, huff_dc, huff_ac, dri):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        c["plane"] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        c["pred"] = 0
+    r = _BitReader(data, pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                r.restart()
+                for c in comps:
+                    c["pred"] = 0
+            n_mcu += 1
+            for c in scan:
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        t = r.huff(huff_dc[c["td"]])
+                        diff = _extend(r.bits(t), t)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(huff_ac[c["ta"]])
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(r.bits(ss), ss)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = zz * q
+                        px = _idct2(blk.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # chroma upsample by replication
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- encoder -------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.bits((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, magnitude-code) per T.81 F.1.2.1."""
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _block_at(plane: np.ndarray, y0: int, x0: int) -> np.ndarray:
+    """8x8 block with edge replication past the image boundary."""
+    h, w = plane.shape
+    blk = np.empty((8, 8), dtype=np.float64)
+    ys = np.minimum(np.arange(y0, y0 + 8), h - 1)
+    xs = np.minimum(np.arange(x0, x0 + 8), w - 1)
+    blk[:, :] = plane[np.ix_(ys, xs)]
+    return blk
+
+
+def encode_baseline_jpeg(
+    img: np.ndarray,
+    quant: int | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JPEG using the spec's example Huffman tables and either
+    the example luminance quant table (default) or a flat ``quant``
+    value for near-lossless round-trips in tests. ``subsampling`` is
+    '444' or '420' (color only; 2x2-mean chroma); ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that many MCUs."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if subsampling not in ("444", "420") or (gray and subsampling != "444"):
+        raise ValueError("subsampling must be '444', or '420' for color")
+    h, w = img.shape[:2]
+    qzz = (
+        np.full(64, quant, dtype=np.int64)
+        if quant
+        else _Q_LUM.reshape(64)[ZIGZAG]  # stored in zigzag order
+    )
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        if subsampling == "420":
+            for i in (1, 2):
+                p = planes[i]
+                pad = np.pad(
+                    p,
+                    ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                    mode="edge",
+                )
+                planes[i] = 0.25 * (
+                    pad[0::2, 0::2] + pad[1::2, 0::2]
+                    + pad[0::2, 1::2] + pad[1::2, 1::2]
+                )
+
+    # (h_samp, v_samp) per component
+    if gray:
+        samps = [(1, 1)]
+    elif subsampling == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samps = [(1, 1)] * 3
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in qzz))  # DQT table 0
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samps[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0])  # quant table 0
+    seg(0xC0, sof)
+
+    tables = [
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+    ]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+            (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+        ]
+    for tc, bits, vals in tables:
+        seg(0xC4, bytes([tc]) + bytes(bits) + bytes(vals))
+
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if (gray or i == 0) else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    enc_dc = [_build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)]
+    enc_ac = [_build_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)]
+    if not gray:
+        chr_dc = _build_encode_table(_DC_CHR_BITS, _DC_CHR_VALS)
+        chr_ac = _build_encode_table(_AC_CHR_BITS, _AC_CHR_VALS)
+        enc_dc += [chr_dc, chr_dc]
+        enc_ac += [chr_ac, chr_ac]
+
+    qmat = np.zeros(64, dtype=np.int64)
+    qmat[ZIGZAG] = qzz
+    qmat = qmat.reshape(8, 8)
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    bw = _BitWriter()
+    preds = [0] * nc
+    n_mcu = 0
+    for my in range(-(-h // (8 * vmax))):
+        for mx in range(-(-w // (8 * hmax))):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out_rst = ((n_mcu // restart_interval) - 1) & 7
+                bw.out.extend(bytes([0xFF, 0xD0 + out_rst]))
+                preds = [0] * nc
+            n_mcu += 1
+            for ci, plane in enumerate(planes):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = _block_at(
+                            plane, (my * vs + by) * 8, (mx * hs + bx) * 8
+                        )
+                        coef = _fdct2(blk - 128.0)
+                        zz = (
+                            np.round(coef / qmat)
+                            .astype(np.int64)
+                            .reshape(64)[ZIGZAG]
+                        )
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        t, code = _mag_bits(diff)
+                        ln, cd = enc_dc[ci][t]
+                        bw.bits(cd, ln)
+                        bw.bits(code, t)
+                        run = 0
+                        last = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, cd = enc_ac[ci][0xF0]
+                                bw.bits(cd, ln)
+                                run -= 16
+                            t, code = _mag_bits(int(zz[k]))
+                            ln, cd = enc_ac[ci][(run << 4) | t]
+                            bw.bits(cd, ln)
+                            bw.bits(code, t)
+                            run = 0
+                        if last < 63:
+                            ln, cd = enc_ac[ci][0x00]  # EOB
+                            bw.bits(cd, ln)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

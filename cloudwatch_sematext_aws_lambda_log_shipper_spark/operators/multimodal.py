@@ -70,13 +70,21 @@ def _decode_one(data: bytes) -> tuple[int, int, int]:
     """Decode image dims.
 
     PPM ``P6`` (header: magic, width, height, maxval, then raw RGB) is
-    decoded for REAL in pure Python — no codec library involved. Other
-    formats try PIL; failing that, a deterministic fake derived from the
-    byte content (NOT random — the same bytes always produce the same
-    dims, so tests stay stable)."""
+    decoded in pure Python, and baseline JPEG via the vendored
+    public-spec codec (operators/jpeg_baseline.py — a real SOF marker
+    walk, no codec library). Remaining formats try PIL; failing that,
+    a deterministic fake derived from the byte content (NOT random —
+    the same bytes always produce the same dims, so tests stay
+    stable)."""
     m = _PPM_HEADER.match(data)
     if m:
         return int(m.group(1)), int(m.group(2)), 3
+    if data[:2] == b"\xff\xd8":
+        from .jpeg_baseline import jpeg_dims
+
+        dims = jpeg_dims(data)
+        if dims is not None:
+            return dims
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -85,7 +93,8 @@ def _decode_one(data: bytes) -> tuple[int, int, int]:
         img = Image.open(io.BytesIO(data))
         return img.width, img.height, len(img.getbands())
     except Exception:
-        # STUB: deterministic fake decode (container has no codecs).
+        # STUB: deterministic fake decode (container has no codecs for
+        # the remaining formats: PNG/WebP/...).
         digest = hashlib.sha256(data).digest()
         width = 16 + digest[0] % 1024
         height = 16 + digest[1] % 1024
@@ -156,6 +165,26 @@ def _resize_ppm_one(data: bytes, out_w: int, out_h: int) -> bytes | None:
     return header + out.tobytes()
 
 
+def _resize_jpeg_one(data: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Decode one baseline JPEG (vendored public-spec codec), nearest-
+    neighbor resize, and emit raw P6 — the decoded-pixel format every
+    downstream pixel consumer here (dHash, frame sampling, PPM resize)
+    reads. None for undecodable/non-baseline streams."""
+    import numpy as np
+
+    from .jpeg_baseline import decode_baseline_jpeg
+
+    try:
+        px = decode_baseline_jpeg(data)
+    except (ValueError, NotImplementedError):
+        return None
+    h, w = px.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    out = px[ri][:, ci]
+    return b"P6\n%d %d\n255\n" % (out_w, out_h) + out.tobytes()
+
+
 def resize_images(
     df: DataFrame,
     width: int = 224,
@@ -164,19 +193,25 @@ def resize_images(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Resize stage: REAL nearest-neighbor pixel resampling for PPM
-    (numpy index-gather per Arrow batch); rows whose format needs an
-    absent codec come back with ``media`` null so the caller can route
-    them DLQ-style instead of poisoning the batch (Q4 philosophy).
+    (numpy index-gather per Arrow batch) and for baseline JPEG (vendored
+    T.81 decoder, emitted as raw P6); rows whose format needs an absent
+    codec (PNG/WebP/...) come back with ``media`` null so the caller can
+    route them DLQ-style instead of poisoning the batch (Q4 philosophy).
 
     Scale: narrow mapInPandas, partition-preserving; per-row cost is one
-    O(out_pixels) gather — no Python per-pixel loops."""
+    O(out_pixels) gather — no Python per-pixel loops on the PPM path."""
+
+    def _one(b, w=width, h=height):
+        if b is None:
+            return None
+        data = bytes(b)
+        if data[:2] == b"\xff\xd8":
+            return _resize_jpeg_one(data, w, h)
+        return _resize_ppm_one(data, w, h)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [
-                _resize_ppm_one(bytes(b), width, height) if b is not None else None
-                for b in pdf[media_col]
-            ]
+            resized = [_one(b) for b in pdf[media_col]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
@@ -248,17 +283,6 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(fn, FRAME_SCHEMA)
 
 
-def resize_stub(df: DataFrame, media_col: str = "media",
-                width: int = 224, height: int = 224) -> DataFrame:
-    """Placeholder for codec-backed formats (JPEG/PNG/...): the pixel
-    transform needs PIL/opencv, absent in this container. The PPM path
-    (resize_images) is real."""
-    raise NotImplementedError(
-        "resize of codec formats needs PIL/opencv — not available in this "
-        "container; PPM resize is implemented in resize_images"
-    )
-
-
 def sample_frames_stub(df: DataFrame, media_col: str = "media",
                        every_n: int = 30) -> DataFrame:
     """Placeholder for container video formats (mp4/webm): needs a video
@@ -281,15 +305,30 @@ DHASH_SCHEMA = T.StructType(
 
 
 def _dhash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
-    """64-bit difference hash of one P6 image: nearest-neighbor sample
-    an 8x9 luminance grid (integer R+G+B sums — no division, so any
-    engine reproduces the bits exactly), then bit (r, c) = grid[r][c] >
-    grid[r][c+1]. Returned as two non-negative 32-bit halves so
-    Hamming math never touches the sign bit. None for non-PPM bytes."""
+    """64-bit difference hash of one P6 or baseline-JPEG image:
+    nearest-neighbor sample an 8x9 luminance grid (integer R+G+B sums —
+    no division, so any engine reproduces the bits exactly), then bit
+    (r, c) = grid[r][c] > grid[r][c+1]. Returned as two non-negative
+    32-bit halves so Hamming math never touches the sign bit. None for
+    undecodable bytes. JPEG rides the vendored T.81 decoder, so a
+    re-encode of the same scene hashes a few bits from its raw
+    original — exactly the near-dup case dHash exists for."""
     import numpy as np
 
     m = _PPM_HEADER.match(data)
     if not m:
+        if data[:2] == b"\xff\xd8":
+            from .jpeg_baseline import decode_baseline_jpeg
+
+            try:
+                rgb = decode_baseline_jpeg(data)
+            except (ValueError, NotImplementedError):
+                return None, None
+            h, w = rgb.shape[:2]
+            if w < 9 or h < 8:
+                return None, None
+            g3 = rgb.astype(np.int64).sum(axis=2)
+            return _dhash_grid(g3, w, h)
         return None, None
     w, h = int(m.group(1)), int(m.group(2))
     need = w * h * 3
@@ -297,6 +336,12 @@ def _dhash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
         return None, None
     px = np.frombuffer(data, dtype=np.uint8, count=need, offset=m.end())
     g3 = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    return _dhash_grid(g3, w, h)
+
+
+def _dhash_grid(g3, w: int, h: int) -> tuple[int, int]:
+    import numpy as np
+
     ri = (np.arange(8) * h) // 8
     ci = (np.arange(9) * w) // 9
     grid = g3[ri][:, ci]

@@ -16,7 +16,6 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.dedup import (
 )
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
     decode_image_features,
-    resize_stub,
     with_media_meta,
 )
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
@@ -320,8 +319,12 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert len(rows1) == 50
     assert all(16 <= v[0] < 1040 and 1 <= v[2] <= 4 for v in rows1.values())
 
-    with pytest.raises(NotImplementedError):
-        resize_stub(media)
+    # codec-less formats resize to null media (DLQ-routable), not a crash
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        resize_images,
+    )
+    [rz] = resize_images(media.limit(1), width=8, height=8).collect()
+    assert rz.media is None and rz.width is None
 
 
 def test_connected_components_chain_and_clique(spark):

@@ -83,6 +83,73 @@ def test_curate_e2e_monotone_stages(spark, sf_dir):
     assert per_cluster and max(per_cluster.values()) == 1
 
 
+def test_jpeg_codec_roundtrip_and_multimodal_paths(spark):
+    """Vendored baseline-JPEG codec (public ITU T.81 spec, pure numpy)
+    un-stubs the multimodal JPEG path: near-lossless round-trip at flat
+    quant=1 in 4:4:4 / 4:2:0 / with restart markers, SOF-header dims,
+    and the Spark-side decode/resize/dHash stages consuming real JPEG
+    bytes end-to-end."""
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+        jpeg_dims,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        decode_image_features,
+        dhash_images,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:37, 0:45]
+    img = (
+        np.stack([(yy * 3 + xx) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2)
+        .astype(np.uint8)
+        // 4
+        * 4
+    )
+
+    # codec round trips: 4:4:4, 4:2:0 (luma-tight), restart markers
+    out = decode_baseline_jpeg(encode_baseline_jpeg(img, quant=1))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    jb420 = encode_baseline_jpeg(img, quant=1, subsampling="420",
+                                 restart_interval=2)
+    out420 = decode_baseline_jpeg(jb420)
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(luma(out420) - luma(img)).max() <= 2.0
+    assert jpeg_dims(jb420) == (45, 37, 3)
+    g = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (16, 1))
+    gout = decode_baseline_jpeg(encode_baseline_jpeg(g, quant=1))
+    assert (gout[:, :, 0] == g).all()  # grayscale exact at flat quant
+
+    # Spark stages over real JPEG bytes (+ one PPM row, one junk row)
+    ppm = b"P6\n16 16\n255\n" + bytes(16 * 16 * 3)
+    rows = [
+        (1, bytearray(encode_baseline_jpeg(img, quant=1))),
+        (2, bytearray(jb420)),
+        (3, bytearray(ppm)),
+        (4, bytearray(b"\x89PNG....not-a-real-png")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    feats = {r.media_id: r for r in decode_image_features(df).collect()}
+    assert (feats[1].width, feats[1].height, feats[1].channels) == (45, 37, 3)
+    assert (feats[2].width, feats[2].height) == (45, 37)
+    assert (feats[3].width, feats[3].height) == (16, 16)
+
+    rz = {r.media_id: r for r in resize_images(df, 16, 16).collect()}
+    assert rz[1].media is not None and bytes(rz[1].media)[:2] == b"P6"
+    assert rz[4].media is None  # PNG-class: null, not a crash
+
+    dh = {r.media_id: (r.dh_hi, r.dh_lo) for r in dhash_images(df).collect()}
+    assert dh[1][0] is not None and dh[4][0] is None
+    # 4:2:0 re-encode of the same scene: a near-dup, few bits apart
+    dist = bin(
+        (dh[1][0] ^ dh[2][0]) | ((dh[1][1] ^ dh[2][1]) << 32)
+    ).count("1")
+    assert dist <= 8
+
+
 def test_ivfpq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     """append(batch2) after build(batch1) is equivalent to building
     over batch1 ∪ batch2 with the fit frozen on batch1 (the FAISS
