@@ -250,17 +250,39 @@ def _iter_ppm_frames(data: bytes):
         pos = end
 
 
+def _iter_video_frames(data: bytes):
+    """Dispatch on the container magic: RIFF/AVI Motion-JPEG (vendored
+    public-spec walk, each yielded frame is a standalone baseline JPEG
+    the vendored T.81 codec decodes) or raw concatenated-PPM. Unknown
+    bytes yield no frames (null-video philosophy, not a crash); a RIFF
+    file with an unsupported codec errors loudly inside
+    decode_avi_frames and is mapped to zero frames here so one rogue
+    file cannot poison an Arrow batch."""
+    if data[:4] == b"RIFF":
+        from .avi_mjpeg import decode_avi_frames
+
+        try:
+            for _, frame in decode_avi_frames(data):
+                yield frame
+        except ValueError:
+            return
+    else:
+        yield from _iter_ppm_frames(data)
+
+
 def sample_frames(
     df: DataFrame,
     every_n: int = 30,
     media_col: str = "media",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Video frame sampling: REAL for the raw concatenated-PPM format
-    (frames parsed by header walk, every_n-th kept, one output row per
-    kept frame); container formats (mp4/webm) need an absent codec and
-    yield no rows here — see sample_frames_stub for the marked
-    placeholder.
+    """Video frame sampling: REAL for RIFF/AVI Motion-JPEG containers
+    (vendored public-spec RIFF walk — operators/avi_mjpeg.py — each
+    kept frame emitted as its standalone baseline-JPEG bytes) and for
+    the raw concatenated-PPM format (header walk). Every every_n-th
+    frame is kept, one output row per kept frame; formats needing an
+    absent codec (mp4/h264, webm/vp9) yield no rows here — see
+    sample_frames_stub for the marked placeholder.
 
     Scale: narrow mapInPandas; output fan-out is bounded by
     frames/every_n per row."""
@@ -271,7 +293,7 @@ def sample_frames(
             for mid, raw in zip(pdf[id_col], pdf[media_col]):
                 if raw is None:  # null video -> no frames, not a crash
                     continue
-                for i, frame in enumerate(_iter_ppm_frames(bytes(raw))):
+                for i, frame in enumerate(_iter_video_frames(bytes(raw))):
                     if i % every_n == 0:
                         ids.append(int(mid))
                         idxs.append(i)
@@ -285,12 +307,15 @@ def sample_frames(
 
 def sample_frames_stub(df: DataFrame, media_col: str = "media",
                        every_n: int = 30) -> DataFrame:
-    """Placeholder for container video formats (mp4/webm): needs a video
-    codec, absent here. The raw concatenated-PPM path (sample_frames)
-    is real."""
+    """Placeholder for inter-frame-coded video (mp4/h264, webm/vp9):
+    needs a real video codec, absent here. Intra-coded containers are
+    real: RIFF/AVI Motion-JPEG (vendored public-spec container walk +
+    T.81 frame decode) and raw concatenated-PPM, both in
+    sample_frames."""
     raise NotImplementedError(
-        "frame sampling of container formats needs a video codec — not "
-        "available in this container; raw-PPM sampling is implemented in "
+        "frame sampling of inter-frame-coded formats (mp4/h264, "
+        "webm/vp9) needs a video codec — not available in this "
+        "container; AVI/MJPEG and raw-PPM sampling are implemented in "
         "sample_frames"
     )
 

@@ -916,6 +916,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AVI/MJPEG leg: frames per video n = 1 + doc_id % 4, frame dims
+# w = 8 * (2 + doc_id % 3), h = 8 (width >= 16: the dHash needs >= 9
+# columns to sample its 8x9 grid); sampling every 2nd keeps
+# (doc_id % 4) // 2 + 1 frames. Every kept frame is a real baseline
+# JPEG decoded by the vendored T.81 codec: width/height come from its
+# SOF0 header, and the dHash runs the FULL pixel decode — a solid-gray
+# frame must hash to exactly 0 (all grid gradients zero), so a garbled
+# IDCT/upsample breaks n_flat_frames.
+_VIDEO_MJPEG_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(sum((doc_id % 4) // 2 + 1) AS BIGINT) AS n_frames,
+       CAST(sum(((doc_id % 4) // 2 + 1) * 8 * (2 + doc_id % 3)) AS BIGINT)
+         AS total_width,
+       CAST(sum(((doc_id % 4) // 2 + 1) * 8) AS BIGINT) AS total_height,
+       CAST(sum((doc_id % 4) // 2 + 1) AS BIGINT) AS n_flat_frames
+FROM documents
+"""
+
+
+@query("multimodal_video_mjpeg", _VIDEO_MJPEG_ORACLE)
+def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-video pipeline end-to-end, REAL at every byte: each
+    document becomes a single-stream RIFF/AVI Motion-JPEG file (the
+    vendored public-spec writer, operators/avi_mjpeg.py) whose frames
+    are genuine baseline JPEGs from the vendored T.81 encoder; the
+    engine then walks the container (sample_frames RIFF dispatch),
+    keeps every 2nd frame, re-decodes each kept frame's SOF0 header
+    for dims AND runs the full pixel decode for a dHash. The oracle
+    recomputes frame counts/dims from doc properties, and flat
+    (solid-gray) frames must dHash to exactly 0 — pinning container
+    walk, marker walk, and IDCT/color pipeline against each other.
+
+    Scale: the synth and both decode stages are narrow Arrow-batched
+    mapInPandas (container bytes memoized per distinct geometry — 12
+    variants — so executors encode each JPEG once per batch stream);
+    the only exchange is the final scalar aggregate."""
+    from functools import lru_cache
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import (
+        decode_image_features,
+        dhash_images,
+        sample_frames,
+        with_media_meta,
+    )
+
+    docs = _docs(spark, sf_dir)
+
+    synth_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        from ..operators.avi_mjpeg import encode_avi_mjpeg
+        from ..operators.jpeg_baseline import encode_baseline_jpeg
+
+        @lru_cache(maxsize=None)
+        def container(n_frames: int, w: int) -> bytes:
+            img = np.full((8, w, 3), 128, dtype=np.uint8)
+            jpg = encode_baseline_jpeg(img)
+            return encode_avi_mjpeg([jpg] * n_frames, w, 8, fps=30)
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media": [
+                        container(1 + int(d) % 4, 8 * (2 + int(d) % 3))
+                        for d in ids
+                    ],
+                }
+            )
+
+    videos = with_media_meta(
+        docs.select("doc_id").mapInPandas(synth, synth_schema),
+        modality="video",
+        fmt="avi",
+    )
+    sampled = sample_frames(videos, every_n=2)
+
+    feats = decode_image_features(sampled, media_col="frame")
+    hashes = dhash_images(sampled, media_col="frame")
+    dims = feats.agg(
+        F.countDistinct("media_id").alias("n_videos"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+    )
+    flat = hashes.agg(
+        F.sum(
+            ((F.col("dh_hi") == 0) & (F.col("dh_lo") == 0)).cast("long")
+        ).alias("n_flat_frames")
+    )
+    return dims.crossJoin(F.broadcast(flat))  # two 1-row scalar frames
+
+
 @query("embedding_ann_ivf_index")  # approximate by design -> rows-only check
 def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF path: build the index once (centroids + corpus

@@ -228,3 +228,144 @@ def test_ivfpq_index_append_equals_rebuild(spark, sf_dir, tmp_path):
     assert scans and any(
         "PartitionFilters" in ln and "cluster" in ln for ln in scans
     )
+
+
+# --- RIFF/AVI Motion-JPEG container (vendored, public spec) -------------
+
+
+def _mk_jpeg(w, h, val=128):
+    import numpy as np
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+        encode_baseline_jpeg,
+    )
+
+    return encode_baseline_jpeg(np.full((h, w, 3), val, dtype=np.uint8))
+
+
+def test_avi_mjpeg_roundtrip_bit_exact():
+    """encode -> decode returns the exact frame payloads in order,
+    including odd-length payloads (word padding must not leak into the
+    frame bytes), and the headers carry the declared geometry."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.avi_mjpeg import (
+        avi_meta,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = [_mk_jpeg(16, 8, v) for v in (0, 128, 255)]
+    # force an odd-length payload to exercise the pad-byte path
+    frames.append(frames[0] + b"\x00" if len(frames[0]) % 2 == 0
+                  else frames[0])
+    assert any(len(f) % 2 == 1 for f in frames)
+    avi = encode_avi_mjpeg(frames, 16, 8, fps=24)
+
+    meta = avi_meta(avi)
+    assert (meta["width"], meta["height"]) == (16, 8)
+    assert meta["n_frames"] == len(frames)
+    assert meta["fps"] == 24
+    assert meta["handler"] == "MJPG"
+
+    out = list(decode_avi_frames(avi))
+    assert [i for i, _ in out] == list(range(len(frames)))
+    assert [f for _, f in out] == frames  # bit-exact
+
+    # frame payloads are standalone baseline JPEGs at the right dims
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+        decode_baseline_jpeg,
+    )
+
+    img = decode_baseline_jpeg(out[1][1])
+    assert img.shape == (8, 16, 3)
+
+
+def test_avi_mjpeg_rec_list_and_db_chunks():
+    """Spec corners the writer doesn't emit but real files contain:
+    'rec ' grouping LISTs inside movi, and '00db' (uncompressed DIB
+    fourcc) video chunks — both must still yield frames in order."""
+    import struct
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators import (
+        avi_mjpeg as am,
+    )
+
+    f0, f1, f2 = (_mk_jpeg(8, 8, v) for v in (10, 20, 30))
+    base = am.encode_avi_mjpeg([f0], 8, 8)
+    # splice a rec LIST holding two more chunks (one tagged 00db) into
+    # the movi list of a writer-produced file
+    extra = am._list(
+        b"rec ", am._chunk(b"00dc", f1) + am._chunk(b"00db", f2)
+    )
+    movi_at = base.find(b"LIST") and base.index(b"movi") - 8
+    (movi_size,) = struct.unpack_from("<I", base, movi_at + 4)
+    patched = (
+        base[: movi_at + 4]
+        + struct.pack("<I", movi_size + len(extra))
+        + base[movi_at + 8 : movi_at + 8 + movi_size]
+        + extra
+        + base[movi_at + 8 + movi_size :]
+    )
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8
+    ) + patched[8:]
+    out = list(am.decode_avi_frames(patched))
+    assert [f for _, f in out] == [f0, f1, f2]
+    assert [i for i, _ in out] == [0, 1, 2]
+
+
+def test_avi_mjpeg_rejects_unknown_codec_and_non_avi():
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.avi_mjpeg import (
+        avi_meta,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    avi = encode_avi_mjpeg([_mk_jpeg(8, 8)], 8, 8)
+    h264 = avi.replace(b"vidsMJPG", b"vidsH264")
+    with _pytest.raises(ValueError, match="H264"):
+        avi_meta(h264)
+    with _pytest.raises(ValueError):
+        list(decode_avi_frames(h264))
+    with _pytest.raises(ValueError, match="RIFF"):
+        avi_meta(b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        avi_meta(b"RIFF\x04\x00\x00\x00WAVE")  # RIFF but not AVI
+
+
+def test_sample_frames_avi_dispatch(spark):
+    """sample_frames over a mixed media column: AVI/MJPEG containers,
+    raw concatenated-PPM, nulls and garbage coexist in one batch; the
+    AVI rows keep every 2nd frame as decodable JPEG bytes, PPM rows
+    keep the PPM walk, junk yields nothing."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.avi_mjpeg import (
+        encode_avi_mjpeg,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+        decode_baseline_jpeg,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    jpg = _mk_jpeg(16, 8)
+    avi3 = encode_avi_mjpeg([jpg] * 3, 16, 8)   # keeps frames 0, 2
+    avi1 = encode_avi_mjpeg([jpg], 16, 8)       # keeps frame 0
+    ppm2 = b"P6\n4 2\n255\n" + b"y" * 24
+    rows = [
+        (1, avi3),
+        (2, avi1),
+        (3, ppm2 * 2),   # 2-frame raw PPM video -> keeps frame 0
+        (4, None),
+        (5, b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {
+        (r.media_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0), (3, 0)}
+    assert got[(1, 2)] == jpg
+    assert decode_baseline_jpeg(got[(1, 0)]).shape == (8, 16, 3)
+    assert got[(3, 0)] == ppm2
