@@ -112,17 +112,88 @@ def _merge_pass(symtab: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-def train_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text", word_filter=None
-) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Learn ``n_merges`` BPE merges. Returns (merge_table, final symbol
-    table); merge_table rows are (step, left, right, merged, pair_count).
-    Stops early if no pair occurs at least twice (merging singletons is
-    noise). ``word_filter`` is forwarded to :func:`word_freq_table`.
-    """
-    symtab = _initial_symbols(
-        word_freq_table(docs, text_col, word_filter=word_filter)
-    ).localCheckpoint()
+# Delimiter for the JVM string representation of a symbol sequence:
+# [a, b] <-> ";a;;b;". Sound only while no symbol contains it — merged
+# symbols are concatenations of their parts, so delimiter-freedom is
+# invariant once the initial single-char symbols are clean. train_bpe
+# probes the vocab once and falls back to the Arrow path otherwise.
+_DELIM = ";"
+
+
+def _encoded_symbols(wf: DataFrame) -> DataFrame:
+    """_initial_symbols, JVM string form: ';c;;h;...;</w>;'."""
+    return wf.select(
+        "word",
+        "count",
+        F.concat(
+            F.lit(_DELIM),
+            F.array_join(
+                F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+                _DELIM * 2,
+            ),
+            F.lit(_DELIM),
+        ).alias("s"),
+    )
+
+
+def _decode_syms_col():
+    """Column expr: encoded string -> symbol array (drops the outer
+    delimiters, splits on the ';;' boundary)."""
+    return F.split(F.expr("substring(s, 2, length(s) - 2)"), _DELIM * 2)
+
+
+def _train_loop_string(symtab: DataFrame, n_merges: int):
+    """Merge loop, 100% JVM: pair counts from the split-on-';;' array
+    (slice/zip_with builtins), merge application as one string
+    ``replace`` per step. Java's replace substitutes leftmost-first and
+    resumes AFTER the substituted region — exactly the left-to-right
+    non-overlapping semantics of :func:`_merge_syms` (same argument the
+    DuckDB oracle in plans/llmops.py relies on: with every symbol
+    ';'-free, ';l;;r;' matches exactly an (l, r) adjacency at symbol
+    boundaries). No Python workers anywhere in the loop."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = _decode_syms_col()
+        pairs = (
+            symtab.select(
+                "count",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("left"), b.alias("right")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("count").alias("pair_count"))
+        )
+        top = (
+            pairs.orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_count < 2:
+            break
+        t = top[0]
+        merges.append((step, t.left, t.right, t.left + t.right, t.pair_count))
+        symtab = symtab.withColumn(
+            "s",
+            F.replace(
+                "s",
+                F.lit(f"{_DELIM}{t.left}{_DELIM}{_DELIM}{t.right}{_DELIM}"),
+                F.lit(f"{_DELIM}{t.left}{t.right}{_DELIM}"),
+            ),
+        ).localCheckpoint()
+    return merges, symtab.select("word", "count", _decode_syms_col().alias("syms"))
+
+
+def _train_loop_array(symtab: DataFrame, n_merges: int):
+    """Merge loop over explicit symbol arrays (Arrow-batched merge
+    pass) — the fallback when some vocab word contains the delimiter,
+    where the string encoding would be ambiguous."""
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (
@@ -139,6 +210,32 @@ def train_bpe(
     return merges, symtab
 
 
+def train_bpe(
+    docs: DataFrame, n_merges: int, text_col: str = "text", word_filter=None
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges. Returns (merge_table, final symbol
+    table with a ``syms`` array column); merge_table rows are
+    (step, left, right, merged, pair_count). Stops early if no pair
+    occurs at least twice (merging singletons is noise).
+    ``word_filter`` is forwarded to :func:`word_freq_table`.
+
+    Execution: the (word, count) table is checkpointed after the single
+    corpus scan, then one vocab-bounded probe picks the loop body —
+    the all-JVM string-``replace`` path (symbols encoded ';a;;b;',
+    identical semantics, ~40% faster: no Python worker round-trips in
+    the 2*n_merges tiny sequential jobs) whenever no vocab word
+    contains ';', else the Arrow-batched array path. Both return
+    byte-identical merge tables and symbol tables (pinned in
+    tests/test_bpe.py)."""
+    wf = word_freq_table(docs, text_col, word_filter=word_filter).localCheckpoint()
+    has_delim = wf.filter(F.col("word").contains(_DELIM)).limit(1).count() > 0
+    if has_delim:
+        return _train_loop_array(
+            _initial_symbols(wf).localCheckpoint(), n_merges
+        )
+    return _train_loop_string(_encoded_symbols(wf).localCheckpoint(), n_merges)
+
+
 def encode_with_merges(
     df: DataFrame,
     merges: list[tuple[int, str, str, str, int]],
@@ -147,7 +244,17 @@ def encode_with_merges(
     """Tokenize text with a learned merge list: adds a ``bpe_tokens``
     array column. Merges apply in training order (the BPE contract).
     One Arrow-batched pass; the merge list broadcasts with the closure.
-    """
+
+    Why Arrow and not a chained-``replace`` JVM expression like the
+    training loop: measured r10 at sf0.1, the JVM chain is NOT faster
+    here (2.6s vs 2.4s corpus encode; the per-word early-exit Python
+    loop is competitive with 12 whole-string copies), it degrades for
+    real 30k+ merge tables (expression depth vs janino's method-size
+    limit), and a whole-text encoding cannot escape delimiter
+    characters without changing word boundaries. Training wins from
+    the string path because ITS loop is |vocab|-bounded and dominated
+    by Python-worker round-trips; this pass is |corpus|-scale and
+    scan-bound either way."""
     order = [(m[1], m[2], m[3]) for m in merges]
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

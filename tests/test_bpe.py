@@ -82,3 +82,43 @@ def test_training_stops_when_no_repeated_pair(spark):
     merges, _ = train_bpe(docs, n_merges=50)
     # every word is a single char + </w>; each pair occurs once -> stop
     assert merges == []
+
+
+def test_train_bpe_delimiter_fallback_matches_reference(spark):
+    """A vocab word containing the ';' string-encoding delimiter must
+    route training through the array path and still match the pure
+    reference — and the clean-vocab string path must agree with the
+    reference on the same texts minus the dirty word."""
+    dirty = TEXTS + ["odd;word odd;word lower low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(dirty)], "doc_id long, text string"
+    )
+    got_merges, got_tab = train_bpe(docs, n_merges=8)
+    ref_merges, ref_tab = _ref_bpe(dirty, 8)
+    assert [tuple(m) for m in got_merges] == ref_merges
+    assert {r.word: tuple(r.syms) for r in got_tab.collect()} == ref_tab
+
+
+def test_train_bpe_string_and_array_paths_identical(spark):
+    """The two loop bodies must be interchangeable: same merge table,
+    same final symbol table, on a clean vocab."""
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.bpe import (
+        _encoded_symbols,
+        _initial_symbols,
+        _train_loop_array,
+        _train_loop_string,
+        word_freq_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    wf = word_freq_table(docs).localCheckpoint()
+    m_s, t_s = _train_loop_string(_encoded_symbols(wf).localCheckpoint(), 8)
+    m_a, t_a = _train_loop_array(_initial_symbols(wf).localCheckpoint(), 8)
+    assert m_s == m_a
+    tab_s = {r.word: tuple(r.syms) for r in t_s.collect()}
+    tab_a = {r.word: tuple(r.syms) for r in t_a.collect()}
+    assert tab_s == tab_a
