@@ -231,25 +231,23 @@ def with_recall_at_k(
 # --- IVF (inverted-file) ANN --------------------------------------------
 
 
-def _fit_centroids(c: DataFrame, n_clusters: int, seed: int,
-                   fit_sample_limit: int):
-    """Driver-side spherical Lloyd on a BOUNDED sample.
+def _fit_sample(c: DataFrame, fit_sample_limit: int):
+    """ONE deterministic, bounded sample collection shared by every
+    driver-side fit over the same corpus frame (coarse centroids, PQ
+    codebooks): the sample is ordered by an id hash before the limit
+    (a bare limit() depends on incidental scan/partition order, so two
+    fits over a repartitioned/cached copy of the same corpus could see
+    different samples and produce different results). The hash order
+    also makes the sample pseudo-random rather than
+    lowest-ids-first-biased; the sort is a TakeOrderedAndProject bounded
+    by the sample size, not a full-corpus sort.
 
     toPandas rides the session's Arrow serializer (columnar batches);
     row-based collect() pickles each array row individually — ~5x
-    slower for a 25k x 64 sample. 25k points is ample for n_clusters
-    in the tens; centroid quality saturates long before that.
-    (Distributed KMeans schedules one full Spark job per Lloyd
-    iteration — pure scheduling overhead for roughly-converged
-    centroids; measured 8x slower end-to-end.)
-
-    The sample is DETERMINISTIC: ordered by an id hash before the limit
-    (a bare limit() depends on incidental scan/partition order, so two
-    fits over a repartitioned/cached copy of the same corpus could see
-    different samples and produce different centroids). The hash order
-    also makes the sample pseudo-random rather than
-    lowest-ids-first-biased; the sort is a TakeOrderedAndProject bounded
-    by the sample size, not a full-corpus sort."""
+    slower for a 25k x 64 sample. Callers that need BOTH fits (IVF-PQ)
+    pass this array to each, collapsing two corpus scans into one —
+    identical results by construction since both fits drew the exact
+    same sample anyway."""
     import numpy as np
 
     sample = (
@@ -258,7 +256,21 @@ def _fit_centroids(c: DataFrame, n_clusters: int, seed: int,
         .limit(fit_sample_limit)
         .toPandas()["c_vec"]
     )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    return np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+
+
+def _fit_centroids(c: DataFrame, n_clusters: int, seed: int,
+                   fit_sample_limit: int, sample_x=None):
+    """Driver-side spherical Lloyd on a BOUNDED sample (see
+    :func:`_fit_sample` for the sampling discipline; pass ``sample_x``
+    to reuse an already-collected sample). 25k points is ample for
+    n_clusters in the tens; centroid quality saturates long before
+    that. (Distributed KMeans schedules one full Spark job per Lloyd
+    iteration — pure scheduling overhead for roughly-converged
+    centroids; measured 8x slower end-to-end.)"""
+    import numpy as np
+
+    X = _fit_sample(c, fit_sample_limit) if sample_x is None else sample_x
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     centers = Xn[rng.choice(len(Xn), size=min(n_clusters, len(Xn)), replace=False)]
@@ -1245,12 +1257,14 @@ def fit_pq_codebooks(
     n_codes: int = 16,
     seed: int = 7,
     fit_sample_limit: int = 25_000,
+    sample_x=None,
 ):
     """Driver-side product-quantization codebook fit (Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
     split the (unit-normalized) vector into ``m`` contiguous subspaces
     and run bounded Lloyd per subspace on the same deterministic
-    hash-ordered sample discipline as ``_fit_centroids``.
+    hash-ordered sample discipline as ``_fit_centroids`` (pass
+    ``sample_x`` to reuse an already-collected :func:`_fit_sample`).
 
     Returns an (m, n_codes, dim/m) float64 ndarray. Driver memory is
     the sample (bounded) + the codebooks (KBs); at 100 TB nothing about
@@ -1261,13 +1275,7 @@ def fit_pq_codebooks(
     """
     import numpy as np
 
-    sample = (
-        c.orderBy(F.xxhash64("neighbor_id"))
-        .select("c_vec")
-        .limit(fit_sample_limit)
-        .toPandas()["c_vec"]
-    )
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    X = _fit_sample(c, fit_sample_limit) if sample_x is None else sample_x
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
     if dim % m:
@@ -1359,13 +1367,24 @@ def ann_topk_ivfpq(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
-    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit)
-    books = fit_pq_codebooks(c, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit)
+    # one sample collection feeds both driver-side fits (identical
+    # results — both always drew this exact hash-ordered sample)
+    sample_x = _fit_sample(c, fit_sample_limit)
+    centers = _fit_centroids(c, n_clusters, seed, fit_sample_limit,
+                             sample_x=sample_x)
+    books = fit_pq_codebooks(c, m=m, n_codes=n_codes,
+                             fit_sample_limit=fit_sample_limit,
+                             sample_x=sample_x)
     assigned = pq_encode(
         c.withColumn("cluster", _assign_factory(centers)(F.col("c_vec"))), books
     ).select("neighbor_id", "cluster", "pq_codes")
 
-    probes = _query_probes(queries, centers, nprobe, id_col, vec_col)
+    # probes is referenced twice in the refine plan (candidate join +
+    # the per-query vector fetch); it is |queries| * nprobe rows, so an
+    # eager localCheckpoint stops the whole probe lineage (queries scan
+    # + assign UDF) from evaluating twice
+    probes = _query_probes(queries, centers, nprobe, id_col, vec_col
+                           ).localCheckpoint(eager=True)
     return _ivfpq_adc_refine(c, assigned, probes, books, k, refine_factor)
 
 
@@ -1492,9 +1511,12 @@ def build_ivfpq_index(
             as_double(F.col(vec_col)).alias("c_vec"),
         )
     )
-    centers = _fit_centroids(fit, n_clusters, seed, fit_sample_limit)
+    sample_x = _fit_sample(fit, fit_sample_limit)
+    centers = _fit_centroids(fit, n_clusters, seed, fit_sample_limit,
+                             sample_x=sample_x)
     books = fit_pq_codebooks(
-        fit, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit
+        fit, m=m, n_codes=n_codes, fit_sample_limit=fit_sample_limit,
+        sample_x=sample_x
     )
     spark = corpus.sparkSession
     spark.createDataFrame(
