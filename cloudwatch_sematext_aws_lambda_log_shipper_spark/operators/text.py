@@ -526,3 +526,81 @@ def hashed_embeddings(
             F.round(F.col("_s") / F.col("_nrm"), 6).alias("weight"),
         )
     )
+
+
+SENTENCE_SPLIT = r"[.!?]+\s+"
+
+
+def sentence_boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int = 3,
+    min_norm_len: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = ("source",),
+) -> DataFrame:
+    """Cross-document boilerplate sentence removal — the CCNet /
+    RefinedWeb-style cleaning stage: a sentence whose normalized form
+    (lowercase, non-alphanumeric runs collapsed to single spaces)
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate
+    ("enable javascript", cookie banners, nav chrome) and is stripped
+    from every document; the survivors are reassembled in order.
+    Short normalized sentences (< ``min_norm_len`` chars) never count
+    as boilerplate — they repeat for benign reasons.
+
+    Returns one row per document that has at least one sentence:
+    (id, *keep_cols, n_sentences, n_removed, clean_text) where
+    clean_text is '' when everything was boilerplate.
+
+    Scale shape: sentences explode to |sentences| rows but aggregate by
+    a 16-byte md5 key with map-side combine (|distinct sentences| rows
+    shuffle); the boilerplate set is corpus-level-small (frequent
+    strings only) so the membership join broadcasts; reassembly groups
+    by doc id — one exchange, array_sort inside the aggregate, no
+    window. No Python anywhere.
+    """
+    keep = [F.col(c) for c in keep_cols]
+    sent = docs.select(
+        F.col(id_col),
+        *keep,
+        F.posexplode(F.split(F.col(text_col), SENTENCE_SPLIT)).alias(
+            "pos", "s_raw"
+        ),
+    ).select(
+        id_col,
+        *keep_cols,
+        "pos",
+        F.trim(F.col("s_raw")).alias("s"),
+    ).filter(F.col("s") != "")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("s")), "[^a-z0-9]+", " "))
+    sent = sent.withColumn("h", F.md5(norm)).withColumn(
+        "nl", F.length(norm)
+    )
+    boiler = (
+        sent.filter(F.col("nl") >= min_norm_len)
+        .groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    flagged = sent.join(F.broadcast(boiler), "h", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    return flagged.groupBy(id_col, *keep_cols).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"),
+                            F.struct(F.col("pos"), F.col("s")),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -916,6 +916,117 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet/RefinedWeb-style boilerplate: a sentence (split on [.!?]+\s+)
+# whose normalized form (lower, non-alnum runs -> single space, >= 12
+# chars) occurs in >= 3 distinct docs is stripped everywhere; docs are
+# reassembled from the survivors in order. The raw documents table has
+# no sentence punctuation, so (multimodal-synth pattern) a structured
+# corpus is derived from doc properties IDENTICALLY in both engines:
+# two injected nav/banner sentences on doc_id strides (real boiler,
+# must go), a short repeated 'Thanks' (normalized < 12 chars — the
+# negative control, must stay), one per-doc unique sentence, and a
+# 40-char slice of the original text. The oracle replays construction,
+# split, normalization, md5 keys, the distinct-doc threshold, and the
+# ordered reassembly — a divergence anywhere (regex semantics,
+# ordering, empty-segment handling) breaks the clean_text hash.
+_BOILERPLATE_ORACLE = r"""
+WITH structured AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'Please enable javascript to view this site. '
+               ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+               THEN 'We use cookies to improve your experience on this portal. '
+               ELSE '' END)
+         || 'Thanks. '
+         || 'Document ' || CAST(doc_id AS VARCHAR) || ' carries '
+         || CAST(n_chars AS VARCHAR) || ' characters of payload. '
+         || substr(text, 1, 40) || '.' AS text
+  FROM documents
+), sent AS (
+  SELECT doc_id, source, i AS pos, trim(l[i]) AS s
+  FROM (
+    SELECT doc_id, source,
+           string_split_regex(text, '[.!?]+\s+') AS l
+    FROM structured
+  ), unnest(range(1, len(l) + 1)) AS t(i)
+  WHERE trim(l[i]) <> ''
+), norm AS (
+  SELECT doc_id, source, pos, s,
+         md5(trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ', 'g'))) AS h,
+         length(trim(regexp_replace(lower(s), '[^a-z0-9]+', ' ', 'g'))) AS nl
+  FROM sent
+), boiler AS (
+  SELECT h FROM norm
+  WHERE nl >= 12
+  GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 3
+), flagged AS (
+  SELECT doc_id, source, pos, s,
+         h IN (SELECT h FROM boiler) AS is_boiler
+  FROM norm
+)
+SELECT doc_id, source,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       coalesce(
+         string_agg(CASE WHEN NOT is_boiler THEN s END, ' ' ORDER BY pos),
+         '') AS clean_text
+FROM flagged
+GROUP BY doc_id, source
+"""
+
+
+@query("doc_boilerplate_removal", _BOILERPLATE_ORACLE)
+def doc_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate sentence removal
+    (operators/text.py sentence_boilerplate_removal) — the cleaning
+    stage between quality filtering and dedup in a CCNet/RefinedWeb
+    pipeline: repeated nav/banner sentences are detected corpus-wide
+    by normalized md5 with a distinct-document threshold and stripped
+    from every document, which is reassembled in sentence order.
+
+    The corpus is sentence-structured from doc properties (see the
+    oracle comment): injected stride-keyed banners are real boilerplate
+    the op must strip; the short repeated 'Thanks' pins the
+    min-normalized-length guard; per-doc unique sentences and the raw
+    text slice pin ordered reassembly.
+
+    Scale: |sentences| explode -> 16-byte-key map-side-combined
+    aggregate -> broadcast membership join -> one group-by-doc
+    reassembly exchange; no window, no Python."""
+    from ..operators.text import sentence_boilerplate_removal
+
+    docs = _docs(spark, sf_dir)
+    structured = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("Please enable javascript to view this site. "),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "We use cookies to improve your experience on this "
+                    "portal. "
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("Thanks. "),
+            F.lit("Document "),
+            F.col("doc_id").cast("string"),
+            F.lit(" carries "),
+            F.col("n_chars").cast("string"),
+            F.lit(" characters of payload. "),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return sentence_boilerplate_removal(structured)
+
+
 # AVI/MJPEG leg: frames per video n = 1 + doc_id % 4, frame dims
 # w = 8 * (2 + doc_id % 3), h = 8 (width >= 16: the dHash needs >= 9
 # columns to sample its 8x9 grid); sampling every 2nd keeps

@@ -369,3 +369,53 @@ def test_sample_frames_avi_dispatch(spark):
     assert got[(1, 2)] == jpg
     assert decode_baseline_jpeg(got[(1, 0)]).shape == (8, 16, 3)
     assert got[(3, 0)] == ppm2
+
+
+def test_sentence_boilerplate_removal_semantics(spark):
+    """Crafted corpus pins: the distinct-doc threshold (>=3 docs, not
+    >=3 occurrences), the min-normalized-length guard, normalization
+    equivalence ('Enable JS!' == 'enable js'), ordered reassembly, and
+    the all-boiler -> empty-string case."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        sentence_boilerplate_removal,
+    )
+
+    B = "Please enable javascript right now"
+    rows = [
+        # boiler appears in 3 distinct docs, with case/punct variants
+        (1, "a", f"{B}. Unique one here today ok. Thanks."),
+        (2, "a", f"{B.upper()}! Unique two here today ok. Thanks."),
+        (3, "b", f"Unique three here today ok? {B.lower()}."),
+        # repeated twice in ONE doc elsewhere: distinct-doc count for
+        # 'twice repeated sentence...' is 2 -> NOT boiler
+        (4, "b", "Twice repeated sentence body. Twice repeated "
+                 "sentence body. Unique four here."),
+        (5, "b", "Twice repeated sentence body. Solo five."),
+        # all-boiler document
+        (6, "b", f"{B}."),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in sentence_boilerplate_removal(
+            docs, min_docs=3, min_norm_len=12
+        ).collect()
+    }
+    assert out[1].n_removed == 1
+    assert out[1].clean_text == "Unique one here today ok Thanks."
+    assert out[2].n_removed == 1
+    assert out[2].clean_text == "Unique two here today ok Thanks."
+    assert out[3].n_removed == 1
+    assert out[3].clean_text == "Unique three here today ok"
+    # two occurrences in one doc + one in another = 2 distinct docs
+    assert out[4].n_removed == 0 and out[5].n_removed == 0
+    assert out[4].clean_text == (
+        "Twice repeated sentence body Twice repeated sentence body "
+        "Unique four here."
+    )
+    # everything stripped -> empty string, row still present
+    assert out[6].n_removed == 1 and out[6].clean_text == ""
+    # short repeated 'Thanks' (norm 6 chars, 2 docs) never boiler
+    assert "Thanks" in out[1].clean_text
