@@ -2905,30 +2905,34 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.5)
 
 
-def _hash_emb_cte() -> str:
+def _hash_emb_cte(source: str = "documents", prefix: str = "") -> str:
     """Shared DuckDB CTE text: the hashed-embedding sparse rows,
-    replicating operators/text.py hashed_embeddings digit-for-digit."""
+    replicating operators/text.py hashed_embeddings digit-for-digit.
+    ``source`` is any relation with (doc_id, text); ``prefix`` renames
+    the internal CTEs so two instantiations can share one WITH (the
+    hybrid-RRF oracle hashes the corpus AND the literal query text)."""
     def digit(p: int) -> str:
         a = f"ascii(substr(h,{p},1))"
         return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
 
-    return rf"""toks AS (
+    p = prefix
+    return rf"""{p}toks AS (
   SELECT doc_id, md5(unnest(string_split_regex(lower(trim(text)), '\s+'))) AS h
-  FROM documents
-), signed AS (
+  FROM {source}
+), {p}signed AS (
   SELECT doc_id,
          (({digit(1)}) * 16 + ({digit(2)})) % 64 AS dim_idx,
          CASE WHEN ({digit(3)}) >= 8 THEN 1 ELSE -1 END AS sg
-  FROM toks
-), v AS (
+  FROM {p}toks
+), {p}v AS (
   SELECT doc_id, dim_idx, CAST(SUM(sg) AS BIGINT) AS s
-  FROM signed GROUP BY doc_id, dim_idx
-), nrm AS (
-  SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM v GROUP BY doc_id
-), emb AS (
+  FROM {p}signed GROUP BY doc_id, dim_idx
+), {p}nrm AS (
+  SELECT doc_id, sqrt(SUM(s * s)) AS nrm FROM {p}v GROUP BY doc_id
+), {p}emb AS (
   SELECT v.doc_id, CAST(v.dim_idx AS BIGINT) AS dim_idx,
          CAST(round(v.s / nrm.nrm, 6) AS DOUBLE) AS weight
-  FROM v JOIN nrm USING (doc_id) WHERE v.s <> 0
+  FROM {p}v v JOIN {p}nrm nrm USING (doc_id) WHERE v.s <> 0
 )"""
 
 
@@ -3015,6 +3019,157 @@ def doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         dots.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_RRF_TERMS = ("dup", "vector", "scan")
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_DEPTH = 100  # fuse top-N lists, the production IR shape
+
+_HYBRID_RRF_ORACLE = rf"""
+WITH {_hash_emb_cte()},
+{_hash_emb_cte(source="(SELECT CAST(-1 AS BIGINT) AS doc_id, 'dup vector scan' AS text)", prefix="q")},
+sem AS (
+  SELECT c.doc_id,
+         CAST(ROUND(SUM(CAST(q.weight AS DECIMAL(8,6))
+                        * CAST(c.weight AS DECIMAL(8,6))), 6) AS DOUBLE)
+           AS cosine
+  FROM emb c JOIN qemb q USING (dim_idx)
+  GROUP BY c.doc_id
+), semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM sem
+), semt AS (
+  SELECT doc_id, sem_rank FROM semr WHERE sem_rank <= {_RRF_DEPTH}
+), ltoks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), ldl AS (
+  SELECT doc_id, count(*) AS dl FROM ltoks GROUP BY doc_id
+), lstats AS (
+  SELECT count(*) AS n, sum(dl) AS total FROM ldl
+), lqt AS (
+  SELECT doc_id, t FROM ltoks WHERE t IN ('dup', 'vector', 'scan')
+), ldf AS (
+  SELECT t, count(DISTINCT doc_id) AS df FROM lqt GROUP BY t
+), ltf AS (
+  SELECT doc_id, t, count(*) AS tf FROM lqt GROUP BY doc_id, t
+), lper AS (
+  SELECT ltf.doc_id,
+         CAST(round(
+           ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (ltf.tf * 2.2)
+           / (ltf.tf + 1.2 * (0.25 + 0.75 * ldl.dl
+                              / (CAST(s.total AS DOUBLE) / s.n))),
+         9) AS DECIMAL(20,9)) AS sc
+  FROM ltf
+  JOIN ldf d USING (t)
+  JOIN ldl USING (doc_id), lstats s
+), lex AS (
+  SELECT doc_id, CAST(round(SUM(sc), 6) AS DOUBLE) AS score
+  FROM lper GROUP BY doc_id
+), lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex
+), lext AS (
+  SELECT doc_id, lex_rank FROM lexr WHERE lex_rank <= {_RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         CAST(round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+                    + COALESCE(1.0 / ({_RRF_K} + s.sem_rank), 0), 9)
+              AS DOUBLE) AS rrf_score
+  FROM lext l FULL OUTER JOIN semt s USING (doc_id)
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("doc_hybrid_search_rrf", _HYBRID_RRF_ORACLE)
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): fuse a LEXICAL ranking (BM25, operators/text.py
+    bm25_scores — the proven-green doc_bm25_search kernel) with a
+    SEMANTIC ranking (cosine against the hashed embedding of the query
+    text, the doc_text_knn sparse-dot kernel) as
+    sum(1 / (60 + rank)) over both top-100 lists — the standard
+    production RAG retrieval shape (BM25 ⊕ dense retriever), here
+    end-to-end deterministic so it sits under the full hash gate.
+
+    Exactness: BM25 scores are 9-decimal DECIMAL sums; cosine is a sum
+    of exact DECIMAL(16,12) products; ranks are integers; the two
+    1/(60+rank) divisions and their sum are single IEEE-double ops —
+    identical in any IEEE engine, rounded to 9 for belt and braces.
+
+    Scale: each ranker is corpus-scan + aggregate with a
+    TakeOrderedAndProject(100) cap BEFORE any window — the rank
+    windows and the full-outer fusion join touch <= 100 rows per
+    ranker (fusing capped lists is the real-world RRF algorithm, not
+    a shortcut). The query-side embedding is one row, broadcast.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import bm25_scores, hashed_embeddings
+
+    docs = _docs(spark, sf_dir)
+
+    # lexical ranking: BM25 top-100 -> rank over the capped list
+    lex100 = (
+        bm25_scores(docs, terms=list(_RRF_TERMS))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    lex = lex100.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id")),
+    ).select("doc_id", "lex_rank")
+
+    # semantic ranking: hashed-embedding cosine vs the query text
+    wdec = lambda c: F.col(c).cast("decimal(8,6)")  # noqa: E731
+    c = hashed_embeddings(docs, dim=64).select(
+        "doc_id", "dim_idx", wdec("weight").alias("_cw")
+    )
+    qdoc = spark.createDataFrame(
+        [(-1, " ".join(_RRF_TERMS))], "doc_id long, text string"
+    )
+    q = hashed_embeddings(qdoc, dim=64).select(
+        "dim_idx", wdec("weight").alias("_qw")
+    )
+    sem100 = (
+        c.join(F.broadcast(q), "dim_idx")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("_qw") * F.col("_cw")), 6)
+            .cast("double")
+            .alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    sem = sem100.withColumn(
+        "sem_rank",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+    ).select("doc_id", "sem_rank")
+
+    rr = lambda col: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(col)), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(rr("lex_rank") + rr("sem_rank"), 9)
+            .cast("double")
+            .alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
     )
 
 
