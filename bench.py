@@ -77,13 +77,15 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         ).write.json(inp)
         n_records = spark.read.text(inp).count()  # one event line per record
 
-        # best-of-2: each run gets fresh checkpoint/output dirs (same
-        # input corpus); a co-tenant burst burns at most one run. The
+        # best-of-3: each run gets fresh checkpoint/output dirs (same
+        # input corpus); a co-tenant burst burns at most one run, and
+        # the first run absorbs the stream-query JIT/compile (measured
+        # r10: 12.9s first vs 5.2s steady on a quiet host). The
         # worst/best ratio is reported as the streaming noise indicator
         # (round 7's official 1072 rec/s vs a 3486-5185 quiet-host range
         # was exactly this contamination, invisible without the ratio).
         elapsed: list[float] = []
-        for attempt in range(2):
+        for attempt in range(3):
             shipper = StreamingShipper(
                 spark,
                 inp,
@@ -128,6 +130,19 @@ def main() -> None:
 
     # session warmup outside any timed region
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # Streaming throughput is measured FIRST, on a clean engine: the
+    # reference's counterpart is a dedicated shipper process, not a JVM
+    # that just executed 250+ analytics queries. Measured r10: the same
+    # availableNow run lands at ~5.2s/run here vs ~11s when placed
+    # after the query gauntlet (accumulated SQL-listener/UI state slows
+    # per-micro-batch planning) — position, not code, was the r8->r9
+    # "throughput drift".
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:
+        streaming = {"error": str(exc)[:120]}
+        print(f"bench: streaming FAILED: {exc}", file=sys.stderr)
 
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
@@ -189,12 +204,6 @@ def main() -> None:
         + json.dumps({n: [round(t, 2) for t in ts] for n, ts in runs.items()}),
         file=sys.stderr,
     )
-
-    try:
-        streaming = bench_streaming(spark, sf_dir)
-    except Exception as exc:
-        streaming = {"error": str(exc)[:120]}
-        print(f"bench: streaming FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     # The driver tail-captures stdout (~2 KB) and parses the LAST line.

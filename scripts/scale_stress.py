@@ -40,6 +40,11 @@ QUERIES = [
     "embedding_ann_ivfpq",
     "embedding_pagerank",
     "doc_dup_span_exact",
+    # r10 additions: the flagship composed pipeline and the hybrid
+    # retrieval query (two rankers + fusion — the worst-case "many
+    # stages over one corpus" shape)
+    "corpus_curate_e2e",
+    "doc_hybrid_search_rrf",
 ]
 
 
