@@ -252,17 +252,26 @@ def _iter_ppm_frames(data: bytes):
 
 def _iter_video_frames(data: bytes):
     """Dispatch on the container magic: RIFF/AVI Motion-JPEG (vendored
-    public-spec walk, each yielded frame is a standalone baseline JPEG
-    the vendored T.81 codec decodes) or raw concatenated-PPM. Unknown
-    bytes yield no frames (null-video philosophy, not a crash); a RIFF
-    file with an unsupported codec errors loudly inside
-    decode_avi_frames and is mapped to zero frames here so one rogue
-    file cannot poison an Arrow batch."""
+    public-spec walk), ISO-BMFF/MP4 Motion-JPEG (vendored 14496-12
+    sample-table walk — each yielded frame is a standalone baseline
+    JPEG the vendored T.81 codec decodes), or raw concatenated-PPM.
+    Unknown bytes yield no frames (null-video philosophy, not a
+    crash); a container with an unsupported codec (avc1/vp9/...)
+    errors loudly inside the decoder and is mapped to zero frames
+    here so one rogue file cannot poison an Arrow batch."""
     if data[:4] == b"RIFF":
         from .avi_mjpeg import decode_avi_frames
 
         try:
             for _, frame in decode_avi_frames(data):
+                yield frame
+        except ValueError:
+            return
+    elif data[4:8] == b"ftyp":
+        from .mp4_mjpeg import decode_mp4_frames
+
+        try:
+            for _, frame in decode_mp4_frames(data):
                 yield frame
         except ValueError:
             return
@@ -276,13 +285,14 @@ def sample_frames(
     media_col: str = "media",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Video frame sampling: REAL for RIFF/AVI Motion-JPEG containers
-    (vendored public-spec RIFF walk — operators/avi_mjpeg.py — each
-    kept frame emitted as its standalone baseline-JPEG bytes) and for
-    the raw concatenated-PPM format (header walk). Every every_n-th
-    frame is kept, one output row per kept frame; formats needing an
-    absent codec (mp4/h264, webm/vp9) yield no rows here — see
-    sample_frames_stub for the marked placeholder.
+    """Video frame sampling: REAL for RIFF/AVI and ISO-BMFF/MP4
+    Motion-JPEG containers (vendored public-spec walks —
+    operators/avi_mjpeg.py and operators/mp4_mjpeg.py — each kept
+    frame emitted as its standalone baseline-JPEG bytes) and for the
+    raw concatenated-PPM format (header walk). Every every_n-th frame
+    is kept, one output row per kept frame; tracks needing an absent
+    codec (h264, vp9) yield no rows here — see sample_frames_stub for
+    the marked placeholder.
 
     Scale: narrow mapInPandas; output fan-out is bounded by
     frames/every_n per row."""
@@ -307,16 +317,17 @@ def sample_frames(
 
 def sample_frames_stub(df: DataFrame, media_col: str = "media",
                        every_n: int = 30) -> DataFrame:
-    """Placeholder for inter-frame-coded video (mp4/h264, webm/vp9):
-    needs a real video codec, absent here. Intra-coded containers are
-    real: RIFF/AVI Motion-JPEG (vendored public-spec container walk +
-    T.81 frame decode) and raw concatenated-PPM, both in
+    """Placeholder for inter-frame-CODED video tracks (h264/hevc in
+    mp4, vp9 in webm): needs a real video codec, absent here.
+    Intra-coded containers are real: RIFF/AVI Motion-JPEG and
+    ISO-BMFF/MP4 Motion-JPEG (vendored public-spec container walks +
+    T.81 frame decode) and raw concatenated-PPM, all in
     sample_frames."""
     raise NotImplementedError(
-        "frame sampling of inter-frame-coded formats (mp4/h264, "
-        "webm/vp9) needs a video codec — not available in this "
-        "container; AVI/MJPEG and raw-PPM sampling are implemented in "
-        "sample_frames"
+        "frame sampling of inter-frame-coded tracks (h264/hevc, vp9) "
+        "needs a video codec — not available in this container; "
+        "AVI/MJPEG, MP4/MJPEG and raw-PPM sampling are implemented "
+        "in sample_frames"
     )
 
 

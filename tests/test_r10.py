@@ -539,3 +539,124 @@ def test_streaming_ivfpq_ingest_matches_batch_build(spark, sf_dir, tmp_path):
     assert scans and any(
         "PartitionFilters" in ln and "cluster" in ln for ln in scans
     )
+
+
+# --- ISO-BMFF/MP4 Motion-JPEG container (vendored, public spec) ----------
+
+
+def test_mp4_mjpeg_roundtrip_bit_exact():
+    """Encode -> decode round-trips every frame byte-for-byte across
+    chunk layouts: single-chunk, one-sample-per-chunk, and a ragged
+    2-per-chunk tail (multi-entry stsc run expansion). Output is
+    deterministic; meta reads dims/counts without touching payloads."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.mp4_mjpeg import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+        mp4_meta,
+    )
+
+    frames = [_mk_jpeg(16, 8, val=40 + 30 * i) for i in range(5)]
+    for fpc in (0, 1, 2, 3):
+        data = encode_mp4_mjpeg(frames, 16, 8, fps=10, frames_per_chunk=fpc)
+        assert [f for _, f in decode_mp4_frames(data)] == frames, fpc
+        m = mp4_meta(data)
+        assert (m["codec"], m["width"], m["height"], m["n_frames"]) == (
+            "jpeg", 16, 8, 5,
+        )
+        assert (m["timescale"], m["duration"]) == (10, 5)
+    assert encode_mp4_mjpeg(frames, 16, 8) == encode_mp4_mjpeg(frames, 16, 8)
+
+
+def test_mp4_mjpeg_rejects_unknown_codec_and_non_mp4():
+    """An avc1 sample entry raises the documented ValueError (inter-
+    frame codecs are a library gap, not silently-empty output); AVI
+    bytes and junk raise the not-an-mp4 error; a truncated mdat stops
+    at the cut instead of throwing."""
+    import struct
+
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.mp4_mjpeg import (
+        decode_mp4_frames,
+        encode_mp4_mjpeg,
+    )
+
+    frames = [_mk_jpeg(8, 8)] * 2
+    data = encode_mp4_mjpeg(frames, 8, 8)
+
+    # surgically retag the stsd sample entry: locate 'stsd' then the
+    # entry fourcc 8 bytes into its payload (after version/flags+count)
+    i = data.find(b"stsd")
+    entry_fourcc_at = i + 4 + 8 + 4  # fourcc, ver+flags+count, entry size
+    assert data[entry_fourcc_at : entry_fourcc_at + 4] == b"jpeg"
+    bad = data[:entry_fourcc_at] + b"avc1" + data[entry_fourcc_at + 4 :]
+    with _pytest.raises(ValueError, match="avc1"):
+        list(decode_mp4_frames(bad))
+
+    for junk in (b"RIFF\x00\x00\x00\x00AVI LIST", b"hello world" * 4, b""):
+        with _pytest.raises(ValueError, match="ftyp|moov"):
+            list(decode_mp4_frames(junk))
+
+    # a truncated file whose mdat size field overshoots EOF: the box
+    # walk stops cleanly, moov is unreachable -> loud error, no crash
+    ftyp_size = struct.unpack_from(">I", data, 0)[0]
+    cut = data[: ftyp_size + 8 + len(frames[0]) + 3]
+    with _pytest.raises(ValueError):
+        list(decode_mp4_frames(cut))
+
+    # a sample whose (offset, size) extends past EOF (lying stsz, the
+    # torn-write case): that sample is dropped silently, prior samples
+    # still decode — one rogue entry cannot poison the batch
+    j = data.find(b"stsz")
+    n_payload_at = j + 4 + 4 + 4  # fourcc, ver+flags, fixed_size
+    (n,) = struct.unpack_from(">I", data, n_payload_at)
+    assert n == 2
+    last_size_at = n_payload_at + 4 + 4 * (n - 1)
+    lying = (
+        data[:last_size_at]
+        + struct.pack(">I", 0x7FFFFFFF)
+        + data[last_size_at + 4 :]
+    )
+    got = [f for _, f in decode_mp4_frames(lying)]
+    assert got == frames[:1]
+
+
+def test_sample_frames_mp4_dispatch(spark):
+    """sample_frames over a mixed media column: MP4 and AVI Motion-JPEG
+    containers, raw PPM, nulls and an avc1-tagged MP4 coexist in one
+    batch; the magic dispatch routes each correctly and the rogue
+    codec yields zero rows instead of poisoning the Arrow batch."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.avi_mjpeg import (
+        encode_avi_mjpeg,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+        decode_baseline_jpeg,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.mp4_mjpeg import (
+        encode_mp4_mjpeg,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    jpg = _mk_jpeg(16, 8)
+    mp43 = encode_mp4_mjpeg([jpg] * 3, 16, 8, frames_per_chunk=2)
+    avi1 = encode_avi_mjpeg([jpg], 16, 8)
+    data = encode_mp4_mjpeg([jpg] * 2, 16, 8)
+    i = data.find(b"stsd")
+    at = i + 4 + 8 + 4
+    rogue = data[:at] + b"avc1" + data[at + 4 :]
+    rows = [
+        (1, mp43),   # keeps frames 0, 2
+        (2, avi1),   # keeps frame 0
+        (3, rogue),  # unsupported codec -> no rows
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    got = {
+        (r.media_id, r.frame_idx): bytes(r.frame)
+        for r in sample_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 2)] == jpg
+    assert decode_baseline_jpeg(got[(1, 0)]).shape == (8, 16, 3)
