@@ -396,6 +396,93 @@ def search_index(
     )
 
 
+def build_positional_index(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """POSITIONAL posting-list index: one (token, id, pos) row per
+    token OCCURRENCE (1-based word position — multiplicity and order
+    are the whole point, unlike build_inverted_index's distinct
+    memberships), bucketed by the same `pmod(xxhash64(token))` key so
+    a phrase's terms prune the listing to at most |phrase| buckets.
+    This is the structure exact-phrase and proximity queries need —
+    the capability gap between a boolean AND-search and a real search
+    engine.
+
+    Scale: one narrow posexplode, no shuffle at build beyond the
+    partitioned write; postings stay row-striped (a stopword's
+    occurrences spread across tasks, never an array)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            id_col,
+            "token",
+            (F.col("pos") + 1).alias("pos"),  # 1-based, oracle-friendly
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("tok_bucket"),
+        )
+    )
+
+
+def phrase_search(
+    index,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Exact-phrase search over a positional index: every (doc, start)
+    where the phrase's tokens occur CONSECUTIVELY. The classic
+    positional-intersection, expressed as ONE aggregation instead of a
+    k-way self-join chain: each posting of phrase term i at position p
+    votes for candidate start p - i; a start backed by all k distinct
+    term slots is an occurrence. Repeated words in the phrase are
+    handled naturally (a posting row votes once per slot the token
+    fills).
+
+    Scale: the term list prunes the index scan to <= k buckets
+    (PartitionFilters) + an exact token IN-list; the vote aggregate is
+    one shuffle on (id, start) whose width is |postings of the phrase
+    terms|, independent of corpus size."""
+    if not phrase:
+        raise ValueError("need a non-empty phrase")
+    lows = [t.lower() for t in phrase]
+    k = len(lows)
+    slots = [(t, i) for i, t in enumerate(lows)]
+    buckets = term_buckets(index.sparkSession, sorted(set(lows)), n_buckets)
+    hits = index.filter(
+        F.col("tok_bucket").isin(buckets) & F.col("token").isin(sorted(set(lows)))
+    )
+    votes = hits.select(
+        id_col,
+        "pos",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(F.col("token") == F.lit(t), F.lit(i))
+                        for t, i in slots
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("_slot"),
+    ).select(
+        id_col, (F.col("pos") - F.col("_slot")).alias("start"), "_slot"
+    )
+    return (
+        votes.filter(F.col("start") >= 1)
+        .groupBy(id_col, "start")
+        .agg(F.count_distinct("_slot").alias("_ns"))
+        .filter(F.col("_ns") == k)
+        .select(id_col, "start")
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],

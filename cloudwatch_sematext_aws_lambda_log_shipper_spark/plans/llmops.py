@@ -2166,6 +2166,66 @@ def doc_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE_SEARCH_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id, s AS start
+  FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(s)
+  WHERE ws[s] = 'hash' AND ws[s + 1] = 'join'
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(start) AS BIGINT) AS first_pos
+FROM occ GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("doc_phrase_search", _PHRASE_SEARCH_ORACLE)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over a persisted POSITIONAL inverted index
+    (operators/text.py build_positional_index / phrase_search) — the
+    capability step from boolean AND-search (doc_token_search) to a
+    real search engine: token occurrences with 1-based positions,
+    bucketed by token hash; a phrase's terms prune the scan to <= k
+    partitions, and consecutive-position intersection runs as ONE
+    vote aggregate on (doc, candidate_start) instead of a k-way
+    self-join chain. The oracle brute-forces the same whitespace
+    tokenization with adjacent-position equality.
+
+    Scale: index built once per corpus (synthcache-materialized, the
+    amortized artifact); per query the engine reads |phrase| / 64 of
+    the postings and shuffles only those rows."""
+    from ..operators.text import build_positional_index, phrase_search
+    from .synthcache import materialize_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "positional_index",
+        builder=lambda: build_positional_index(docs, n_buckets=64),
+        source="documents.parquet",
+        writer=lambda df, p: (
+            df.repartition("tok_bucket")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(p)
+        ),
+    )
+    index = spark.read.parquet(path)
+    occ = phrase_search(index, ["hash", "join"], n_buckets=64)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("start").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- heavy hitters (Misra-Gries + exact recount) ------------------------
 
 

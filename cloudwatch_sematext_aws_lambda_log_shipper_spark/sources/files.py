@@ -25,7 +25,11 @@ from pyspark.sql import types as T
 # public container-file spec, timestamps as typed long micros). On a
 # cluster with the connector deployed, swapping the routing back to
 # format('avro') is the complete change.
-_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
+# 'arrow' = Arrow IPC / Feather-v2 directories (sources/arrow_ipc.py:
+# mapInArrow read/write via the pyarrow that ships with PySpark — no
+# pandas hop, validity bitmaps native; the HuggingFace-datasets /
+# Arrow-Flight interchange shape).
+_FORMATS = ("parquet", "orc", "json", "csv", "text", "avro", "arrow")
 
 # Text formats default to millisecond timestamps — a silent microsecond
 # truncation on round-trip. Pin lossless formats for BOTH timestamp
@@ -56,6 +60,12 @@ def read_table(
         from .avro_ocf import read_avro
 
         return read_avro(spark, path, schema)
+    if fmt == "arrow":
+        if schema is None:
+            raise ValueError("arrow requires an explicit schema (no inference pass)")
+        from .arrow_ipc import read_arrow
+
+        return read_arrow(spark, path, schema)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -77,6 +87,11 @@ def write_table(
         from .avro_ocf import write_avro
 
         write_avro(df, path, mode=mode)
+        return
+    if fmt == "arrow":
+        from .arrow_ipc import write_arrow
+
+        write_arrow(df, path, mode=mode)
         return
     writer = df.write.mode(mode)
     if fmt == "csv":

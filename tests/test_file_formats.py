@@ -12,7 +12,7 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.files import (
     write_table,
 )
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "avro"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "avro", "arrow"])
 def test_events_roundtrip(spark, sf_dir, tmp_path, fmt):
     ev = load(spark, sf_dir, "events").limit(200)
     # Declare the frame's ACTUAL ts flavor (timestamp vs timestamp_ntz):
@@ -114,3 +114,47 @@ def test_text_roundtrip_raw_log_lines(spark, tmp_path):
     # a multi-column frame is rejected by the writer, not silently mangled
     with pytest.raises(Exception):
         write_table(df.withColumn("extra", F.lit(1)), str(tmp_path / "t2"), "text")
+
+
+def test_arrow_ipc_nulls_nan_ntz_and_schema_check(spark, tmp_path):
+    """Arrow IPC path specifics: validity bitmaps ride natively so a
+    nullable double column holding BOTH a NaN value and a real null
+    round-trips with the two kept distinct (no avro-style masking
+    machinery needed), TIMESTAMP_NTZ survives losslessly, multi-part
+    directories read back whole, and a reader-schema mismatch errors
+    instead of mis-decoding."""
+    import datetime as dt
+    import math
+
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources.arrow_ipc import (
+        read_arrow,
+        write_arrow,
+    )
+
+    rows = [
+        (1, "a", 1.5, bytearray(b"\x00\xff"),
+         dt.datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        (2, None, float("nan"), None, None),
+        (3, "nullx", None, bytearray(b""),
+         dt.datetime(1969, 12, 31, 23, 59, 59)),
+    ]
+    schema = "id long, s string, x double, b binary, ts timestamp_ntz"
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "arrow_parts")
+    n = write_arrow(df.repartition(2), out)
+    assert n == 3
+    import os
+
+    assert sum(f.endswith(".arrow") for f in os.listdir(out)) == 2
+    back = {r.id: r for r in read_arrow(spark, out, schema).collect()}
+    assert math.isnan(back[2].x) and back[2].s is None  # NaN is a VALUE
+    assert back[3].x is None                            # null is a NULL
+    assert back[1].ts == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    assert bytes(back[1].b) == b"\x00\xff" and bytes(back[3].b) == b""
+
+    with _pytest.raises(Exception, match="schema mismatch"):
+        read_arrow(
+            spark, out, "id long, s string, x double, b binary, ts timestamp"
+        ).collect()

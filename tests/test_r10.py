@@ -660,3 +660,55 @@ def test_sample_frames_mp4_dispatch(spark):
     assert set(got) == {(1, 0), (1, 2), (2, 0)}
     assert got[(1, 2)] == jpg
     assert decode_baseline_jpeg(got[(1, 0)]).shape == (8, 16, 3)
+
+
+def test_phrase_search_semantics_and_pruning(spark):
+    """Crafted-corpus pins for the positional index: 3-term phrases,
+    OVERLAPPING occurrences, a repeated-token phrase ('ba ba'), 1-based
+    position-1 matches, case folding, and no false positive when the
+    words appear non-adjacent. The phrase's terms must prune the index
+    scan to a tok_bucket PartitionFilter."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),        # 'beta gamma' at 2
+        (2, "beta gamma beta gamma"),         # at 1 and 3
+        (3, "beta delta gamma"),              # non-adjacent -> no match
+        (4, "BETA Gamma"),                    # case folded -> at 1
+        (5, "ba ba ba"),                      # 'ba ba' overlaps: 1 and 2
+        (6, ""),                              # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx_df = build_positional_index(docs, n_buckets=8)
+    # persist partitioned like the query does, so pruning is observable
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="posidx_")
+    (
+        idx_df.repartition("tok_bucket")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(path)
+    )
+    index = spark.read.parquet(path)
+
+    def occs(phrase):
+        res = phrase_search(index, phrase, n_buckets=8)
+        return sorted((r.doc_id, r.start) for r in res.collect())
+
+    assert occs(["beta", "gamma"]) == [(1, 2), (2, 1), (2, 3), (4, 1)]
+    assert occs(["alpha", "beta", "gamma"]) == [(1, 1)]
+    assert occs(["ba", "ba"]) == [(5, 1), (5, 2)]
+    assert occs(["ba", "ba", "ba"]) == [(5, 1)]
+    assert occs(["gamma", "beta"]) == [(2, 2)]
+    assert occs(["delta", "beta"]) == []
+
+    res = phrase_search(index, ["beta", "gamma"], n_buckets=8)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and any(
+        "PartitionFilters" in ln and "tok_bucket" in ln for ln in scans
+    )
