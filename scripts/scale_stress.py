@@ -59,10 +59,21 @@ def build_scaled(base: str, n: int) -> str:
     con = duckdb.connect()
 
     def _text_expr(i: int) -> str:
+        # Suffix every SECOND word with the copy index (not every word,
+        # which the r9 builder did): any 3-word shingle window and any
+        # 30-char span still contains >= 1 suffixed word, so shingle /
+        # char-gram / MinHash identities stay copy-disjoint (near-dup
+        # and dup-span outputs grow ~linearly, not ~quadratically) —
+        # but HALF the language-marker stopwords survive verbatim, so
+        # lang_id still resolves and the curate pipeline's stage-1 gate
+        # passes copies at the same rate as originals. With every-word
+        # suffixing, all copies scored 'und' and the x10 curate run
+        # silently measured constant post-gate work (caught r10: s1
+        # survivors were 4388 at BOTH x1 and x10).
         if i == 0:
             return "text"
         return (
-            "regexp_replace(text, '(" + r"\S" + "+)', '"
+            "regexp_replace(text, '(" + r"\S+\s+\S" + "+)', '"
             + r"\1" + f"{i}', 'g')"
         )
 
