@@ -712,3 +712,30 @@ def test_phrase_search_semantics_and_pruning(spark):
     assert scans and any(
         "PartitionFilters" in ln and "tok_bucket" in ln for ln in scans
     )
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    """doc_hybrid_search_rrf stays scale-safe by construction: both
+    rankers cap with TakeOrderedAndProject(100) BEFORE any rank window
+    (plus the final top-10 — >= 3 TakeOrderedAndProject nodes), there
+    are exactly the two rank windows, the query-side embedding joins
+    the corpus side via broadcast, and nothing in the plan is a
+    cartesian product."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        doc_hybrid_search_rrf,
+    )
+
+    df = doc_hybrid_search_rrf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert plan.count("Window") == 2
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    # fused score is consistent with the emitted ranks
+    for r in rows:
+        expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
+        )
+        assert abs(r.rrf_score - round(expect, 9)) < 1e-12
