@@ -483,6 +483,65 @@ def phrase_search(
     )
 
 
+def proximity_search(
+    index,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """NEAR(a, b, window): every (doc, pos_a, pos_b, distance) where
+    the two terms occur within ``window`` word positions of each other
+    (either order) — the third classic positional-index query after
+    boolean AND and exact phrase, and the building block of
+    passage-level relevance.
+
+    Scale: postings prune to <= 2 buckets; the pairing is a RANGE
+    band join on position within doc — expressed as an equi-join on
+    (doc, pos_bucket) with each a-posting exploded into the up-to-3
+    position buckets its window can reach, so the join never degrades
+    to a per-doc cross product (the standard band-join bucketing this
+    engine uses for time-range joins, here on word positions)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    la, lb = term_a.lower(), term_b.lower()
+    if la == lb:
+        raise ValueError("NEAR terms must differ (use phrase_search "
+                         "for repeated-token patterns)")
+    buckets = term_buckets(index.sparkSession, sorted({la, lb}), n_buckets)
+    hits = index.filter(
+        F.col("tok_bucket").isin(buckets) & F.col("token").isin([la, lb])
+    )
+    pb = (F.col("pos") / window).cast("long")
+    a = (
+        hits.filter(F.col("token") == la)
+        .select(id_col, F.col("pos").alias("pos_a"))
+        .withColumn(
+            "_pb",
+            F.explode(
+                F.sequence(
+                    ((F.col("pos_a") - window) / window).cast("long"),
+                    ((F.col("pos_a") + window) / window).cast("long"),
+                )
+            ),
+        )
+    )
+    b = hits.filter(F.col("token") == lb).select(
+        id_col, F.col("pos").alias("pos_b"), pb.alias("_pb")
+    )
+    return (
+        a.join(b, [id_col, "_pb"])
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= window)
+        .select(
+            id_col,
+            "pos_a",
+            "pos_b",
+            F.abs(F.col("pos_a") - F.col("pos_b")).alias("distance"),
+        )
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     terms: list[str],

@@ -2226,6 +2226,71 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROXIMITY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), pa AS (
+  SELECT doc_id, s AS pos_a
+  FROM d, unnest(generate_series(1, len(ws))) AS t(s) WHERE ws[s] = 'hash'
+), pb AS (
+  SELECT doc_id, s AS pos_b
+  FROM d, unnest(generate_series(1, len(ws))) AS u(s) WHERE ws[s] = 'scan'
+), occ AS (
+  SELECT pa.doc_id, pos_a, pos_b
+  FROM pa JOIN pb USING (doc_id) WHERE abs(pos_a - pos_b) <= 4
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(pos_a - pos_b)) AS BIGINT) AS min_distance
+FROM occ GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("doc_proximity_search", _PROXIMITY_ORACLE)
+def doc_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search NEAR('hash', 'scan', 4) over the SAME persisted
+    positional index as doc_phrase_search (operators/text.py
+    proximity_search) — co-occurrence within a word window, either
+    order: the passage-relevance primitive between boolean AND and
+    exact phrase. The within-doc position pairing is a RANGE band
+    join bucketed on floor(pos/window) (each left posting explodes
+    into the <= 3 buckets its window reaches), so it never degrades
+    to a per-doc position cross product. The oracle brute-forces the
+    position lists per term and band-filters their within-doc join.
+
+    Scale: <= 2 of 64 index partitions read (PartitionFilters); the
+    band join shuffles only the two terms' postings keyed
+    (doc, pos_bucket)."""
+    from ..operators.text import build_positional_index, proximity_search
+    from .synthcache import materialize_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "positional_index",
+        builder=lambda: build_positional_index(docs, n_buckets=64),
+        source="documents.parquet",
+        writer=lambda df, p: (
+            df.repartition("tok_bucket")
+            .write.mode("overwrite")
+            .partitionBy("tok_bucket")
+            .parquet(p)
+        ),
+    )
+    index = spark.read.parquet(path)
+    occ = proximity_search(index, "hash", "scan", window=4, n_buckets=64)
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("distance").cast("long").alias("min_distance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- heavy hitters (Misra-Gries + exact recount) ------------------------
 
 

@@ -739,3 +739,45 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
             1.0 / (60 + r.sem_rank) if r.sem_rank else 0.0
         )
         assert abs(r.rrf_score - round(expect, 9)) < 1e-12
+
+
+def test_proximity_search_semantics(spark):
+    """Crafted pins for NEAR(a, b, window): either-order matches, the
+    |distance| == window boundary is INclusive, window+1 is out, pairs
+    near position 1 survive the bucket-range clamp (trunc-toward-zero
+    on the negative lower bound), multiple pairs per doc all emit, and
+    same-term NEAR is rejected toward phrase_search."""
+    import pytest as _pytest
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        build_positional_index,
+        proximity_search,
+    )
+
+    rows = [
+        (1, "aa x x x bb"),       # dist 4 == window -> in
+        (2, "aa x x x x bb"),     # dist 5 -> out
+        (3, "bb aa"),             # either order, dist 1, positions 1/2
+        (4, "aa bb x aa"),        # pairs: (1,2)=1 and (4,2)=2
+        (5, "aa only here"),
+        (6, "x bb x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    index = build_positional_index(docs, n_buckets=8)
+
+    got = sorted(
+        (r.doc_id, r.pos_a, r.pos_b, r.distance)
+        for r in proximity_search(index, "aa", "bb", window=4,
+                                  n_buckets=8).collect()
+    )
+    assert got == [
+        (1, 1, 5, 4),
+        (3, 2, 1, 1),
+        (4, 1, 2, 1),
+        (4, 4, 2, 2),
+    ]
+
+    with _pytest.raises(ValueError, match="differ"):
+        proximity_search(index, "aa", "AA", window=3)
+    with _pytest.raises(ValueError, match="window"):
+        proximity_search(index, "aa", "bb", window=0)
