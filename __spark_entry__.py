@@ -22,6 +22,7 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (  # noqa: F4
     llmops,
     logsim,
     relational,
+    relational_tpch,
 )
 
 
