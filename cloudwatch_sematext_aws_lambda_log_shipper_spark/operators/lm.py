@@ -71,3 +71,78 @@ def unigram_nll_scores(
         ).alias("mean_nll"),
     )
     return base.join(per_doc, id_col)
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under the
+    corpus's own bigram distribution with add-one (Laplace) smoothing:
+    mean over adjacent token pairs of
+    ``-ln((C(w1,w2) + 1) / (C(w1) + V))`` where C(w1) counts bigram
+    CONTEXTS (so the conditional sums to 1 over the smoothed vocab) and
+    V is the corpus's distinct-unigram count.
+
+    A sharper quality/fluency signal than the unigram filter: a bag of
+    plausible words in implausible order (shuffled text, keyword spam)
+    scores high here while passing the unigram filter. Documents with
+    fewer than two tokens have no bigrams and drop (same inner-join
+    policy as unigram's zero-token documents).
+
+    Numeric determinism follows the unigram recipe: per-pair costs are
+    ln() of exact integer ratios rounded to 9 decimals, summed as
+    DECIMAL(20,9) (order-independent), mean rounded to 6.
+
+    Scale: bigrams come from zipping the token array with its own
+    1-shifted slice — a narrow projection, never a self-join or window
+    over token positions. Then one |bigram-vocab| count with map-side
+    combine, one |context-vocab| count, a broadcast scalar V, and one
+    equi-join of pair positions against the two count tables (no
+    broadcast assumption on either vocab).
+    """
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+    ws = words(F.col(text_col))
+    arr = df.select(F.col(id_col), ws.alias("_ws"))
+    pairs = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ws", F.lit(1), F.size("_ws") - 1),
+                F.slice("_ws", F.lit(2), F.size("_ws") - 1),
+            )
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_bg").getItem("0").alias("_w1"),
+        F.col("_bg").getItem("1").alias("_w2"),
+    )
+    bg_counts = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx_counts = pairs.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab_size = (
+        df.select(F.explode(ws).alias("_w"))
+        .agg(F.count_distinct("_w").alias("_v"))
+    )
+    cost = (
+        pairs.join(bg_counts, ["_w1", "_w2"])
+        .join(ctx_counts, "_w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("_c1") + F.col("_v")) - F.log(F.col("_c12") + F.lit(1)),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("_nll"),
+        )
+    )
+    per_doc = cost.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_nll").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_bigram_nll"
+        ),
+    )
+    return base.join(per_doc, id_col)

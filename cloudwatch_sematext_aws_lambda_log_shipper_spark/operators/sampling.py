@@ -146,3 +146,73 @@ def stratified_sample_exact(
     ).withColumn("_n", F.count(F.lit(1)).over(w))
     quota = F.ceil(F.col("_n") * F.lit(fraction))
     return ranked.filter(F.col("_rk") <= quota).drop("_pri", "_rk", "_n")
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.2,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-pretraining
+    mixture rule, mT5/XLM-R style): sample sources proportional to
+    n_s^alpha instead of n_s, so alpha < 1 up-weights small sources and
+    damps head domination. The total draw targets
+    ``target_frac * |corpus|`` rows; each source's quota is
+    ``min(n_s, ceil(N_target * share_s))`` with share_s = n_s^alpha
+    normalized over sources, and rows are taken per source in
+    md5-priority order — the same deterministic, engine-replicable,
+    salt-re-rollable draw as stratified_sample_exact.
+
+    Numeric determinism: n_s^alpha rounds to 6 decimals and normalizes
+    as a DECIMAL sum (order-independent), so shares and quotas are
+    bit-identical across engines and partitionings; the only doubles
+    divide or multiply ALREADY-identical operands.
+
+    Scale: source stats are a tiny aggregate broadcast back; selection
+    is one window rank partitioned by source (the stratified-sampler
+    shuffle shape). Quotas cap at n_s, so alpha -> 0 degenerates to
+    uniform-over-sources, alpha = 1 to proportional.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_source"))
+    weighted = counts.withColumn(
+        "_w", F.round(F.pow(F.col("_n_source"), F.lit(alpha)), 6).cast("decimal(20,6)")
+    )
+    total_w = weighted.agg(
+        F.sum("_w").alias("_tw"), F.sum("_n_source").alias("_corpus_n")
+    )
+    quotas = (
+        weighted.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "_share", F.col("_w").cast("double") / F.col("_tw").cast("double")
+        )
+        .withColumn(
+            "_quota",
+            F.least(
+                F.col("_n_source"),
+                F.ceil(
+                    F.col("_corpus_n").cast("double") * F.lit(target_frac) * F.col("_share")
+                ),
+            ),
+        )
+        .select(source_col, "_n_source", "_quota")
+    )
+    w = Window.partitionBy(source_col)
+    pri = F.md5(
+        F.concat_ws("\x1f", F.col(source_col), F.col(id_col).cast("string"), F.lit(salt))
+    )
+    ranked = (
+        df.join(F.broadcast(quotas), source_col)
+        .withColumn("_pri", pri)
+        .withColumn("_rk", F.row_number().over(w.orderBy(F.col("_pri"), F.col(id_col))))
+    )
+    return (
+        ranked.filter(F.col("_rk") <= F.col("_quota"))
+        .withColumnRenamed("_n_source", "n_source")
+        .withColumnRenamed("_quota", "quota")
+        .drop("_pri", "_rk")
+    )

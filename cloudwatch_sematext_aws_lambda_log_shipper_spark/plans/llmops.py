@@ -1735,6 +1735,98 @@ FROM documents d JOIN per_doc USING (doc_id)
 """
 
 
+_MIXTURE_ORACLE = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_source FROM documents GROUP BY lang
+), weighted AS (
+  SELECT lang, n_source,
+         CAST(round(pow(n_source, 0.5), 6) AS DECIMAL(20,6)) AS w
+  FROM counts
+), tot AS (
+  SELECT SUM(w) AS tw, SUM(n_source) AS corpus_n FROM weighted
+), quotas AS (
+  SELECT lang, n_source,
+         LEAST(n_source,
+               CAST(ceil(CAST(corpus_n AS DOUBLE) * 0.4 *
+                         (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+                    AS BIGINT)) AS quota
+  FROM weighted CROSS JOIN tot
+), ranked AS (
+  SELECT d.doc_id, d.lang, q.n_source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(concat_ws(chr(31), d.lang, CAST(d.doc_id AS VARCHAR), '')),
+                    d.doc_id) AS rk
+  FROM documents d JOIN quotas q USING (lang)
+)
+SELECT doc_id, lang, n_source, quota FROM ranked WHERE rk <= quota
+"""
+
+
+@query("corpus_mixture_temperature", _MIXTURE_ORACLE)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture (mT5/XLM-R sampling rule):
+    draw ~40% of the corpus with per-language quotas proportional to
+    n_lang^0.5 instead of n_lang — the head language's share drops, tail
+    languages up-weight, and the exact membership is a deterministic
+    md5-priority draw the oracle replays row-for-row.
+
+    Scale: language stats are a tiny broadcast aggregate; selection is
+    one window rank partitioned by language (the stratified-sample
+    shuffle shape); quotas cap at n_lang."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    out = temperature_mixture_sample(
+        _docs(spark, sf_dir), source_col="lang", alpha=0.5, target_frac=0.4
+    )
+    return out.select("doc_id", "lang", "n_source", "quota")
+
+
+_BIGRAM_NLL_ORACLE = r"""
+WITH arr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM arr, unnest(generate_series(1, len(ws)-1)) AS t(i)
+), bgc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), vsz AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM arr)
+), cost AS (
+  SELECT doc_id,
+         CAST(round(ln(ctx.c1 + vsz.v) - ln(bgc.c12 + 1), 9)
+              AS DECIMAL(20,9)) AS nll
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vsz
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_bigram_nll
+  FROM cost GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, per_doc.n_bigrams, per_doc.mean_bigram_nll
+FROM documents d JOIN per_doc USING (doc_id)
+"""
+
+
+@query("doc_bigram_nll", _BIGRAM_NLL_ORACLE)
+def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram fluency score: mean add-one-smoothed bigram NLL per
+    document under the corpus's own adjacent-pair distribution — the
+    word-order-sensitive companion to doc_unigram_nll (keyword spam and
+    shuffled text pass a unigram filter but not this one).
+
+    Scale: bigrams are a narrow array-zip projection (no window over
+    token positions); pair and context vocabularies aggregate with
+    map-side combine; V is a broadcast scalar; costs sum as
+    DECIMAL(20,9), shuffle-order-independent."""
+    from ..operators.lm import bigram_nll_scores
+
+    return bigram_nll_scores(_docs(spark, sf_dir))
+
+
 @query("doc_unigram_nll", _UNIGRAM_NLL_ORACLE)
 def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: mean unigram negative

@@ -296,6 +296,80 @@ def test_unigram_nll_partition_invariant(spark):
     assert a == b
 
 
+def test_bigram_nll_penalizes_word_order_not_just_vocab(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.lm import (
+        bigram_nll_scores,
+        unigram_nll_scores,
+    )
+
+    # docs 1-8 share the SAME unigram bag; doc 9 scrambles the order.
+    natural = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    rows = [Row(doc_id=i, source="a", text=natural) for i in range(1, 9)]
+    rows.append(Row(doc_id=9, source="a", text=scrambled))
+    df = spark.createDataFrame(rows)
+    uni = {r.doc_id: r.mean_nll for r in unigram_nll_scores(df).collect()}
+    bi = {r.doc_id: r.mean_bigram_nll for r in bigram_nll_scores(df).collect()}
+    # unigram filter is blind to the scramble
+    assert abs(uni[9] - uni[1]) < 1e-9
+    # bigram filter is not: the scrambled doc's pairs are all rare
+    assert bi[9] > bi[1]
+
+
+def test_bigram_nll_short_doc_drops_and_layout_invariant(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.lm import (
+        bigram_nll_scores,
+    )
+
+    rows = [
+        Row(doc_id=i, source="s",
+            text=" ".join(f"w{(i * 7 + j) % 13}" for j in range(20)))
+        for i in range(40)
+    ]
+    rows.append(Row(doc_id=99, source="s", text="solo"))
+    df = spark.createDataFrame(rows)
+    a = {r.doc_id: r.mean_bigram_nll
+         for r in bigram_nll_scores(df.repartition(1)).collect()}
+    b = {r.doc_id: r.mean_bigram_nll
+         for r in bigram_nll_scores(df.repartition(16, "doc_id")).collect()}
+    assert 99 not in a  # one-token doc has no bigrams
+    assert a == b  # DECIMAL sums: bit-identical across layouts
+    n = {r.doc_id: r.n_bigrams for r in bigram_nll_scores(df).collect()}
+    assert n[1] == 19
+
+
+def test_temperature_mixture_rebalances_head_and_tail(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [Row(doc_id=i, source="big", text="t") for i in range(900)]
+    rows += [Row(doc_id=1000 + i, source="small", text="t") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = temperature_mixture_sample(df, alpha=0.5, target_frac=0.2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    n_big, n_small = len(by_src["big"]), len(by_src["small"])
+    # corpus is 90/10; sqrt temperature pulls the sample toward 75/25
+    assert n_small / (n_big + n_small) > 0.15
+    # quotas respected and sample hits the target within ceil slack
+    assert abs((n_big + n_small) - 200) <= 2
+    # alpha=1 degenerates to proportional allocation
+    prop = temperature_mixture_sample(df, alpha=1.0, target_frac=0.2).collect()
+    n_small_prop = sum(1 for r in prop if r.source == "small")
+    assert n_small_prop < n_small
+    # deterministic across layouts; salt re-rolls membership
+    a = {r.doc_id for r in
+         temperature_mixture_sample(df.repartition(13), alpha=0.5,
+                                    target_frac=0.2).collect()}
+    assert a == {r.doc_id for r in out}
+    b = {r.doc_id for r in
+         temperature_mixture_sample(df, alpha=0.5, target_frac=0.2,
+                                    salt="v2").collect()}
+    assert b != a and len(b) == len(a)
+
+
 # --- benchmark decontamination ------------------------------------------
 
 
