@@ -1735,6 +1735,88 @@ FROM documents d JOIN per_doc USING (doc_id)
 """
 
 
+_PROBE_FEAT_SQL = r"""
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(LEAST(len(string_split_regex(lower(trim(text)), '\s+')), 400) // 20 AS BIGINT) AS x1,
+         CAST(LEAST(n_chars // GREATEST(len(string_split_regex(lower(trim(text)), '\s+')), 1), 20) AS BIGINT) AS x2,
+         CAST(LEAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> w = 'the')), 20) AS BIGINT) AS x3
+  FROM documents
+"""
+
+
+def _linear_probe_oracle(n_iter: int = 8, lr_num: int = 1, lr_den: int = 2000) -> str:
+    """Chained-CTE replay of linear_probe_gd: w{t} <- w{t-1} - step from
+    the exact integer gradient over feat — the BPE/pagerank oracle
+    pattern applied to model training."""
+    dims = range(4)
+    parts = [f"WITH feat AS ({_PROBE_FEAT_SQL})"]
+    parts.append(
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in dims)
+        + ")"
+    )
+    dot = " + ".join(f"f.x{j} * w.w{j}" for j in dims)
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"g{t} AS (SELECT "
+            + ", ".join(f"SUM(x{j} * r) AS g{j}" for j in dims)
+            + ", COUNT(*) AS n FROM (SELECT f.*, "
+            + f"({dot} - f.y * 1000000) AS r "
+            + f"FROM feat f CROSS JOIN w{t-1} w))"
+        )
+        upd = ", ".join(
+            f"w.w{j} - (CASE WHEN g.g{j} >= 0 "
+            f"THEN ({lr_num} * g.g{j}) // ({lr_den} * g.n) "
+            f"ELSE -(({lr_num} * (-g.g{j})) // ({lr_den} * g.n)) END) AS w{j}"
+            for j in dims
+        )
+        parts.append(f"w{t} AS (SELECT {upd} FROM w{t-1} w CROSS JOIN g{t} g)")
+    final_dot = " + ".join(f"f.x{j} * w.w{j}" for j in dims)
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT f.doc_id, f.y, CAST({final_dot} AS BIGINT) AS score_scaled, "
+        + f"CASE WHEN {final_dot} >= 500000 THEN 1 ELSE 0 END AS pred "
+        + f"FROM feat f CROSS JOIN w{n_iter} w"
+    )
+
+
+@query("corpus_quality_linear_probe", _linear_probe_oracle())
+def corpus_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality/language probe: a linear model fit ON the
+    corpus by full-batch gradient descent (8 iterations, squared loss,
+    scaled-integer weights), then applied back to score every document
+    — the FastText-style linear-filter pattern with the training loop
+    itself under the hash gate (the oracle replays all 8 gradient
+    steps as chained CTEs; the third trained-algorithm oracle after
+    BPE and k-center).
+
+    Label: lang = 'en'; features: capped word count, mean word length,
+    'the'-token count, bias. Scale: each GD step is one map-side-
+    combined aggregate collecting d=4 integers to the driver; scoring
+    is a narrow projection."""
+    from ..operators.linear import linear_probe_gd
+
+    toks = r"split(lower(trim(text)), '\\s+')"
+    feats = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", "n_chars", f"{toks} AS _ws", "text")
+        .selectExpr(
+            "doc_id",
+            "CAST(lang = 'en' AS INT) AS y",
+            "CAST(1 AS BIGINT) AS x0",
+            "CAST(least(size(_ws), 400) div 20 AS BIGINT) AS x1",
+            "CAST(least(n_chars div greatest(size(_ws), 1), 20) AS BIGINT) AS x2",
+            "CAST(least(size(filter(_ws, w -> w = 'the')), 20) AS BIGINT) AS x3",
+        )
+    )
+    _w, scored = linear_probe_gd(
+        feats, ["x0", "x1", "x2", "x3"], label_col="y", n_iter=8
+    )
+    return scored.select("doc_id", "y", "score_scaled", "pred")
+
+
 _MIXTURE_ORACLE = """
 WITH counts AS (
   SELECT lang, count(*) AS n_source FROM documents GROUP BY lang
