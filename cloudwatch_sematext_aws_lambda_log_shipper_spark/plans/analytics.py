@@ -1298,3 +1298,59 @@ def purchase_first_touch_attribution(
         .cast("double")
         .alias("revenue"),
     )
+
+
+_TXLOG_ORACLE = """
+SELECT 0 AS version, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT 1, count(*), CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+FROM events WHERE event_id % 3 IN (0, 1)
+UNION ALL
+SELECT 2, count(*), CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+FROM events WHERE event_id % 3 = 2
+"""
+
+
+@query("events_txlog_time_travel", _TXLOG_ORACLE)
+def events_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID table layer end-to-end: append (v0), append (v1), then
+    OVERWRITE (v2) an events slice through the transaction-log table
+    format (sources/txlog.py), then time-travel every version and
+    aggregate each snapshot. The oracle recomputes the three snapshots
+    straight from the source table — equality proves the commit log
+    isolates versions exactly (v1 readers never see the overwrite; v2
+    readers never double-count the appends).
+
+    Scale: the log is driver-side metadata (3 tiny JSON commits); the
+    data writes/reads are ordinary distributed parquet jobs; snapshot
+    replay cost is bounded by checkpoints at table age."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources import txlog
+
+    ev = load(spark, sf_dir, "events")
+    base = _os.path.join(
+        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    table = _os.path.join(base, "events_tx")
+    _shutil.rmtree(table, ignore_errors=True)
+    txlog.append(ev.filter(F.col("event_id") % 3 == 0), table)
+    txlog.append(ev.filter(F.col("event_id") % 3 == 1), table)
+    txlog.overwrite(ev.filter(F.col("event_id") % 3 == 2), table)
+    out = None
+    for v in (0, 1, 2):
+        snap = (
+            txlog.read_table(spark, table, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(F.lit(v).alias("version"), "n", "total_value")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -1,0 +1,318 @@
+"""Transactional parquet tables: a minimal ACID metadata layer in the
+style of the public Delta Lake / Iceberg designs (Armbrust et al.,
+VLDB 2020) — an ordered JSON commit log beside immutable parquet data
+files, giving atomic multi-file commits, snapshot-isolated reads, time
+travel, idempotent writer retries, and safe compaction/vacuum. Nothing
+engine-private: the log is plain JSON, the data plain parquet, and any
+reader that replays the log sees the same snapshot.
+
+Layout:
+    table/
+      _txlog/00000000.json      one file per commit (version = name)
+      _txlog/00000008.checkpoint.json   full snapshot every N commits
+      data/<uuid>-<i>.parquet   immutable data files
+
+Commit protocol (the Delta paper's, reduced to a filesystem with
+atomic create-exclusive — local/HDFS; on S3 you'd put a lightweight
+lock service or a DynamoDB-style conditional put in front):
+  1. stage data files under data/ (invisible until committed),
+  2. serialize {adds, removes, txn} to a temp file,
+  3. os.O_EXCL-create _txlog/{next_version}.json — EXACTLY ONE writer
+     wins a version; losers re-read the log and retry (append) or
+     abort (overwrite conflict).
+Readers list _txlog, replay add/remove actions up to the requested
+version (starting from the newest checkpoint at or below it), and read
+only the surviving files — a crashed writer's staged-but-uncommitted
+files are invisible, and vacuum() removes them after a grace horizon.
+
+Scale: the log is O(commits) tiny JSON files and replay is pure driver-
+side metadata (file names), bounded by checkpoints every
+CHECKPOINT_EVERY commits; data reads/writes are ordinary distributed
+parquet jobs over the snapshot's file list. Idempotent retries: a
+commit may carry a (app_id, txn_version) pair; re-delivering the same
+pair is a no-op — the streaming foreachBatch exactly-once pattern at
+the table layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_txlog"
+CHECKPOINT_EVERY = 8
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version this transaction targeted."""
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def _version_file(table: str, v: int) -> str:
+    return os.path.join(_log_path(table), f"{v:08d}.json")
+
+
+def _list_versions(table: str) -> list[int]:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in os.listdir(log):
+        if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def latest_version(table: str) -> int | None:
+    vs = _list_versions(table)
+    return vs[-1] if vs else None
+
+
+def _read_commit(table: str, v: int) -> dict:
+    with open(_version_file(table, v)) as f:
+        return json.load(f)
+
+
+def _checkpoint_path(table: str, v: int) -> str:
+    return os.path.join(_log_path(table), f"{v:08d}.checkpoint.json")
+
+
+def _newest_checkpoint_at_or_below(table: str, v: int) -> int | None:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return None
+    best = None
+    for name in os.listdir(log):
+        if name.endswith(".checkpoint.json"):
+            cv = int(name.split(".")[0])
+            if cv <= v and (best is None or cv > best):
+                best = cv
+    return best
+
+
+def snapshot(table: str, version: int | None = None) -> dict:
+    """Replay the log to ``version`` (default: latest). Returns
+    {"version", "files": [relpaths], "txns": {app_id: last_txn_version}}.
+    Starts from the newest checkpoint <= version so replay cost is
+    bounded at CHECKPOINT_EVERY commits regardless of table age."""
+    vs = _list_versions(table)
+    if not vs:
+        raise FileNotFoundError(f"not a txlog table (no {LOG_DIR}): {table}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} does not exist (have {vs[0]}..{vs[-1]})")
+    files: set[str] = set()
+    txns: dict[str, int] = {}
+    start = 0
+    ckpt = _newest_checkpoint_at_or_below(table, v)
+    if ckpt is not None:
+        with open(_checkpoint_path(table, ckpt)) as f:
+            state = json.load(f)
+        files = set(state["files"])
+        txns = dict(state.get("txns", {}))
+        start = ckpt + 1
+    for cv in vs:
+        if cv < start or cv > v:
+            continue
+        commit = _read_commit(table, cv)
+        for p in commit.get("remove", []):
+            files.discard(p)
+        for p in commit.get("add", []):
+            files.add(p)
+        t = commit.get("txn")
+        if t:
+            txns[t["app_id"]] = t["version"]
+    return {"version": v, "files": sorted(files), "txns": txns}
+
+
+def _try_commit(table: str, v: int, payload: dict) -> bool:
+    """Atomically create version v. True if this writer won the race."""
+    os.makedirs(_log_path(table), exist_ok=True)
+    tmp = _version_file(table, v) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    try:
+        fd = os.open(_version_file(table, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    with os.fdopen(fd, "w") as out, open(tmp) as src:
+        out.write(src.read())
+    os.unlink(tmp)
+    if v > 0 and v % CHECKPOINT_EVERY == 0:
+        state = snapshot(table, v)
+        cp = _checkpoint_path(table, v) + ".tmp"
+        with open(cp, "w") as f:
+            json.dump({"files": state["files"], "txns": state["txns"]}, f)
+        os.replace(cp, _checkpoint_path(table, v))
+    return True
+
+
+def _stage(df: DataFrame, table: str) -> list[str]:
+    """Write df as parquet into a staging dir, move the part files under
+    data/ with unique names, return table-relative paths."""
+    stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rels = []
+    prefix = uuid.uuid4().hex
+    i = 0
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = os.path.join("data", f"{prefix}-{i}.parquet")
+        os.replace(os.path.join(stage, name), os.path.join(table, rel))
+        rels.append(rel)
+        i += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    return rels
+
+
+def _txn_already_applied(table: str, txn: tuple[str, int] | None) -> bool:
+    if txn is None or latest_version(table) is None:
+        return False
+    app_id, t_version = txn
+    return snapshot(table).get("txns", {}).get(app_id, -1) >= t_version
+
+
+def append(
+    df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Atomically append df. Returns the committed version. With
+    ``txn=(app_id, version)``, re-delivery of an already-applied txn is
+    a no-op (exactly-once under writer retries). Concurrent appends
+    never conflict logically — losers retry at the next version."""
+    if _txn_already_applied(table, txn):
+        return latest_version(table)
+    adds = _stage(df, table)
+    payload: dict = {"op": "append", "add": adds, "remove": []}
+    if txn:
+        payload["txn"] = {"app_id": txn[0], "version": txn[1]}
+    for _ in range(max_retries):
+        cur = latest_version(table)
+        v = 0 if cur is None else cur + 1
+        if _try_commit(table, v, payload):
+            return v
+        # lost the race: if our txn landed via another writer, stop
+        if _txn_already_applied(table, txn):
+            for rel in adds:
+                try:
+                    os.unlink(os.path.join(table, rel))
+                except FileNotFoundError:
+                    pass
+            return latest_version(table)
+    raise CommitConflict(f"append to {table} lost {max_retries} races")
+
+
+def overwrite(df: DataFrame, table: str, expected_version: int | None = None) -> int:
+    """Atomically replace the table's contents. ``expected_version``
+    pins the snapshot this overwrite was computed from — if someone
+    commits in between, raise CommitConflict instead of clobbering
+    (optimistic concurrency; the read-modify-write caller retries)."""
+    cur = latest_version(table)
+    if expected_version is not None and cur != expected_version:
+        raise CommitConflict(
+            f"overwrite computed at v{expected_version} but table is at v{cur}"
+        )
+    removes = snapshot(table)["files"] if cur is not None else []
+    adds = _stage(df, table)
+    v = (cur + 1) if cur is not None else 0
+    if not _try_commit(table, v, {"op": "overwrite", "add": adds, "remove": removes}):
+        for rel in adds:
+            try:
+                os.unlink(os.path.join(table, rel))
+            except FileNotFoundError:
+                pass
+        raise CommitConflict(f"overwrite of {table} lost the race at v{v}")
+    return v
+
+
+def read_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read (optionally time-traveled): the file list
+    is fixed at plan time from the log, so concurrent commits (or a
+    compaction) never change or double-count what this plan reads."""
+    snap = snapshot(table, version)
+    if not snap["files"]:
+        raise ValueError(f"{table}@v{snap['version']} is empty")
+    return spark.read.parquet(*[os.path.join(table, f) for f in snap["files"]])
+
+
+def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
+    """Rewrite the current snapshot into ``target_files`` files and
+    commit remove(old)+add(new) atomically. Readers of any version,
+    before or after, see identical rows — only the layout changes.
+    Retries on a lost race (the rewrite is recomputed from the new
+    snapshot)."""
+    for _ in range(5):
+        cur = latest_version(table)
+        snap = snapshot(table, cur)
+        df = spark.read.parquet(*[os.path.join(table, f) for f in snap["files"]])
+        adds = _stage(df.coalesce(target_files), table)
+        if _try_commit(
+            table, cur + 1, {"op": "compact", "add": adds, "remove": snap["files"]}
+        ):
+            return cur + 1
+        for rel in adds:
+            try:
+                os.unlink(os.path.join(table, rel))
+            except FileNotFoundError:
+                pass
+    raise CommitConflict(f"compact of {table} lost 5 races")
+
+
+def vacuum(table: str, retain_versions: int = 2, grace_seconds: float = 0.0) -> list[str]:
+    """Delete data files unreachable from the ``retain_versions`` most
+    recent snapshots (older time travel breaks — the Delta trade-off)
+    and staged files older than ``grace_seconds`` (crashed writers).
+    Returns deleted table-relative paths."""
+    vs = _list_versions(table)
+    keep: set[str] = set()
+    for v in vs[-retain_versions:]:
+        keep.update(snapshot(table, v)["files"])
+    deleted = []
+    data_dir = os.path.join(table, "data")
+    now = time.time()
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join("data", name)
+            full = os.path.join(table, rel)
+            if rel not in keep and now - os.path.getmtime(full) >= grace_seconds:
+                os.unlink(full)
+                deleted.append(rel)
+    for name in list(os.listdir(table)):
+        if name.startswith("_stage-"):
+            full = os.path.join(table, name)
+            if now - os.path.getmtime(full) >= grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(name)
+    return deleted
+
+
+def history(table: str) -> list[dict]:
+    """One dict per commit: version, op, files added/removed."""
+    out = []
+    for v in _list_versions(table):
+        c = _read_commit(table, v)
+        out.append(
+            {
+                "version": v,
+                "op": c.get("op"),
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+            }
+        )
+    return out

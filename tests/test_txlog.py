@@ -1,0 +1,129 @@
+"""Transaction-log table format: atomicity, snapshot isolation, time
+travel, optimistic concurrency, idempotent retries, compaction,
+checkpoint-bounded replay, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.sources import txlog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _ids(spark, table, version=None):
+    return sorted(
+        r.k for r in txlog.read_table(spark, table, version=version).collect()
+    )
+
+
+@pytest.fixture()
+def table():
+    with tempfile.TemporaryDirectory() as d:
+        yield os.path.join(d, "t")
+
+
+def test_append_read_and_time_travel(spark, table):
+    assert txlog.append(_df(spark, 0, 10), table) == 0
+    assert txlog.append(_df(spark, 10, 15), table) == 1
+    assert _ids(spark, table) == list(range(15))
+    assert _ids(spark, table, version=0) == list(range(10))
+    hist = txlog.history(table)
+    assert [h["op"] for h in hist] == ["append", "append"]
+
+
+def test_overwrite_isolates_versions(spark, table):
+    txlog.append(_df(spark, 0, 10), table)
+    v = txlog.overwrite(_df(spark, 100, 103), table)
+    assert v == 1
+    assert _ids(spark, table) == [100, 101, 102]
+    # v0 still reads the pre-overwrite rows (no double count, no loss)
+    assert _ids(spark, table, version=0) == list(range(10))
+
+
+def test_overwrite_conflict_detected(spark, table):
+    txlog.append(_df(spark, 0, 5), table)
+    txlog.append(_df(spark, 5, 8), table)  # someone else commits v1
+    with pytest.raises(txlog.CommitConflict):
+        txlog.overwrite(_df(spark, 100, 101), table, expected_version=0)
+    # table unchanged by the failed overwrite
+    assert _ids(spark, table) == list(range(8))
+
+
+def test_append_race_retries_to_next_version(spark, table):
+    txlog.append(_df(spark, 0, 5), table)
+    # simulate a concurrent writer grabbing v1 before our commit lands
+    os.makedirs(os.path.join(table, txlog.LOG_DIR), exist_ok=True)
+    with open(os.path.join(table, txlog.LOG_DIR, "00000001.json"), "w") as f:
+        json.dump({"op": "append", "add": [], "remove": []}, f)
+    v = txlog.append(_df(spark, 5, 9), table)
+    assert v == 2
+    assert _ids(spark, table) == list(range(9))
+
+
+def test_idempotent_txn_append(spark, table):
+    txlog.append(_df(spark, 0, 5), table, txn=("job-a", 1))
+    v = txlog.append(_df(spark, 0, 5), table, txn=("job-a", 1))  # retry
+    assert v == 0  # no new version
+    assert _ids(spark, table) == list(range(5))
+    # a NEW txn version from the same app does append
+    txlog.append(_df(spark, 5, 7), table, txn=("job-a", 2))
+    assert _ids(spark, table) == list(range(7))
+
+
+def test_compact_preserves_rows_and_bounds_files(spark, table):
+    for i in range(4):
+        txlog.append(_df(spark, i * 10, i * 10 + 10).repartition(3), table)
+    before = txlog.snapshot(table)
+    assert len(before["files"]) >= 8
+    v = txlog.compact(spark, table)
+    after = txlog.snapshot(table)
+    assert len(after["files"]) == 1
+    assert _ids(spark, table) == list(range(40))
+    # pre-compaction version still readable and identical
+    assert _ids(spark, table, version=v - 1) == list(range(40))
+
+
+def test_checkpoint_bounds_replay(spark, table):
+    for i in range(10):  # crosses CHECKPOINT_EVERY=8
+        txlog.append(_df(spark, i, i + 1), table)
+    cps = [n for n in os.listdir(os.path.join(table, txlog.LOG_DIR))
+           if n.endswith(".checkpoint.json")]
+    assert cps == ["00000008.checkpoint.json"]
+    # snapshot built from the checkpoint equals the full-replay truth
+    assert _ids(spark, table) == list(range(10))
+    assert _ids(spark, table, version=8) == list(range(9))
+    # versions below the checkpoint replay from scratch
+    assert _ids(spark, table, version=3) == list(range(4))
+
+
+def test_vacuum_removes_unreachable_keeps_retained(spark, table):
+    txlog.append(_df(spark, 0, 10), table)
+    txlog.overwrite(_df(spark, 100, 105), table)
+    txlog.append(_df(spark, 105, 107), table)
+    # orphan from a crashed writer
+    stage = os.path.join(table, "_stage-deadbeef")
+    os.makedirs(stage)
+    deleted = txlog.vacuum(table, retain_versions=2)
+    assert "_stage-deadbeef" in deleted
+    # v0's files (dropped by the overwrite) are gone
+    assert any(d.startswith("data/") for d in deleted)
+    with pytest.raises(Exception):
+        txlog.read_table(spark, table, version=0).collect()
+    # retained versions read fine
+    assert _ids(spark, table, version=1) == list(range(100, 105))
+    assert _ids(spark, table) == list(range(100, 107))
+
+
+def test_staged_but_uncommitted_is_invisible(spark, table):
+    txlog.append(_df(spark, 0, 5), table)
+    # a crashed writer staged files but never committed
+    txlog._stage(_df(spark, 50, 60), table)
+    # staged files live under data/ but are NOT in any snapshot
+    assert _ids(spark, table) == list(range(5))
