@@ -915,6 +915,71 @@ def hamming_near_dup_pairs(
     )
 
 
+def hamming_near_dup_pairs_chunked(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    value_col: str = "ph",
+    n_bits: int = 63,
+    max_hamming: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """hamming_near_dup_pairs generalized to ANY radius with guaranteed
+    recall: the hash is ONE non-negative BIGINT of ``n_bits`` (<= 63),
+    pigeonholed into ``max_hamming + 1`` chunks — a pair within the
+    radius must agree on at least one chunk — bucket-joined on
+    (chunk, value), then verified with one exact bit_count(xor).
+
+    Scale: (max_hamming + 1) rows per item into an equi-join, hot
+    buckets capped by the shared mechanism; radius buys block rows
+    linearly, never pair work quadratically."""
+    n_chunks = max_hamming + 1
+    width = -(-n_bits // n_chunks)
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col(value_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(value_col).alias("_v")
+    )
+    chunks = h.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftright(F.col("_v"), width * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for j in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "ck.chunk", "ck.val")
+    chunks = _cap_buckets(chunks, ["chunk", "val"], "_id", max_bucket_size)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ha = h.select(F.col("_id").alias("id_a"), F.col("_v").alias("_v_a"))
+    hb = h.select(F.col("_id").alias("id_b"), F.col("_v").alias("_v_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_v_a").bitwiseXOR(F.col("_v_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def duplicated_char_spans(
     df: DataFrame,
     min_len: int = 30,

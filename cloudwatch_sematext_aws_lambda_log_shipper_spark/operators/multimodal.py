@@ -413,6 +413,115 @@ def dhash_images(
     return df.select(id_col, media_col).mapInPandas(fn, DHASH_SCHEMA)
 
 
+# DCT-II basis scaled by 2^14, embedded as LITERALS (not recomputed via
+# cos() at runtime) so the Python operator and any SQL oracle use the
+# byte-identical matrix — the whole pHash pipeline is then pure integer
+# arithmetic, engine-exact like dHash.
+DCT8_Q14 = [
+    [16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384],
+    [16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069],
+    [15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137],
+    [13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623],
+    [11585, -11585, -11585, 11585, 11585, -11585, -11585, 11585],
+    [9102, -16069, 3196, 13623, -13623, -3196, 16069, -9102],
+    [6270, -15137, 15137, -6270, -6270, 15137, -15137, 6270],
+    [3196, -9102, 13623, -16069, 16069, -13623, 9102, -3196],
+]
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ph_hi", T.LongType()),  # AC bits 0..31 (non-neg)
+        T.StructField("ph_lo", T.LongType()),  # AC bits 32..62
+    ]
+)
+
+
+def _phash_grid(g3, w: int, h: int) -> tuple[int, int]:
+    """Frequency-domain perceptual hash of a luminance grid: 8x8
+    average-pool (exact — region sums normalized by LCM-scaled integer
+    factors, never a lossy division), integer 2D DCT-II (the Q14
+    literal basis), then bit i = AC_i > median(AC) over the 63 AC
+    coefficients (median = 32nd smallest, exact integer compare)."""
+    import numpy as np
+
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(9) * w) // 8
+    sums = np.empty((8, 8), dtype=np.int64)
+    counts = np.empty((8, 8), dtype=np.int64)
+    for u in range(8):
+        for v in range(8):
+            blk = g3[rb[u]:rb[u + 1], cb[v]:cb[v + 1]]
+            sums[u, v] = int(blk.sum())
+            counts[u, v] = blk.size
+    lcm = int(np.lcm.reduce(np.unique(counts)))
+    pooled = sums * (lcm // counts)
+    c = np.array(DCT8_Q14, dtype=np.int64)
+    d = c @ pooled @ c.T  # exact: |D| < 8*8*2^28 * pooled_max << 2^63
+    ac = d.ravel()[1:]
+    thr = np.sort(ac)[31]
+    bits = (ac > thr).astype(np.int64)
+    hi = int((bits[:32] << np.arange(32)).sum())
+    lo = int((bits[32:] << np.arange(31)).sum())
+    return hi, lo
+
+
+def _phash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
+    """64-bit-class DCT pHash of one P6 or baseline-JPEG image — the
+    frequency-domain companion to _dhash_one: robust to uniform
+    brightness/contrast-preserving changes dHash also survives, plus
+    high-frequency noise dHash flips on (low-pass: only the pooled
+    8x8 spectrum's coefficients vote)."""
+    import numpy as np
+
+    m = _PPM_HEADER.match(data)
+    if not m:
+        if data[:2] == b"\xff\xd8":
+            from .jpeg_baseline import decode_baseline_jpeg
+
+            try:
+                rgb = decode_baseline_jpeg(data)
+            except (ValueError, NotImplementedError):
+                return None, None
+            h, w = rgb.shape[:2]
+            if w < 8 or h < 8:
+                return None, None
+            g3 = rgb.astype(np.int64).sum(axis=2)
+            return _phash_grid(g3, w, h)
+        return None, None
+    w, h = int(m.group(1)), int(m.group(2))
+    need = w * h * 3
+    if len(data) - m.end() < need or w < 8 or h < 8:
+        return None, None
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=m.end())
+    g3 = px.reshape(h, w, 3).astype(np.int64).sum(axis=2)
+    return _phash_grid(g3, w, h)
+
+
+def phash_images(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """binary -> (media_id, ph_hi, ph_lo) DCT perceptual hash,
+    Arrow-batched; composes with hamming_near_dup_pairs via
+    hi_col='ph_hi', lo_col='ph_lo'. Undecodable media hashes to null."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _phash_one(bytes(b)) if b is not None else (None, None)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "ph_hi": [t[0] for t in hashes],
+                    "ph_lo": [t[1] for t in hashes],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, PHASH_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

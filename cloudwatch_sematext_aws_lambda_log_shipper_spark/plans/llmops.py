@@ -2122,18 +2122,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import dhash_images
 
     docs = _docs(spark, sf_dir)
-    # ~4 docs per visual group at ANY scale (group count tracks corpus
-    # size), so the pair output stays linear in the corpus. Synthesis
-    # runs vectorized inside Arrow batches (numpy, one md5 chain per
-    # GROUP memoized per task) — an interpreted per-byte HOF build of
-    # the same bytes measured ~10x slower. The bytes are a pure
-    # function of doc_id and the corpus count, so the oracle recomputes
-    # them in SQL.
+    imgs = _synth_ppm_images(docs)
+    return hamming_near_dup_pairs(
+        dhash_images(imgs), max_bucket_size=None
+    )
+
+
+def _synth_ppm_images(docs: DataFrame, docs_per_group: int = 4) -> DataFrame:
+    """(media_id, media) frame of real 18x16 P6 images: pattern bytes
+    from md5 of the doc's visual group (doc_id % n_groups), plus a few
+    per-doc byte perturbations. ~docs_per_group docs per group at ANY
+    scale (group count tracks corpus size), so downstream pair output
+    stays linear in the corpus. Synthesis runs vectorized inside Arrow
+    batches (numpy, one md5 chain per GROUP memoized per task) — an
+    interpreted per-byte HOF build of the same bytes measured ~10x
+    slower. The bytes are a pure function of doc_id and the corpus
+    count, so SQL oracles recompute them arithmetically."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    n_groups = max(1, docs.count() // 4)
+    n_groups = max(1, docs.count() // docs_per_group)
 
     def synth(batches):
         import hashlib
@@ -2164,7 +2173,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 media.append(header + val.astype(np.uint8).tobytes())
             yield pd.DataFrame({"media_id": pdf["media_id"], "media": media})
 
-    imgs = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+    return docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
         synth,
         T.StructType(
             [
@@ -2172,9 +2181,6 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("media", T.BinaryType()),
             ]
         ),
-    )
-    return hamming_near_dup_pairs(
-        dhash_images(imgs), max_bucket_size=None
     )
 
 
@@ -3938,3 +3944,110 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "n_tokens", "bin_offset", "bin_id"
     ).join(dsir, "doc_id")
+
+
+def _phash_dct_oracle() -> str:
+    """Brute-force DCT-pHash oracle, generated: resynthesize the 18x16
+    P6 bytes arithmetically (same CTEs as the dHash oracle), replay the
+    EXACT integer pHash pipeline — luminance, LCM-normalized 8x8 pool,
+    two passes against the Q14 DCT literal basis, median-threshold bits
+    — then compare ALL pairs at Hamming <= 8. The engine's 9-chunk
+    pigeonhole blocking must reproduce this pair set exactly (chunks =
+    radius + 1 guarantees recall)."""
+    from ..operators.multimodal import DCT8_Q14
+
+    # fixed 18x16 geometry: row starts every 2; col starts/widths from
+    # (arange(9)*18)//8; counts in {4,6} px -> LCM 12 -> factor 3 or 2
+    col_off = [0, 2, 4, 6, 9, 11, 13, 15]
+    col_wid = [2, 2, 2, 3, 2, 2, 2, 3]
+    p_exprs = []
+    for u in range(8):
+        for v in range(8):
+            terms = []
+            for dy in range(2):
+                for dx in range(col_wid[v]):
+                    j = (u * 2 + dy) * 18 + col_off[v] + dx
+                    terms.append(f"lm[{j + 1}]")
+            factor = 12 // (2 * col_wid[v])
+            p_exprs.append(f"{factor} * ({' + '.join(terms)})")
+    t_exprs = []  # t[r*8+v] = sum_c C[v][c] * p[r*8+c]
+    for r in range(8):
+        for v in range(8):
+            terms = [f"({DCT8_Q14[v][c]}::BIGINT) * pl[{r * 8 + c + 1}]" for c in range(8)]
+            t_exprs.append(" + ".join(terms))
+    d_exprs = []  # d[u*8+v] = sum_r C[u][r] * t[r*8+v]
+    for u in range(8):
+        for v in range(8):
+            terms = [f"({DCT8_Q14[u][r]}::BIGINT) * tl[{r * 8 + v + 1}]" for r in range(8)]
+            d_exprs.append(" + ".join(terms))
+    return f"""
+WITH g0 AS (
+  SELECT doc_id,
+         doc_id % greatest(1, (SELECT count(*) // 4 FROM documents)) AS grp
+  FROM documents
+), hx AS (
+  SELECT doc_id,
+         array_to_string([md5(CAST(grp AS VARCHAR) || ':' || CAST(b AS VARCHAR))
+                          for b in range(0, 81)], '') AS hs
+  FROM g0
+), b AS (
+  SELECT doc_id,
+         [32 + 4 * (ascii(substr(hs, k + 1, 1))
+                    - CASE WHEN ascii(substr(hs, k + 1, 1)) >= 97 THEN 87 ELSE 48 END)
+              + CASE WHEN (k + doc_id * 31) % 191 = 0 THEN 31 ELSE 0 END
+          for k in range(0, 2592)] AS bv
+  FROM hx
+), lum AS (
+  SELECT doc_id,
+         [bv[3*j + 1] + bv[3*j + 2] + bv[3*j + 3] for j in range(0, 288)] AS lm
+  FROM b
+), p AS (
+  SELECT doc_id, [{', '.join(p_exprs)}] AS pl FROM lum
+), t AS (
+  SELECT doc_id, [{', '.join(t_exprs)}] AS tl FROM p
+), d AS (
+  SELECT doc_id, [{', '.join(d_exprs)}] AS dl FROM t
+), thr AS (
+  SELECT doc_id, dl[2:64] AS ac, list_sort(dl[2:64])[32] AS th FROM d
+), hashes AS (
+  SELECT doc_id,
+         list_sum([CASE WHEN ac[i + 1] > th THEN (1::BIGINT << i)
+                        ELSE 0::BIGINT END for i in range(0, 63)]) AS v
+  FROM thr
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 8
+"""
+
+
+@query("multimodal_phash_dct_neardup", _phash_dct_oracle())
+def multimodal_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain perceptual image near-dup under the hash
+    oracle: the classic DCT pHash, made engine-exact — luminance grid,
+    LCM-normalized integer 8x8 average-pool, integer 2D DCT-II against
+    a Q14 literal basis, 63 AC bits thresholded at their exact median.
+    Perturbed same-group images land <= 8 bits apart; cross-group
+    images measure >= 14 (prototyped at test SF), so the Hamming-8 pair
+    set is exactly the visual-group structure. The oracle resynthesizes
+    the bytes AND replays the full integer DCT pipeline in SQL, then
+    brute-forces all pairs.
+
+    Scale: pHash is one Arrow-batched narrow pass; pairs come from the
+    radius-generalized pigeonhole (9 chunks of 7 bits — chunks =
+    radius + 1 keeps recall exact), an equi-join that scales linearly
+    in rows, never the oracle's all-pairs scan."""
+    from ..operators.dedup import hamming_near_dup_pairs_chunked
+    from ..operators.multimodal import phash_images
+
+    docs = _docs(spark, sf_dir)
+    ph = phash_images(_synth_ppm_images(docs)).select(
+        "media_id",
+        (
+            F.col("ph_hi") + F.shiftleft(F.col("ph_lo"), 32)
+        ).alias("ph"),
+    )
+    return hamming_near_dup_pairs_chunked(
+        ph, value_col="ph", n_bits=63, max_hamming=8, max_bucket_size=None
+    )
