@@ -93,3 +93,64 @@ def pagerank(
         F.col("s").alias("pr_scaled"),
         (F.col("s").cast("double") / F.lit(float(MASS))).alias("pr"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made deterministic: every node starts as its own
+    label; each iteration every node adopts the label with the highest
+    neighbor vote, ties broken toward the SMALLEST label; updates are
+    synchronous (classic LPA updates asynchronously in random order —
+    unreplayable). The argmax is one integer max_by key
+    ``(count << 32) - label``, so the whole run is exact integer
+    arithmetic any engine replays step for step.
+
+    Input edges are treated as undirected (symmetrized here), and every
+    node casts one vote for its OWN current label (a self-loop): pure
+    synchronous LPA 2-cycles on bipartite-ish structures (a 3-node path
+    oscillates forever); the self-vote damps the oscillation and the
+    run converges in practice.
+    Output: (node, community) after ``n_iter`` rounds.
+
+    Scale: per iteration one state⋈edges equi-join + two map-side-
+    combinable aggregates; state is one long per node; lineage cut per
+    iteration (the pagerank lesson). Driver holds nothing.
+    """
+    fwd = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e = (
+        fwd.unionByName(
+            fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("_src").alias("node")).distinct().localCheckpoint(eager=True)
+    e = e.unionByName(
+        nodes.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
+    ).localCheckpoint(eager=True)
+    state = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(n_iter):
+        votes = (
+            state.join(e, state.node == e._src)
+            .groupBy(F.col("_dst").alias("vnode"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        upd = votes.groupBy("vnode").agg(
+            F.max_by(
+                "lbl", F.shiftleft(F.col("c"), 32) - F.col("lbl")
+            ).alias("new_lbl")
+        )
+        state = (
+            state.join(upd, state.node == upd.vnode, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", F.col("lbl").alias("community"))

@@ -4051,3 +4051,70 @@ def multimodal_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs_chunked(
         ph, value_col="ph", n_bits=63, max_hamming=8, max_bucket_size=None
     )
+
+
+def _label_prop_oracle(n_iter: int = 5) -> str:
+    """Chained-CTE replay of synchronous min-tie label propagation over
+    the exact cosine-threshold graph (edge SQL shared with
+    embedding_neardup_cosine)."""
+    parts = [
+        """WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.45
+), ed AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION ALL
+  SELECT id_b, id_a FROM e0
+), n AS (SELECT DISTINCT src AS node FROM ed),
+eds AS (
+  SELECT src, dst FROM ed
+  UNION ALL
+  SELECT node, node FROM n
+),
+s0 AS (SELECT node, node AS lbl FROM n)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""v{t} AS (
+  SELECT eds.dst AS vnode, s.lbl, count(*) AS c
+  FROM eds JOIN s{t-1} s ON eds.src = s.node GROUP BY eds.dst, s.lbl
+), u{t} AS (
+  SELECT vnode, max_by(lbl, (c::BIGINT << 32) - lbl) AS lbl FROM v{t} GROUP BY vnode
+), s{t} AS (
+  SELECT s.node, coalesce(u.lbl, s.lbl) AS lbl
+  FROM s{t-1} s LEFT JOIN u{t} u ON s.node = u.vnode
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS vec_id, lbl AS community FROM s{n_iter}"
+    )
+
+
+@query("embedding_label_propagation", _label_prop_oracle())
+def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the exact cosine-threshold similarity
+    graph by deterministic synchronous label propagation (5 rounds,
+    min-label ties) — groups of mutually-similar vectors collapse to
+    one community id, a coarser signal than pairwise near-dup and a
+    canonical-selection key like the MinHash cluster path. The oracle
+    replays all 5 voting rounds as chained CTEs (the fourth iterative
+    algorithm under the hash gate, after BPE, k-center and the GD
+    probe).
+
+    Scale: the edge build is the blocked-GEMM exact path (swap in the
+    ANN graph for billions of vectors); each round is one equi-join +
+    two map-side-combined aggregates on integer state."""
+    from ..operators.graph import label_propagation
+
+    edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.45).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return label_propagation(edges, n_iter=5).select(
+        F.col("node").alias("vec_id"), "community"
+    )
