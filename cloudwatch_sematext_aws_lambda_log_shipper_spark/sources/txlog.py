@@ -100,23 +100,24 @@ def _newest_checkpoint_at_or_below(table: str, v: int) -> int | None:
 
 def snapshot(table: str, version: int | None = None) -> dict:
     """Replay the log to ``version`` (default: latest). Returns
-    {"version", "files": [relpaths], "txns": {app_id: last_txn_version}}.
-    Starts from the newest checkpoint <= version so replay cost is
-    bounded at CHECKPOINT_EVERY commits regardless of table age."""
+    {"version", "files": [relpaths], "meta": {relpath: {partition,
+    stats}}, "txns": {app_id: last_txn_version}}. Starts from the
+    newest checkpoint <= version so replay cost is bounded at
+    CHECKPOINT_EVERY commits regardless of table age."""
     vs = _list_versions(table)
     if not vs:
         raise FileNotFoundError(f"not a txlog table (no {LOG_DIR}): {table}")
     v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(f"version {v} does not exist (have {vs[0]}..{vs[-1]})")
-    files: set[str] = set()
+    meta: dict[str, dict] = {}
     txns: dict[str, int] = {}
     start = 0
     ckpt = _newest_checkpoint_at_or_below(table, v)
     if ckpt is not None:
         with open(_checkpoint_path(table, ckpt)) as f:
             state = json.load(f)
-        files = set(state["files"])
+        meta = dict(state["meta"])
         txns = dict(state.get("txns", {}))
         start = ckpt + 1
     for cv in vs:
@@ -124,13 +125,16 @@ def snapshot(table: str, version: int | None = None) -> dict:
             continue
         commit = _read_commit(table, cv)
         for p in commit.get("remove", []):
-            files.discard(p)
-        for p in commit.get("add", []):
-            files.add(p)
+            meta.pop(p, None)
+        for a in commit.get("add", []):
+            meta[a["path"]] = {
+                "partition": a.get("partition"),
+                "stats": a.get("stats"),
+            }
         t = commit.get("txn")
         if t:
             txns[t["app_id"]] = t["version"]
-    return {"version": v, "files": sorted(files), "txns": txns}
+    return {"version": v, "files": sorted(meta), "meta": meta, "txns": txns}
 
 
 def _try_commit(table: str, v: int, payload: dict) -> bool:
@@ -151,30 +155,98 @@ def _try_commit(table: str, v: int, payload: dict) -> bool:
         state = snapshot(table, v)
         cp = _checkpoint_path(table, v) + ".tmp"
         with open(cp, "w") as f:
-            json.dump({"files": state["files"], "txns": state["txns"]}, f)
+            json.dump({"meta": state["meta"], "txns": state["txns"]}, f)
         os.replace(cp, _checkpoint_path(table, v))
     return True
 
 
-def _stage(df: DataFrame, table: str) -> list[str]:
+def _file_stats(path: str, stats_cols: list[str] | None) -> dict | None:
+    """Per-file zone map from the parquet FOOTER (no data scan): exact
+    min/max per requested column, merged across row groups. None values
+    in a row group disable that column's bound (conservative)."""
+    if not stats_cols:
+        return None
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out = {}
+    for col in stats_cols:
+        if col not in names:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[col]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[col] = [
+                lo.isoformat() if hasattr(lo, "isoformat") else lo,
+                hi.isoformat() if hasattr(hi, "isoformat") else hi,
+            ]
+    return out or None
+
+
+def _stage(
+    df: DataFrame,
+    table: str,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> list[dict]:
     """Write df as parquet into a staging dir, move the part files under
-    data/ with unique names, return table-relative paths."""
+    data/ with unique names, return per-file action dicts:
+    {"path": rel, "partition": {col: value} | None, "stats": zonemap}.
+
+    With ``partition_by``, one directory per value (hive layout in the
+    stage) becomes per-file partition metadata in the LOG — readers
+    prune on it without listing directories (the Delta/Iceberg move:
+    partitioning is metadata, not filesystem layout)."""
     stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(stage)
     data_dir = os.path.join(table, "data")
     os.makedirs(data_dir, exist_ok=True)
-    rels = []
+    actions: list[dict] = []
     prefix = uuid.uuid4().hex
     i = 0
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet"):
-            continue
+    units: list[tuple[str, dict | None]] = []
+    if partition_by:
+        for d in sorted(os.listdir(stage)):
+            if "=" not in d:
+                continue
+            key, _, raw = d.partition("=")
+            from urllib.parse import unquote
+
+            pval = {key: unquote(raw)}
+            for name in sorted(os.listdir(os.path.join(stage, d))):
+                if name.endswith(".parquet"):
+                    units.append((os.path.join(d, name), pval))
+    else:
+        units = [
+            (name, None)
+            for name in sorted(os.listdir(stage))
+            if name.endswith(".parquet")
+        ]
+    for src_rel, pval in units:
         rel = os.path.join("data", f"{prefix}-{i}.parquet")
-        os.replace(os.path.join(stage, name), os.path.join(table, rel))
-        rels.append(rel)
+        full = os.path.join(table, rel)
+        os.replace(os.path.join(stage, src_rel), full)
+        actions.append(
+            {
+                "path": rel,
+                "partition": pval,
+                "stats": _file_stats(full, stats_cols),
+            }
+        )
         i += 1
     shutil.rmtree(stage, ignore_errors=True)
-    return rels
+    return actions
 
 
 def _txn_already_applied(table: str, txn: tuple[str, int] | None) -> bool:
@@ -184,19 +256,32 @@ def _txn_already_applied(table: str, txn: tuple[str, int] | None) -> bool:
     return snapshot(table).get("txns", {}).get(app_id, -1) >= t_version
 
 
+def _unstage(table: str, adds: list[dict]) -> None:
+    for a in adds:
+        try:
+            os.unlink(os.path.join(table, a["path"]))
+        except FileNotFoundError:
+            pass
+
+
 def append(
     df: DataFrame,
     table: str,
     txn: tuple[str, int] | None = None,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
     max_retries: int = 20,
 ) -> int:
     """Atomically append df. Returns the committed version. With
     ``txn=(app_id, version)``, re-delivery of an already-applied txn is
     a no-op (exactly-once under writer retries). Concurrent appends
-    never conflict logically — losers retry at the next version."""
+    never conflict logically — losers retry at the next version.
+    ``partition_by`` records per-file partition values, ``stats_cols``
+    per-file footer min/max zone maps — both land in the LOG, so
+    read_table prunes on them driver-side without touching data."""
     if _txn_already_applied(table, txn):
         return latest_version(table)
-    adds = _stage(df, table)
+    adds = _stage(df, table, partition_by=partition_by, stats_cols=stats_cols)
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if txn:
         payload["txn"] = {"app_id": txn[0], "version": txn[1]}
@@ -207,16 +292,18 @@ def append(
             return v
         # lost the race: if our txn landed via another writer, stop
         if _txn_already_applied(table, txn):
-            for rel in adds:
-                try:
-                    os.unlink(os.path.join(table, rel))
-                except FileNotFoundError:
-                    pass
+            _unstage(table, adds)
             return latest_version(table)
     raise CommitConflict(f"append to {table} lost {max_retries} races")
 
 
-def overwrite(df: DataFrame, table: str, expected_version: int | None = None) -> int:
+def overwrite(
+    df: DataFrame,
+    table: str,
+    expected_version: int | None = None,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Atomically replace the table's contents. ``expected_version``
     pins the snapshot this overwrite was computed from — if someone
     commits in between, raise CommitConflict instead of clobbering
@@ -227,50 +314,120 @@ def overwrite(df: DataFrame, table: str, expected_version: int | None = None) ->
             f"overwrite computed at v{expected_version} but table is at v{cur}"
         )
     removes = snapshot(table)["files"] if cur is not None else []
-    adds = _stage(df, table)
+    adds = _stage(df, table, partition_by=partition_by, stats_cols=stats_cols)
     v = (cur + 1) if cur is not None else 0
     if not _try_commit(table, v, {"op": "overwrite", "add": adds, "remove": removes}):
-        for rel in adds:
-            try:
-                os.unlink(os.path.join(table, rel))
-            except FileNotFoundError:
-                pass
+        _unstage(table, adds)
         raise CommitConflict(f"overwrite of {table} lost the race at v{v}")
     return v
 
 
+def _might_match(meta: dict, filters: list[tuple[str, str, object]]) -> bool:
+    """Conservative file-level predicate: False ONLY when the file's
+    log metadata PROVES no row can match (superset guarantee — Spark
+    re-applies the row filter, so pruning never changes results)."""
+    for col, op, val in filters:
+        part = (meta.get("partition") or {})
+        if col in part:
+            pv = part[col]
+            sval = str(val)
+            if op == "=" and pv != sval:
+                return False
+            if op == "<=" and pv > sval:
+                return False
+            if op == ">=" and pv < sval:
+                return False
+            continue
+        st = (meta.get("stats") or {}).get(col)
+        if st is None:
+            continue
+        lo, hi = st
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == ">=" and hi < val:
+            return False
+    return True
+
+
+def pruned_files(
+    table: str,
+    filters: list[tuple[str, str, object]],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(surviving relpaths, total files in snapshot) after driver-side
+    partition + zone-map pruning — metadata only, no data touched."""
+    snap = snapshot(table, version)
+    keep = [f for f in snap["files"] if _might_match(snap["meta"][f], filters)]
+    return keep, len(snap["files"])
+
+
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read (optionally time-traveled): the file list
     is fixed at plan time from the log, so concurrent commits (or a
-    compaction) never change or double-count what this plan reads."""
+    compaction) never change or double-count what this plan reads.
+
+    ``filters`` = [(col, op, value), ...] with op in {=, <=, >=}:
+    driver-side pruning against the log's per-file partition values and
+    parquet-footer zone maps — files that provably contain no matching
+    row never enter the scan. Pruning is a superset guarantee; apply
+    the real row filter on the returned frame as usual."""
     snap = snapshot(table, version)
-    if not snap["files"]:
-        raise ValueError(f"{table}@v{snap['version']} is empty")
-    return spark.read.parquet(*[os.path.join(table, f) for f in snap["files"]])
+    keep = snap["files"]
+    if filters:
+        keep = [f for f in keep if _might_match(snap["meta"][f], filters)]
+    if not keep:
+        raise ValueError(
+            f"{table}@v{snap['version']}: no files"
+            + (f" survive {filters}" if filters else "")
+        )
+    # Hive-style staging drops partition columns from the data files;
+    # re-attach them from the LOG metadata (as strings — the metadata
+    # type), one literal per partition-value group of files.
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for f in keep:
+        part = snap["meta"][f].get("partition") or {}
+        groups.setdefault(tuple(sorted(part.items())), []).append(f)
+    out = None
+    for part_items, files in sorted(groups.items()):
+        df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+        for col, val in part_items:
+            df = df.withColumn(col, F.lit(val))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
-def compact(spark: SparkSession, table: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    table: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Rewrite the current snapshot into ``target_files`` files and
     commit remove(old)+add(new) atomically. Readers of any version,
     before or after, see identical rows — only the layout changes.
     Retries on a lost race (the rewrite is recomputed from the new
-    snapshot)."""
+    snapshot). Partition metadata does not survive compaction (the
+    rewrite coalesces across partitions); pass ``stats_cols`` to keep
+    zone maps on the compacted files."""
     for _ in range(5):
         cur = latest_version(table)
         snap = snapshot(table, cur)
         df = spark.read.parquet(*[os.path.join(table, f) for f in snap["files"]])
-        adds = _stage(df.coalesce(target_files), table)
+        adds = _stage(df.coalesce(target_files), table, stats_cols=stats_cols)
         if _try_commit(
             table, cur + 1, {"op": "compact", "add": adds, "remove": snap["files"]}
         ):
             return cur + 1
-        for rel in adds:
-            try:
-                os.unlink(os.path.join(table, rel))
-            except FileNotFoundError:
-                pass
+        _unstage(table, adds)
     raise CommitConflict(f"compact of {table} lost 5 races")
 
 

@@ -127,3 +127,59 @@ def test_staged_but_uncommitted_is_invisible(spark, table):
     txlog._stage(_df(spark, 50, 60), table)
     # staged files live under data/ but are NOT in any snapshot
     assert _ids(spark, table) == list(range(5))
+
+
+def test_partition_pruning_from_log_metadata(spark, table):
+    df = spark.range(0, 100).selectExpr("id AS k", "CAST(id % 4 AS STRING) AS part")
+    txlog.append(df.repartition(4, "part"), table, partition_by="part")
+    keep, total = txlog.pruned_files(table, [("part", "=", "2")])
+    assert total >= 4 and len(keep) < total
+    got = sorted(
+        r.k
+        for r in txlog.read_table(spark, table, filters=[("part", "=", "2")])
+        .filter("part = '2'")
+        .collect()
+    )
+    assert got == [k for k in range(100) if k % 4 == 2]
+
+
+def test_zone_map_pruning_skips_disjoint_files(spark, table):
+    # three appends with disjoint k ranges -> three zone-mapped files
+    for lo in (0, 1000, 2000):
+        txlog.append(
+            _df(spark, lo, lo + 100).coalesce(1), table, stats_cols=["k"]
+        )
+    keep, total = txlog.pruned_files(table, [("k", ">=", 1000), ("k", "<=", 1099)])
+    assert total == 3 and len(keep) == 1
+    got = sorted(
+        r.k
+        for r in txlog.read_table(
+            spark, table, filters=[("k", ">=", 1000), ("k", "<=", 1099)]
+        ).collect()
+    )
+    assert got == list(range(1000, 1100))
+    # equality point lookup prunes to the one file too
+    keep2, _ = txlog.pruned_files(table, [("k", "=", 2050)])
+    assert len(keep2) == 1
+
+
+def test_pruning_is_superset_never_wrong(spark, table):
+    # overlapping ranges: pruning may keep extra files but must never
+    # drop a matching row
+    txlog.append(_df(spark, 0, 60).coalesce(1), table, stats_cols=["k"])
+    txlog.append(_df(spark, 40, 120).coalesce(1), table, stats_cols=["k"])
+    keep, total = txlog.pruned_files(table, [("k", "=", 50)])
+    assert len(keep) == 2  # both files can contain 50
+    got = txlog.read_table(spark, table, filters=[("k", "=", 50)]).filter(
+        "k = 50"
+    ).count()
+    assert got == 2
+
+
+def test_stats_survive_checkpoint_replay(spark, table):
+    for i in range(10):  # crosses the checkpoint boundary
+        txlog.append(
+            _df(spark, i * 100, i * 100 + 100).coalesce(1), table, stats_cols=["k"]
+        )
+    keep, total = txlog.pruned_files(table, [("k", ">=", 950)])
+    assert total == 10 and len(keep) == 1
