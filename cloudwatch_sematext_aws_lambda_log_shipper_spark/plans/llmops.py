@@ -4118,3 +4118,59 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, n_iter=5).select(
         F.col("node").alias("vec_id"), "community"
     )
+
+
+_CDC_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+), pos AS (
+  SELECT doc_id, i AS p, substr(text, i, 16) AS wdw
+  FROM d, unnest(generate_series(1, greatest(n - 15, 0))) AS t(i)
+), bnd AS (
+  SELECT doc_id, p + 15 AS cut
+  FROM pos
+  WHERE substr(md5(wdw), 1, 1) = '0'
+    AND substr(md5(wdw), 2, 1) IN ('0', '1', '2', '3')
+), cuts AS (
+  SELECT doc_id, cut FROM bnd
+  UNION
+  SELECT doc_id, n FROM d WHERE n > 0
+), chunks AS (
+  SELECT doc_id,
+         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) + 1
+           AS cstart,
+         cut AS cend
+  FROM cuts
+), content AS (
+  SELECT c.doc_id, cend - cstart + 1 AS clen,
+         md5(substr(d.text, cstart, cend - cstart + 1)) AS fp
+  FROM chunks c JOIN d USING (doc_id)
+), fpc AS (
+  SELECT fp, count(DISTINCT doc_id) AS dc FROM content GROUP BY fp
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(SUM(CASE WHEN dc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(SUM(CASE WHEN dc >= 2 THEN clen ELSE 0 END) AS BIGINT)
+         AS shared_chars
+FROM content JOIN fpc USING (fp)
+GROUP BY doc_id
+"""
+
+
+@query("doc_cdc_dedup_stats", _CDC_ORACLE)
+def doc_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup report (Rabin/LBFS family): each
+    document cut at md5-boundary positions (1/64 rate, window 16), then
+    every chunk fingerprinted and counted across documents — the exact
+    storage dedup a CDC chunk-store achieves, and byte-exact shared-
+    passage detection that survives insertions (fixed-size chunking
+    does not; the word-gram span detectors see tokens, not bytes).
+
+    Scale: the position explode is narrow and filters to ~1/64
+    immediately; shuffles are the sparse per-doc cut window and the
+    fingerprint-count aggregate."""
+    from ..operators.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(spark, sf_dir))
