@@ -4174,3 +4174,61 @@ def doc_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import cdc_dedup_stats
 
     return cdc_dedup_stats(_docs(spark, sf_dir))
+
+
+_READABILITY_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, source, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+FROM c WHERE n_words > 0
+"""
+
+
+@query("doc_readability", _READABILITY_ORACLE)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from pure integer counts
+    (whitespace words, [.!?]+ sentence ends, vowel-group syllables —
+    the classic heuristic without a dictionary): a quality/complexity
+    stratification signal alongside the LM and repetition filters. The
+    formula runs on doubles of EXACT integer counts in one fixed
+    expression order, rounded to 6 — engine-identical.
+
+    Scale: one narrow regexp pass, no shuffle at all."""
+    docs = _docs(spark, sf_dir)
+    c = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        ).alias("n_sentences"),
+        F.greatest(
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+            ),
+            F.lit(1),
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6) * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )

@@ -370,6 +370,24 @@ def test_temperature_mixture_rebalances_head_and_tail(spark):
     assert b != a and len(b) == len(a)
 
 
+def test_readability_orders_simple_above_dense(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import llmops  # noqa: F401
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import QUERIES
+
+    import tempfile, os
+    rows = [
+        Row(doc_id=1, source="a", lang="en", n_chars=30,
+            text="The cat sat. The dog ran. We go."),
+        Row(doc_id=2, source="a", lang="en", n_chars=80,
+            text="Incomprehensibility characterizes multisyllabic terminological proliferation"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in QUERIES["doc_readability"](spark, d).collect()}
+    assert out[1].n_sentences == 3
+    assert out[1].flesch > out[2].flesch  # short sentences read easier
+
+
 # --- benchmark decontamination ------------------------------------------
 
 
