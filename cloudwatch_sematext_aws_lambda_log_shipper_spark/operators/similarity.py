@@ -1248,6 +1248,81 @@ def kcenter_sample(
     return out
 
 
+def mmr_select(
+    corpus: DataFrame,
+    query_u: list[float],
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, float | None]]:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) — the relevance-vs-redundancy greedy behind diverse retrieval
+    and diverse few-shot/context selection: step 1 takes the most
+    query-relevant vector; every further step takes
+    argmax[ lam*rel(c) - (1-lam)*max_sim(c, selected) ].
+    Returns [(step, center_id, score)] (score None for the seed — a
+    pure relevance pick).
+
+    Determinism: the k-center contract — elementwise-normalized
+    vectors, sequential-fold dots, fixed expression order
+    (lam*rel - (1-lam)*ms), (score DESC, id) argmax — so a chained-CTE
+    SQL oracle replays every step bit-for-bit. Selected points are
+    excluded BY IDENTITY (their running max-sim pins to 1e9), never by
+    float comparison.
+
+    Scale per step: one narrow pass folding the running max-similarity
+    with the new center (a broadcast-as-literal constant) plus a
+    TakeOrdered(1) argmax; driver holds only the selected vectors.
+    ``query_u`` must already be unit-normalized (use the same
+    greatest(norm, 1e-12) guard).
+    """
+    if k <= 0:
+        return []
+    raw = corpus.select(
+        F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_e")
+    )
+    normed = raw.withColumn(
+        "_n", F.greatest(F.sqrt(dot(F.col("_e"), F.col("_e"))), F.lit(1e-12))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_u])
+    base = normed.select(
+        "_id",
+        F.transform(F.col("_e"), lambda x: x / F.col("_n")).alias("_u"),
+    ).withColumn("_rel", dot(F.col("_u"), qlit))
+
+    seeds = base.orderBy(F.col("_rel").desc(), "_id").limit(1).collect()
+    if not seeds:
+        return []
+    seed = seeds[0]
+    out: list[tuple[int, int, float | None]] = [(1, seed["_id"], None)]
+    center_u, center_id = seed["_u"], seed["_id"]
+    cur = base.withColumn("_ms", F.lit(None).cast("double"))
+    for step in range(2, k + 1):
+        lit_center = F.array(*[F.lit(float(x)) for x in center_u])
+        sim = dot(F.col("_u"), lit_center)
+        cur = cur.withColumn(
+            "_ms",
+            F.when(F.col("_id") == F.lit(center_id), F.lit(1e9))
+            .when(F.col("_ms").isNull(), sim)
+            .otherwise(F.greatest(F.col("_ms"), sim)),
+        )
+        if step % 4 == 0:
+            cur = cur.localCheckpoint()
+        score = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_ms")
+        top = (
+            cur.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), "_id")
+            .limit(1)
+            .collect()[0]
+        )
+        if float(top["_ms"]) >= 1e8:
+            break  # every candidate already selected (k > n)
+        out.append((step, top["_id"], float(top["_score"])))
+        center_u, center_id = top["_u"], top["_id"]
+    return out
+
+
 # --- IVF-PQ (product quantization) --------------------------------------
 
 

@@ -4232,3 +4232,83 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+def _mmr_oracle(k: int, lam: float = 0.7) -> str:
+    """Chained-CTE replay of mmr_select: the k-center oracle pattern
+    with a relevance column and a greatest-fold max-similarity instead
+    of a least-fold min-distance."""
+    dot_c = "list_dot_product(r.u, (SELECT u FROM n JOIN s{i} ON n.vec_id = s{i}.cid))"
+    lines = [
+        "WITH c AS MATERIALIZED"
+        " (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        "n AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12)) AS u FROM c),",
+        "q AS MATERIALIZED (SELECT u FROM n WHERE vec_id = 0),",
+        "r0 AS MATERIALIZED (SELECT n.vec_id, n.u,"
+        " list_dot_product(n.u, (SELECT u FROM q)) AS rel"
+        " FROM n WHERE vec_id <> 0),",
+        "s1 AS MATERIALIZED (SELECT vec_id AS cid FROM r0"
+        " ORDER BY rel DESC, vec_id LIMIT 1),",
+        "m1 AS MATERIALIZED (SELECT r.vec_id, r.u, r.rel,"
+        " CASE WHEN r.vec_id = (SELECT cid FROM s1) THEN 1e9"
+        f" ELSE {dot_c.format(i=1)} END AS ms FROM r0 r),",
+    ]
+    for step in range(2, k + 1):
+        prev = f"m{step - 1}"
+        lines.append(
+            f"s{step} AS MATERIALIZED (SELECT vec_id AS cid,"
+            f" {lam} * rel - {round(1.0 - lam, 10)} * ms AS score FROM {prev}"
+            " ORDER BY score DESC, vec_id LIMIT 1),"
+        )
+        if step < k:
+            lines.append(
+                f"m{step} AS MATERIALIZED (SELECT r.vec_id, r.u, r.rel,"
+                f" CASE WHEN r.vec_id = (SELECT cid FROM s{step}) THEN 1e9"
+                f" ELSE greatest(r.ms, {dot_c.format(i=step)}) END AS ms"
+                f" FROM {prev} r),"
+            )
+    lines[-1] = lines[-1].rstrip(",")
+    sel = [
+        "SELECT 1 AS step, (SELECT cid FROM s1) AS center_id,"
+        " CAST(NULL AS DOUBLE) AS score"
+    ]
+    for step in range(2, k + 1):
+        sel.append(
+            f"SELECT {step} AS step, cid AS center_id,"
+            f" CAST(ROUND(score, 6) AS DOUBLE) AS score FROM s{step}"
+        )
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("embedding_mmr_select", _mmr_oracle(10))
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998) under the hash gate: 10 greedy steps balancing relevance to a
+    query vector (vec 0) against redundancy with what's already picked
+    — the diverse-retrieval / diverse-context-selection primitive. Each
+    step is one narrow fold + TakeOrdered(1); the oracle replays all 10
+    steps as chained CTEs (fifth iterative algorithm under the gate).
+    """
+    from ..operators.similarity import mmr_select
+
+    emb = _emb(spark, sf_dir)
+    raw = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    # sequential-fold norm, NOT numpy: the oracle's list_dot_product
+    # folds left-to-right, and numpy's pairwise summation can differ in
+    # the last ulp at higher dims — same discipline as the k-center path
+    import math
+
+    acc = 0.0
+    for x in raw:
+        acc += x * x
+    nrm = max(math.sqrt(acc), 1e-12)
+    rows = mmr_select(
+        emb.filter(F.col("vec_id") != 0), query_u=[x / nrm for x in raw], k=10
+    )
+    df = spark.createDataFrame(rows, "step int, center_id long, score double")
+    return df.select("step", "center_id", F.round("score", 6).alias("score"))

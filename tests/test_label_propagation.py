@@ -56,3 +56,50 @@ def test_layout_invariant(spark):
     b = sorted((r.node, r.community)
                for r in label_propagation(e.repartition(16, "src"), n_iter=4).collect())
     assert a == b
+
+
+# --- MMR selection -------------------------------------------------------
+
+
+def test_mmr_balances_relevance_and_diversity(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    # query along +x; two equally-relevant directions, one of them
+    # duplicated — MMR must prefer the unexplored direction over the
+    # duplicates, while pure top-k relevance would take the twins first
+    pts = {
+        1: [1.0, 0.3, 0.0],
+        2: [1.0, 0.3, 0.0],    # exact duplicate of 1
+        3: [1.0, 0.301, 0.0],  # near-duplicate of 1
+        4: [1.0, -0.3, 0.0],   # equally relevant, diverse
+        5: [-1.0, 0.0, 0.0],   # irrelevant
+    }
+    df = spark.createDataFrame(
+        [Row(vec_id=k, embedding=[float(x) for x in v]) for k, v in pts.items()]
+    )
+    sel = mmr_select(df, query_u=[1.0, 0.0, 0.0], k=3, lam=0.5)
+    picked = [cid for _, cid, _ in sel]
+    assert picked[0] == 1  # most relevant (min id among ties) seeds
+    # second pick is the DIVERSE equally-relevant point, not a twin
+    assert picked[1] == 4
+    assert 5 not in picked
+
+
+def test_mmr_layout_invariant_and_stops_at_n(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + j) % 5 - 2) for j in range(4)])
+        for i in range(1, 20)
+    ]
+    df = spark.createDataFrame(rows)
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = mmr_select(df.repartition(1), query_u=q, k=6)
+    b = mmr_select(df.repartition(13, "vec_id"), query_u=q, k=6)
+    assert a == b
+    tiny = spark.createDataFrame(rows[:3])
+    assert len(mmr_select(tiny, query_u=q, k=10)) == 3  # k > n stops
