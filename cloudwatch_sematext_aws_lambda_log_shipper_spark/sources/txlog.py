@@ -141,6 +141,7 @@ def _try_commit(table: str, v: int, payload: dict) -> bool:
     """Atomically create version v. True if this writer won the race."""
     os.makedirs(_log_path(table), exist_ok=True)
     tmp = _version_file(table, v) + f".tmp.{uuid.uuid4().hex}"
+    payload = dict(payload, ts=time.time())
     with open(tmp, "w") as f:
         json.dump(payload, f)
     try:
@@ -196,6 +197,8 @@ def _stage(
     table: str,
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
+    cluster_by: str | None = None,
+    cluster_files: int = 4,
 ) -> list[dict]:
     """Write df as parquet into a staging dir, move the part files under
     data/ with unique names, return per-file action dicts:
@@ -206,6 +209,14 @@ def _stage(
     prune on it without listing directories (the Delta/Iceberg move:
     partitioning is metadata, not filesystem layout)."""
     stage = os.path.join(table, f"_stage-{uuid.uuid4().hex}")
+    if cluster_by:
+        # range-partition + sort on the cluster key: files get DISJOINT
+        # zone maps, so a point/range filter prunes to ~1/cluster_files
+        # of the data instead of matching every file's overlapping
+        # min/max — liquid-clustering-lite, metadata-only at read time
+        df = df.repartitionByRange(cluster_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
@@ -270,6 +281,8 @@ def append(
     txn: tuple[str, int] | None = None,
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
+    cluster_by: str | None = None,
+    cluster_files: int = 4,
     max_retries: int = 20,
 ) -> int:
     """Atomically append df. Returns the committed version. With
@@ -281,7 +294,14 @@ def append(
     read_table prunes on them driver-side without touching data."""
     if _txn_already_applied(table, txn):
         return latest_version(table)
-    adds = _stage(df, table, partition_by=partition_by, stats_cols=stats_cols)
+    adds = _stage(
+        df,
+        table,
+        partition_by=partition_by,
+        stats_cols=stats_cols,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
+    )
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if txn:
         payload["txn"] = {"app_id": txn[0], "version": txn[1]}
@@ -459,8 +479,21 @@ def vacuum(table: str, retain_versions: int = 2, grace_seconds: float = 0.0) -> 
     return deleted
 
 
+def version_at(table: str, ts: float) -> int:
+    """Timestamp time travel: the latest version committed at or before
+    ``ts`` (commit wall-clock recorded in each log entry). Raises if the
+    table didn't exist yet."""
+    best = None
+    for v in _list_versions(table):
+        if _read_commit(table, v).get("ts", float("inf")) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"{table} has no commit at or before ts={ts}")
+    return best
+
+
 def history(table: str) -> list[dict]:
-    """One dict per commit: version, op, files added/removed."""
+    """One dict per commit: version, op, commit ts, files added/removed."""
     out = []
     for v in _list_versions(table):
         c = _read_commit(table, v)
@@ -468,6 +501,7 @@ def history(table: str) -> list[dict]:
             {
                 "version": v,
                 "op": c.get("op"),
+                "ts": c.get("ts"),
                 "n_added": len(c.get("add", [])),
                 "n_removed": len(c.get("remove", [])),
             }

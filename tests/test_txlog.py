@@ -183,3 +183,37 @@ def test_stats_survive_checkpoint_replay(spark, table):
         )
     keep, total = txlog.pruned_files(table, [("k", ">=", 950)])
     assert total == 10 and len(keep) == 1
+
+
+def test_cluster_by_gives_disjoint_zone_maps(spark, table):
+    import random
+    rows = list(range(400))
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame([(k,) for k in rows], "k long")
+    txlog.append(df, table, stats_cols=["k"], cluster_by="k", cluster_files=4)
+    snap = txlog.snapshot(table)
+    bounds = sorted(tuple(m["stats"]["k"]) for m in snap["meta"].values())
+    assert len(bounds) == 4
+    # range-clustered files: zone maps are pairwise DISJOINT
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2
+    keep, total = txlog.pruned_files(table, [("k", "=", 123)])
+    assert total == 4 and len(keep) == 1
+    got = sorted(r.k for r in txlog.read_table(spark, table).collect())
+    assert got == list(range(400))
+
+
+def test_timestamp_time_travel(spark, table):
+    import time
+    txlog.append(_df(spark, 0, 5), table)
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    txlog.overwrite(_df(spark, 100, 102), table)
+    v = txlog.version_at(table, t_mid)
+    assert v == 0
+    assert _ids(spark, table, version=v) == list(range(5))
+    assert txlog.version_at(table, time.time()) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        txlog.version_at(table, t_mid - 100)
