@@ -1354,3 +1354,63 @@ def events_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+), tot AS (
+  SELECT event_type, SUM(n) AS t, COUNT(*) AS d FROM daily GROUP BY event_type
+), dev AS (
+  SELECT daily.event_type, day, n,
+         SUM(n * tot.d - tot.t) OVER (
+           PARTITION BY daily.event_type ORDER BY day) AS s,
+         tot.t, tot.d
+  FROM daily JOIN tot USING (event_type)
+)
+SELECT event_type, day, n,
+       CAST((s * 1000000) // (t * d) AS BIGINT) AS drift_ppm,
+       CASE WHEN abs(s) * 20 > 3 * t * d THEN 1 ELSE 0 END AS flag
+FROM dev
+"""
+
+
+@query("events_cusum_drift", _CUSUM_ORACLE)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-style volume-drift detection per event type: the running
+    sum of (daily count minus the type's mean daily count), kept as the
+    EXACT integer numerator n*D - T (D days, T total events — no float
+    mean ever enters the recurrence). drift = S/(T*D) measures
+    "fraction of volume so far minus fraction of days so far" in
+    [-1, 1]; |drift| > 0.15 flags a sustained shift (a change point in
+    the arrival rate), reported in exact ppm.
+
+    Scale: one map-side-combined daily aggregate, a tiny per-type
+    totals join (broadcast), and a cumulative window over ~days rows
+    per type — never over raw events."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("d")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "s", F.sum(F.col("n") * F.col("d") - F.col("t")).over(w)
+    )
+    return dev.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("CAST((s * 1000000) div (t * d) AS BIGINT)").alias("drift_ppm"),
+        F.when(F.abs("s") * 20 > 3 * F.col("t") * F.col("d"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("flag"),
+    )
