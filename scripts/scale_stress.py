@@ -45,6 +45,11 @@ QUERIES = [
     # stages over one corpus" shape)
     "corpus_curate_e2e",
     "doc_hybrid_search_rrf",
+    # r10 second pass: CDC explodes ~one row per character before the
+    # 1/64 boundary filter (the heaviest narrow pass in the engine),
+    # and the GD probe is n_iter full-corpus aggregates
+    "doc_cdc_dedup_stats",
+    "corpus_quality_linear_probe",
 ]
 
 
@@ -126,6 +131,7 @@ def run_queries(dirs: dict[int, str]) -> dict:
         llmops,
         logsim,
         relational,
+        relational_tpch,
     )
     missing = [q for q in QUERIES if q not in REG]
     if missing:
