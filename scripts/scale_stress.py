@@ -133,14 +133,18 @@ def run_queries(dirs: dict[int, str]) -> dict:
         relational,
         relational_tpch,
     )
-    missing = [q for q in QUERIES if q not in REG]
+    queries = QUERIES
+    only = os.environ.get("SCALE_STRESS_ONLY", "")
+    if only:
+        queries = [q for q in QUERIES if q in only.split(",")]
+    missing = [q for q in queries if q not in REG]
     if missing:
         raise SystemExit(f"registry missing queries: {missing}")
 
     spark = get_spark("scale_stress")
-    results: dict[str, dict] = {q: {} for q in QUERIES}
+    results: dict[str, dict] = {q: {} for q in queries}
     for scale, d in sorted(dirs.items()):
-        for q in QUERIES:
+        for q in queries:
             fn = REG[q]
             t_warm = time.time()
             fn(spark, d).count()  # warmup: builds caches/stores/indexes
@@ -163,7 +167,7 @@ def run_queries(dirs: dict[int, str]) -> dict:
     scales = sorted(dirs)
     if len(scales) >= 2:
         s1, s2 = scales[0], scales[-1]
-        for q in QUERIES:
+        for q in queries:
             t1 = results[q][s1]["min_s"]
             t2 = results[q][s2]["min_s"]
             results[q]["exponent"] = round(
@@ -191,9 +195,18 @@ def main() -> None:
     if cmd in ("run", "all"):
         res = run_queries(dirs)
         out = os.path.join(OUT_ROOT, "scale_stress.json")
+        # merge into any existing record so a SCALE_STRESS_ONLY partial
+        # run refreshes its queries without clobbering the rest
+        merged = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                merged = json.load(f)
+        merged.update(res)
         with open(out, "w") as f:
-            json.dump(res, f, indent=1)
-        print(json.dumps({q: res[q].get("exponent") for q in QUERIES}))
+            json.dump(merged, f, indent=1)
+        print(json.dumps({
+            q: v.get("exponent") for q, v in res.items() if isinstance(v, dict)
+        }))
         print(f"written {out}")
 
 
