@@ -1414,3 +1414,277 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("flag"),
     )
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       ROUND(max(dev.med), 6) AS median_value,
+       ROUND(max(mad.mad), 6) AS mad,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@query("events_mad_anomalies", _MAD_ORACLE)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts via Median Absolute Deviation: values more
+    than 3 robust sigmas (1.4826*MAD) from their type's median — the
+    outlier detector that, unlike the mean+2sigma spike query, is not
+    itself corrupted by the outliers it hunts.
+
+    Scale: two exact-percentile passes over per-type groups with the
+    tiny per-type medians broadcast back; at 100 TB swap the exact
+    percentile for the mergeable sketch (events_value_quantiles_approx)
+    without changing the shape."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("d") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+_COOCCUR_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS total FROM ob
+), bc AS (
+  SELECT p_brand, count(*) AS nb FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_ab,
+       ROUND(CAST(n_ab AS DOUBLE) * n.total / (ca.nb * cb.nb), 6) AS lift
+FROM pairs
+JOIN bc ca ON ca.p_brand = pairs.brand_a
+JOIN bc cb ON cb.p_brand = pairs.brand_b
+CROSS JOIN n
+ORDER BY n_ab DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+@query("brand_cooccurrence_lift", _COOCCUR_ORACLE)
+def brand_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis (the A-priori 2-itemset step): brand
+    pairs bought in the same order, with lift = P(a,b)/(P(a)P(b)) from
+    exact integer counts — association mining over the fact spine.
+
+    Scale: the basket table (distinct order x brand) self-joins on the
+    order key — the standard co-occurrence shuffle, bounded by
+    brands-per-order squared per basket, never |orders|^2; brand
+    marginals and the order total are broadcast scalars; top-20 is
+    TakeOrderedAndProject on a total order."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    total = ob.agg(F.count_distinct("l_orderkey").alias("total"))
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("_ok"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = bc.select(F.col("p_brand").alias("brand_a"), F.col("nb").alias("na"))
+    cb = bc.select(F.col("p_brand").alias("brand_b"), F.col("nb").alias("nbb"))
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("total")
+                / (F.col("na") * F.col("nbb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next
+  FROM events
+), t AS (
+  SELECT event_type AS src, next AS dst, count(*) AS n
+  FROM seq WHERE next IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, SUM(n) AS tn FROM t GROUP BY src
+)
+SELECT src, dst, n, ROUND(CAST(n AS DOUBLE) / tn, 6) AS p
+FROM t JOIN tot USING (src)
+"""
+
+
+@query("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) from exact pair counts —
+    the path-analysis primitive behind funnels and next-action models.
+
+    Scale: one shuffle on user_id for the lead() window; the |types|^2
+    transition table is tiny; probabilities divide two exact integers
+    once."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next", F.lead("event_type").over(w))
+    t = (
+        seq.filter(F.col("next").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("src").agg(F.sum("n").alias("tn"))
+    return t.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tn"), 6).alias("p"),
+    )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+), rec AS (
+  SELECT event_type, day, n, i,
+         n * 1000000000 AS l9, CAST(0 AS BIGINT) AS b9
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT q.event_type, q.day, q.n, q.i,
+         (x.lnum - ((x.lnum % 10) + 10) % 10) // 10 AS l9,
+         (x.bnum0 - ((x.bnum0 % 10) + 10) % 10) // 10 AS b9
+  FROM seq q
+  JOIN rec r ON q.event_type = r.event_type AND q.i = r.i + 1
+  CROSS JOIN LATERAL (
+    SELECT 3 * q.n * 1000000000 + 7 * (r.l9 + r.b9) + 5 AS lnum,
+           ((3 * q.n * 1000000000 + 7 * (r.l9 + r.b9) + 5
+             - ((3 * q.n * 1000000000 + 7 * (r.l9 + r.b9) + 5) % 10 + 10) % 10)
+            // 10 - r.l9) + 9 * r.b9 + 5 AS bnum0
+  ) x
+)
+SELECT event_type, day, n,
+       CAST(l9 AS DOUBLE) / 1000000000.0 AS level,
+       CAST(b9 AS DOUBLE) / 1000000000.0 AS trend,
+       CAST(l9 + b9 AS DOUBLE) / 1000000000.0 AS forecast_next
+FROM rec
+"""
+
+
+@query("events_holt_forecast", _HOLT_ORACLE)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.3, beta=0.1) of daily volume per event type, with the
+    one-step-ahead forecast — the trend-aware extension of the EWMA
+    recurrence. Both states run in SCALED INTEGERS (x10^9) with an
+    explicit FLOOR-division step: trends go NEGATIVE, and Spark's `div`
+    truncates toward zero while DuckDB's `//` floors — so the step is
+    written as (num - nonneg_mod(num,10))/10 in both engines, which is
+    floor for either sign and exact (the dividend is a multiple of 10).
+    The oracle replays the two-state recurrence as a recursive CTE.
+
+    Scale: identical to the EWMA fold — one ordered fold per series
+    over the calendar-bounded daily aggregate."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    xs = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("_xs")
+    )
+
+    def fdiv10(num):
+        return ((num - F.pmod(num, F.lit(10))) / F.lit(10)).cast("long")
+
+    def step(acc, x):
+        prev = F.try_element_at(acc, F.lit(-1))
+        lp, bp = prev["l9"], prev["b9"]
+        lnum = x["n"] * F.lit(3_000_000_000) + (lp + bp) * F.lit(7) + F.lit(5)
+        l9 = fdiv10(lnum)
+        bnum = (l9 - lp) + bp * F.lit(9) + F.lit(5)
+        b9 = fdiv10(bnum)
+        seeded = F.size(acc) == 0
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    x["day"].alias("day"),
+                    x["n"].alias("n"),
+                    F.when(seeded, x["n"] * F.lit(1_000_000_000))
+                    .otherwise(l9)
+                    .alias("l9"),
+                    F.when(seeded, F.lit(0).cast("long"))
+                    .otherwise(b9)
+                    .alias("b9"),
+                )
+            ),
+        )
+
+    folded = F.aggregate(
+        "_xs",
+        F.array().cast("array<struct<day:date,n:bigint,l9:bigint,b9:bigint>>"),
+        step,
+    )
+    return (
+        xs.select("event_type", F.explode(folded).alias("_r"))
+        .select(
+            "event_type",
+            "_r.day",
+            "_r.n",
+            (F.col("_r.l9").cast("double") / F.lit(1e9)).alias("level"),
+            (F.col("_r.b9").cast("double") / F.lit(1e9)).alias("trend"),
+            ((F.col("_r.l9") + F.col("_r.b9")).cast("double") / F.lit(1e9)).alias(
+                "forecast_next"
+            ),
+        )
+    )

@@ -1,0 +1,93 @@
+"""Round-10 second-pass analytics: Holt recurrence (incl. negative
+trend floor-division parity with a pure-Python replay), MAD
+robustness, transition-matrix row-stochasticity, co-occurrence lift."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Row
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import analytics  # noqa: F401
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import QUERIES
+
+
+def _events_dir(spark, rows):
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def _ev(i, ts, user, etype, value=1.0):
+    return Row(event_id=i, ts=ts, user_id=user, event_type=etype,
+               value=float(value), props="{}")
+
+
+def test_holt_matches_python_replay_with_negative_trend(spark):
+    import datetime
+
+    # strictly DECREASING volume -> negative trend state exercises the
+    # floor-division sign path (Spark div truncates, our step floors)
+    rows = []
+    i = 0
+    for day, n in enumerate([100, 80, 60, 40, 20, 10]):
+        for k in range(n):
+            rows.append(_ev(i, datetime.datetime(2025, 1, day + 1, 12, 0, 0), 1, "a"))
+            i += 1
+    d = _events_dir(spark, rows)
+    out = {str(r.day): (r.level, r.trend, r.forecast_next)
+           for r in QUERIES["events_holt_forecast"](spark, d).collect()}
+
+    def fdiv10(x):
+        return (x - ((x % 10) + 10) % 10) // 10
+
+    S = 10**9
+    counts = [100, 80, 60, 40, 20, 10]
+    l9, b9 = counts[0] * S, 0
+    expect = [(l9, b9)]
+    for n in counts[1:]:
+        lnum = 3 * n * S + 7 * (l9 + b9) + 5
+        l9n = fdiv10(lnum)
+        b9n = fdiv10((l9n - l9) + 9 * b9 + 5)
+        l9, b9 = l9n, b9n
+        expect.append((l9, b9))
+    assert b9 < 0  # the scenario really does go negative
+    for day, (el9, eb9) in enumerate(expect):
+        lev, tr, fc = out[f"2025-01-{day + 1:02d}"]
+        assert abs(lev - el9 / S) < 1e-12
+        assert abs(tr - eb9 / S) < 1e-12
+        assert abs(fc - (el9 + eb9) / S) < 1e-12
+
+
+def test_mad_is_robust_where_mean_sigma_is_not(spark):
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    # 99 values at 10, one huge outlier: MAD flags exactly the outlier
+    rows = [_ev(i, ts, 1, "a", 10.0 + (i % 3) * 0.1) for i in range(99)]
+    rows.append(_ev(99, ts, 1, "a", 10000.0))
+    d = _events_dir(spark, rows)
+    r = QUERIES["events_mad_anomalies"](spark, d).collect()[0]
+    assert r.n == 100 and r.n_anomalies == 1
+    assert abs(r.median_value - 10.1) < 0.2
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    import datetime
+
+    rows = []
+    for u in range(5):
+        for j, et in enumerate(["view", "click", "purchase", "view", "click"]):
+            rows.append(_ev(u * 10 + j, datetime.datetime(2025, 1, 1, 8, j), u, et))
+    d = _events_dir(spark, rows)
+    out = QUERIES["events_transition_matrix"](spark, d).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, 0.0)
+        by_src[r.src] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-6
+    # the deterministic sequence: every view is followed by click
+    probs = {(r.src, r.dst): r.p for r in out}
+    assert probs[("view", "click")] == 1.0
