@@ -4312,3 +4312,63 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = spark.createDataFrame(rows, "step int, center_id long, score double")
     return df.select("step", "center_id", F.round("score", 6).alias("score"))
+
+
+_ENTROPY_ORACLE = r"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), freq AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, SUM(c) AS t, COUNT(*) AS n_distinct FROM freq GROUP BY doc_id
+), terms AS (
+  SELECT freq.doc_id,
+         CAST(round(c * (ln(t) - ln(c)), 9) AS DECIMAL(24,9)) AS term,
+         t, n_distinct
+  FROM freq JOIN tot USING (doc_id)
+)
+SELECT doc_id,
+       max(t) AS n_chars_counted,
+       max(n_distinct) AS n_distinct_chars,
+       ROUND(CAST(SUM(term) AS DOUBLE) / max(t) / ln(2), 6) AS entropy_bits
+FROM terms GROUP BY doc_id
+"""
+
+
+@query("doc_char_entropy", _ENTROPY_ORACLE)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits/char): the
+    compression-style quality signal — runs of one character or tiny
+    alphabets (boilerplate, padding, corrupted docs) score low; natural
+    text sits ~4 bits; uniform random bytes score high. Per-character
+    terms c*(ln t - ln c) round to 9 decimals and sum as DECIMAL
+    (order-independent), one double division pair at the end — the
+    unigram-NLL determinism recipe applied to characters.
+
+    Scale: explode is narrow; the per-(doc, char) count is map-side
+    combined and bounded by |alphabet| per doc."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id",
+        F.round(F.col("c") * (F.log("t") - F.log("c")), 9)
+        .cast("decimal(24,9)")
+        .alias("term"),
+        "t",
+        "n_distinct",
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("t").alias("n_chars_counted"),
+        F.max("n_distinct").alias("n_distinct_chars"),
+        F.round(
+            F.sum("term").cast("double") / F.max("t") / F.lit(float(__import__("math").log(2))),
+            6,
+        ).alias("entropy_bits"),
+    )

@@ -91,3 +91,20 @@ def test_transition_matrix_rows_sum_to_one(spark):
     # the deterministic sequence: every view is followed by click
     probs = {(r.src, r.dst): r.p for r in out}
     assert probs[("view", "click")] == 1.0
+
+
+def test_char_entropy_orders_degenerate_below_natural(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import llmops  # noqa: F401
+
+    rows = [
+        Row(doc_id=1, source="a", lang="en", n_chars=40, text="a" * 40),
+        Row(doc_id=2, source="a", lang="en", n_chars=40,
+            text="the quick brown fox jumps over the dog."),
+        Row(doc_id=3, source="a", lang="en", n_chars=8, text="abababab"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["doc_char_entropy"](spark, d).collect()}
+    assert out[1].entropy_bits == 0.0          # single symbol
+    assert abs(out[3].entropy_bits - 1.0) < 1e-6  # two equal symbols = 1 bit
+    assert out[2].entropy_bits > 3.0           # natural text
