@@ -750,3 +750,60 @@ def sentence_boilerplate_removal(
             " ",
         ).alias("clean_text"),
     )
+
+
+def fuzzy_token_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    min_count: int = 1,
+) -> DataFrame:
+    """All DISTINCT-token pairs within Levenshtein distance 1, found by
+    deletion-neighborhood blocking (the FastSS family, Bocek et al.
+    2007): two strings are within edit distance 1 iff they share a
+    member of {s} ∪ {s minus one character} — so one equi-join on the
+    variant replaces the all-pairs edit-distance scan, and the blocking
+    is EXACT (no recall loss) at this radius. The catcher for typo'd
+    near-identical vocabulary that whole-token exact dedup misses and
+    n-gram Jaccard over-matches.
+
+    Output: (tok_a, tok_b, dist) with tok_a < tok_b, dist in {1}
+    (identical tokens are one row upstream — distance 0 pairs don't
+    exist over DISTINCT tokens).
+
+    Scale: |vocab| x (len+1) variant rows into a map-side-combined
+    equi-join; verification is one levenshtein() call per CANDIDATE
+    pair, never per pair of tokens. min_len keeps stopword-scale
+    tokens (whose 1-edit balls collide massively and mean nothing)
+    out; min_count floors token frequency.
+    """
+    toks = (
+        df.select(F.explode(words(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter((F.length("tok") >= min_len) & (F.col("_c") >= min_count))
+        .select("tok")
+    )
+    variants = toks.select(
+        "tok",
+        F.explode(
+            F.concat(
+                F.array(F.col("tok")),
+                F.expr(
+                    "transform(sequence(1, length(tok)), i ->"
+                    " concat(substring(tok, 1, i - 1),"
+                    " substring(tok, i + 1, length(tok) - i)))"
+                ),
+            )
+        ).alias("v"),
+    ).distinct()
+    a = variants.select(F.col("tok").alias("tok_a"), "v")
+    b = variants.select(F.col("tok").alias("tok_b"), F.col("v").alias("_v"))
+    cand = (
+        a.join(b, (a.v == b._v) & (F.col("tok_a") < F.col("tok_b")))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("tok_a", "tok_b")
+    ).filter(F.col("dist") <= 1)

@@ -4372,3 +4372,71 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+_FUZZY_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' ' ||
+           substr(string_split_regex(lower(trim(text)), '\s+')[1], 1, 1) ||
+           substr(string_split_regex(lower(trim(text)), '\s+')[1], 3,
+                  length(string_split_regex(lower(trim(text)), '\s+')[1]) - 2)
+         ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT w AS tok
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM aug)
+  GROUP BY w
+  HAVING length(w) >= 4
+), variants AS (
+  SELECT DISTINCT tok, v FROM (
+    SELECT tok, tok AS v FROM toks
+    UNION ALL
+    SELECT tok,
+           substr(tok, 1, i - 1) || substr(tok, i + 1, length(tok) - i) AS v
+    FROM toks, unnest(generate_series(1, length(tok))) AS t(i)
+  )
+), cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+"""
+
+
+@query("token_fuzzy_pairs", _FUZZY_ORACLE)
+def token_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-level fuzzy matching: every distinct-token pair
+    within edit distance 1, via deletion-neighborhood blocking (FastSS
+    — EXACT at radius 1, so the equi-join provably finds the same
+    pairs an all-pairs Levenshtein scan would). Catches typo variants
+    that exact dedup misses; the oracle replays the identical blocking
+    and verification.
+
+    Scale: |vocab| x (len+1) variant rows into one equi-join;
+    levenshtein runs per candidate, never per token pair."""
+    from ..operators.text import fuzzy_token_pairs
+
+    docs = _docs(spark, sf_dir)
+    # the synthetic corpus is a tiny CLOSED vocabulary with no natural
+    # 1-edit neighbors; inject a deterministic typo (drop the 2nd char
+    # of the first word) into every 5th document — the OCR/typo-noise
+    # scenario this operator exists for — replayed by the oracle
+    w1 = F.element_at(F.split(F.lower(F.trim("text")), r"\s+"), 1)
+    typo = F.concat(
+        F.substring(w1, 1, 1),
+        F.expr(
+            "substr(element_at(split(lower(trim(text)), '\\\\s+'), 1), 3,"
+            " length(element_at(split(lower(trim(text)), '\\\\s+'), 1)) - 2)"
+        ),
+    )
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" "), typo)
+        ).otherwise(F.col("text")),
+    )
+    return fuzzy_token_pairs(aug, min_len=4)

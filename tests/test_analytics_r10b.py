@@ -108,3 +108,31 @@ def test_char_entropy_orders_degenerate_below_natural(spark):
     assert out[1].entropy_bits == 0.0          # single symbol
     assert abs(out[3].entropy_bits - 1.0) < 1e-6  # two equal symbols = 1 bit
     assert out[2].entropy_bits > 3.0           # natural text
+
+
+def test_fuzzy_blocking_equals_bruteforce(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.text import (
+        fuzzy_token_pairs,
+    )
+
+    vocab = ["batch", "bach", "btch", "batch", "match", "window", "windo",
+             "windows", "scan", "scans", "xylophone"]
+    rows = [Row(doc_id=i, text=w) for i, w in enumerate(vocab)]
+    df = spark.createDataFrame(rows)
+    got = {(r.tok_a, r.tok_b) for r in fuzzy_token_pairs(df, min_len=4).collect()}
+
+    def lev(a, b):
+        import itertools
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j - 1] + 1, dp[j] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    uniq = sorted({w for w in vocab if len(w) >= 4})
+    want = {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if lev(a, b) <= 1}
+    assert got == want and ("bach", "batch") in got
+    assert not any("xylophone" in p for p in got)
