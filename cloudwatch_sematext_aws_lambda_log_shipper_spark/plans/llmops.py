@@ -4440,3 +4440,74 @@ def token_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return fuzzy_token_pairs(aug, min_len=4)
+
+
+_CALIBRATION_ORACLE = (
+    "WITH scored AS ("
+    + _linear_probe_oracle(n_iter=12, lr_num=1, lr_den=200)
+    + """),
+binned AS (
+  SELECT CASE WHEN score_scaled < 0 THEN -1
+              WHEN score_scaled >= 1000000 THEN 10
+              ELSE score_scaled // 100000 END AS bin,
+         y
+  FROM scored
+)
+SELECT bin, count(*) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_positive,
+       ROUND(CAST(SUM(y) AS DOUBLE) / count(*), 6) AS positive_rate
+FROM binned GROUP BY bin
+"""
+)
+
+
+@query("probe_calibration_bins", _CALIBRATION_ORACLE)
+def probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the GD-trained linear probe: predicted
+    scores bucketed into deciles of [0, 1) (clamped bins -1 and 10 for
+    out-of-range linear outputs), with the observed positive rate per
+    bin — the model-eval companion to corpus_quality_linear_probe. The
+    oracle REPLAYS THE TRAINING (the full 8-step chained-CTE oracle is
+    embedded as a sub-CTE) and then bins identically.
+
+    Scale: scoring is narrow; the histogram is one map-side-combined
+    aggregate over <= 12 bins."""
+    from ..operators.linear import linear_probe_gd
+
+    toks = r"split(lower(trim(text)), '\\s+')"
+    feats = (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", "lang", "n_chars", f"{toks} AS _ws", "text")
+        .selectExpr(
+            "doc_id",
+            "CAST(lang = 'en' AS INT) AS y",
+            "CAST(1 AS BIGINT) AS x0",
+            "CAST(least(size(_ws), 400) div 20 AS BIGINT) AS x1",
+            "CAST(least(n_chars div greatest(size(_ws), 1), 20) AS BIGINT) AS x2",
+            "CAST(least(size(filter(_ws, w -> w = 'the')), 20) AS BIGINT) AS x3",
+        )
+    )
+    # longer, hotter training run than the probe query (12 steps at
+    # lr=1/200) so the score distribution actually spreads over bins
+    _w, scored = linear_probe_gd(
+        feats, ["x0", "x1", "x2", "x3"], label_col="y", n_iter=12,
+        lr_num=1, lr_den=200,
+    )
+    bin_col = (
+        F.when(F.col("score_scaled") < 0, F.lit(-1))
+        .when(F.col("score_scaled") >= 1_000_000, F.lit(10))
+        .otherwise(F.expr("score_scaled div 100000"))
+        .cast("long")
+        .alias("bin")
+    )
+    return (
+        scored.select(bin_col, "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("n_positive"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "positive_rate"
+            ),
+        )
+    )
