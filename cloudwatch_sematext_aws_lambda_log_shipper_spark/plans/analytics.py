@@ -1688,3 +1688,80 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  FROM events WHERE event_type IN ('purchase', 'signup')
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), joined AS (
+  SELECT s.event_type, s.day,
+         coalesce(d.n, 0) AS n,
+         d.total_value,
+         CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM spine s LEFT JOIN daily d USING (event_type, day)
+)
+SELECT event_type, day, n, is_gap,
+       coalesce(total_value, 0.0) AS total_value,
+       last_value(total_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM joined
+"""
+
+
+@query("events_daily_gapfill", _GAPFILL_ORACLE)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-filling + last-observation-carried-forward: a date
+    spine (generated per type from its min/max day) left-joins the
+    daily rollup, so silent days materialize as explicit zero rows
+    (is_gap=1) and the LOCF window carries the last seen value across
+    them — the resample/ffill primitive time-series consumers assume
+    exists.
+
+    Scale: the spine is generated from a per-type bounds aggregate
+    (tiny), the join and window run over calendar-bounded rollup rows,
+    never raw events."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "total_value",
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        "n",
+        "is_gap",
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )

@@ -136,3 +136,26 @@ def test_fuzzy_blocking_equals_bruteforce(spark):
             if lev(a, b) <= 1}
     assert got == want and ("bach", "batch") in got
     assert not any("xylophone" in p for p in got)
+
+
+def test_gapfill_materializes_gaps_and_locf_carries(spark):
+    import datetime
+
+    # purchases on days 1, 2, 5 only -> days 3-4 are gaps
+    rows = []
+    i = 0
+    for day, n in ((1, 3), (2, 2), (5, 4)):
+        for k in range(n):
+            rows.append(_ev(i, datetime.datetime(2025, 3, day, 10, 0), 1,
+                            "purchase", value=day * 10.0))
+            i += 1
+    d = _events_dir(spark, rows)
+    out = {str(r.day): r for r in
+           QUERIES["events_daily_gapfill"](spark, d).collect()}
+    assert len(out) == 5  # full spine 1..5
+    assert out["2025-03-03"].is_gap == 1 and out["2025-03-03"].n == 0
+    assert out["2025-03-04"].is_gap == 1
+    # zero-filled measure on gap days, LOCF carries day 2's value
+    assert out["2025-03-03"].total_value == 0.0
+    assert out["2025-03-03"].locf_value == out["2025-03-02"].locf_value == 40.0
+    assert out["2025-03-05"].locf_value == 200.0
