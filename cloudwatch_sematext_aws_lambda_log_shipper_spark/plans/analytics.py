@@ -1765,3 +1765,65 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
         F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+_TXMUTATE_ORACLE = """
+WITH upd AS (
+  SELECT event_id, ts, user_id, event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS value, props
+  FROM events WHERE event_id % 97 = 0
+), base AS (
+  SELECT * FROM events
+  WHERE event_type <> 'error' AND event_id % 97 <> 0
+), final AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+)
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+FROM final GROUP BY event_type
+"""
+
+
+@query("events_txlog_delete_upsert", _TXMUTATE_ORACLE)
+def events_txlog_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID mutations end-to-end under the hash gate: load events into
+    a txlog table, DELETE every 'error' row (copy-on-write), then MERGE
+    an update set (value + 1000 for event_id % 97 == 0 — keys deleted
+    by the first step come back as INSERTS, surviving keys are
+    REPLACED), and aggregate the final snapshot. The oracle recomputes
+    the post-mutation state straight from the source table — equality
+    proves delete and merge semantics exactly (no lost rows, no
+    duplicated keys, updates visible).
+
+    Scale: both mutations are file-granular copy-on-write commits; the
+    merge's update side broadcasts."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources import txlog
+
+    ev = load(spark, sf_dir, "events")
+    base = _os.path.join(
+        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    table = _os.path.join(base, "events_mutate")
+    _shutil.rmtree(table, ignore_errors=True)
+    txlog.append(ev, table, stats_cols=["event_id"])
+    txlog.delete_where(spark, table, "event_type = 'error'",
+                       stats_cols=["event_id"])
+    updates = ev.filter(F.col("event_id") % 97 == 0).withColumn(
+        "value",
+        (F.col("value").cast("decimal(12,2)") + F.lit(1000)).cast("double"),
+    )
+    txlog.merge_upsert(spark, table, updates, ["event_id"],
+                       stats_cols=["event_id"])
+    return (
+        txlog.read_table(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

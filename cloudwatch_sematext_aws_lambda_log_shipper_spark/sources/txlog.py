@@ -507,3 +507,86 @@ def history(table: str) -> list[dict]:
             }
         )
     return out
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate_sql: str,
+    filters: list[tuple[str, str, object]] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Row-level DELETE as copy-on-write at FILE granularity (the
+    Delta/Iceberg CoW pattern — also the GDPR right-to-be-forgotten
+    primitive): only files that might contain matching rows (pruned by
+    ``filters`` against the log's partition/zone-map metadata) are
+    rewritten without the matching rows; untouched files carry over by
+    reference in one atomic commit. Readers of prior versions still see
+    the deleted rows (run vacuum to physically reclaim them).
+
+    Returns the committed version."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    snap = snapshot(table)
+    if filters:
+        cand = [f for f in snap["files"] if _might_match(snap["meta"][f], filters)]
+    else:
+        cand = list(snap["files"])
+    if not cand:
+        return snap["version"]
+    df = spark.read.parquet(*[os.path.join(table, f) for f in cand])
+    kept = df.filter(f"NOT ({predicate_sql})")
+    adds = _stage(kept, table, stats_cols=stats_cols) if kept.take(1) else []
+    v = snap["version"] + 1
+    if not _try_commit(
+        table, v, {"op": "delete", "add": adds, "remove": cand}
+    ):
+        _unstage(table, adds)
+        raise CommitConflict(f"delete on {table} lost the race at v{v}")
+    return v
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    stats_cols: list[str] | None = None,
+) -> int:
+    """MERGE (upsert) by key, copy-on-write: rows of ``updates`` whose
+    key exists in the table REPLACE the old rows; new keys INSERT. Only
+    files that might contain a matching key are rewritten — when the
+    table keeps zone maps on the (single, orderable) key column, the
+    candidate set prunes to the updates' key range; everything else
+    carries over by reference in one atomic commit.
+
+    Scale: the rewrite is candidates ⋈(left anti) updates — updates are
+    usually small (broadcast); untouched data is never read."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot(table)
+    cand = list(snap["files"])
+    if len(key_cols) == 1:
+        k = key_cols[0]
+        bounds = updates.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+        if bounds["lo"] is not None:
+            flt = [(k, ">=", bounds["lo"]), (k, "<=", bounds["hi"])]
+            cand = [f for f in cand if _might_match(snap["meta"][f], flt)]
+    untouched_adds: list[dict] = []
+    if cand:
+        old = spark.read.parquet(*[os.path.join(table, f) for f in cand])
+        kept = old.join(
+            F.broadcast(updates.select(*key_cols).distinct()), key_cols, "left_anti"
+        )
+        merged = kept.unionByName(updates.select(*old.columns))
+    else:
+        snapshot_df_cols = updates.columns
+        merged = updates.select(*snapshot_df_cols)
+    adds = _stage(merged, table, stats_cols=stats_cols)
+    v = snap["version"] + 1
+    if not _try_commit(
+        table, v, {"op": "merge", "add": adds + untouched_adds, "remove": cand}
+    ):
+        _unstage(table, adds)
+        raise CommitConflict(f"merge on {table} lost the race at v{v}")
+    return v

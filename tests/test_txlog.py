@@ -217,3 +217,47 @@ def test_timestamp_time_travel(spark, table):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         txlog.version_at(table, t_mid - 100)
+
+
+def test_delete_where_targets_files_and_isolates_versions(spark, table):
+    for lo in (0, 1000, 2000):
+        txlog.append(_df(spark, lo, lo + 100).coalesce(1), table, stats_cols=["k"])
+    before = set(txlog.snapshot(table)["files"])
+    v = txlog.delete_where(
+        spark, table, "k % 2 = 0",
+        filters=[("k", ">=", 1000), ("k", "<=", 1099)], stats_cols=["k"],
+    )
+    after = txlog.snapshot(table)
+    # only the one candidate file was rewritten; the other two carry over
+    assert len(before & set(after["files"])) == 2
+    got = _ids(spark, table)
+    assert got == list(range(0, 100)) + [k for k in range(1000, 1100) if k % 2] \
+        + list(range(2000, 2100))
+    # pre-delete version still shows everything (CoW, not in-place)
+    assert len(_ids(spark, table, version=v - 1)) == 300
+
+
+def test_merge_upsert_replaces_and_inserts(spark, table):
+    txlog.append(_df(spark, 0, 100).coalesce(1), table, stats_cols=["k"])
+    txlog.append(_df(spark, 1000, 1100).coalesce(1), table, stats_cols=["k"])
+    updates = spark.createDataFrame(
+        [(5,), (7,), (2000,)], "k long"  # 2 replacements + 1 new key
+    )
+    before = set(txlog.snapshot(table)["files"])
+    txlog.merge_upsert(spark, table, updates, ["k"])
+    got = _ids(spark, table)
+    assert got == sorted(set(range(0, 100)) | set(range(1000, 1100)) | {2000})
+    # no duplicate keys after the merge
+    assert len(got) == len(set(got))
+
+
+def test_merge_prunes_by_key_zone_maps(spark, table):
+    for lo in (0, 1000, 2000):
+        txlog.append(_df(spark, lo, lo + 100).coalesce(1), table, stats_cols=["k"])
+    before = set(txlog.snapshot(table)["files"])
+    updates = spark.createDataFrame([(1005,), (1010,)], "k long")
+    txlog.merge_upsert(spark, table, updates, ["k"], stats_cols=["k"])
+    after = set(txlog.snapshot(table)["files"])
+    # the two files whose [lo,hi] is disjoint from [1005,1010] survive
+    assert len(before & after) == 2
+    assert len(_ids(spark, table)) == 300
