@@ -130,6 +130,7 @@ def snapshot(table: str, version: int | None = None) -> dict:
             meta[a["path"]] = {
                 "partition": a.get("partition"),
                 "stats": a.get("stats"),
+                "rows": a.get("rows"),
             }
         t = commit.get("txn")
         if t:
@@ -248,11 +249,14 @@ def _stage(
         rel = os.path.join("data", f"{prefix}-{i}.parquet")
         full = os.path.join(table, rel)
         os.replace(os.path.join(stage, src_rel), full)
+        import pyarrow.parquet as pq
+
         actions.append(
             {
                 "path": rel,
                 "partition": pval,
                 "stats": _file_stats(full, stats_cols),
+                "rows": pq.ParquetFile(full).metadata.num_rows,
             }
         )
         i += 1
@@ -388,6 +392,7 @@ def read_table(
     table: str,
     version: int | None = None,
     filters: list[tuple[str, str, object]] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot-isolated read (optionally time-traveled): the file list
     is fixed at plan time from the log, so concurrent commits (or a
@@ -416,12 +421,19 @@ def read_table(
     for f in keep:
         part = snap["meta"][f].get("partition") or {}
         groups.setdefault(tuple(sorted(part.items())), []).append(f)
+    reader = spark.read
+    if merge_schema:
+        # schema evolution: later appends may carry extra columns;
+        # merged reads surface them with nulls for older files
+        reader = reader.option("mergeSchema", "true")
     out = None
     for part_items, files in sorted(groups.items()):
-        df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+        df = reader.parquet(*[os.path.join(table, f) for f in files])
         for col, val in part_items:
             df = df.withColumn(col, F.lit(val))
-        out = df if out is None else out.unionByName(df)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=merge_schema
+        )
     return out
 
 
@@ -590,3 +602,76 @@ def merge_upsert(
         _unstage(table, adds)
         raise CommitConflict(f"merge on {table} lost the race at v{v}")
     return v
+
+
+def count_rows(
+    table: str,
+    version: int | None = None,
+    filters: list[tuple[str, str, object]] | None = None,
+) -> int | None:
+    """Metadata-only COUNT(*): per-file row counts were captured from
+    the parquet footers at commit time, so counting the table (or a
+    partition-pruned subset) reads ZERO data files — the aggregate-
+    pushdown-to-metadata trick table formats exist for. Returns None
+    if any surviving file predates row-count capture (unknown)."""
+    snap = snapshot(table, version)
+    keep = snap["files"]
+    if filters:
+        keep = [f for f in keep if _might_match(snap["meta"][f], filters)]
+    total = 0
+    for f in keep:
+        r = snap["meta"][f].get("rows")
+        if r is None:
+            return None
+        total += r
+    return total
+
+
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions (the Delta CDF idea):
+    row-level inserts/deletes reconstructed by diffing the two
+    snapshots' FILE sets — only files added or removed in the interval
+    are read; rows common to both sides (rewritten-but-unchanged, e.g.
+    by compaction) cancel via exceptAll and emit nothing. An UPDATE
+    appears as its delete + insert pair (this format has no row ids).
+    Output: the table schema + `_change_type` ('insert' | 'delete').
+
+    Scale: reads only the delta file sets; a pure append interval reads
+    only the appended files (the old snapshot's files are all still
+    present and skip the diff entirely)."""
+    from pyspark.sql import functions as F
+
+    a = snapshot(table, from_version)
+    b = snapshot(table, to_version)
+    old_files = set(a["files"])
+    new_files = set(b["files"])
+    removed = sorted(old_files - new_files)
+    added = sorted(new_files - old_files)
+
+    def _read(files):
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(table, f) for f in files])
+
+    old_df, new_df = _read(removed), _read(added)
+    if old_df is None and new_df is None:
+        # metadata-only interval (or no change): empty feed with schema
+        base = read_table(spark, table, version=to_version)
+        return base.limit(0).withColumn("_change_type", F.lit("insert"))
+    if old_df is None:
+        ins = new_df
+        dels = new_df.limit(0)
+    elif new_df is None:
+        ins = old_df.limit(0)
+        dels = old_df
+    else:
+        ins = new_df.exceptAll(old_df)
+        dels = old_df.exceptAll(new_df)
+    return ins.withColumn("_change_type", F.lit("insert")).unionByName(
+        dels.withColumn("_change_type", F.lit("delete"))
+    )

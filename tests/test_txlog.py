@@ -261,3 +261,40 @@ def test_merge_prunes_by_key_zone_maps(spark, table):
     # the two files whose [lo,hi] is disjoint from [1005,1010] survive
     assert len(before & after) == 2
     assert len(_ids(spark, table)) == 300
+
+
+def test_metadata_only_count(spark, table):
+    for lo in (0, 1000):
+        txlog.append(_df(spark, lo, lo + 50).coalesce(1), table, stats_cols=["k"])
+    assert txlog.count_rows(table) == 100
+    assert txlog.count_rows(table, filters=[("k", ">=", 1000)]) == 50
+    txlog.delete_where(spark, table, "k < 10", stats_cols=["k"])
+    assert txlog.count_rows(table) == 90
+
+
+def test_schema_evolution_read(spark, table):
+    txlog.append(_df(spark, 0, 5).coalesce(1), table)
+    txlog.append(
+        spark.createDataFrame([(10, "x")], "k long, tag string").coalesce(1), table
+    )
+    got = txlog.read_table(spark, table, merge_schema=True).collect()
+    by_k = {r.k: r for r in got}
+    assert len(by_k) == 6
+    assert by_k[10].tag == "x" and by_k[0].tag is None
+
+
+def test_change_data_feed(spark, table):
+    txlog.append(_df(spark, 0, 10).coalesce(1), table, stats_cols=["k"])   # v0
+    txlog.append(_df(spark, 10, 12).coalesce(1), table, stats_cols=["k"])  # v1
+    txlog.delete_where(spark, table, "k = 3", stats_cols=["k"])            # v2
+    changes = txlog.table_changes(spark, table, from_version=0).collect()
+    ins = sorted(r.k for r in changes if r._change_type == "insert")
+    dels = sorted(r.k for r in changes if r._change_type == "delete")
+    # v0->v2: inserts 10,11; delete 3. The v2 rewrite's surviving rows
+    # cancel out via exceptAll.
+    assert ins == [10, 11]
+    assert dels == [3]
+    # compaction-only interval emits nothing
+    v = txlog.compact(spark, table)
+    nothing = txlog.table_changes(spark, table, from_version=v - 1).collect()
+    assert nothing == []
