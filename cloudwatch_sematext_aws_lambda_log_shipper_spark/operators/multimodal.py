@@ -85,6 +85,12 @@ def _decode_one(data: bytes) -> tuple[int, int, int]:
         dims = jpeg_dims(data)
         if dims is not None:
             return dims
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import png_dims
+
+        dims = png_dims(data)
+        if dims is not None:
+            return dims[0], dims[1], 3
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -94,7 +100,7 @@ def _decode_one(data: bytes) -> tuple[int, int, int]:
         return img.width, img.height, len(img.getbands())
     except Exception:
         # STUB: deterministic fake decode (container has no codecs for
-        # the remaining formats: PNG/WebP/...).
+        # the remaining formats: WebP/TIFF/...).
         digest = hashlib.sha256(data).digest()
         width = 16 + digest[0] % 1024
         height = 16 + digest[1] % 1024
@@ -331,6 +337,27 @@ def sample_frames_stub(df: DataFrame, media_col: str = "media",
     )
 
 
+def _codec_rgb(data: bytes):
+    """Decode non-PPM image bytes to an RGB ndarray via the vendored
+    public-spec codecs (baseline JPEG, PNG); None for anything else —
+    one dispatch shared by the perceptual hashes."""
+    if data[:2] == b"\xff\xd8":
+        from .jpeg_baseline import decode_baseline_jpeg
+
+        try:
+            return decode_baseline_jpeg(data)
+        except (ValueError, NotImplementedError):
+            return None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import decode_png
+
+        try:
+            return decode_png(data)
+        except ValueError:
+            return None
+    return None
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -353,19 +380,14 @@ def _dhash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
 
     m = _PPM_HEADER.match(data)
     if not m:
-        if data[:2] == b"\xff\xd8":
-            from .jpeg_baseline import decode_baseline_jpeg
-
-            try:
-                rgb = decode_baseline_jpeg(data)
-            except (ValueError, NotImplementedError):
-                return None, None
-            h, w = rgb.shape[:2]
-            if w < 9 or h < 8:
-                return None, None
-            g3 = rgb.astype(np.int64).sum(axis=2)
-            return _dhash_grid(g3, w, h)
-        return None, None
+        rgb = _codec_rgb(data)
+        if rgb is None:
+            return None, None
+        h, w = rgb.shape[:2]
+        if w < 9 or h < 8:
+            return None, None
+        g3 = rgb.astype(np.int64).sum(axis=2)
+        return _dhash_grid(g3, w, h)
     w, h = int(m.group(1)), int(m.group(2))
     need = w * h * 3
     if len(data) - m.end() < need or w < 9 or h < 8:
@@ -476,19 +498,14 @@ def _phash_one(data: bytes) -> tuple[int, int] | tuple[None, None]:
 
     m = _PPM_HEADER.match(data)
     if not m:
-        if data[:2] == b"\xff\xd8":
-            from .jpeg_baseline import decode_baseline_jpeg
-
-            try:
-                rgb = decode_baseline_jpeg(data)
-            except (ValueError, NotImplementedError):
-                return None, None
-            h, w = rgb.shape[:2]
-            if w < 8 or h < 8:
-                return None, None
-            g3 = rgb.astype(np.int64).sum(axis=2)
-            return _phash_grid(g3, w, h)
-        return None, None
+        rgb = _codec_rgb(data)
+        if rgb is None:
+            return None, None
+        h, w = rgb.shape[:2]
+        if w < 8 or h < 8:
+            return None, None
+        g3 = rgb.astype(np.int64).sum(axis=2)
+        return _phash_grid(g3, w, h)
     w, h = int(m.group(1)), int(m.group(2))
     need = w * h * 3
     if len(data) - m.end() < need or w < 8 or h < 8:
@@ -592,3 +609,56 @@ def decode_audio_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("lum_sum", T.LongType()),  # integer: engine-exact
+    ]
+)
+
+
+def image_pixel_stats(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """binary -> (media_id, width, height, lum_sum) where lum_sum is
+    the exact integer sum of ALL channel bytes of the DECODED pixels —
+    dims come from headers, lum_sum only from a real full decode, so a
+    hash-green value proves the codec path end-to-end (PPM, baseline
+    JPEG, PNG via the vendored codecs). Undecodable -> nulls."""
+    import numpy as np
+
+    def one(data: bytes):
+        m = _PPM_HEADER.match(data)
+        if m:
+            w, h = int(m.group(1)), int(m.group(2))
+            need = w * h * 3
+            if len(data) - m.end() < need:
+                return None, None, None
+            px = np.frombuffer(data, dtype=np.uint8, count=need, offset=m.end())
+            return w, h, int(px.astype(np.int64).sum())
+        rgb = _codec_rgb(data)
+        if rgb is None:
+            return None, None, None
+        h, w = rgb.shape[:2]
+        return w, h, int(rgb.astype(np.int64).sum())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                one(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": [s[0] for s in stats],
+                    "height": [s[1] for s in stats],
+                    "lum_sum": [s[2] for s in stats],
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(fn, PIXEL_STATS_SCHEMA)

@@ -4511,3 +4511,71 @@ def probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PNG_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 9 AS INT) AS width,
+         CAST(12 + doc_id % 7 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id AS media_id, width, height,
+       CAST(SUM((x.i * 7 + y.i * 11 + c.i * 3 + doc_id) % 256) AS BIGINT)
+         AS lum_sum
+FROM dims,
+     unnest(generate_series(0, width - 1)) AS x(i),
+     unnest(generate_series(0, height - 1)) AS y(i),
+     unnest(generate_series(0, 2)) AS c(i)
+GROUP BY doc_id, width, height
+"""
+
+
+@query("multimodal_png_features", _PNG_ORACLE)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG leg of the multimodal path, REAL end-to-end under the hash
+    gate: every document synthesizes deterministic pixels, ENCODES them
+    as a genuine PNG (zlib DEFLATE IDAT, CRC chunks) and the engine
+    DECODES the bytes back through the vendored public-spec codec,
+    reporting dims + the exact integer sum of all decoded channel
+    bytes. The oracle computes the same sum arithmetically from the
+    pixel formula — equality proves the full encode+decode fidelity
+    (one flipped byte anywhere changes lum_sum).
+
+    Scale: synthesis and decode are Arrow-batched narrow passes."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import image_pixel_stats
+
+    docs = _docs(spark, sf_dir)
+
+    def synth(batches):
+        import numpy as np
+
+        from ..operators.png_codec import encode_png
+
+        for pdf in batches:
+            media = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 16 + mid % 9, 12 + mid % 7
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [(x * 7 + y * 11 + c * 3 + mid) % 256 for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                media.append(encode_png(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "media": media})
+
+    imgs = docs.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("media", T.BinaryType()),
+            ]
+        ),
+    )
+    return image_pixel_stats(imgs)
