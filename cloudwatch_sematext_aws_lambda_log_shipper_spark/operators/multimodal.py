@@ -208,12 +208,22 @@ def resize_images(
     O(out_pixels) gather — no Python per-pixel loops on the PPM path."""
 
     def _one(b, w=width, h=height):
+        import numpy as np
+
         if b is None:
             return None
         data = bytes(b)
-        if data[:2] == b"\xff\xd8":
-            return _resize_jpeg_one(data, w, h)
-        return _resize_ppm_one(data, w, h)
+        if _PPM_HEADER.match(data):
+            return _resize_ppm_one(data, w, h)
+        # JPEG and PNG decode through the shared vendored-codec dispatch
+        px = _codec_rgb(data)
+        if px is None:
+            return None
+        in_h, in_w = px.shape[:2]
+        ri = (np.arange(h) * in_h) // h
+        ci = (np.arange(w) * in_w) // w
+        out = px[ri][:, ci]
+        return b"P6\n%d %d\n255\n" % (w, h) + out.tobytes()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

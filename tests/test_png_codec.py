@@ -160,3 +160,28 @@ def test_decode_image_features_reports_png_dims(spark):
     df = spark.createDataFrame([Row(media_id=1, media=bytearray(png))])
     r = decode_image_features(df).collect()[0]
     assert (r.width, r.height, r.channels) == (33, 21, 3)
+
+
+def test_resize_handles_png(spark):
+    from pyspark.sql import Row
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    img = _img(seed=8, w=40, h=30)
+    df = spark.createDataFrame(
+        [Row(media_id=1, media=bytearray(encode_png(img))),
+         Row(media_id=2, media=bytearray(b"garbage"))]
+    )
+    out = {r.media_id: r for r in resize_images(df, width=10, height=6).collect()}
+    assert out[1].media is not None and out[1].width == 10
+    # output is P6 with nearest-neighbor gathered pixels
+    body = bytes(out[1].media)
+    assert body.startswith(b"P6\n10 6\n255\n")
+    px = np.frombuffer(body, dtype=np.uint8, count=180,
+                       offset=len(b"P6\n10 6\n255\n")).reshape(6, 10, 3)
+    ri = (np.arange(6) * 30) // 6
+    ci = (np.arange(10) * 40) // 10
+    assert np.array_equal(px, img[ri][:, ci])
+    assert out[2].media is None  # undecodable routes null (Q4 philosophy)
