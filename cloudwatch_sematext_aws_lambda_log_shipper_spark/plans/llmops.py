@@ -4579,3 +4579,59 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return image_pixel_stats(imgs)
+
+
+_TRIANGLE_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.35
+), tri AS (
+  SELECT x.s AS a, x.d AS b, y.d AS c
+  FROM e x JOIN e y ON x.d = y.s JOIN e z ON z.s = x.s AND z.d = y.d
+), membership AS (
+  SELECT a AS vec_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT vec_id, count(*) AS n_triangles
+FROM membership GROUP BY vec_id
+"""
+
+
+@query("embedding_triangle_counts", _TRIANGLE_ORACLE)
+def embedding_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the cosine-threshold similarity
+    graph — the local-density / clustering-structure signal (triangle-
+    rich vectors sit inside tight semantic clumps; triangle-free edges
+    are isolated coincidences). Computed by the standard ordered-edge
+    two-join (edges carry src < dst, so each triangle materializes
+    exactly once as a < b < c — never six rotations).
+
+    Scale: two equi-joins on edge endpoints; the candidate wedge set is
+    sum-of-squared-degrees-bounded, the canonical distributed triangle
+    enumeration (swap in degree-ordered orientation for skewed
+    graphs)."""
+    edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    )
+    x = edges.alias("x")
+    y = edges.alias("y")
+    z = edges.alias("z")
+    tri = (
+        x.join(y, F.col("x.d") == F.col("y.s"))
+        .join(z, (F.col("z.s") == F.col("x.s")) & (F.col("z.d") == F.col("y.d")))
+        .select(
+            F.col("x.s").alias("a"), F.col("x.d").alias("b"), F.col("y.d").alias("c")
+        )
+    )
+    membership = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    return membership.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))

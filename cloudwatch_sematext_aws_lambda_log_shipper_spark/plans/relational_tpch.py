@@ -400,3 +400,44 @@ def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# ---------------------------------------------------------------- Q6
+
+_FORECAST_ORACLE = """
+SELECT count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", _FORECAST_ORACLE)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — revenue change
+    from eliminating a discount band in one ship year.
+
+    Scale: the whole query is one codegen'd scan stage: all three
+    predicates push to the parquet scan (row-group min/max prune
+    shipdate), the projection reads 4 columns, and the single-row
+    aggregate combines map-side. The benchmark's measure of raw scan
+    throughput."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+        )
+    )

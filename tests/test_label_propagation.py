@@ -103,3 +103,29 @@ def test_mmr_layout_invariant_and_stops_at_n(spark):
     assert a == b
     tiny = spark.createDataFrame(rows[:3])
     assert len(mmr_select(tiny, query_u=q, k=10)) == 3  # k > n stops
+
+
+# --- triangle counting ----------------------------------------------------
+
+
+def test_triangle_counts_on_known_graph(spark):
+    import os, tempfile
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import llmops  # noqa: F401
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.registry import QUERIES
+
+    # 4 near-identical vectors (K4 at any sane threshold) + 2 isolated
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.999, 0.01, 0.0],
+        3: [0.998, 0.02, 0.0], 4: [0.997, 0.03, 0.0],
+        50: [0.0, 1.0, 0.0], 60: [0.0, 0.0, 1.0],
+    }
+    rows = [Row(vec_id=k, embedding=[float(x) for x in v], label=0)
+            for k, v in vecs.items()]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).selectExpr(
+            "vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.vec_id: r.n_triangles
+               for r in QUERIES["embedding_triangle_counts"](spark, d).collect()}
+    # K4 has C(3,2)=3 triangles through each vertex, none elsewhere
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
