@@ -154,3 +154,57 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return state.select("node", F.col("lbl").alias("community"))
+
+
+def kcore_survivors(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling (Seidman 1983), ``n_rounds`` synchronous rounds:
+    repeatedly drop nodes whose degree among SURVIVORS is < k — what
+    remains approaches the maximal subgraph where every node keeps >= k
+    neighbors (dense-community extraction; at small diameters a few
+    rounds reach the fixed point, reported via ``converged``).
+    Deterministic by construction: degree counting and thresholding are
+    pure integer ops, so a chained-CTE oracle replays every round.
+
+    Output: surviving (node, degree) after the final round, plus a
+    constant ``converged`` flag (the last round removed nothing).
+
+    Scale: per round one semi join (edges vs survivors, both sides) +
+    one map-side-combined degree count; lineage cut per round."""
+    fwd = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    e = (
+        fwd.unionByName(
+            fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    survivors = e.select(F.col("_src").alias("node")).distinct()
+    prev_count = survivors.count()
+    last = None
+    for _ in range(n_rounds):
+        alive = e.join(
+            survivors.withColumnRenamed("node", "_s"), e._src == F.col("_s"), "left_semi"
+        ).join(
+            survivors.withColumnRenamed("node", "_d"), e._dst == F.col("_d"), "left_semi"
+        )
+        deg = alive.groupBy(F.col("_src").alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        survivors = (
+            deg.filter(F.col("degree") >= k).select("node").localCheckpoint(eager=True)
+        )
+        last = deg.filter(F.col("degree") >= k)
+        cur = survivors.count()
+        converged = cur == prev_count
+        prev_count = cur
+    if last is None:
+        return survivors.select(
+            "node", F.lit(0).alias("degree"), F.lit(True).alias("converged")
+        )
+    return last.withColumn("converged", F.lit(bool(converged)))

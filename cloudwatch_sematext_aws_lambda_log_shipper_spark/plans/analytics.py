@@ -1827,3 +1827,81 @@ def events_txlog_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+_CUMUSERS_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), daily_new AS (
+  SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT day, new_users,
+       SUM(new_users) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cumulative_users
+FROM daily_new
+"""
+
+
+@query("events_cumulative_users", _CUMUSERS_ORACLE)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: daily NEW users (first-ever activity) and the
+    running total — the exact cumulative-distinct that a naive
+    count(DISTINCT) over an expanding window cannot express without
+    quadratic rescans: min-day per user linearizes it.
+
+    Scale: one groupBy(user) for first-seen, a calendar-bounded daily
+    aggregate, and a cumulative window over ~days rows (single
+    partition by construction, but over 10^2 rows, not events)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), spine AS (
+  SELECT DISTINCT day FROM user_days
+)
+SELECT s.day, count(DISTINCT u.user_id) AS active_7d
+FROM spine s JOIN user_days u
+  ON u.day <= s.day AND u.day > s.day - INTERVAL 7 DAY
+GROUP BY s.day
+"""
+
+
+@query("events_rolling_active_users", _ROLLING_ACTIVE_ORACLE)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve): EXACT
+    distinct users over a sliding window — windows can't count
+    distinct, so the plan is a date-spine range join against the
+    deduped (user, day) activity table.
+
+    Scale: the range join is spine(days) x user-days bounded by 7
+    rows per user-day; at 100 TB swap the exact distinct for the KMV
+    sketch union (audience_overlap_kmv machinery) without changing
+    the shape."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    spine = user_days.select("day").distinct()
+    u = user_days.select(F.col("user_id"), F.col("day").alias("uday"))
+    return (
+        spine.join(
+            u,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") > F.date_sub(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )

@@ -4635,3 +4635,62 @@ def embedding_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("vec_id")))
     )
     return membership.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _kcore_oracle(k: int = 2, n_rounds: int = 6) -> str:
+    """Chained-CTE replay of k-core peeling over the cosine-threshold
+    graph: round t recounts degrees among round t-1 survivors."""
+    parts = [
+        """WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e0 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.35
+), ed AS (
+  SELECT id_a AS src, id_b AS dst FROM e0
+  UNION ALL SELECT id_b, id_a FROM e0
+),
+s0 AS (SELECT DISTINCT src AS node FROM ed)"""
+    ]
+    for t in range(1, n_rounds + 1):
+        parts.append(
+            f"""d{t} AS (
+  SELECT ed.src AS node, count(*) AS degree
+  FROM ed
+  JOIN s{t-1} a ON ed.src = a.node
+  JOIN s{t-1} b ON ed.dst = b.node
+  GROUP BY ed.src
+), s{t} AS (SELECT node FROM d{t} WHERE degree >= {k})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT d.node AS vec_id, d.degree,
+       (SELECT count(*) FROM s{n_rounds}) = (SELECT count(*) FROM s{n_rounds - 1})
+         AS converged
+FROM d{n_rounds} d WHERE d.degree >= {k}"""
+    )
+
+
+@query("embedding_kcore", _kcore_oracle())
+def embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the cosine-threshold similarity graph by 6 synchronous
+    peeling rounds (Seidman's k-core): survivors keep >= 2 surviving
+    neighbors — the dense-clump extraction that drops pendant
+    near-duplicate edges the pair list keeps. Every round replayed by
+    the chained-CTE oracle (seventh iterative algorithm under the
+    gate); convergence reported in-band.
+
+    Scale: per round two semi joins + one degree count, all on the
+    edge list — never materializes neighborhoods."""
+    from ..operators.graph import kcore_survivors
+
+    edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return kcore_survivors(edges, k=2, n_rounds=6).select(
+        F.col("node").alias("vec_id"), "degree", "converged"
+    )

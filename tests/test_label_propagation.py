@@ -129,3 +129,20 @@ def test_triangle_counts_on_known_graph(spark):
                for r in QUERIES["embedding_triangle_counts"](spark, d).collect()}
     # K4 has C(3,2)=3 triangles through each vertex, none elsewhere
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_peels_pendants_keeps_clique(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import (
+        kcore_survivors,
+    )
+
+    # triangle {1,2,3} with a pendant chain 3-4-5
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    out = kcore_survivors(_edges(spark, pairs), k=2, n_rounds=6).collect()
+    nodes = {r.node: r.degree for r in out}
+    assert set(nodes) == {1, 2, 3}
+    assert all(d == 2 for d in nodes.values())
+    assert all(r.converged for r in out)
+    # k=3 on a triangle-only graph peels everything
+    out3 = kcore_survivors(_edges(spark, pairs), k=3, n_rounds=6).collect()
+    assert out3 == []
