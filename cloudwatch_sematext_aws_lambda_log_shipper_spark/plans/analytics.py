@@ -1905,3 +1905,111 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("active_7d"))
     )
+
+
+_FUNNEL_LATENCY_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id,
+         (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+           AS latency_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase >= first_view
+)
+SELECT count(*) AS n_converters,
+       ROUND(CAST(quantile_cont(latency_s, 0.5) AS DOUBLE), 6) AS p50_s,
+       ROUND(CAST(quantile_cont(latency_s, 0.9) AS DOUBLE), 6) AS p90_s,
+       CAST(min(latency_s) AS BIGINT) AS min_s,
+       CAST(max(latency_s) AS BIGINT) AS max_s
+FROM conv
+"""
+
+
+@query("user_funnel_latency", _FUNNEL_LATENCY_ORACLE)
+def user_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's FIRST view
+    to their FIRST subsequent purchase, summarized with exact
+    percentiles — the latency companion to the conversion-rate funnel
+    (user_funnel counts who converts; this measures how fast).
+
+    Scale: one conditional-min aggregate per user (map-side combined,
+    no per-user sort), then a single exact-percentile pass over the
+    converter latencies."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        # exact microsecond delta, ONE floor-div at the end: per-side
+        # second truncation disagrees with the delta's by +-1s
+        F.expr(
+            "(unix_micros(CAST(first_purchase AS TIMESTAMP))"
+            " - unix_micros(CAST(first_view AS TIMESTAMP))) div 1000000"
+        ).alias("latency_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile("latency_s", 0.5), 6).alias("p50_s"),
+        F.round(F.percentile("latency_s", 0.9), 6).alias("p90_s"),
+        F.min("latency_s").alias("min_s"),
+        F.max("latency_s").alias("max_s"),
+    )
+
+
+_SHIP_LATENCY_ORACLE = """
+WITH lat AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= o_orderdate
+)
+SELECT o_orderpriority, count(*) AS n,
+       ROUND(CAST(quantile_cont(days, 0.5) AS DOUBLE), 6) AS p50_days,
+       ROUND(CAST(quantile_cont(days, 0.95) AS DOUBLE), 6) AS p95_days,
+       CAST(max(days) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority
+"""
+
+
+@query("shipping_latency_stats", _SHIP_LATENCY_ORACLE)
+def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class (exact
+    percentiles of day deltas) — the SLA-audit query over the fact
+    spine.
+
+    Scale: the one lineitem⋈orders shuffle, then exact percentiles per
+    priority group (5 groups); swap in the GK sketch for the 100 TB
+    single-pass variant."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("days", 0.5), 6).alias("p50_days"),
+        F.round(F.percentile("days", 0.95), 6).alias("p95_days"),
+        F.max("days").alias("max_days"),
+    )
