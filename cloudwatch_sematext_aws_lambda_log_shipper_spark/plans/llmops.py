@@ -4694,3 +4694,98 @@ def embedding_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_survivors(edges, k=2, n_rounds=6).select(
         F.col("node").alias("vec_id"), "degree", "converged"
     )
+
+
+_SKIPGRAM_ORACLE = r"""
+WITH arr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), pairs AS (
+  SELECT ws[i] AS w_center, ws[i + o] AS w_context
+  FROM arr,
+       unnest(generate_series(1, len(ws))) AS t(i),
+       unnest([1, 2]) AS s(o)
+  WHERE i + o <= len(ws)
+), sym AS (
+  SELECT w_center, w_context FROM pairs
+  UNION ALL
+  SELECT w_context, w_center FROM pairs
+), pc AS (
+  SELECT w_center, w_context, count(*) AS c_ab FROM sym GROUP BY 1, 2
+), uc AS (
+  SELECT w_center, SUM(c_ab) AS c_a FROM pc GROUP BY 1
+), tot AS (
+  SELECT SUM(c_ab) AS n FROM pc
+)
+SELECT pc.w_center, pc.w_context, pc.c_ab,
+       ROUND(ln(CAST(tot.n AS DOUBLE)) + ln(CAST(pc.c_ab AS DOUBLE))
+             - ln(CAST(a.c_a AS DOUBLE)) - ln(CAST(b.c_a AS DOUBLE)), 6)
+         AS pmi
+FROM pc
+JOIN uc a ON a.w_center = pc.w_center
+JOIN uc b ON b.w_center = pc.w_context
+CROSS JOIN tot
+WHERE pc.c_ab >= 25
+"""
+
+
+@query("corpus_skipgram_pmi", _SKIPGRAM_ORACLE)
+def corpus_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence statistics with pointwise mutual
+    information (window +-2, symmetrized) — the word2vec/GloVe
+    preprocessing stage: PMI-positive pairs are the association signal
+    embedding trainers factorize. PMI computes as a FIXED-ORDER sum of
+    ln() of exact integers, rounded to 6 — engine-identical without
+    DECIMAL machinery (one expression, no accumulation).
+
+    Scale: context pairs come from zipping the token array with its
+    1- and 2-shifted slices — narrow, never a positions self-join; the
+    pair vocabulary aggregates map-side; marginals join on the pair
+    table (no broadcast assumption)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.lower(F.trim("text")), r"\s+")
+    arr = docs.select(F.col("doc_id"), ws.alias("_ws"))
+    shifted = []
+    for off in (1, 2):
+        shifted.append(
+            arr.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("_ws", F.lit(1), F.size("_ws") - off),
+                        F.slice("_ws", F.lit(1 + off), F.size("_ws") - off),
+                    )
+                ).alias("_p")
+            ).select(
+                F.col("_p").getItem("0").alias("w_center"),
+                F.col("_p").getItem("1").alias("w_context"),
+            )
+        )
+    pairs = shifted[0].unionByName(shifted[1])
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("w_context").alias("w_center"), F.col("w_center").alias("w_context")
+        )
+    )
+    pc = sym.groupBy("w_center", "w_context").agg(F.count(F.lit(1)).alias("c_ab"))
+    uc = pc.groupBy("w_center").agg(F.sum("c_ab").alias("c_a"))
+    tot = pc.agg(F.sum("c_ab").alias("n"))
+    a = uc.select(F.col("w_center").alias("_wa"), F.col("c_a").alias("_ca"))
+    b = uc.select(F.col("w_center").alias("_wb"), F.col("c_a").alias("_cb"))
+    return (
+        pc.join(a, pc.w_center == F.col("_wa"))
+        .join(b, pc.w_context == F.col("_wb"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c_ab") >= 25)
+        .select(
+            "w_center",
+            "w_context",
+            "c_ab",
+            F.round(
+                F.log(F.col("n").cast("double"))
+                + F.log(F.col("c_ab").cast("double"))
+                - F.log(F.col("_ca").cast("double"))
+                - F.log(F.col("_cb").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )
