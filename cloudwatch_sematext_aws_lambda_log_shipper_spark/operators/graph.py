@@ -185,9 +185,9 @@ def kcore_survivors(
         .localCheckpoint(eager=True)
     )
     survivors = e.select(F.col("_src").alias("node")).distinct()
-    prev_count = survivors.count()
+    prev = survivors
     last = None
-    for _ in range(n_rounds):
+    for r in range(n_rounds):
         alive = e.join(
             survivors.withColumnRenamed("node", "_s"), e._src == F.col("_s"), "left_semi"
         ).join(
@@ -196,15 +196,16 @@ def kcore_survivors(
         deg = alive.groupBy(F.col("_src").alias("node")).agg(
             F.count(F.lit(1)).alias("degree")
         )
+        if r == n_rounds - 1:
+            prev = survivors  # round n-1 survivors, for the converged flag
         survivors = (
             deg.filter(F.col("degree") >= k).select("node").localCheckpoint(eager=True)
         )
         last = deg.filter(F.col("degree") >= k)
-        cur = survivors.count()
-        converged = cur == prev_count
-        prev_count = cur
     if last is None:
         return survivors.select(
             "node", F.lit(0).alias("degree"), F.lit(True).alias("converged")
         )
+    # one pair of counts at the end, not one per round
+    converged = survivors.count() == prev.count()
     return last.withColumn("converged", F.lit(bool(converged)))
