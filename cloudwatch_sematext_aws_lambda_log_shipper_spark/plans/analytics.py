@@ -1836,8 +1836,9 @@ WITH first_seen AS (
   SELECT first_day AS day, count(*) AS new_users FROM first_seen GROUP BY first_day
 )
 SELECT day, new_users,
-       SUM(new_users) OVER (ORDER BY day
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       CAST(SUM(new_users) OVER (
+              ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cumulative_users
 FROM daily_new
 """

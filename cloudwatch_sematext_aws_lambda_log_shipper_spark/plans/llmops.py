@@ -4329,7 +4329,7 @@ WITH chars AS (
   FROM freq JOIN tot USING (doc_id)
 )
 SELECT doc_id,
-       max(t) AS n_chars_counted,
+       CAST(max(t) AS BIGINT) AS n_chars_counted,
        max(n_distinct) AS n_distinct_chars,
        ROUND(CAST(SUM(term) AS DOUBLE) / max(t) / ln(2), 6) AS entropy_bits
 FROM terms GROUP BY doc_id
