@@ -2014,3 +2014,115 @@ def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("days", 0.95), 6).alias("p95_days"),
         F.max("days").alias("max_days"),
     )
+
+
+_RFM_ORACLE = """
+WITH rfm AS (
+  SELECT o_custkey AS c_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '2001-09-01') AS recency_days,
+         count(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, c_custkey) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(16,2))) AS DOUBLE) AS segment_value
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+@query("customer_rfm_segments", _RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for Recency (days
+    since last order, anchored at the corpus horizon), Frequency and
+    Monetary value, aggregated into the 4x4x4 segment grid — the
+    classic CRM marketing cube. ntile runs over the PRE-AGGREGATED
+    one-row-per-customer frame with full tie-break order, so quartile
+    membership is deterministic.
+
+    Scale: one groupBy(custkey) shuffle builds the RFM frame; the three
+    ntile windows sort |customers| rows (at 100 TB: replace ntile with
+    percentile-threshold joins from the GK sketch — same grid, no
+    global sort)."""
+    orders = load(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice", 14)).cast("double").alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score",
+            F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(16,2)"))
+        .cast("double")
+        .alias("segment_value"),
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), binned AS (
+  SELECT LEAST(19, CAST(floor((value - lo) * 20 / (hi - lo)) AS BIGINT)) AS bin,
+         lo, hi
+  FROM events CROSS JOIN bounds
+)
+SELECT bin, count(*) AS n,
+       ROUND(CAST(min(lo) + bin * (min(hi) - min(lo)) / 20 AS DOUBLE), 6)
+         AS bin_lo
+FROM binned GROUP BY bin
+"""
+
+
+@query("events_value_histogram", _HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values with bin lower
+    bounds — the profiling primitive behind distribution plots. Bin
+    assignment divides identical doubles in one fixed expression, so
+    edge rows bin identically in both engines; the top value clamps
+    into the last bin.
+
+    Scale: one tiny min/max aggregate broadcast back, then one
+    map-side-combined groupBy over <= 20 keys."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(19),
+            F.floor((F.col("value") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo")))
+            .cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            (F.min("lo") + F.col("bin") * (F.min("hi") - F.min("lo")) / 20).cast(
+                "double"
+            ),
+            6,
+        ).alias("bin_lo"),
+    )
