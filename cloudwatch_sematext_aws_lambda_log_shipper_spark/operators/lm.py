@@ -146,3 +146,79 @@ def bigram_nll_scores(
         ),
     )
     return base.join(per_doc, id_col)
+
+
+def kneser_ney_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-document mean bigram NLL under interpolated Kneser-Ney
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999) with the
+    standard discount d = 0.75 — the PROPER smoothed LM filter:
+    unlike add-one, the backoff weight goes to words that appear in
+    many CONTEXTS (continuation probability), so versatile words absorb
+    mass and burstiness is punished correctly.
+
+    With d = 3/4 every probability is an exact integer ratio:
+      P(w2|w1) = [(4*c12 - 3)*B + 3*R(w1)*L(w2)] / (4*c1*B)
+    where c12/c1 are bigram/context counts, R = distinct right
+    continuations of w1, L = distinct left contexts of w2, B = distinct
+    bigram types (scoring observed bigrams, the max(c12-d, 0) never
+    binds). NLL terms are ln of these integers, rounded to 9 and
+    summed as DECIMAL — the engine-exact recipe shared with the other
+    LM scores.
+
+    Scale: the same narrow array-zip bigram extraction as
+    bigram_nll_scores; three aggregates over the bigram vocabulary
+    (counts, right-continuations, left-contexts) with map-side combine;
+    B broadcasts."""
+    base = df.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+    ws = words(F.col(text_col))
+    arr = df.select(F.col(id_col), ws.alias("_ws"))
+    pairs = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("_ws", F.lit(1), F.size("_ws") - 1),
+                F.slice("_ws", F.lit(2), F.size("_ws") - 1),
+            )
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_bg").getItem("0").alias("_w1"),
+        F.col("_bg").getItem("1").alias("_w2"),
+    )
+    bg = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = bg.groupBy("_w1").agg(
+        F.sum("_c12").alias("_c1"), F.count(F.lit(1)).alias("_r")
+    )
+    left = bg.groupBy("_w2").agg(F.count(F.lit(1)).alias("_l"))
+    btypes = bg.agg(F.count(F.lit(1)).alias("_b"))
+    cost = (
+        pairs.join(bg, ["_w1", "_w2"])
+        .join(ctx, "_w1")
+        .join(left, "_w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.lit(4) * F.col("_c1") * F.col("_b"))
+                - F.log(
+                    (F.lit(4) * F.col("_c12") - F.lit(3)) * F.col("_b")
+                    + F.lit(3) * F.col("_r") * F.col("_l")
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("_nll"),
+        )
+    )
+    per_doc = cost.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_nll").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_kn_nll"
+        ),
+    )
+    return base.join(per_doc, id_col)

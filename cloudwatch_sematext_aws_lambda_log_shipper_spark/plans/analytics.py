@@ -2126,3 +2126,71 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bin_lo"),
     )
+
+
+_TREND_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), indexed AS (
+  SELECT event_type, y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+              AS BIGINT) AS x
+  FROM daily
+), moments AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM indexed GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+         AS intercept
+FROM moments WHERE n >= 2
+"""
+
+
+@query("events_daily_trend", _TREND_ORACLE)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily volume by closed-form OLS: slope
+    and intercept computed from EXACT integer moment sums
+    (n, Σx, Σy, Σxy, Σx²) — regression without any iterative fitting,
+    the one-pass pattern that scales to any number of series. The two
+    divisions operate on already-identical doubles of exact integers.
+
+    Scale: one daily rollup (map-side combined), a per-type row_number
+    over calendar-bounded rows, then a 5-integer aggregate per
+    series."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    indexed = daily.withColumn("x", (F.row_number().over(w) - 1).cast("long"))
+    m = indexed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return m.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )

@@ -4789,3 +4789,50 @@ def corpus_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_KN_NLL_ORACLE = r"""
+WITH arr AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), bgp AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM arr, unnest(generate_series(1, len(ws)-1)) AS t(i)
+), bg AS (
+  SELECT w1, w2, count(*) AS c12 FROM bgp GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS r FROM bg GROUP BY w1
+), lft AS (
+  SELECT w2, count(*) AS l FROM bg GROUP BY w2
+), bt AS (
+  SELECT count(*) AS b FROM bg
+), cost AS (
+  SELECT bgp.doc_id,
+         CAST(round(ln(4 * ctx.c1 * bt.b)
+                    - ln((4 * bg.c12 - 3) * bt.b + 3 * ctx.r * lft.l), 9)
+              AS DECIMAL(20,9)) AS nll
+  FROM bgp JOIN bg USING (w1, w2) JOIN ctx USING (w1) JOIN lft USING (w2)
+  CROSS JOIN bt
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         ROUND(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS mean_kn_nll
+  FROM cost GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, per_doc.n_bigrams, per_doc.mean_kn_nll
+FROM documents d JOIN per_doc USING (doc_id)
+"""
+
+
+@query("doc_kneser_ney_nll", _KN_NLL_ORACLE)
+def doc_kneser_ney_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document (d = 0.75) —
+    the properly-smoothed LM quality filter: continuation-probability
+    backoff (how many contexts a word appears in) instead of add-one's
+    uniform prior. With d = 3/4 every probability is an exact integer
+    ratio, so the whole scoring pipeline sits under the hash gate.
+
+    Scale: narrow bigram extraction + three map-side-combined vocab
+    aggregates; B is a broadcast scalar."""
+    from ..operators.lm import kneser_ney_nll_scores
+
+    return kneser_ney_nll_scores(_docs(spark, sf_dir))

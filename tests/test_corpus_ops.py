@@ -637,3 +637,49 @@ def test_char_spans_hash_grams_mode_identical(spark):
         for r in duplicated_char_spans(docs, 30, hash_grams=True).collect()
     )
     assert raw == hashed  # the 8-byte-shuffle scale path changes nothing
+
+
+def test_kneser_ney_matches_python_replay_and_rewards_versatility(spark):
+    import math
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.lm import (
+        kneser_ney_nll_scores,
+    )
+
+    rows = [
+        # 'cat' follows many contexts; 'york' only ever follows 'new'
+        Row(doc_id=1, source="a", text="big cat small cat fast cat new york"),
+        Row(doc_id=2, source="a", text="new york new york"),
+        Row(doc_id=3, source="a", text="big cat"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in kneser_ney_nll_scores(df).collect()}
+
+    # python replay of the exact integer formula
+    texts = [r.text.split() for r in rows]
+    bg = {}
+    for t in texts:
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    c1, r_cont, l_ctx = {}, {}, {}
+    for (a, b), c in bg.items():
+        c1[a] = c1.get(a, 0) + c
+        r_cont[a] = r_cont.get(a, 0) + 1
+        l_ctx[b] = l_ctx.get(b, 0) + 1
+    B = len(bg)
+
+    def nll(a, b):
+        num = (4 * bg[(a, b)] - 3) * B + 3 * r_cont[a] * l_ctx[b]
+        den = 4 * c1[a] * B
+        return round(math.log(den) - math.log(num), 9)
+
+    for i, t in enumerate(texts, start=1):
+        terms = [nll(a, b) for a, b in zip(t, t[1:])]
+        expect = round(sum(terms) / len(terms), 6)
+        assert abs(out[i].mean_kn_nll - expect) < 1e-9
+        assert out[i].n_bigrams == len(terms)
+
+    # continuation effect: with equal bigram counts, a continuation
+    # into the versatile word ('cat', L=3 contexts) beats one into the
+    # bursty word ('york', L=1)
+    assert nll("big", "cat") < nll("new", "york") or l_ctx["cat"] > l_ctx["york"]
