@@ -480,19 +480,38 @@ def _phash_grid(g3, w: int, h: int) -> tuple[int, int]:
     rb = (np.arange(9) * h) // 8
     cb = (np.arange(9) * w) // 8
     sums = np.empty((8, 8), dtype=np.int64)
-    counts = np.empty((8, 8), dtype=np.int64)
     for u in range(8):
         for v in range(8):
-            blk = g3[rb[u]:rb[u + 1], cb[v]:cb[v + 1]]
-            sums[u, v] = int(blk.sum())
-            counts[u, v] = blk.size
-    lcm = int(np.lcm.reduce(np.unique(counts)))
-    pooled = sums * (lcm // counts)
-    c = np.array(DCT8_Q14, dtype=np.int64)
-    d = c @ pooled @ c.T  # exact: |D| < 8*8*2^28 * pooled_max << 2^63
-    ac = d.ravel()[1:]
-    thr = np.sort(ac)[31]
-    bits = (ac > thr).astype(np.int64)
+            sums[u, v] = int(g3[rb[u]:rb[u + 1], cb[v]:cb[v + 1]].sum())
+    # Normalize region sums by SEPARATE row/col LCM scale factors:
+    # pooled[u,v] = sums * (HL//rows[u]) * (WL//cols[v]) is the exact
+    # average scaled by the constant HL*WL. A single LCM over the
+    # distinct block SIZES (rows*cols products) grows ~ (h*w/64)^2 and
+    # silently wraps int64 above ~250 px for non-multiple-of-8 dims;
+    # the per-axis LCMs are bounded by (dim/8)*(dim/8 + 1). Hash bits
+    # are scale-invariant (uniform positive scaling of the pooled grid
+    # scales every DCT coefficient identically), so this matches the
+    # prior formula bit-for-bit where that one didn't overflow.
+    rows = np.diff(rb).astype(np.int64)
+    cols = np.diff(cb).astype(np.int64)
+    hl = int(np.lcm.reduce(np.unique(rows)))
+    wl = int(np.lcm.reduce(np.unique(cols)))
+    rscale = hl // rows  # exact by LCM construction
+    cscale = wl // cols
+    # |DCT| <= 64 * 16384^2 * max|pooled| = 2^34 * 765*HL*WL; stay in
+    # int64 while the bound proves no wrap, else exact Python ints
+    # (object dtype) — the matrices are 8x8, so the slow path is ~1k
+    # bigint multiplies per image, negligible.
+    if 765 * hl * wl < (1 << 29):
+        pooled = sums * rscale[:, None] * cscale[None, :]
+        c = np.array(DCT8_Q14, dtype=np.int64)
+    else:
+        pooled = sums.astype(object) * rscale[:, None] * cscale[None, :]
+        c = np.array(DCT8_Q14, dtype=object)
+    d = c @ pooled @ c.T
+    ac = list(d.ravel()[1:])
+    thr = sorted(ac)[31]
+    bits = np.array([1 if a > thr else 0 for a in ac], dtype=np.int64)
     hi = int((bits[:32] << np.arange(32)).sum())
     lo = int((bits[32:] << np.arange(31)).sum())
     return hi, lo

@@ -68,7 +68,19 @@ def _list_versions(table: str) -> list[int]:
     for name in os.listdir(log):
         if name.endswith(".json") and not name.endswith(".checkpoint.json"):
             out.append(int(name[:-5]))
-    return sorted(out)
+    out.sort()
+    # Tolerate a TRAILING partially-written commit (a writer that died
+    # mid-publish before the link-based protocol, or a torn copy): drop
+    # unparseable tip versions so the table stays readable. A corrupt
+    # commit in the MIDDLE of the log is real damage and stays loud.
+    while out:
+        try:
+            _read_commit(table, out[-1])
+        except (json.JSONDecodeError, ValueError, OSError):
+            out.pop()
+        else:
+            break
+    return out
 
 
 def latest_version(table: str) -> int | None:
@@ -139,19 +151,26 @@ def snapshot(table: str, version: int | None = None) -> dict:
 
 
 def _try_commit(table: str, v: int, payload: dict) -> bool:
-    """Atomically create version v. True if this writer won the race."""
+    """Atomically create version v. True if this writer won the race.
+
+    Publication is an os.link(tmp, version_file): the link fails with
+    FileExistsError exactly like O_EXCL (one winner per version), but
+    the visible file is the ALREADY-COMPLETE temp payload — a reader
+    can never observe an empty/partial commit, and a writer dying
+    anywhere leaves either no version file or a complete one (never a
+    wedged unparseable committed version)."""
     os.makedirs(_log_path(table), exist_ok=True)
     tmp = _version_file(table, v) + f".tmp.{uuid.uuid4().hex}"
     payload = dict(payload, ts=time.time())
     with open(tmp, "w") as f:
         json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(_version_file(table, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, _version_file(table, v))
     except FileExistsError:
         os.unlink(tmp)
         return False
-    with os.fdopen(fd, "w") as out, open(tmp) as src:
-        out.write(src.read())
     os.unlink(tmp)
     if v > 0 and v % CHECKPOINT_EVERY == 0:
         state = snapshot(table, v)
@@ -177,6 +196,7 @@ def _file_stats(path: str, stats_cols: list[str] | None) -> dict | None:
         if col not in names:
             continue
         lo = hi = None
+        nulls: int | None = 0
         ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(names[col]).statistics
@@ -185,10 +205,17 @@ def _file_stats(path: str, stats_cols: list[str] | None) -> dict | None:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
+            # null count per row group (None = unknown, poisons the sum)
+            nc = st.null_count if st.has_null_count else None
+            nulls = None if (nulls is None or nc is None) else nulls + nc
         if ok and lo is not None:
+            # [min, max, null_count|None] — the third element lets
+            # metadata-only aggregates PROVE all-rows-match (nulls
+            # match no predicate, so the proof needs null_count == 0)
             out[col] = [
                 lo.isoformat() if hasattr(lo, "isoformat") else lo,
                 hi.isoformat() if hasattr(hi, "isoformat") else hi,
+                nulls,
             ]
     return out or None
 
@@ -346,6 +373,18 @@ def overwrite(
     return v
 
 
+def _coerce_partition_pair(pv: str, val: object) -> tuple:
+    """Partition values live in the log as STRINGS; comparing them
+    lexicographically against a numeric filter value is wrong for range
+    ops ('10' < '9' would prune partition day=10 for day >= 9). Coerce
+    BOTH sides to numbers when both parse; fall back to string compare
+    (dates/timestamps in ISO form order correctly as strings)."""
+    try:
+        return float(pv), float(val)
+    except (TypeError, ValueError):
+        return str(pv), str(val)
+
+
 def _might_match(meta: dict, filters: list[tuple[str, str, object]]) -> bool:
     """Conservative file-level predicate: False ONLY when the file's
     log metadata PROVES no row can match (superset guarantee — Spark
@@ -353,8 +392,7 @@ def _might_match(meta: dict, filters: list[tuple[str, str, object]]) -> bool:
     for col, op, val in filters:
         part = (meta.get("partition") or {})
         if col in part:
-            pv = part[col]
-            sval = str(val)
+            pv, sval = _coerce_partition_pair(part[col], val)
             if op == "=" and pv != sval:
                 return False
             if op == "<=" and pv > sval:
@@ -365,12 +403,43 @@ def _might_match(meta: dict, filters: list[tuple[str, str, object]]) -> bool:
         st = (meta.get("stats") or {}).get(col)
         if st is None:
             continue
-        lo, hi = st
+        lo, hi = st[0], st[1]
         if op == "=" and not (lo <= val <= hi):
             return False
         if op == "<=" and lo > val:
             return False
         if op == ">=" and hi < val:
+            return False
+    return True
+
+
+def _all_match(meta: dict, filters: list[tuple[str, str, object]]) -> bool:
+    """True ONLY when the file's log metadata PROVES every row matches
+    every filter — the dual of _might_match, needed by metadata-only
+    aggregates: a zone map that merely INTERSECTS the predicate range
+    cannot justify counting the whole file. Range proofs additionally
+    require a recorded zero null count (nulls match no predicate);
+    older commits without null counts conservatively fail the proof."""
+    for col, op, val in filters:
+        part = (meta.get("partition") or {})
+        if col in part:
+            pv, sval = _coerce_partition_pair(part[col], val)
+            if op == "=" and pv != sval:
+                return False
+            if op == "<=" and not (pv <= sval):
+                return False
+            if op == ">=" and not (pv >= sval):
+                return False
+            continue
+        st = (meta.get("stats") or {}).get(col)
+        if st is None or len(st) < 3 or st[2] != 0:
+            return False  # no zone map / unknown or nonzero null count
+        lo, hi = st[0], st[1]
+        if op == "=" and not (lo == val and hi == val):
+            return False
+        if op == "<=" and not (hi <= val):
+            return False
+        if op == ">=" and not (lo >= val):
             return False
     return True
 
@@ -463,11 +532,24 @@ def compact(
     raise CommitConflict(f"compact of {table} lost 5 races")
 
 
-def vacuum(table: str, retain_versions: int = 2, grace_seconds: float = 0.0) -> list[str]:
+DEFAULT_VACUUM_GRACE = 24 * 3600.0  # the Delta-style retention default
+
+
+def vacuum(
+    table: str,
+    retain_versions: int = 2,
+    grace_seconds: float = DEFAULT_VACUUM_GRACE,
+) -> list[str]:
     """Delete data files unreachable from the ``retain_versions`` most
     recent snapshots (older time travel breaks — the Delta trade-off)
     and staged files older than ``grace_seconds`` (crashed writers).
-    Returns deleted table-relative paths."""
+    Returns deleted table-relative paths.
+
+    ``grace_seconds`` defaults to a conservative 24 h: a concurrent
+    writer moves its staged files under data/ BEFORE its commit wins
+    the version race, so an eager vacuum (grace 0) can delete an
+    in-flight writer's files and corrupt the winning commit. Pass 0
+    ONLY when no writer can be active (tests, offline maintenance)."""
     vs = _list_versions(table)
     keep: set[str] = set()
     for v in vs[-retain_versions:]:
@@ -612,15 +694,26 @@ def count_rows(
     """Metadata-only COUNT(*): per-file row counts were captured from
     the parquet footers at commit time, so counting the table (or a
     partition-pruned subset) reads ZERO data files — the aggregate-
-    pushdown-to-metadata trick table formats exist for. Returns None
-    if any surviving file predates row-count capture (unknown)."""
+    pushdown-to-metadata trick table formats exist for.
+
+    With ``filters``, a file's whole row count may be included ONLY
+    when the metadata PROVES all its rows match (partition equality, or
+    zone-map range fully contained in the predicate with zero nulls);
+    a file that is pruned (_might_match False) contributes zero; a file
+    that merely INTERSECTS the predicate makes the exact count unknown
+    — returns None (same contract as a missing row count) rather than
+    an overcount. Callers needing the exact answer then fall back to a
+    real scan."""
     snap = snapshot(table, version)
-    keep = snap["files"]
-    if filters:
-        keep = [f for f in keep if _might_match(snap["meta"][f], filters)]
     total = 0
-    for f in keep:
-        r = snap["meta"][f].get("rows")
+    for f in snap["files"]:
+        m = snap["meta"][f]
+        if filters:
+            if not _might_match(m, filters):
+                continue  # proven zero matching rows
+            if not _all_match(m, filters):
+                return None  # partial overlap: exact count needs a scan
+        r = m.get("rows")
         if r is None:
             return None
         total += r
