@@ -1,0 +1,667 @@
+"""Engine-exact (oracle-replayable) IVF and IVF-PQ ANN.
+
+The numpy-kernel ANN paths in :mod:`.similarity` are the production
+defaults — Arrow-batched matmuls whose float-summation order differs
+from any SQL engine's, which is why their queries ride a rows-only
+correctness check with in-band recall audits. This module re-expresses
+the SAME index structures (coarse IVF partitions; product-quantization
+codebooks + asymmetric-distance scoring + exact refine — Jégou et al.,
+TPAMI 2011) under the repo's exact-arithmetic contract so a DuckDB
+oracle replays EVERY step bit-for-bit and the ANN queries sit under the
+strict hash gate:
+
+- vectors normalize elementwise (x / greatest(sqrt(dot(e,e)), 1e-12))
+  and every dot product is the sequential fold that matches DuckDB's
+  ``list_dot_product`` evaluation order (the k-center/MMR contract);
+- Lloyd init is the first k vectors in md5(id || salt) order — no RNG;
+- per-iteration centroid means use DECIMAL(12,9) sums of 9-dp-rounded
+  components (exact, order-independent — partition layout cannot move
+  a centroid), divided and re-rounded with the engines' shared ROUND;
+- cluster assignment is argmax-of-dots with first-index tie-break,
+  identical to a (dot DESC, cluster) row_number in SQL;
+- PQ sub-quantizer distances use the fixed expression
+  dot(x,x) - 2*dot(x,c) + dot(c,c); ADC scores are order-independent
+  DECIMAL(16,12) sums of per-subspace 12-dp-rounded LUT terms.
+
+Scale: assignment/probing/scoring run as narrow JVM expressions over
+broadcast-as-literal centroids (no Python in the hot path — higher-
+order-function folds are interpreted but stay executor-side and
+shuffle-free); the per-iteration fit is one posexplode aggregation
+whose map-side combine shrinks the shuffle to n_clusters x dim partial
+sums, with the driver holding only the k x dim centroid matrix — the
+``fit_centroids_distributed`` shape with exact arithmetic. The search
+itself keeps the IVF contract: score only the probed clusters' members
+(a broadcast join on cluster id), rank, refine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import as_double, dot, l2_norm
+
+
+def _lit_vec(v) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, _u) with _u the elementwise-normalized double vector.
+    The norm lands in its own column first: an aggregate inside the
+    transform lambda would re-fold the dim-length dot per element."""
+    raw = df.select(
+        F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias("_e")
+    )
+    return (
+        raw.withColumn("_n", F.greatest(l2_norm(F.col("_e")), F.lit(1e-12)))
+        .select(out_id, F.transform("_e", lambda x: x / F.col("_n")).alias("_u"))
+    )
+
+
+def _argmax_cluster(vec: F.Column, centers) -> F.Column:
+    """Nearest-centroid id via argmax of sequential-fold dots against
+    the literal centroid arrays; array_position returns the FIRST
+    maximal index, i.e. ties break to the lowest cluster id — exactly a
+    (dot DESC, cluster ASC) row_number() = 1 in the SQL replay."""
+    dots = F.array(*[dot(vec, _lit_vec(c)) for c in centers])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def fit_centroids_exact(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "ivf",
+) -> list[list[float]]:
+    """Spherical Lloyd whose every step an SQL oracle can replay:
+    md5-ordered deterministic init, exact DECIMAL dimension sums for
+    the means (order-independent — repartitioning the corpus cannot
+    move a centroid by an ulp), fixed-expression renormalization, and
+    9-dp rounding so each iteration's centroids are exactly
+    representable on both engines. Returns n_clusters rounded unit
+    vectors (a cluster that loses all members keeps its centroid).
+
+    Scale: one narrow assignment pass + one map-side-combinable
+    (cluster, dim) aggregation per iteration; the driver holds only
+    k x dim floats between iterations."""
+    cn = _unit(corpus, id_col, vec_col, "_id").localCheckpoint(eager=True)
+    try:
+        seed_rows = (
+            cn.orderBy(
+                F.md5(F.concat(F.col("_id").cast("string"), F.lit(salt))), "_id"
+            )
+            .limit(n_clusters)
+            .select("_u")
+            .collect()
+        )
+        centers = [list(r["_u"]) for r in seed_rows]
+        for _ in range(iters):
+            assigned = cn.withColumn(
+                "_cl", _argmax_cluster(F.col("_u"), centers)
+            )
+            sums = (
+                assigned.select("_cl", F.posexplode("_u").alias("_d", "_x"))
+                .groupBy("_cl", "_d")
+                .agg(
+                    F.sum(F.round("_x", 9).cast("decimal(12,9)")).alias("_s"),
+                    F.count(F.lit(1)).alias("_c"),
+                )
+            )
+            normed = (
+                sums.groupBy("_cl")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_d", "_s", "_c"))
+                    ).alias("_a")
+                )
+                .select(
+                    "_cl",
+                    F.transform(
+                        "_a",
+                        lambda s: s["_s"].cast("double")
+                        / s["_c"].cast("double"),
+                    ).alias("_m"),
+                )
+                .withColumn(
+                    "_nn", F.greatest(l2_norm(F.col("_m")), F.lit(1e-12))
+                )
+                .select(
+                    "_cl",
+                    F.transform(
+                        "_m", lambda x: F.round(x / F.col("_nn"), 9)
+                    ).alias("_cu"),
+                )
+            )
+            got = {int(r["_cl"]): list(r["_cu"]) for r in normed.collect()}
+            centers = [got.get(j, centers[j]) for j in range(len(centers))]
+    finally:
+        cn.unpersist()
+    return centers
+
+
+def _query_probes_exact(
+    qn: DataFrame, centers, nprobe: int
+) -> DataFrame:
+    """(query_id, _qu, _cl): each query's nprobe nearest centroids by
+    sequential-fold dot, (dot DESC, cluster) ranked."""
+    dots = F.array(*[dot(F.col("_u"), _lit_vec(c)) for c in centers])
+    wq = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), "_cl")
+    return (
+        qn.select(
+            "query_id",
+            F.col("_u").alias("_qu"),
+            F.posexplode(dots).alias("_cl", "_dot"),
+        )
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= min(nprobe, len(centers)))
+        .select("query_id", "_qu", "_cl")
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk"
+        )
+    )
+
+
+def ann_topk_ivf_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 6,
+    iters: int = 3,
+    salt: str = "ivf",
+    centers=None,
+) -> DataFrame:
+    """IVF-flat ANN under the exact-arithmetic contract: fit (or take)
+    replayable centroids, assign the corpus and probe the queries with
+    the same argmax-of-fold-dots, score exact cosine (normalized-vector
+    dot) inside the probed clusters only, rank (cos DESC, id). Same
+    output shape as similarity.ann_topk_ivf; still genuinely
+    approximate (nprobe < n_clusters), but every emitted double is
+    SQL-reproducible."""
+    if centers is None:
+        centers = fit_centroids_exact(
+            corpus, n_clusters, iters, id_col, vec_col, salt
+        )
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    qn = _unit(queries, id_col, vec_col, "query_id")
+    assigned = cn.withColumn("_cl", _argmax_cluster(F.col("_u"), centers))
+    probes = _query_probes_exact(qn, centers, nprobe)
+    scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
+        "cos", dot(F.col("_qu"), F.col("_u"))
+    )
+    return _rank_topk(scored, k)
+
+
+# --- persisted IVF index (exact-arith twin of build/query_ivf_index) ----
+
+
+def build_ivf_index_exact(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    iters: int = 3,
+    salt: str = "ivf",
+    centers=None,
+) -> None:
+    """Persist centroids + the NORMALIZED corpus partitioned by cluster
+    (build once, probe many). Storing _u rather than the raw vector
+    keeps the query path identical to the one-shot search — probe
+    results are bit-equal by construction."""
+    if centers is None:
+        centers = fit_centroids_exact(
+            corpus, n_clusters, iters, id_col, vec_col, salt
+        )
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    (
+        cn.withColumn("cluster", _argmax_cluster(F.col("_u"), centers))
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "assigned"))
+    )
+
+
+def query_ivf_index_exact(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the persisted exact-arith IVF index: the distinct probed
+    cluster ids become a literal IN-filter on the partition column
+    (FileScan PartitionFilters — only ~nprobe/n_clusters of the index
+    bytes are read), then fold-dot scoring + rank exactly like the
+    one-shot path."""
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centers = [list(r["centroid"]) for r in cent]
+    qn = _unit(queries, id_col, vec_col, "query_id")
+    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+        eager=True
+    )
+    needed = sorted(
+        r["_cl"] for r in probes.select("_cl").distinct().collect()
+    )
+    assigned = (
+        spark.read.parquet(os.path.join(path, "assigned"))
+        .filter(F.col("cluster").isin(needed))
+        .withColumnRenamed("cluster", "_cl")
+    )
+    scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
+        "cos", dot(F.col("_qu"), F.col("_u"))
+    )
+    return _rank_topk(scored, k)
+
+
+# --- exact-arith product quantization -----------------------------------
+
+
+def _subvectors(frame: DataFrame, id_name: str, m: int, dim: int) -> DataFrame:
+    """(id, _j, _sv): contiguous subspace slices of the normalized
+    vector — one narrow explode, no shuffle."""
+    sub = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("_j"),
+                F.slice("_u", j * sub + 1, sub).alias("_sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return frame.select(id_name, F.explode(parts).alias("_p")).select(
+        id_name, F.col("_p._j").alias("_j"), F.col("_p._sv").alias("_sv")
+    )
+
+
+def _l2_expr(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance as the FIXED expression
+    dot(a,a) - 2*dot(a,b) + dot(b,b): three sequential folds combined
+    in one deterministic shape both engines evaluate identically (an
+    elementwise (x-y)^2 fold has no DuckDB twin with pinned order)."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def fit_pq_codebooks_exact(
+    cn: DataFrame,
+    spark: SparkSession,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    salt: str = "pq",
+):
+    """Product-quantization codebooks under the exact contract: ONE
+    grouped Lloyd over all m subspaces at once (rows keyed (_j, code)),
+    md5-ordered init (the first n_codes vectors' subspace slices), the
+    fixed-expression L2, DECIMAL-exact means, 9-dp rounding. Returns
+    [(j, t, [floats])]. ``cn`` is a (_id, _u) normalized frame."""
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible by m={m}"
+    subv = _subvectors(cn, "_id", m, dim).localCheckpoint(eager=True)
+    try:
+        seed_ids = [
+            r["_id"]
+            for r in cn.orderBy(
+                F.md5(F.concat(F.col("_id").cast("string"), F.lit(salt))),
+                "_id",
+            )
+            .limit(n_codes)
+            .select("_id")
+            .collect()
+        ]
+        rank = spark.createDataFrame(
+            [(i, t) for t, i in enumerate(seed_ids)], "_id long, _t int"
+        )
+        cb_rows = (
+            subv.join(F.broadcast(rank), "_id")
+            .select("_j", "_t", F.col("_sv").alias("_cb"))
+            .collect()
+        )
+        books = {(r["_j"], r["_t"]): list(r["_cb"]) for r in cb_rows}
+        for _ in range(iters):
+            cb_df = spark.createDataFrame(
+                [(j, t, v) for (j, t), v in sorted(books.items())],
+                "_j int, _t int, _cb array<double>",
+            )
+            wmin = Window.partitionBy("_id", "_j").orderBy("_d2", "_t")
+            assign = (
+                subv.join(F.broadcast(cb_df), "_j")
+                .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+                .withColumn("_r", F.row_number().over(wmin))
+                .filter(F.col("_r") == 1)
+                .select("_j", "_t", "_sv")
+            )
+            sums = (
+                assign.select("_j", "_t", F.posexplode("_sv").alias("_d", "_x"))
+                .groupBy("_j", "_t", "_d")
+                .agg(
+                    F.sum(F.round("_x", 9).cast("decimal(12,9)")).alias("_s"),
+                    F.count(F.lit(1)).alias("_c"),
+                )
+            )
+            means = (
+                sums.groupBy("_j", "_t")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_d", "_s", "_c"))
+                    ).alias("_a")
+                )
+                .select(
+                    "_j",
+                    "_t",
+                    F.transform(
+                        "_a",
+                        lambda s: F.round(
+                            s["_s"].cast("double") / s["_c"].cast("double"), 9
+                        ),
+                    ).alias("_cb"),
+                )
+            )
+            got = {
+                (int(r["_j"]), int(r["_t"])): list(r["_cb"])
+                for r in means.collect()
+            }
+            books = {key: got.get(key, old) for key, old in books.items()}
+    finally:
+        subv.unpersist()
+    return [(j, t, v) for (j, t), v in sorted(books.items())]
+
+
+def ann_topk_ivfpq_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 8,
+    m: int = 4,
+    n_codes: int = 16,
+    refine_factor: int = 8,
+    iters: int = 3,
+    pq_iters: int = 2,
+    dim: int = 64,
+    artifacts: tuple | None = None,
+) -> DataFrame:
+    """IVF-PQ with ADC + exact refine, every double SQL-reproducible:
+    coarse probe (the exact-arith IVF machinery), candidates scored
+    WITHOUT raw vectors as order-independent DECIMAL(16,12) sums of
+    per-subspace LUT dot terms, top-(k*refine_factor) shortlist by
+    (adc DESC, id), then exact normalized-dot cosine on the shortlist
+    ranks the final top-k. ``artifacts`` = (centers, books, codes_df)
+    from a persisted index; None fits + encodes one-shot."""
+    spark = corpus.sparkSession
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    qn = _unit(queries, id_col, vec_col, "query_id")
+    if artifacts is None:
+        centers = fit_centroids_exact(
+            corpus, n_clusters, iters, id_col, vec_col, "ivf"
+        )
+        books = fit_pq_codebooks_exact(
+            cn.withColumnRenamed("neighbor_id", "_id"),
+            spark,
+            m=m,
+            n_codes=n_codes,
+            iters=pq_iters,
+            dim=dim,
+        )
+        codes_df = None
+    else:
+        centers, books, codes_df = artifacts
+    cb_df = F.broadcast(
+        spark.createDataFrame(
+            [(j, t, list(v)) for j, t, v in books],
+            "_j int, _t int, _cb array<double>",
+        )
+    )
+    if codes_df is None:
+        assigned = cn.withColumn(
+            "_cl", _argmax_cluster(F.col("_u"), centers)
+        )
+        wmin = Window.partitionBy("neighbor_id", "_j").orderBy("_d2", "_t")
+        codes_df = (
+            _subvectors(assigned, "neighbor_id", m, dim)
+            .join(cb_df, "_j")
+            .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+            .withColumn("_r", F.row_number().over(wmin))
+            .filter(F.col("_r") == 1)
+            .select("neighbor_id", "_j", "_t")
+            .join(assigned.select("neighbor_id", "_cl"), "neighbor_id")
+        )
+    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+        eager=True
+    )
+    qsub = F.broadcast(
+        _subvectors(
+            qn.withColumnRenamed("query_id", "query_id"), "query_id", m, dim
+        ).withColumnRenamed("_sv", "_qsv")
+    )
+    cand = codes_df.join(
+        F.broadcast(probes.select("query_id", "_cl").distinct()), "_cl"
+    )
+    terms = (
+        cand.join(cb_df, ["_j", "_t"])
+        .join(qsub, ["query_id", "_j"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("_qsv"), F.col("_cb")), 12)
+            .cast("decimal(16,12)")
+            .alias("_term"),
+        )
+    )
+    adc = terms.groupBy("query_id", "neighbor_id").agg(
+        F.sum("_term").alias("_adc")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = probes.select("query_id", "_qu").dropDuplicates(["query_id"])
+    scored = (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", dot(F.col("_qu"), F.col("_u")))
+    )
+    return _rank_topk(scored, k)
+
+
+def build_ivfpq_index_exact(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 3,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> None:
+    """Persist the exact-arith IVF-PQ artifacts: centroids, codebooks,
+    and the (neighbor_id, _j, _t) code table partitioned by cluster —
+    plus the normalized vectors for the refine fetch, so the index is
+    self-contained."""
+    spark = corpus.sparkSession
+    centers = fit_centroids_exact(
+        corpus, n_clusters, iters, id_col, vec_col, "ivf"
+    )
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    books = fit_pq_codebooks_exact(
+        cn.withColumnRenamed("neighbor_id", "_id"),
+        spark,
+        m=m,
+        n_codes=n_codes,
+        iters=pq_iters,
+        dim=dim,
+    )
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    spark.createDataFrame(
+        [(j, t, list(v)) for j, t, v in books],
+        "_j int, _t int, _cb array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    assigned = cn.withColumn("_cl", _argmax_cluster(F.col("_u"), centers))
+    cb_df = F.broadcast(
+        spark.createDataFrame(
+            [(j, t, list(v)) for j, t, v in books],
+            "_j int, _t int, _cb array<double>",
+        )
+    )
+    wmin = Window.partitionBy("neighbor_id", "_j").orderBy("_d2", "_t")
+    codes = (
+        _subvectors(assigned, "neighbor_id", m, dim)
+        .join(cb_df, "_j")
+        .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+        .withColumn("_r", F.row_number().over(wmin))
+        .filter(F.col("_r") == 1)
+        .select("neighbor_id", "_j", "_t")
+        .join(assigned.select("neighbor_id", "_cl"), "neighbor_id")
+    )
+    (
+        codes.withColumnRenamed("_cl", "cluster")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(path, "codes"))
+    )
+    cn.write.mode("overwrite").parquet(os.path.join(path, "vectors"))
+
+
+def query_ivfpq_index_exact(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 8,
+    refine_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Search the persisted exact-arith IVF-PQ index: probed cluster
+    ids partition-prune the code-table scan; ADC + refine run exactly
+    like the one-shot path (bit-equal results by construction)."""
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    centers = [list(r["centroid"]) for r in cent]
+    books = [
+        (int(r["_j"]), int(r["_t"]), list(r["_cb"]))
+        for r in spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("_j", "_t")
+        .collect()
+    ]
+    qn = _unit(queries, id_col, vec_col, "query_id")
+    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+        eager=True
+    )
+    needed = sorted(
+        r["_cl"] for r in probes.select("_cl").distinct().collect()
+    )
+    codes = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("cluster").isin(needed))
+        .withColumnRenamed("cluster", "_cl")
+    )
+    cn = spark.read.parquet(os.path.join(path, "vectors"))
+    return _ivfpq_search_persisted(
+        spark, cn, codes, probes, books, k, refine_factor, m, dim
+    )
+
+
+def _ivfpq_search_persisted(
+    spark, cn, codes_df, probes, books, k, refine_factor, m, dim
+):
+    """ADC + refine tail shared by the persisted path (codes already
+    cluster-pruned; ``cn`` the stored normalized vectors)."""
+    cb_df = F.broadcast(
+        spark.createDataFrame(
+            [(j, t, list(v)) for j, t, v in books],
+            "_j int, _t int, _cb array<double>",
+        )
+    )
+    qn = probes.select("query_id", F.col("_qu").alias("_u")).dropDuplicates(
+        ["query_id"]
+    )
+    qsub = F.broadcast(
+        _subvectors(qn, "query_id", m, dim).withColumnRenamed("_sv", "_qsv")
+    )
+    cand = codes_df.join(
+        F.broadcast(probes.select("query_id", "_cl").distinct()), "_cl"
+    )
+    terms = (
+        cand.join(cb_df, ["_j", "_t"])
+        .join(qsub, ["query_id", "_j"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("_qsv"), F.col("_cb")), 12)
+            .cast("decimal(16,12)")
+            .alias("_term"),
+        )
+    )
+    adc = terms.groupBy("query_id", "neighbor_id").agg(
+        F.sum("_term").alias("_adc")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = probes.select("query_id", "_qu").dropDuplicates(["query_id"])
+    scored = (
+        shortlist.join(cn, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("cos", dot(F.col("_qu"), F.col("_u")))
+    )
+    return _rank_topk(scored, k)

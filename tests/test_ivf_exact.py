@@ -1,0 +1,121 @@
+"""Engine-exact (oracle-replayable) IVF / IVF-PQ: persisted index ==
+one-shot bit-equality, partition pruning, layout-invariant fits,
+recall-gate behavior, planted-duplicate retrieval."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+    ann_topk_ivf_exact,
+    ann_topk_ivfpq_exact,
+    build_ivf_index_exact,
+    build_ivfpq_index_exact,
+    fit_centroids_exact,
+    query_ivf_index_exact,
+    query_ivfpq_index_exact,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+    cosine_topk,
+    with_recall_at_k,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_exact_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfx")
+    build_ivf_index_exact(corpus, path)
+    via_index = query_ivf_index_exact(spark, path, queries, k=5)
+    oneshot = ann_topk_ivf_exact(corpus=corpus, queries=queries, k=5)
+    assert _rows(via_index) == _rows(oneshot)
+    # probed clusters partition-prune the index scan
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivfpq_exact_index_matches_oneshot(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpqx")
+    build_ivfpq_index_exact(corpus, path)
+    via_index = query_ivfpq_index_exact(spark, path, queries, k=5)
+    oneshot = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5)
+    assert _rows(via_index) == _rows(oneshot)
+
+
+def test_fit_centroids_exact_layout_invariant(spark, sf_dir):
+    """DECIMAL-exact dimension sums mean the partition layout cannot
+    move a centroid by an ulp — the property the SQL replay relies on."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") >= 10)
+    a = fit_centroids_exact(emb, n_clusters=8, iters=2)
+    b = fit_centroids_exact(emb.repartition(17), n_clusters=8, iters=2)
+    c = fit_centroids_exact(emb.coalesce(1), n_clusters=8, iters=2)
+    assert a == b == c
+
+
+def test_ivf_exact_recall_floor_and_gate_flip(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(corpus, queries, 5)
+    good = with_recall_at_k(
+        ann_topk_ivf_exact(corpus, queries, 5), exact, 5, min_mean_recall=0.45
+    )
+    assert all(r["recall_ok"] for r in good.collect())
+    # degraded config (single probe, unconverged centroids) flips the
+    # gate at a floor the production config clears
+    bad = with_recall_at_k(
+        ann_topk_ivf_exact(corpus, queries, 5, nprobe=1, iters=0),
+        exact,
+        5,
+        min_mean_recall=0.95,
+    )
+    assert not any(r["recall_ok"] for r in bad.collect())
+
+
+def test_ivf_exact_planted_duplicate_rank1(spark, sf_dir):
+    """A corpus vector identical to the query must come back at rank 1
+    with cosine 1.0 — the IVF probe always includes the assigned
+    cluster of an exact duplicate (it is the query's nearest centroid
+    too)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("vec_id"), "embedding"
+    )
+    planted = corpus.unionByName(
+        q0.select(F.lit(999_999).cast("long").alias("vec_id"), "embedding")
+    )
+    out = ann_topk_ivf_exact(corpus=planted, queries=q0, k=3).collect()
+    top = [r for r in out if r["rnk"] == 1][0]
+    assert top["neighbor_id"] == 999_999
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivfpq_exact_refine_returns_exact_cosines(spark, sf_dir):
+    """Every cosine IVF-PQ emits equals the brute-force value for that
+    (query, neighbor) pair — ADC can only affect WHICH pairs surface,
+    never the reported similarity (the refine contract)."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5).collect()
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(corpus, queries, k=10_000).collect()
+    }
+    assert got
+    for r in got:
+        assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
