@@ -13,18 +13,28 @@ resize / dHash) covers real files, not just the raw-PPM test format.
 Coverage:
 - :func:`decode_baseline_jpeg` — SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/EOI
   marker walk, canonical Huffman decode (tables read from the FILE's
-  DHT segments — any spec-valid baseline JPEG decodes, whatever
-  encoder produced it), restart-marker handling, dequantize +
-  de-zigzag + exact float 2-D IDCT, sampling-factor chroma upsampling
+  DHT segments — any spec-valid JPEG decodes, whatever encoder
+  produced it), restart-marker handling, dequantize + de-zigzag +
+  exact float 2-D IDCT, sampling-factor chroma upsampling
   (replication), BT.601 YCbCr->RGB. Grayscale (1 comp) and color
-  (3 comp, any h/v factors 1-2: 4:4:4, 4:2:2, 4:2:0). Progressive
-  (SOF2) and arithmetic coding error loudly — out of baseline scope.
+  (3 comp, any h/v factors 1-2: 4:4:4, 4:2:2, 4:2:0). PROGRESSIVE
+  (SOF2, Annex G) decodes too: multi-scan spectral selection +
+  successive approximation, interleaved DC / single-component AC
+  scans, EOB runs, refinement correction bits, restarts — closing the
+  real-world gap where a large share of web JPEGs are progressive.
+  Only arithmetic-coded / hierarchical / lossless streams (SOF3/5-7/
+  9-11/13-15) still error loudly.
 - :func:`encode_baseline_jpeg` — grayscale or RGB input, 4:4:4, the
   spec's example Huffman tables (Annex K) embedded via DHT (the
   decoder reads whatever DHT says, so the file is self-describing),
   flat or quality-scaled quantization. Exists so the codec is
   round-trip testable with zero external dependencies, and as the
   write path for image sinks.
+- :func:`encode_progressive_jpeg` — the SOF2 write path (scan script
+  configurable); quantizes identically to the baseline encoder, so
+  progressive-vs-baseline decode equality is an exact pixel pin in
+  tests, including the AC-refinement encoder's buffered correction
+  bits and cross-block EOB runs.
 
 Determinism: all DCT math in float64 with a fixed operation order;
 integer outputs via round-half-away + clip. No randomness anywhere.
@@ -170,11 +180,13 @@ class _BitReader:
                 nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    self.marker = nxt  # stop consuming; pad from here
-                    continue
                 else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+                    # ANY marker ends the entropy-coded segment: RSTn /
+                    # EOI for baseline; progressive scans legitimately
+                    # stop at the next DHT/DQT/SOS/EOI. Latch and pad
+                    # (F.2.2.5 — the decoder pads past the segment).
+                    self.marker = nxt
+                    continue
             else:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
@@ -259,10 +271,11 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG to an (h, w, 3) uint8 RGB
-    array (grayscale replicates to 3 channels). Raises ValueError on
-    non-JPEG bytes and NotImplementedError on progressive/arithmetic
-    streams."""
+    """Decode a baseline-sequential OR progressive (SOF2, T.81 Annex G
+    spectral selection + successive approximation) JPEG to an
+    (h, w, 3) uint8 RGB array (grayscale replicates to 3 channels).
+    Raises ValueError on non-JPEG bytes and NotImplementedError on
+    arithmetic-coded / hierarchical / lossless streams."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -272,12 +285,17 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    mcux = mcuy = 0
 
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         m = data[pos + 1]
         pos += 2
+        if m == 0xFF:  # fill byte before a marker
+            pos -= 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:  # standalone
@@ -305,7 +323,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_ac if cls else huff_dc)[tid] = _build_decode_table(bits, vals)
                 p += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline/ext, SOF2 progressive
+            progressive = m == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -314,10 +333,26 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq}
                 )
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    # MCU-padded block dims (interleaved DC scans cover
+                    # the padding) and the component's own ceil dims
+                    # (non-interleaved AC scans stop there, per A.2.2)
+                    c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+                    cw = -(-(w * c["h"]) // hmax)
+                    ch = -(-(h * c["v"]) // vmax)
+                    c["cbw"], c["cbh"] = -(-cw // 8), -(-ch // 8)
+                    c["coef"] = np.zeros(
+                        (c["bh"], c["bw"], 64), dtype=np.int32
+                    )
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{m:02X}): progressive/"
-                "hierarchical/arithmetic coding is out of scope"
+                f"unsupported JPEG (SOF marker 0xFF{m:02X}): arithmetic-"
+                "coded / hierarchical / lossless streams are out of scope"
             )
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -329,13 +364,23 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cs)
                 comp["td"], comp["ta"] = tables >> 4, tables & 0xF
                 scan.append(comp)
-            pos += seglen
-            return _decode_scan(
-                data, pos, h, w, comps, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                pos += seglen
+                return _decode_scan(
+                    data, pos, h, w, comps, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ax = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seglen, scan, ss, se, ax >> 4, ax & 0xF,
+                huff_dc, huff_ac, restart_interval, mcux, mcuy,
             )
+            continue
         # APPn / COM / others: skip
         pos += seglen
+    if progressive and comps and "coef" in comps[0]:
+        return _reconstruct_progressive(h, w, comps, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -387,6 +432,12 @@ def _decode_scan(data, pos, h, w, comps, scan, qt, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
 
+    return _planes_to_rgb(comps, h, w, hmax, vmax)
+
+
+def _planes_to_rgb(comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decoder tail: chroma upsample (replication), crop,
+    BT.601 YCbCr->RGB (or grayscale replication)."""
     planes = []
     for c in comps:
         p = c["plane"]
@@ -403,6 +454,187 @@ def _decode_scan(data, pos, h, w, comps, scan, qt, huff_dc, huff_ac, dri):
         axis=2,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive decode (T.81 Annex G) -----------------------------------
+
+
+def _dc_unit(r, c, blk, ah, al, huff_dc) -> None:
+    """One block's DC contribution: first scan (Ah=0) decodes the
+    Huffman diff and deposits pred << Al; refinement scans append bit
+    Al (single-bit OR — two's-complement semantics hold for negative
+    coefficients, G.1.2.1)."""
+    if ah == 0:
+        t = r.huff(huff_dc[c["td"]])
+        c["pred"] += _extend(r.bits(t), t)
+        blk[0] = c["pred"] << al
+    elif r.bits(1):
+        blk[0] |= 1 << al
+
+
+def _ac_first_unit(r, blk, ss, se, al, ac, eobrun) -> int:
+    """AC first scan for one block (G.1.2.2): run/size coding over the
+    Ss..Se band with EOBRUN runs of all-zero bands; new coefficients
+    deposit extend(bits) << Al. Returns the updated EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(ac)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += r.bits(rr)
+            break
+        k += rr
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(r, blk, ss, se, al, ac, eobrun) -> int:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients arrive as +-1 << Al; every already-nonzero coefficient
+    passed consumes a correction bit that may grow its magnitude by
+    1 << Al. Mirrors the canonical successive-approximation algorithm
+    the spec's flowcharts define (and every interoperable decoder
+    implements). Returns the updated EOBRUN."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.huff(ac)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0 and rr < 15:  # EOBn
+                eobrun = 1 << rr
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude size")
+                newval = p1 if r.bits(1) else m1
+            else:
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if r.bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run still corrects nonzero history
+            v = int(blk[k])
+            if v != 0:
+                if r.bits(1) and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, scan, ss, se, ah, al, huff_dc, huff_ac, dri, mcux, mcuy
+) -> int:
+    """Decode one progressive SOS into the components' coefficient
+    arrays; returns the byte position of the next marker. DC scans
+    (Ss=0) are MCU-interleaved when the scan lists >1 component, else
+    block-raster over the component's own dims; AC scans (Ss>0) are
+    always single-component block-raster (A.2.2). Restart markers
+    reset predictors and the EOB run."""
+    r = _BitReader(data, pos)
+    eobrun = 0
+    if ss == 0:
+        for c in scan:
+            c["pred"] = 0
+        if len(scan) > 1:  # interleaved MCU order
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n and n % dri == 0:
+                        r.restart()
+                        for c in scan:
+                            c["pred"] = 0
+                    n += 1
+                    for c in scan:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = c["coef"][
+                                    my * c["v"] + by, mx * c["h"] + bx
+                                ]
+                                _dc_unit(r, c, blk, ah, al, huff_dc)
+        else:
+            c = scan[0]
+            n = 0
+            for by in range(c["cbh"]):
+                for bx in range(c["cbw"]):
+                    if dri and n and n % dri == 0:
+                        r.restart()
+                        c["pred"] = 0
+                    n += 1
+                    _dc_unit(r, c, c["coef"][by, bx], ah, al, huff_dc)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = scan[0]
+        ac = huff_ac[c["ta"]]
+        n = 0
+        for by in range(c["cbh"]):
+            for bx in range(c["cbw"]):
+                if dri and n and n % dri == 0:
+                    r.restart()
+                    eobrun = 0
+                n += 1
+                blk = c["coef"][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_unit(r, blk, ss, se, al, ac, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(r, blk, ss, se, al, ac, eobrun)
+    # resync: scan forward to the next real marker (skip stuffed 0x00,
+    # restarts consumed above, and 0xFF fill bytes)
+    pos = r.pos
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            break
+        pos += 1
+    return pos
+
+
+def _reconstruct_progressive(h, w, comps, qt) -> np.ndarray:
+    """Dequantize + IDCT every accumulated coefficient block, then the
+    shared upsample/crop/color tail."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        q = qt[c["tq"]]
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                zz = c["coef"][by, bx].astype(np.int64)
+                blk = np.zeros(64, dtype=np.float64)
+                blk[ZIGZAG] = zz * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(blk.reshape(8, 8)) + 128.0
+                )
+        c["plane"] = plane
+    return _planes_to_rgb(comps, h, w, hmax, vmax)
 
 
 # --- encoder -------------------------------------------------------------
@@ -603,4 +835,368 @@ def encode_baseline_jpeg(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G) ----------------------------------
+
+
+def _fixed_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A trivially-valid canonical Huffman table: every symbol at the
+    same code length L with 2^L > len(symbols) (so the all-ones code
+    stays unused, C.2). Wasteful but spec-correct — and the decoder
+    reads whatever DHT says, so files stay self-describing."""
+    n = len(symbols)
+    length = max(1, (n + 1).bit_length() - (1 if (n + 1) & n == 0 else 0))
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, list(symbols)
+
+
+# one AC table for every progressive AC scan: EOBn (r<<4, r=0..14),
+# ZRL, and (run<<4)|size for run 0..15, size 1..10
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS, _PROG_AC_VALS = _fixed_table(_PROG_AC_SYMS)
+
+
+def _default_scan_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """(component-indices, Ss, Se, Ah, Al) per scan — the classic
+    spectral-selection + successive-approximation plan (DC first at
+    Al=1, AC bands coarse-to-fine, refinements last)."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([1], 1, 63, 0, 1),
+        ([2], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+class _ProgScanState:
+    """Per-scan EOBRUN accumulator with the buffered correction bits
+    that ride behind the next EOBn symbol (refinement scans)."""
+
+    def __init__(self, bw: _BitWriter, enc_ac: dict):
+        self.bw = bw
+        self.enc_ac = enc_ac
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            ln, cd = self.enc_ac[nb << 4]
+            self.bw.bits(cd, ln)
+            if nb:
+                self.bw.bits(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.bits(b, 1)
+        self.pending = []
+
+
+def _enc_ac_first_block(st: _ProgScanState, blk, ss, se, al) -> None:
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al  # point transform toward zero (G.1.2.2)
+        vals.append(t if v >= 0 else -t)
+    last = -1
+    for i in range(len(vals) - 1, -1, -1):
+        if vals[i]:
+            last = i
+            break
+    if last < 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+        return
+    st.emit_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, cd = st.enc_ac[0xF0]
+            st.bw.bits(cd, ln)
+            run -= 16
+        t, code = _mag_bits(v)
+        ln, cd = st.enc_ac[(run << 4) | t]
+        st.bw.bits(cd, ln)
+        st.bw.bits(code, t)
+        run = 0
+    if last < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _enc_ac_refine_block(st: _ProgScanState, blk, ss, se, al) -> None:
+    """Refinement-scan dual of _ac_refine_unit: newly-significant
+    coefficients (magnitude exactly 1 at this precision) emit
+    (run-of-zero-history << 4)|1 + sign; already-significant ones emit
+    their next magnitude bit, buffered behind the following symbol."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i in range(len(absv) - 1, -1, -1):
+        if absv[i] == 1:
+            eob = i
+            break
+    run = 0
+    br: list[int] = []
+    for i in range(len(absv)):
+        t = absv[i]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            st.emit_eobrun()
+            ln, cd = st.enc_ac[0xF0]
+            st.bw.bits(cd, ln)
+            run -= 16
+            for b in br:
+                st.bw.bits(b, 1)
+            br = []
+        if t > 1:  # history coefficient: one correction bit
+            br.append(t & 1)
+            continue
+        st.emit_eobrun()
+        ln, cd = st.enc_ac[(run << 4) | 1]
+        st.bw.bits(cd, ln)
+        st.bw.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+        for b in br:
+            st.bw.bits(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.pending.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray,
+    quant: int | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode grayscale / RGB uint8 as a PROGRESSIVE JPEG (SOF2):
+    spectral selection + successive approximation per ``scans``
+    ([(comp-indices, Ss, Se, Ah, Al)], default script above). The
+    quantized coefficients are IDENTICAL to encode_baseline_jpeg's for
+    the same quant/subsampling — progressive only reorders the bits —
+    so decode(progressive) == decode(baseline) pixel-for-pixel, which
+    is exactly what the round-trip tests pin. ``restart_interval``
+    emits DRI + RSTn every that many MCUs (DC scans) / blocks (AC
+    scans), resetting predictors and EOB runs."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if subsampling not in ("444", "420") or (gray and subsampling != "444"):
+        raise ValueError("subsampling must be '444', or '420' for color")
+    h, w = img.shape[:2]
+    qzz = (
+        np.full(64, quant, dtype=np.int64)
+        if quant
+        else _Q_LUM.reshape(64)[ZIGZAG]
+    )
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        if subsampling == "420":
+            for i in (1, 2):
+                p = planes[i]
+                pad = np.pad(
+                    p,
+                    ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                    mode="edge",
+                )
+                planes[i] = 0.25 * (
+                    pad[0::2, 0::2] + pad[1::2, 0::2]
+                    + pad[0::2, 1::2] + pad[1::2, 1::2]
+                )
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samps = [(1, 1)] * 3
+    nc = len(planes)
+    hmax = max(hs for hs, _ in samps)
+    vmax = max(vs for _, vs in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qmat = np.zeros(64, dtype=np.int64)
+    qmat[ZIGZAG] = qzz
+    qmat = qmat.reshape(8, 8)
+
+    # quantized coefficient blocks, zigzag order, MCU-padded dims —
+    # byte-identical math to the baseline encoder
+    coefs = []
+    dims = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samps[ci]
+        bw_n, bh_n = mcux * hs, mcuy * vs
+        cw, ch = -(-(w * hs) // hmax), -(-(h * vs) // vmax)
+        cbw, cbh = -(-cw // 8), -(-ch // 8)
+        arr = np.zeros((bh_n, bw_n, 64), dtype=np.int32)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                blk = _block_at(plane, by * 8, bx * 8)
+                arr[by, bx] = (
+                    np.round(_fdct2(blk - 128.0) / qmat)
+                    .astype(np.int64)
+                    .reshape(64)[ZIGZAG]
+                )
+        coefs.append(arr)
+        dims.append((cbw, cbh))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0]) + bytes(int(x) for x in qzz))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samps[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+    tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS)]
+    if nc > 1:
+        tables.append((0x01, _DC_CHR_BITS, _DC_CHR_VALS))
+    tables.append((0x10, _PROG_AC_BITS, _PROG_AC_VALS))
+    for tc, tb, tv in tables:
+        seg(0xC4, bytes([tc]) + bytes(tb) + bytes(tv))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    enc_dc = [_build_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)]
+    if nc > 1:
+        chr_dc = _build_encode_table(_DC_CHR_BITS, _DC_CHR_VALS)
+        enc_dc += [chr_dc, chr_dc]
+    enc_ac = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    for comp_idxs, ss, se, ah, al in scans or _default_scan_script(nc):
+        sos = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            td = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (td << 4) | 0])  # AC table 0 always
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        bwr = _BitWriter()
+        n = 0
+        rst = 0
+
+        def _restart_if_due(preds=None):
+            nonlocal n, rst
+            if restart_interval and n and n % restart_interval == 0:
+                bwr.flush()
+                bwr.out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                return True
+            return False
+
+        if ss == 0:  # DC scan
+            preds = {ci: 0 for ci in comp_idxs}
+            if len(comp_idxs) > 1:
+                units = [
+                    (ci, my * samps[ci][1] + by, mx * samps[ci][0] + bx)
+                    for my in range(mcuy)
+                    for mx in range(mcux)
+                    for _mcu in [None]
+                    for ci in comp_idxs
+                    for by in range(samps[ci][1])
+                    for bx in range(samps[ci][0])
+                ]
+                # group units back into MCUs for restart cadence
+                per_mcu = sum(
+                    samps[ci][0] * samps[ci][1] for ci in comp_idxs
+                )
+                for u, (ci, by, bx) in enumerate(units):
+                    if u and u % per_mcu == 0:
+                        if _restart_if_due():
+                            preds = {c: 0 for c in comp_idxs}
+                        n += 1
+                    elif u == 0:
+                        n += 1
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        tmp = int(blk[0]) >> al  # arithmetic shift
+                        diff = tmp - preds[ci]
+                        preds[ci] = tmp
+                        t, code = _mag_bits(diff)
+                        ln, cd = enc_dc[ci][t]
+                        bwr.bits(cd, ln)
+                        bwr.bits(code, t)
+                    else:
+                        bwr.bits((int(blk[0]) >> al) & 1, 1)
+            else:
+                ci = comp_idxs[0]
+                cbw, cbh = dims[ci]
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        if _restart_if_due():
+                            preds = {ci: 0}
+                        n += 1
+                        blk = coefs[ci][by, bx]
+                        if ah == 0:
+                            tmp = int(blk[0]) >> al
+                            diff = tmp - preds[ci]
+                            preds[ci] = tmp
+                            t, code = _mag_bits(diff)
+                            ln, cd = enc_dc[ci][t]
+                            bwr.bits(cd, ln)
+                            bwr.bits(code, t)
+                        else:
+                            bwr.bits((int(blk[0]) >> al) & 1, 1)
+        else:  # AC scan: single component
+            ci = comp_idxs[0]
+            cbw, cbh = dims[ci]
+            st = _ProgScanState(bwr, enc_ac)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    if restart_interval and n and n % restart_interval == 0:
+                        st.emit_eobrun()
+                        bwr.flush()
+                        bwr.out.extend(bytes([0xFF, 0xD0 + (rst & 7)]))
+                        rst += 1
+                    n += 1
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first_block(st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine_block(st, blk, ss, se, al)
+            st.emit_eobrun()
+        bwr.flush()
+        out.extend(bwr.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)
