@@ -168,12 +168,18 @@ class LogSink:
     shipLogs + clearLogBuffer (shipper.js:143-148)."""
 
     def __init__(self, base_dir: str, config: EngineConfig = DEFAULT_CONFIG,
-                 bulk: bool = False):
+                 bulk: bool = False, transport_factory=None):
         self.log_table = os.path.join(base_dir, "logs")
         self.dlq_path = os.path.join(base_dir, "dlq")
         self.bulk_path = os.path.join(base_dir, "bulk")
         self.config = config
         self.bulk = bulk
+        # injectable delivery seam (transport.py): a zero-arg factory
+        # built executor-side per partition. None keeps the plain
+        # maxRecordsPerFile NDJSON write; a factory routes every bulk
+        # through BulkTransport.send with retry/backoff + idempotency
+        # keys — swap in an HTTP transport without touching the sink.
+        self.transport_factory = transport_factory
 
     def ship(
         self, clean: DataFrame, dlq: DataFrame, mode: str = "append",
@@ -185,9 +191,19 @@ class LogSink:
         write_log_table(clean, self.log_table, mode=mode, batch_id=batch_id)
         write_dlq(dlq, self.dlq_path, mode=mode, batch_id=batch_id)
         if self.bulk:
-            write_bulk_ndjson(clean, self.bulk_path,
-                              bulk_size=self.config.bulk_size, mode=mode,
-                              batch_id=batch_id)
+            if self.transport_factory is not None:
+                from .transport import ship_bulks
+
+                ship_bulks(
+                    clean,
+                    self.transport_factory,
+                    bulk_size=self.config.bulk_size,
+                    batch_id=batch_id or 0,
+                )
+            else:
+                write_bulk_ndjson(clean, self.bulk_path,
+                                  bulk_size=self.config.bulk_size, mode=mode,
+                                  batch_id=batch_id)
 
     def maintain(
         self,
