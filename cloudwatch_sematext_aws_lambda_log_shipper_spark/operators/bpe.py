@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import cut_lineage
+
 from .text import words
 
 
@@ -142,7 +144,8 @@ def _decode_syms_col():
     return F.split(F.expr("substring(s, 2, length(s) - 2)"), _DELIM * 2)
 
 
-def _train_loop_string(symtab: DataFrame, n_merges: int):
+def _train_loop_string(symtab: DataFrame, n_merges: int,
+                       checkpoint_dir: str | None = None):
     """Merge loop, 100% JVM: pair counts from the split-on-';;' array
     (slice/zip_with builtins), merge application as one string
     ``replace`` per step. Java's replace substitutes leftmost-first and
@@ -186,11 +189,13 @@ def _train_loop_string(symtab: DataFrame, n_merges: int):
                 F.lit(f"{_DELIM}{t.left}{_DELIM}{_DELIM}{t.right}{_DELIM}"),
                 F.lit(f"{_DELIM}{t.left}{t.right}{_DELIM}"),
             ),
-        ).localCheckpoint()
+        )
+        symtab = cut_lineage(symtab, checkpoint_dir, eager=False)
     return merges, symtab.select("word", "count", _decode_syms_col().alias("syms"))
 
 
-def _train_loop_array(symtab: DataFrame, n_merges: int):
+def _train_loop_array(symtab: DataFrame, n_merges: int,
+                      checkpoint_dir: str | None = None):
     """Merge loop over explicit symbol arrays (Arrow-batched merge
     pass) — the fallback when some vocab word contains the delimiter,
     where the string encoding would be ambiguous."""
@@ -206,12 +211,15 @@ def _train_loop_array(symtab: DataFrame, n_merges: int):
             break
         t = top[0]
         merges.append((step, t.left, t.right, t.left + t.right, t.pair_count))
-        symtab = _merge_pass(symtab, t.left, t.right).localCheckpoint()
+        symtab = cut_lineage(
+            _merge_pass(symtab, t.left, t.right), checkpoint_dir, eager=False
+        )
     return merges, symtab
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int, text_col: str = "text", word_filter=None
+    docs: DataFrame, n_merges: int, text_col: str = "text", word_filter=None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns (merge_table, final symbol
     table with a ``syms`` array column); merge_table rows are
@@ -227,13 +235,20 @@ def train_bpe(
     contains ';', else the Arrow-batched array path. Both return
     byte-identical merge tables and symbol tables (pinned in
     tests/test_bpe.py)."""
-    wf = word_freq_table(docs, text_col, word_filter=word_filter).localCheckpoint()
+    wf = cut_lineage(
+        word_freq_table(docs, text_col, word_filter=word_filter),
+        checkpoint_dir, eager=False,
+    )
     has_delim = wf.filter(F.col("word").contains(_DELIM)).limit(1).count() > 0
     if has_delim:
         return _train_loop_array(
-            _initial_symbols(wf).localCheckpoint(), n_merges
+            cut_lineage(_initial_symbols(wf), checkpoint_dir, eager=False),
+            n_merges, checkpoint_dir,
         )
-    return _train_loop_string(_encoded_symbols(wf).localCheckpoint(), n_merges)
+    return _train_loop_string(
+        cut_lineage(_encoded_symbols(wf), checkpoint_dir, eager=False),
+        n_merges, checkpoint_dir,
+    )
 
 
 def encode_with_merges(

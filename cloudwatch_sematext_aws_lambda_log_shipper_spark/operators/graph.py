@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lineage import cut_lineage
+
 MASS = 1_000_000_000_000  # 10^12
 
 
@@ -39,10 +41,16 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, pr_scaled, pr) for every node appearing in ``edges``
     (either side). ``pr_scaled`` is the exact BIGINT state after
-    ``n_iter`` iterations; ``pr`` = pr_scaled / 10^12 for reading."""
+    ``n_iter`` iterations; ``pr`` = pr_scaled / 10^12 for reading.
+
+    ``checkpoint_dir`` upgrades the per-iteration lineage cut to a
+    RELIABLE checkpoint (operators/lineage.py) — executor loss on a
+    real cluster recomputes from checkpoint files instead of killing
+    the whole iteration chain. Identical results either way."""
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
@@ -50,8 +58,8 @@ def pagerank(
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = cut_lineage(nodes, checkpoint_dir)
     n = nodes.count()
     if n == 0:
         # Empty edge set (tiny or fully-filtered corpus): no nodes, no
@@ -63,7 +71,7 @@ def pagerank(
             F.lit(None).cast("double").alias("pr"),
         )
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ew = e.join(outdeg, "_src").localCheckpoint(eager=True)
+    ew = cut_lineage(e.join(outdeg, "_src"), checkpoint_dir)
 
     teleport = (MASS * 15) // (100 * n)
     state = nodes.withColumn("s", F.lit(MASS // n).cast("long"))
@@ -86,8 +94,8 @@ def pagerank(
                     + F.coalesce(F.col("_in"), F.lit(0).cast("long"))
                 ).alias("s"),
             )
-            .localCheckpoint(eager=True)
         )
+        state = cut_lineage(state, checkpoint_dir)
     return state.select(
         "node",
         F.col("s").alias("pr_scaled"),
@@ -100,6 +108,7 @@ def label_propagation(
     n_iter: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic: every node starts as its own
@@ -127,12 +136,17 @@ def label_propagation(
             fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("_src").alias("node")).distinct().localCheckpoint(eager=True)
-    e = e.unionByName(
-        nodes.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
-    ).localCheckpoint(eager=True)
+    e = cut_lineage(e, checkpoint_dir)
+    nodes = cut_lineage(
+        e.select(F.col("_src").alias("node")).distinct(), checkpoint_dir
+    )
+    e = cut_lineage(
+        e.unionByName(
+            nodes.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
+        ),
+        checkpoint_dir,
+    )
     state = nodes.withColumn("lbl", F.col("node"))
     for _ in range(n_iter):
         votes = (
@@ -151,8 +165,8 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
+        state = cut_lineage(state, checkpoint_dir)
     return state.select("node", F.col("lbl").alias("community"))
 
 
@@ -162,6 +176,7 @@ def kcore_survivors(
     n_rounds: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983), ``n_rounds`` synchronous rounds:
     repeatedly drop nodes whose degree among SURVIVORS is < k — what
@@ -182,8 +197,8 @@ def kcore_survivors(
             fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = cut_lineage(e, checkpoint_dir)
     survivors = e.select(F.col("_src").alias("node")).distinct()
     prev = survivors
     last = None
@@ -198,8 +213,8 @@ def kcore_survivors(
         )
         if r == n_rounds - 1:
             prev = survivors  # round n-1 survivors, for the converged flag
-        survivors = (
-            deg.filter(F.col("degree") >= k).select("node").localCheckpoint(eager=True)
+        survivors = cut_lineage(
+            deg.filter(F.col("degree") >= k).select("node"), checkpoint_dir
         )
         last = deg.filter(F.col("degree") >= k)
     if last is None:

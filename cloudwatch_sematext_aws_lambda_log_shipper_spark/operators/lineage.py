@@ -1,0 +1,42 @@
+"""Lineage truncation policy for iterative operators.
+
+Every iterative loop in the engine (PageRank, LPA, k-core, BPE, the
+exact-arith Lloyd fits) cuts its lineage each step — without it the
+n-iteration plan nests n joins deep and Catalyst re-analyzes the whole
+tree every step. The DEFAULT cut is ``localCheckpoint``: executor
+block-manager storage, no configuration, fast — but NOT fault-
+tolerant: on a real cluster, losing an executor mid-iteration kills
+every downstream step because the truncated lineage cannot be
+recomputed.
+
+``cut_lineage(df, checkpoint_dir=...)`` upgrades the cut to a RELIABLE
+``checkpoint()`` into a (HDFS/object-store) directory: executor loss
+recomputes from the checkpoint files instead of aborting the chain —
+the right trade on a 100x-scale cluster where an hours-long iterative
+job will see node churn. Results are identical either way (pinned in
+tests): checkpointing only changes where the materialized partitions
+live, never their content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def cut_lineage(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Truncate ``df``'s lineage: reliable ``checkpoint()`` into
+    ``checkpoint_dir`` when given (sets the context's checkpoint dir on
+    first use), else ``localCheckpoint``."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    current = sc._jsc.sc().getCheckpointDir()
+    # setCheckpointDir appends a per-context UUID subdir, so match by
+    # prefix — re-setting on every call would spray sibling dirs
+    if not current.isDefined() or not current.get().startswith(
+        checkpoint_dir
+    ):
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
