@@ -162,6 +162,43 @@ def zorder_columns(
     )
 
 
+def fit_zorder_meta(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 8,
+    n_buckets: int = 64,
+    kinds: list[str] | None = None,
+) -> ZorderMeta:
+    """Compute the clustering metadata (dim kinds + numeric bounds) for
+    a frame: ONE aggregate job over the numeric dims, no data sort.
+    Shared by the directory-layout writer below and the txlog table
+    format's z-order-clustered commits."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    if kinds is None:
+        dtypes = dict(df.dtypes)
+        kinds = ["hash" if dtypes[c] == "string" else "num" for c in cols]
+    num_js = [j for j, k in enumerate(kinds) if k == "num"]
+    mins: list[float] = [0.0] * len(cols)
+    maxs: list[float] = [float((1 << bits_per_dim) - 1)] * len(cols)
+    if num_js:
+        bounds = df.agg(
+            *[F.min(_as_num(df, cols[j])).alias(f"lo_{j}") for j in num_js],
+            *[F.max(_as_num(df, cols[j])).alias(f"hi_{j}") for j in num_js],
+        ).collect()[0]
+        for j in num_js:
+            mins[j] = bounds[f"lo_{j}"]
+            maxs[j] = bounds[f"hi_{j}"]
+    return ZorderMeta(
+        cols=list(cols),
+        bits_per_dim=bits_per_dim,
+        n_buckets=n_buckets,
+        mins=mins,
+        maxs=maxs,
+        kinds=list(kinds),
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -181,30 +218,7 @@ def write_zordered(
     cell — for string keys with equality predicates). Defaults by
     dtype: StringType -> "hash", everything else -> "num".
     """
-    if n_buckets & (n_buckets - 1):
-        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
-    if kinds is None:
-        dtypes = dict(df.dtypes)
-        kinds = ["hash" if dtypes[c] == "string" else "num" for c in cols]
-    num_js = [j for j, k in enumerate(kinds) if k == "num"]
-    mins: list[float] = [0.0] * len(cols)
-    maxs: list[float] = [float((1 << bits_per_dim) - 1)] * len(cols)
-    if num_js:
-        bounds = df.agg(
-            *[F.min(_as_num(df, cols[j])).alias(f"lo_{j}") for j in num_js],
-            *[F.max(_as_num(df, cols[j])).alias(f"hi_{j}") for j in num_js],
-        ).collect()[0]
-        for j in num_js:
-            mins[j] = bounds[f"lo_{j}"]
-            maxs[j] = bounds[f"hi_{j}"]
-    meta = ZorderMeta(
-        cols=list(cols),
-        bits_per_dim=bits_per_dim,
-        n_buckets=n_buckets,
-        mins=mins,
-        maxs=maxs,
-        kinds=list(kinds),
-    )
+    meta = fit_zorder_meta(df, cols, bits_per_dim, n_buckets, kinds)
     out = zorder_columns(df, meta)
     (
         out.repartitionByRange(n_buckets, "z_bucket", "z")

@@ -4116,8 +4116,19 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shingled, banded = signature_tables(spark, sf_dir)
+    # Cap OFF by default: the brute-force DuckDB oracle models the
+    # UNCAPPED pair set, and healthy corpora have no hot buckets so the
+    # cap is a no-op there anyway. CURATE_NEARDUP_CAP=<n> enables the
+    # production hot-bucket cap for Zipf-skewed corpora (one giant
+    # near-dup cluster): bounded per-bucket pair work at the cost of
+    # missing some members of oversized clusters — measured by
+    # scripts/scale_stress_skew.py. Results are bit-identical whenever
+    # no bucket exceeds the cap (the _cap_buckets contract).
+    import os as _os
+
+    _cap = _os.environ.get("CURATE_NEARDUP_CAP")
     clusters = near_dup_clusters_from_store(
-        shingled, banded, max_bucket_size=None
+        shingled, banded, max_bucket_size=int(_cap) if _cap else None
     ).select("doc_id", "cluster_id")
     best = F.col("n_chars").cast("long") * F.lit(4294967296).cast(
         "long"

@@ -333,9 +333,24 @@ def append(
         cluster_by=cluster_by,
         cluster_files=cluster_files,
     )
+    return _commit_append(table, adds, txn, max_retries)
+
+
+def _commit_append(
+    table: str,
+    adds: list[dict],
+    txn: tuple[str, int] | None,
+    max_retries: int,
+    extra: dict | None = None,
+) -> int:
+    """The append commit-race loop, shared with append_zordered;
+    ``extra`` merges additional keys (e.g. the zorder metadata) into
+    the commit payload."""
     payload: dict = {"op": "append", "add": adds, "remove": []}
     if txn:
         payload["txn"] = {"app_id": txn[0], "version": txn[1]}
+    if extra:
+        payload.update(extra)
     for _ in range(max_retries):
         cur = latest_version(table)
         v = 0 if cur is None else cur + 1
@@ -346,6 +361,103 @@ def append(
             _unstage(table, adds)
             return latest_version(table)
     raise CommitConflict(f"append to {table} lost {max_retries} races")
+
+
+def append_zordered(
+    df: DataFrame,
+    table: str,
+    cluster_by: list[str],
+    bits_per_dim: int = 8,
+    n_buckets: int = 64,
+    kinds: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Z-ORDER-CLUSTERED ACID append: rows Morton-bucket on
+    ``cluster_by`` (multi-dimensional — operators/layout.py: numeric
+    dims width-bucketed from this batch's bounds, string dims hashed),
+    range-partition + sort on (z_bucket, z), and land as one file set
+    per z_bucket with the bucket id recorded as per-file PARTITION
+    metadata in the LOG and the clustering metadata in the commit.
+    :func:`read_zordered` then prunes FILES for multi-dimensional box/
+    equality predicates from the log alone — the liquid-clustering move
+    inside the table format, instead of beside it in directory layout.
+
+    Each commit carries its own ZorderMeta (bounds are per-batch), so
+    appends with drifting ranges stay individually prunable; a box
+    query evaluates every commit's meta against its own files."""
+    from ..operators.layout import fit_zorder_meta, zorder_columns
+
+    if _txn_already_applied(table, txn):
+        return latest_version(table)
+    meta = fit_zorder_meta(df, cluster_by, bits_per_dim, n_buckets, kinds)
+    shaped = (
+        zorder_columns(df, meta)
+        .repartitionByRange(n_buckets, "z_bucket", "z")
+        .sortWithinPartitions("z_bucket", "z")
+        .drop("z")
+    )
+    adds = _stage(
+        shaped, table, partition_by="z_bucket", stats_cols=stats_cols
+    )
+    return _commit_append(
+        table, adds, txn, max_retries, extra={"zorder": meta.to_json()}
+    )
+
+
+def read_zordered(
+    spark: SparkSession,
+    table: str,
+    box: dict[str, tuple[float, float]] | None = None,
+    eq: dict[str, object] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-dimensionally pruned read of a z-order-clustered txlog
+    table: for each commit that recorded zorder metadata, the box/
+    equality predicates decompose driver-side into that commit's
+    candidate z_buckets (pure integer math on the bucket grid), and
+    only files whose z_bucket partition value survives enter the scan.
+    Files from non-z-ordered commits are conservatively kept. Superset
+    guarantee — apply the residual row filter on the returned frame
+    (the z_bucket helper column is dropped)."""
+    from ..operators.layout import ZorderMeta, zbucket_candidates
+
+    snap = snapshot(table, version)
+    vs = [v for v in _list_versions(table) if v <= snap["version"]]
+    # per-file candidate-bucket sets, from each commit's own meta
+    keep: list[str] = []
+    file_version: dict[str, int] = {}
+    commit_meta: dict[int, ZorderMeta | None] = {}
+    for v in vs:
+        c = _read_commit(table, v)
+        zj = c.get("zorder")
+        commit_meta[v] = ZorderMeta.from_json(zj) if zj else None
+        for a in c.get("add", []):
+            file_version[a["path"]] = v
+    cand_cache: dict[int, set[str]] = {}
+    for f in snap["files"]:
+        v = file_version.get(f)
+        meta = commit_meta.get(v)
+        part = (snap["meta"][f].get("partition") or {})
+        if meta is None or "z_bucket" not in part:
+            keep.append(f)  # not z-ordered: conservatively kept
+            continue
+        if v not in cand_cache:
+            cand_cache[v] = {
+                str(b)
+                for b in zbucket_candidates(meta, box or {}, eq, spark)
+            }
+        if part["z_bucket"] in cand_cache[v]:
+            keep.append(f)
+    if not keep:
+        raise ValueError(
+            f"{table}@v{snap['version']}: no files survive the z-order box"
+        )
+    # z_bucket is the ONLY partition column a z-ordered commit writes,
+    # and it is a helper the reader never sees — all surviving files
+    # share the data schema, so one multi-path scan suffices.
+    return spark.read.parquet(*[os.path.join(table, f) for f in sorted(keep)])
 
 
 def overwrite(
@@ -488,7 +600,10 @@ def read_table(
 
     groups: dict[tuple, list[str]] = {}
     for f in keep:
-        part = snap["meta"][f].get("partition") or {}
+        part = dict(snap["meta"][f].get("partition") or {})
+        # z_bucket is the z-order clustering HELPER (append_zordered) —
+        # log metadata for pruning, never a reader-visible column
+        part.pop("z_bucket", None)
         groups.setdefault(tuple(sorted(part.items())), []).append(f)
     reader = spark.read
     if merge_schema:
