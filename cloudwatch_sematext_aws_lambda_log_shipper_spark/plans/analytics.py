@@ -1300,6 +1300,72 @@ def purchase_first_touch_attribution(
     )
 
 
+_TXLOG_ZORDER_ORACLE = """
+SELECT count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE value >= 50 AND value <= 120 AND event_type = 'click'
+"""
+
+
+@query("events_txlog_zorder_scan", _TXLOG_ZORDER_ORACLE)
+def events_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering INSIDE the ACID table format (txlog
+    append_zordered): events land Morton-clustered on (value num,
+    event_type hash) with the bucket id as per-file partition metadata
+    in the commit log; a (value box AND event_type equality) query then
+    prunes FILES driver-side from the log's ZorderMeta before any I/O,
+    and the residual row filter restores exactness — the oracle is the
+    plain filter over the raw table, so the hash gate proves the
+    superset-prune-plus-residual contract end to end.
+
+    Scale: the prune is pure integer math over the commit log (no file
+    listing, no footer reads); the scan reads only the candidate
+    buckets' files — multi-dimensional pruning that single-column range
+    clustering cannot express."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..sources import txlog
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = _os.path.join(
+        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+    table = _os.path.join(base, "events_zx")
+    _shutil.rmtree(table, ignore_errors=True)
+    txlog.append_zordered(
+        ev,
+        table,
+        cluster_by=["value", "event_type"],
+        kinds=["num", "hash"],
+        n_buckets=64,
+    )
+    pruned = txlog.read_zordered(
+        spark,
+        table,
+        box={"value": (50.0, 120.0)},
+        eq={"event_type": "click"},
+    )
+    return (
+        pruned.filter(
+            (F.col("value") >= 50)
+            & (F.col("value") <= 120)
+            & (F.col("event_type") == "click")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 _TXLOG_ORACLE = """
 SELECT 0 AS version, count(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
