@@ -41,33 +41,100 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, dot, l2_norm
+from .similarity import as_double, dot, dot_cols, l2_norm
 
 
 def _lit_vec(v) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
-def _unit(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+def dot_lit(vec: F.Column, values, dim: int | None = None) -> F.Column:
+    """dot_cols against a literal vector (centroid broadcast-as-
+    constants): same unrolled tree with the right side folded in."""
+    z: F.Column = F.lit(0.0)
+    for i in range(dim if dim is not None else len(values)):
+        z = z + vec.getItem(i) * F.lit(float(values[i]))
+    return z
+
+
+def _unit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int = 64,
+    materialize: bool = False,
+) -> DataFrame:
     """(out_id, _u) with _u the elementwise-normalized double vector.
-    The norm lands in its own column first: an aggregate inside the
-    transform lambda would re-fold the dim-length dot per element."""
+    The norm dot unrolls (codegen'd); the division stays a ONE-node
+    transform lambda on purpose — Catalyst's CollapseProject inlines
+    projected columns into every consumer expression, and an unrolled
+    64-element array each dragging the 129-node norm chain would blow
+    the downstream assignment trees (16 dots x 64 terms, each term
+    inlining the array) into millions of nodes: driver OOM, janino
+    overflow. Tree SIZE is part of the design here, not just values.
+
+    ``materialize=True`` eagerly localCheckpoints the result — REQUIRED
+    before stacking the unrolled dot expressions on top, so they
+    reference a plain column of a LogicalRDD instead of inlining the
+    normalization subtree into all dim x n_clusters terms. (For the
+    100 TB one-shot path this is the usual normalize-once cache; the
+    persisted-index path materializes to parquet instead.)"""
     raw = df.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias("_e")
     )
-    return (
-        raw.withColumn("_n", F.greatest(l2_norm(F.col("_e")), F.lit(1e-12)))
-        .select(out_id, F.transform("_e", lambda x: x / F.col("_n")).alias("_u"))
+    e = F.col("_e")
+    out = (
+        raw.withColumn(
+            "_n", F.greatest(F.sqrt(dot_cols(e, e, dim)), F.lit(1e-12))
+        )
+        .select(
+            out_id,
+            F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+        )
+    )
+    return out.localCheckpoint(eager=True) if materialize else out
+
+
+def _centers_df(spark: SparkSession, centers) -> DataFrame:
+    return spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centers)],
+        "_j int, _cu array<double>",
     )
 
 
-def _argmax_cluster(vec: F.Column, centers) -> F.Column:
-    """Nearest-centroid id via argmax of sequential-fold dots against
-    the literal centroid arrays; array_position returns the FIRST
-    maximal index, i.e. ties break to the lowest cluster id — exactly a
-    (dot DESC, cluster ASC) row_number() = 1 in the SQL replay."""
-    dots = F.array(*[dot(vec, _lit_vec(c)) for c in centers])
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+def _assign_exact(
+    frame: DataFrame, centers, dim: int, id_name: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a BROADCAST cross join + max_by:
+    one codegen'd 64-term dot per (row, centroid) pair — a single
+    k*dim-term expression array would overflow janino's method limit
+    and fall back to interpreted eval (measured 3x slower than even
+    the HOF fold). The argmax key struct (dot, -j) breaks ties to the
+    LOWEST cluster id, exactly the oracle's (dot DESC, j) row_number;
+    the aggregate is map-side combinable (k skinny rows per input row
+    shrink to one partial max before any shuffle), and the original
+    row comes back via one equi join on the id.
+
+    Adds ``_cl`` to ``frame``. ``frame`` should be materialized (a
+    LogicalRDD) so the join's two references don't recompute it."""
+    spark = frame.sparkSession
+    cdf = F.broadcast(_centers_df(spark, centers))
+    amax = (
+        frame.crossJoin(cdf)
+        .select(
+            id_name,
+            "_j",
+            dot_cols(F.col("_u"), F.col("_cu"), dim).alias("_dot"),
+        )
+        .groupBy(id_name)
+        .agg(
+            F.max_by(
+                "_j", F.struct(F.col("_dot"), (-F.col("_j")).alias("_nj"))
+            ).alias("_cl")
+        )
+    )
+    return frame.join(amax, id_name)
 
 
 def fit_centroids_exact(
@@ -77,6 +144,7 @@ def fit_centroids_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "ivf",
+    dim: int = 64,
 ) -> list[list[float]]:
     """Spherical Lloyd whose every step an SQL oracle can replay:
     md5-ordered deterministic init, exact DECIMAL dimension sums for
@@ -89,7 +157,7 @@ def fit_centroids_exact(
     Scale: one narrow assignment pass + one map-side-combinable
     (cluster, dim) aggregation per iteration; the driver holds only
     k x dim floats between iterations."""
-    cn = _unit(corpus, id_col, vec_col, "_id").localCheckpoint(eager=True)
+    cn = _unit(corpus, id_col, vec_col, "_id", materialize=True)
     try:
         seed_rows = (
             cn.orderBy(
@@ -101,9 +169,7 @@ def fit_centroids_exact(
         )
         centers = [list(r["_u"]) for r in seed_rows]
         for _ in range(iters):
-            assigned = cn.withColumn(
-                "_cl", _argmax_cluster(F.col("_u"), centers)
-            )
+            assigned = _assign_exact(cn, centers, dim, "_id")
             sums = (
                 assigned.select("_cl", F.posexplode("_u").alias("_d", "_x"))
                 .groupBy("_cl", "_d")
@@ -145,21 +211,21 @@ def fit_centroids_exact(
 
 
 def _query_probes_exact(
-    qn: DataFrame, centers, nprobe: int
+    qn: DataFrame, centers, nprobe: int, dim: int = 64
 ) -> DataFrame:
-    """(query_id, _qu, _cl): each query's nprobe nearest centroids by
-    sequential-fold dot, (dot DESC, cluster) ranked."""
-    dots = F.array(*[dot(F.col("_u"), _lit_vec(c)) for c in centers])
-    wq = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), "_cl")
+    """(query_id, _qu, _cl): each query's nprobe nearest centroids —
+    broadcast cross join against the centroid frame (one codegen'd dot
+    per pair; see _assign_exact for why not one giant literal array),
+    (dot DESC, cluster) window rank over |queries| x k tiny rows."""
+    spark = qn.sparkSession
+    cdf = F.broadcast(_centers_df(spark, centers))
+    wq = Window.partitionBy("query_id").orderBy(F.col("_dot").desc(), "_j")
     return (
-        qn.select(
-            "query_id",
-            F.col("_u").alias("_qu"),
-            F.posexplode(dots).alias("_cl", "_dot"),
-        )
+        qn.crossJoin(cdf)
+        .withColumn("_dot", dot_cols(F.col("_u"), F.col("_cu"), dim))
         .withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= min(nprobe, len(centers)))
-        .select("query_id", "_qu", "_cl")
+        .select("query_id", F.col("_u").alias("_qu"), F.col("_j").alias("_cl"))
     )
 
 
@@ -187,6 +253,7 @@ def ann_topk_ivf_exact(
     iters: int = 3,
     salt: str = "ivf",
     centers=None,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-flat ANN under the exact-arithmetic contract: fit (or take)
     replayable centroids, assign the corpus and probe the queries with
@@ -199,12 +266,13 @@ def ann_topk_ivf_exact(
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, salt
         )
-    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
-    qn = _unit(queries, id_col, vec_col, "query_id")
-    assigned = cn.withColumn("_cl", _argmax_cluster(F.col("_u"), centers))
-    probes = _query_probes_exact(qn, centers, nprobe)
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
+    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
+    assigned = _assign_exact(cn, centers, dim, "neighbor_id")
+    probes = _query_probes_exact(qn, centers, nprobe, dim)
     scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot(F.col("_qu"), F.col("_u"))
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
     )
     return _rank_topk(scored, k)
 
@@ -221,6 +289,7 @@ def build_ivf_index_exact(
     iters: int = 3,
     salt: str = "ivf",
     centers=None,
+    dim: int = 64,
 ) -> None:
     """Persist centroids + the NORMALIZED corpus partitioned by cluster
     (build once, probe many). Storing _u rather than the raw vector
@@ -237,9 +306,11 @@ def build_ivf_index_exact(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")
     )
-    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
     (
-        cn.withColumn("cluster", _argmax_cluster(F.col("_u"), centers))
+        _assign_exact(cn, centers, dim, "neighbor_id")
+        .withColumnRenamed("_cl", "cluster")
         .repartition("cluster")
         .write.mode("overwrite")
         .partitionBy("cluster")
@@ -255,6 +326,7 @@ def query_ivf_index_exact(
     nprobe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Search the persisted exact-arith IVF index: the distinct probed
     cluster ids become a literal IN-filter on the partition column
@@ -267,8 +339,8 @@ def query_ivf_index_exact(
         .collect()
     )
     centers = [list(r["centroid"]) for r in cent]
-    qn = _unit(queries, id_col, vec_col, "query_id")
-    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
+    probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
     needed = sorted(
@@ -280,7 +352,7 @@ def query_ivf_index_exact(
         .withColumnRenamed("cluster", "_cl")
     )
     scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot(F.col("_qu"), F.col("_u"))
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
     )
     return _rank_topk(scored, k)
 
@@ -306,12 +378,17 @@ def _subvectors(frame: DataFrame, id_name: str, m: int, dim: int) -> DataFrame:
     )
 
 
-def _l2_expr(a: F.Column, b: F.Column) -> F.Column:
+def _l2_expr(a: F.Column, b: F.Column, dim: int) -> F.Column:
     """Squared L2 distance as the FIXED expression
-    dot(a,a) - 2*dot(a,b) + dot(b,b): three sequential folds combined
+    dot(a,a) - 2*dot(a,b) + dot(b,b): three sequential dots combined
     in one deterministic shape both engines evaluate identically (an
-    elementwise (x-y)^2 fold has no DuckDB twin with pinned order)."""
-    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+    elementwise (x-y)^2 fold has no DuckDB twin with pinned order).
+    Unrolled (dot_cols) for codegen."""
+    return (
+        dot_cols(a, a, dim)
+        - F.lit(2.0) * dot_cols(a, b, dim)
+        + dot_cols(b, b, dim)
+    )
 
 
 def fit_pq_codebooks_exact(
@@ -359,7 +436,7 @@ def fit_pq_codebooks_exact(
             wmin = Window.partitionBy("_id", "_j").orderBy("_d2", "_t")
             assign = (
                 subv.join(F.broadcast(cb_df), "_j")
-                .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+                .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
                 .withColumn("_r", F.row_number().over(wmin))
                 .filter(F.col("_r") == 1)
                 .select("_j", "_t", "_sv")
@@ -424,8 +501,10 @@ def ann_topk_ivfpq_exact(
     ranks the final top-k. ``artifacts`` = (centers, books, codes_df)
     from a persisted index; None fits + encodes one-shot."""
     spark = corpus.sparkSession
-    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
-    qn = _unit(queries, id_col, vec_col, "query_id")
+    sub = dim // m
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
+    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if artifacts is None:
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, "ivf"
@@ -448,20 +527,18 @@ def ann_topk_ivfpq_exact(
         )
     )
     if codes_df is None:
-        assigned = cn.withColumn(
-            "_cl", _argmax_cluster(F.col("_u"), centers)
-        )
+        assigned = _assign_exact(cn, centers, dim, "neighbor_id")
         wmin = Window.partitionBy("neighbor_id", "_j").orderBy("_d2", "_t")
         codes_df = (
             _subvectors(assigned, "neighbor_id", m, dim)
             .join(cb_df, "_j")
-            .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+            .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
             .withColumn("_r", F.row_number().over(wmin))
             .filter(F.col("_r") == 1)
             .select("neighbor_id", "_j", "_t")
             .join(assigned.select("neighbor_id", "_cl"), "neighbor_id")
         )
-    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+    probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
     qsub = F.broadcast(
@@ -478,7 +555,7 @@ def ann_topk_ivfpq_exact(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("_qsv"), F.col("_cb")), 12)
+            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub), 12)
             .cast("decimal(16,12)")
             .alias("_term"),
         )
@@ -498,7 +575,7 @@ def ann_topk_ivfpq_exact(
     scored = (
         shortlist.join(cn, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cos", dot(F.col("_qu"), F.col("_u")))
+        .withColumn("cos", dot_cols(F.col("_qu"), F.col("_u"), dim))
     )
     return _rank_topk(scored, k)
 
@@ -520,10 +597,12 @@ def build_ivfpq_index_exact(
     plus the normalized vectors for the refine fetch, so the index is
     self-contained."""
     spark = corpus.sparkSession
+    sub = dim // m
     centers = fit_centroids_exact(
         corpus, n_clusters, iters, id_col, vec_col, "ivf"
     )
-    cn = _unit(corpus, id_col, vec_col, "neighbor_id")
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
     books = fit_pq_codebooks_exact(
         cn.withColumnRenamed("neighbor_id", "_id"),
         spark,
@@ -544,7 +623,7 @@ def build_ivfpq_index_exact(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    assigned = cn.withColumn("_cl", _argmax_cluster(F.col("_u"), centers))
+    assigned = _assign_exact(cn, centers, dim, "neighbor_id")
     cb_df = F.broadcast(
         spark.createDataFrame(
             [(j, t, list(v)) for j, t, v in books],
@@ -555,7 +634,7 @@ def build_ivfpq_index_exact(
     codes = (
         _subvectors(assigned, "neighbor_id", m, dim)
         .join(cb_df, "_j")
-        .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb")))
+        .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
         .withColumn("_r", F.row_number().over(wmin))
         .filter(F.col("_r") == 1)
         .select("neighbor_id", "_j", "_t")
@@ -598,8 +677,8 @@ def query_ivfpq_index_exact(
         .orderBy("_j", "_t")
         .collect()
     ]
-    qn = _unit(queries, id_col, vec_col, "query_id")
-    probes = _query_probes_exact(qn, centers, nprobe).localCheckpoint(
+    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
+    probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
     needed = sorted(
@@ -621,6 +700,7 @@ def _ivfpq_search_persisted(
 ):
     """ADC + refine tail shared by the persisted path (codes already
     cluster-pruned; ``cn`` the stored normalized vectors)."""
+    sub = dim // m
     cb_df = F.broadcast(
         spark.createDataFrame(
             [(j, t, list(v)) for j, t, v in books],
@@ -642,7 +722,7 @@ def _ivfpq_search_persisted(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot(F.col("_qsv"), F.col("_cb")), 12)
+            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub), 12)
             .cast("decimal(16,12)")
             .alias("_term"),
         )
@@ -662,6 +742,6 @@ def _ivfpq_search_persisted(
     scored = (
         shortlist.join(cn, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .withColumn("cos", dot(F.col("_qu"), F.col("_u")))
+        .withColumn("cos", dot_cols(F.col("_qu"), F.col("_u"), dim))
     )
     return _rank_topk(scored, k)

@@ -31,6 +31,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_cols(a: Column, b: Column, dim: int) -> Column:
+    """:func:`dot` UNROLLED into the flat expression
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` — the exact left-fold tree
+    the HOF builds (acc starts 0.0, one ``acc + x*y`` per element), so
+    every double is bit-identical to ``dot`` and to DuckDB's
+    list_dot_product, but the expression whole-stage-codegens (HOF
+    lambdas never do): ~an order of magnitude faster in hot scoring
+    paths. ``dim`` must equal the array length (shorter arrays null
+    out — the caller owns the schema). Keep expression TREES in mind
+    when stacking these: see ivf_exact._unit for the CollapseProject
+    blowup this can trigger when the operands are themselves wide
+    derived expressions."""
+    z: Column = F.lit(0.0)
+    for i in range(dim):
+        z = z + a.getItem(i) * b.getItem(i)
+    return z
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -65,12 +83,17 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast queries x scan corpus, rank per query.
 
     Scale: BroadcastNestedLoopJoin with a tiny query side is a single
     corpus scan; the window partitions by query id over |corpus| x |q|
     scored rows. For large |q|, switch to the LSH path below.
+
+    ``dim`` (when the vector length is statically known) swaps the
+    interpreted HOF cosine for the unrolled codegen'd expression —
+    bit-identical values (dot_cols contract), ~10x faster scoring.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
@@ -78,9 +101,14 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("c_vec")
     )
-    scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cos", cosine(F.col("q_vec"), F.col("c_vec"))
-    )
+    if dim is None:
+        cos = cosine(F.col("q_vec"), F.col("c_vec"))
+    else:
+        qv, cv = F.col("q_vec"), F.col("c_vec")
+        cos = dot_cols(qv, cv, dim) / (
+            F.sqrt(dot_cols(qv, qv, dim)) * F.sqrt(dot_cols(cv, cv, dim))
+        )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )

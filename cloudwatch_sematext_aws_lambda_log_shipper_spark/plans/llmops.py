@@ -495,7 +495,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     ann = ann_topk_ivf_exact(corpus=corpus, queries=queries, k=5)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)
 
@@ -3421,7 +3421,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     ann = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)
 
@@ -3463,7 +3463,7 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer=_write,
     )
     ann = query_ivfpq_index_exact(spark, path, queries, k=5)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)
 
