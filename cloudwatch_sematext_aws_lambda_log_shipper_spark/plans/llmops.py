@@ -743,6 +743,94 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_PROGRESSIVE_ORACLE = """
+WITH sel AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 53 = 0
+)
+SELECT count(*) AS n,
+       CAST(SUM(8 + doc_id % 24) AS BIGINT) AS total_width,
+       CAST(SUM(8 + n_chars % 16) AS BIGINT) AS total_height,
+       count(*) AS n_exact_match
+FROM sel
+"""
+
+
+@query("multimodal_jpeg_progressive", _JPEG_PROGRESSIVE_ORACLE)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) under the hash gate: a deterministic
+    grayscale image per selected doc (md5-stream pixels, dims from doc
+    properties) is encoded BOTH baseline and progressive (identical
+    quantization by construction), both decode through the vendored
+    codec, and the emitted aggregate carries (a) SOF2-header dims —
+    the oracle recomputes them from the doc formulas, so the
+    progressive marker walk is hash-checked — and (b) n_exact_match,
+    which the oracle pins at count(*): ONE image whose multi-scan
+    spectral-selection/successive-approximation decode differs from
+    the baseline decode by a single pixel fails the gate. (Baseline
+    decode correctness itself is oracle-pinned by the pixel-formula
+    queries; this closes the loop for Annex G.)
+
+    Scale: Arrow-batched mapInPandas codec work over a deterministic
+    corpus sample — the pure-Python codec is the demonstrator; the
+    plumbing (schema, batching, partitioning) is the production
+    shape."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 53 == 0)
+        .select("doc_id", "n_chars")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg_baseline import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+            encode_progressive_jpeg,
+            jpeg_dims,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(doc_id) % 24
+                h = 8 + int(n_chars) % 16
+                need = w * h
+                buf = bytearray()
+                i = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"{doc_id}:{i}".encode()).digest()
+                    i += 1
+                img = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(
+                    h, w
+                )
+                jb = encode_baseline_jpeg(img, quant=2)
+                jp = encode_progressive_jpeg(img, quant=2)
+                same = bool(
+                    (decode_baseline_jpeg(jp) == decode_baseline_jpeg(jb)).all()
+                )
+                pw, ph, _nc = jpeg_dims(jp)
+                rows.append((int(doc_id), pw, ph, same))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "same"]
+            )
+
+    feats = docs.mapInPandas(
+        gen, "media_id long, width int, height int, same boolean"
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.when(F.col("same"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_match"),
+    )
+
+
 _CORPUS_PREP_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, source, text,
