@@ -41,20 +41,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, dot, dot_cols, l2_norm
-
-
-def _lit_vec(v) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in v])
-
-
-def dot_lit(vec: F.Column, values, dim: int | None = None) -> F.Column:
-    """dot_cols against a literal vector (centroid broadcast-as-
-    constants): same unrolled tree with the right side folded in."""
-    z: F.Column = F.lit(0.0)
-    for i in range(dim if dim is not None else len(values)):
-        z = z + vec.getItem(i) * F.lit(float(values[i]))
-    return z
+from .similarity import as_double, dot_cols, l2_norm
 
 
 def _unit(
