@@ -732,3 +732,190 @@ def _ivfpq_search_persisted(
         .withColumn("cos", dot_cols(F.col("_qu"), F.col("_u"), dim))
     )
     return _rank_topk(scored, k)
+
+
+# --- exact-arith IVF k-NN graph ------------------------------------------
+
+
+def ann_knn_graph_ivf_exact(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 6,
+    iters: int = 3,
+    dim: int = 64,
+    centers=None,
+) -> DataFrame:
+    """Approximate k-NN graph via IVF where queries == corpus, every
+    double SQL-reproducible: one assignment pass, per-vector nprobe
+    probes, candidates from the cluster equi-join (both sides shuffle
+    on cluster id — the correct shape when the query set IS the
+    corpus), self-pairs excluded BY ID, exact normalized-dot cosine,
+    (cos DESC, id) rank. Same output shape as
+    similarity.ann_knn_graph_ivf; still approximate (cross-cluster
+    neighbors beyond the probes are missed) — recall rides along via
+    with_recall_at_k at the query layer, now hash-checked."""
+    if centers is None:
+        centers = fit_centroids_exact(
+            corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
+        )
+    cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
+    assigned = _assign_exact(cn, centers, dim, "neighbor_id")
+    qn = cn.select(F.col("neighbor_id").alias("query_id"), "_u")
+    probes = _query_probes_exact(qn, centers, nprobe, dim)
+    scored = (
+        assigned.join(probes.withColumnRenamed("_cl", "_cl"), "_cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", dot_cols(F.col("_qu"), F.col("_u"), dim))
+    )
+    return _rank_topk(scored, k)
+
+
+# --- exact-arith SemDeDup ------------------------------------------------
+
+
+def semdedup_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 8,
+    n_assign: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centers=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) under the exact contract: vectors
+    multi-assign to their n_assign nearest centroids (the recall knob),
+    candidate pairs come from the bucketed self-join on cluster id
+    (~N^2/k pair work, never all-pairs), and survivors are pairs with
+    exact normalized-dot cosine >= threshold, deduped across shared
+    clusters. Output: (id_a, id_b, cosine) with id_a < id_b."""
+    if centers is None:
+        centers = fit_centroids_exact(
+            corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
+        )
+    cn = _unit(corpus, id_col, vec_col, "_id", dim, materialize=True)
+    multi = _query_probes_exact(
+        cn.withColumnRenamed("_id", "query_id"), centers, n_assign, dim
+    ).select(F.col("query_id").alias("_id"), F.col("_qu").alias("_u"), "_cl")
+    a = multi.select(
+        F.col("_id").alias("id_a"), F.col("_u").alias("_ua"), "_cl"
+    )
+    b = multi.select(
+        F.col("_id").alias("id_b"), F.col("_u").alias("_ub"), "_cl"
+    )
+    pairs = (
+        a.join(b, "_cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            dot_cols(F.col("_ua"), F.col("_ub"), dim).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        # a pair sharing BOTH probed clusters appears twice: dedup
+        .groupBy("id_a", "id_b")
+        .agg(F.first("_cos").alias("_cos"))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("_cos", 6).alias("cosine")
+    )
+
+
+# --- exact-arith hyperplane LSH ------------------------------------------
+
+
+def lsh_plane_weights_exact(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — the
+    engine computes them in Python, the oracle re-derives them in SQL
+    from the SAME hex digits, so the buckets match digit-for-digit:
+    weight(p, d) = (int(md5(f"{p}:{d}")[:4], 16) / 65536) * 2 - 1."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16)
+            / 65536.0
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def ann_topk_lsh_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Hyperplane-LSH ANN with multiprobe, every step replayable:
+    bucket bit p = (dot(u, plane_p) >= 0), computed per (row, plane)
+    through the broadcast plane table and OR-folded with one
+    map-side-combinable sum of 2^p terms; each query probes its own
+    bucket plus every Hamming-1 neighbor (flip one bit); candidates
+    come from the bucket equi-join; exact normalized-dot cosine ranks
+    the top-k. Data-independent (no fit) — lower recall than IVF on
+    near-uniform vectors by design; the recall gate rides at the query
+    layer."""
+    spark = corpus.sparkSession
+    planes = lsh_plane_weights_exact(num_planes, dim)
+    pdf = F.broadcast(
+        spark.createDataFrame(
+            [(p, w) for p, w in enumerate(planes)],
+            "_p int, _w array<double>",
+        )
+    )
+
+    def bucket(frame: DataFrame, id_name: str) -> DataFrame:
+        return (
+            frame.crossJoin(pdf)
+            .select(
+                id_name,
+                F.when(
+                    dot_cols(F.col("_u"), F.col("_w"), dim) >= 0,
+                    # shiftleft's python wrapper wants a literal count;
+                    # the SQL form takes the column
+                    F.expr("shiftleft(1, _p)"),
+                )
+                .otherwise(F.lit(0))
+                .alias("_bit"),
+            )
+            .groupBy(id_name)
+            .agg(F.sum("_bit").cast("int").alias("_b"))
+            .join(frame, id_name)
+        )
+
+    cn = bucket(
+        _unit(corpus, id_col, vec_col, "neighbor_id", dim, materialize=True),
+        "neighbor_id",
+    )
+    qn = bucket(
+        _unit(queries, id_col, vec_col, "query_id", dim, materialize=True),
+        "query_id",
+    )
+    # multiprobe: own bucket + flip each plane bit (Hamming-1)
+    flips = F.array(
+        F.col("_b"),
+        *[
+            F.col("_b").bitwiseXOR(F.lit(1 << p)).cast("int")
+            for p in range(num_planes)
+        ],
+    )
+    probes = qn.select(
+        "query_id",
+        F.col("_u").alias("_qu"),
+        F.explode(flips).alias("_b"),
+    )
+    scored = cn.join(probes, "_b").withColumn(
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
+    )
+    return _rank_topk(scored, k)

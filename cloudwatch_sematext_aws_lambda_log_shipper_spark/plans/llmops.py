@@ -479,7 +479,208 @@ def _ivfpq_exact_oracle(
     return "\n".join(lines) + "\n" + _recall_tail_ctes(k, floor)
 
 
-def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool):
+def _knn_graph_ivf_oracle(
+    n_clusters: int = 16,
+    nprobe: int = 6,
+    k: int = 5,
+    iters: int = 3,
+    dim: int = _IVF_DIM,
+    floor: float = 0.451,
+) -> str:
+    """IVF k-NN graph (queries == corpus) replay: the same Lloyd fit
+    CTEs over ALL vectors, per-vector probes, cluster-join candidates
+    with self-pairs excluded, exact refine rank, brute-force exact
+    graph + recall + gate. Floor 0.451 sits mid-grid for the 500-query
+    mean (multiples of 1/(5*N)), so a float-avg ulp can never flip the
+    boolean."""
+    unit = (
+        "list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12))"
+    )
+    lines = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u FROM emb),",
+    ]
+    lines += _lloyd_ctes(n_clusters, iters, "ivf", dim)
+    cf = f"c{iters}"
+    lines.append(
+        "afin AS MATERIALIZED (SELECT vec_id, u, j FROM ("
+        "SELECT nn.vec_id, nn.u, c.j,"
+        " row_number() OVER (PARTITION BY nn.vec_id"
+        " ORDER BY list_dot_product(nn.u, c.u) DESC, c.j) AS r"
+        f" FROM n nn CROSS JOIN {cf} c) WHERE r = 1),"
+    )
+    lines.append(
+        "gprob AS MATERIALIZED (SELECT query_id, qu, j FROM ("
+        "SELECT q.vec_id AS query_id, q.u AS qu, c.j,"
+        " row_number() OVER (PARTITION BY q.vec_id"
+        " ORDER BY list_dot_product(q.u, c.u) DESC, c.j) AS r"
+        f" FROM n q CROSS JOIN {cf} c) WHERE r <= {nprobe}),"
+    )
+    lines.append(
+        "ann AS MATERIALIZED (SELECT query_id, neighbor_id, cos,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos DESC, neighbor_id) AS rnk"
+        " FROM (SELECT p.query_id, a.vec_id AS neighbor_id,"
+        " list_dot_product(p.qu, a.u) AS cos"
+        " FROM gprob p JOIN afin a ON p.j = a.j"
+        f" WHERE p.query_id <> a.vec_id) QUALIFY rnk <= {k}),"
+    )
+    lines.append(
+        "exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        " row_number() OVER (PARTITION BY a.vec_id ORDER BY"
+        " list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+        " * sqrt(list_dot_product(b.e, b.e))) DESC, b.vec_id) AS rnk"
+        " FROM emb a JOIN emb b ON a.vec_id <> b.vec_id)"
+        f" WHERE rnk <= {k}),"
+    )
+    tail = (
+        "hits AS (SELECT e.query_id,"
+        f" CAST(count(*) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall"
+        " FROM exact e JOIN ann a ON e.query_id = a.query_id"
+        " AND e.neighbor_id = a.neighbor_id GROUP BY e.query_id),\n"
+        "perq AS MATERIALIZED (SELECT q.query_id,"
+        " COALESCE(h.recall, 0.0) AS recall"
+        " FROM (SELECT DISTINCT query_id FROM exact) q"
+        " LEFT JOIN hits h USING (query_id)),\n"
+        f"gate AS (SELECT avg(recall) >= {floor} AS recall_ok FROM perq)\n"
+        "SELECT p.query_id, a.neighbor_id,"
+        " CAST(ROUND(a.cos, 6) AS DOUBLE) AS cosine, CAST(a.rnk AS INT) AS rnk,"
+        " CAST(ROUND(p.recall, 6) AS DOUBLE) AS recall_at_k,"
+        " (SELECT recall_ok FROM gate) AS recall_ok\n"
+        "FROM perq p LEFT JOIN ann a USING (query_id)"
+    )
+    return "\n".join(lines) + "\n" + tail
+
+
+def _semdedup_exact_oracle(
+    threshold: float = 0.45,
+    n_clusters: int = 8,
+    n_assign: int = 2,
+    iters: int = 3,
+    dim: int = _IVF_DIM,
+    rfloor: float = 0.8,
+) -> str:
+    """SemDeDup replay: the Lloyd fit over all vectors, n_assign-way
+    multi-assignment, bucketed pair join with exact cosine threshold,
+    dedup across shared clusters, plus recall vs the brute-force
+    same-threshold pair set. recall = one integer division — the gate
+    boolean is identical on both engines even at the floor."""
+    unit = (
+        "list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12))"
+    )
+    lines = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u FROM emb),",
+    ]
+    lines += _lloyd_ctes(n_clusters, iters, "ivf", dim)
+    cf = f"c{iters}"
+    lines.append(
+        "sprob AS MATERIALIZED (SELECT vec_id, u, j FROM ("
+        "SELECT q.vec_id, q.u, c.j,"
+        " row_number() OVER (PARTITION BY q.vec_id"
+        " ORDER BY list_dot_product(q.u, c.u) DESC, c.j) AS r"
+        f" FROM n q CROSS JOIN {cf} c) WHERE r <= {n_assign}),"
+    )
+    lines.append(
+        "spairs AS MATERIALIZED (SELECT id_a, id_b, min(cos) AS cos FROM ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        " list_dot_product(a.u, b.u) AS cos"
+        " FROM sprob a JOIN sprob b ON a.j = b.j AND a.vec_id < b.vec_id)"
+        f" WHERE cos >= {threshold} GROUP BY id_a, id_b),"
+    )
+    lines.append(
+        "sexact AS MATERIALIZED ("
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        " FROM emb a JOIN emb b ON a.vec_id < b.vec_id"
+        " WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+        f" * sqrt(list_dot_product(b.e, b.e))) >= {threshold}),"
+    )
+    tail = (
+        "nh AS (SELECT CAST(count(*) AS DOUBLE) AS h FROM spairs p"
+        " JOIN sexact e ON p.id_a = e.id_a AND p.id_b = e.id_b),\n"
+        "ne AS (SELECT CAST(count(*) AS DOUBLE) AS x FROM sexact),\n"
+        "gate AS (SELECT CASE WHEN x = 0 THEN 1.0 ELSE h / x END AS recall,"
+        " CASE WHEN x = 0 THEN TRUE ELSE h / x >= "
+        f"{rfloor} END AS recall_ok FROM nh, ne)\n"
+        "SELECT p.id_a, p.id_b, CAST(ROUND(p.cos, 6) AS DOUBLE) AS cosine,"
+        " CAST(ROUND(g.recall, 6) AS DOUBLE) AS recall_vs_exact,"
+        " g.recall_ok\n"
+        "FROM spairs p CROSS JOIN gate g"
+    )
+    return "\n".join(lines) + "\n" + tail
+
+
+def _lsh_exact_oracle(
+    num_planes: int = 4,
+    k: int = 5,
+    dim: int = _IVF_DIM,
+    floor: float = 0.25,
+) -> str:
+    """Hyperplane-LSH replay: planes re-derived in SQL from the same
+    md5 hex digits the engine uses (weight = (hex4/65536)*2-1),
+    bucket bits as a SUM of (1 << p) terms, multiprobe = own bucket +
+    every Hamming-1 flip, bucket-join candidates, exact cosine rank,
+    recall + gate (floor 0.25: the 10-query mean grid has no point at
+    12.5/50)."""
+
+    def digit(pos: int) -> str:
+        a = f"ascii(substr(h,{pos},1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    hex4 = (
+        f"({digit(1)}) * 4096 + ({digit(2)}) * 256"
+        f" + ({digit(3)}) * 16 + ({digit(4)})"
+    )
+    unit = (
+        "list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12))"
+    )
+    flips = ", ".join(
+        f"CAST(xor(b.b, {1 << p}) AS INT)" for p in range(num_planes)
+    )
+    lines = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+        f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+        " FROM emb WHERE vec_id >= 10),",
+        f"qn AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+        " FROM emb WHERE vec_id < 10),",
+        "ph AS MATERIALIZED (SELECT gp.p, gd.d,"
+        " md5(CAST(gp.p AS VARCHAR) || ':' || CAST(gd.d AS VARCHAR)) AS h"
+        f" FROM generate_series(0, {num_planes - 1}) AS gp(p)"
+        f" CROSS JOIN generate_series(0, {dim - 1}) AS gd(d)),",
+        "pw AS MATERIALIZED (SELECT p,"
+        f" list(CAST((({hex4}) / 65536.0) * 2.0 - 1.0 AS DOUBLE)"
+        " ORDER BY d) AS w FROM ph GROUP BY p),",
+        "cb AS MATERIALIZED (SELECT nn.vec_id,"
+        " CAST(SUM(CASE WHEN list_dot_product(nn.u, w.w) >= 0"
+        " THEN (1 << w.p) ELSE 0 END) AS INT) AS b"
+        " FROM n nn CROSS JOIN pw w GROUP BY nn.vec_id),",
+        "qb AS MATERIALIZED (SELECT q.vec_id,"
+        " CAST(SUM(CASE WHEN list_dot_product(q.u, w.w) >= 0"
+        " THEN (1 << w.p) ELSE 0 END) AS INT) AS b"
+        " FROM qn q CROSS JOIN pw w GROUP BY q.vec_id),",
+        "qp AS MATERIALIZED (SELECT q.vec_id AS query_id, q.u AS qu,"
+        f" unnest([b.b, {flips}]) AS pb"
+        " FROM qn q JOIN qb b ON q.vec_id = b.vec_id),",
+        "ann AS MATERIALIZED (SELECT query_id, neighbor_id, cos,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos DESC, neighbor_id) AS rnk"
+        " FROM (SELECT p.query_id, nn.vec_id AS neighbor_id,"
+        " list_dot_product(p.qu, nn.u) AS cos"
+        " FROM qp p JOIN cb ON cb.b = p.pb"
+        f" JOIN n nn ON nn.vec_id = cb.vec_id) QUALIFY rnk <= {k}),",
+    ]
+    return "\n".join(lines) + "\n" + _recall_tail_ctes(k, floor)
+
+
+def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
+                    subset: str = "c10plus", n_clusters: int = 16):
     """Fingerprint-keyed cache for the DETERMINISTIC exact-arith fits
     (centroids, PQ codebooks): the fit is a pure function of the corpus
     bytes + pinned hyperparameters, so recomputing it per query run is
@@ -495,7 +696,8 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool):
     _os.makedirs(root, exist_ok=True)
     fp = _source_fingerprint(_os.path.join(sf_dir, "embeddings.parquet"))
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
-    key = f"{sf_name}-{fp}-c16i3" + ("-pq4x16i2" if want_books else "")
+    key = (f"{sf_name}-{fp}-{subset}-c{n_clusters}i3"
+           + ("-pq4x16i2" if want_books else ""))
     path = _os.path.join(root, key + ".json")
     if _os.path.exists(path):
         with open(path) as f:
@@ -511,7 +713,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool):
         fit_pq_codebooks_exact,
     )
 
-    centers = fit_centroids_exact(corpus)
+    centers = fit_centroids_exact(corpus, n_clusters=n_clusters)
     books = None
     state = {"centers": centers}
     if want_books:
@@ -548,18 +750,24 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                             min_mean_recall=_IVF_RECALL_FLOOR)
 
 
-@query("embedding_ann_lsh")  # approximate by design -> rows-only check
+@query("embedding_ann_lsh", _lsh_exact_oracle())
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (multiprobe) — data-independent
-    alternative (no index build); lower recall on near-uniform vectors.
-    Emits per-query `recall_at_k` vs the exact top-k (see IVF note)
-    and the `recall_ok` gate at the LSH pytest floor (0.25 — hyperplane
-    buckets on near-uniform vectors recall less than IVF by design)."""
+    """Hyperplane-LSH bucketed ANN (multiprobe) under the STRICT hash
+    gate: planes derive from md5 hex digits (the oracle re-derives the
+    identical weights in SQL), bucket bits are one map-side-combinable
+    sum of sign-dot terms, each query probes its own bucket plus every
+    Hamming-1 flip, candidates come from the bucket equi-join, exact
+    fold cosine ranks. Data-independent (no fit) — lower recall than
+    IVF on near-uniform vectors by design; `recall_at_k` + the 0.25
+    gate ride along as hash-checked columns."""
+    from ..operators.ivf_exact import ann_topk_lsh_exact
+
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = ann_topk_lsh(corpus=corpus, queries=queries, k=5, num_planes=4)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    ann = ann_topk_lsh_exact(corpus=corpus, queries=queries, k=5,
+                             num_planes=4)
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.25)
 
 
@@ -2279,25 +2487,31 @@ def doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll_scores(_docs(spark, sf_dir))
 
 
-@query("embedding_semdedup")  # cluster-bucketed by design -> rows-only check
+@query("embedding_semdedup", _semdedup_exact_oracle())
 def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
-    comparing ONLY within KMeans clusters — the scale path for
-    embedding_neardup_cosine (whose exact blocked-GEMM scans all
-    pairs). Approximate by design (cross-cluster duplicates are
-    missed), so the check is rows-only; the emitted `recall_vs_exact`
-    / `recall_ok` columns make the quality visible in the snapshot the
-    driver diffs: recall is computed against the SAME-threshold exact
-    pair set (tiny at test scale), gated at >= 0.8.
+    """SemDeDup (Abbas et al. 2023) under the STRICT hash gate:
+    semantic near-dup pairs found by comparing ONLY within the
+    n_assign=2 multi-assigned clusters of the exact-arith Lloyd fit —
+    the scale path for embedding_neardup_cosine (whose exact
+    blocked-GEMM scans all pairs). Still approximate by design
+    (cross-cluster duplicates beyond the multi-assignment are missed),
+    but now the chained-CTE oracle replays the fit, the assignment,
+    the bucketed pair join and the threshold, and the emitted
+    `recall_vs_exact`/`recall_ok` columns (vs the brute-force
+    same-threshold set, gate >= 0.8 on the UNROUNDED single-division
+    recall — identical double on both engines even at the boundary)
+    are hash-checked too.
 
-    Scale: assignment is one narrow Arrow pass; candidates come from a
-    bucketed equi-join on cluster id (~N^2/k pair work instead of N^2);
-    the exact pass exists only for the recall audit and is skipped in
-    production."""
-    from ..operators.similarity import semdedup_pairs
+    Scale: candidates come from a bucketed equi-join on cluster id
+    (~N^2/k pair work instead of N^2); the exact pass exists only for
+    the recall audit and is skipped in production."""
+    from ..operators.ivf_exact import semdedup_pairs_exact
 
     emb = _emb(spark, sf_dir)
-    sem = semdedup_pairs(emb, threshold=0.45, n_clusters=8, n_assign=2)
+    centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
+                                 subset="all", n_clusters=8)
+    sem = semdedup_pairs_exact(emb, threshold=0.45, n_clusters=8,
+                               n_assign=2, centers=centers)
     exact = cosine_pairs_exact(emb, threshold=0.45).select("id_a", "id_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
     n_hit = (
@@ -2308,13 +2522,17 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = (
         n_hit.crossJoin(F.broadcast(n_exact))
         .select(
-            F.round(
-                F.col("_n_hit")
-                / F.greatest(F.col("_n_exact"), F.lit(1)).cast("double"),
-                6,
-            ).alias("recall_vs_exact")
+            F.when(F.col("_n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.col("_n_hit").cast("double")
+                / F.col("_n_exact").cast("double")
+            )
+            .alias("_recall")
         )
-        .withColumn("recall_ok", F.col("recall_vs_exact") >= 0.8)
+        .select(
+            F.round("_recall", 6).alias("recall_vs_exact"),
+            (F.col("_recall") >= 0.8).alias("recall_ok"),
+        )
     )
     return sem.crossJoin(F.broadcast(gate))
 
@@ -3207,26 +3425,27 @@ def corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "n_tokens", "bin_offset", "bin_id")
 
 
-@query("embedding_knn_graph_ivf")  # approximate -> rows-only + recall gate
+@query("embedding_knn_graph_ivf", _knn_graph_ivf_oracle())
 def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-approximate k-NN graph with the recall gate: the scale path
-    for embedding_knn_graph (exact GEMM is O(n^2 d); this joins
-    inverted lists to multi-probes on the cluster key). Every row
-    carries recall_at_k vs the EXACT graph plus the recall_ok mean
-    floor — the same self-auditing contract as the other ANN queries.
-    """
-    from ..operators.similarity import (
-        ann_knn_graph_ivf,
-        knn_graph,
-        with_recall_at_k,
-    )
+    """IVF-approximate k-NN graph under the STRICT hash gate: the
+    exact-arith pipeline (fit + per-vector probes + cluster-join
+    candidates + exact refine; queries == corpus, both sides shuffling
+    on the cluster key — the scale shape for embedding_knn_graph's
+    O(n^2 d) exact GEMM) replayed end-to-end by the chained-CTE
+    oracle. recall_at_k vs the exact graph + the recall_ok mean floor
+    (0.451 — mid-grid for the N-query mean, ulp-flip-proof) are now
+    hash-checked output columns rather than a rows-only waiver."""
+    from ..operators.ivf_exact import ann_knn_graph_ivf_exact
+    from ..operators.similarity import knn_graph, with_recall_at_k
 
     emb = _emb(spark, sf_dir)
-    approx = ann_knn_graph_ivf(emb, k=5, nprobe=6)
+    centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
+                                 subset="all")
+    approx = ann_knn_graph_ivf_exact(emb, k=5, nprobe=6, centers=centers)
     exact = knn_graph(emb, k=5).select(
         F.col("vec_id").alias("query_id"), "neighbor_id"
     )
-    return with_recall_at_k(approx, exact, k=5, min_mean_recall=0.5)
+    return with_recall_at_k(approx, exact, k=5, min_mean_recall=0.451)
 
 
 _HARD_NEG_ORACLE = """

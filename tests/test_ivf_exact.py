@@ -119,3 +119,68 @@ def test_ivfpq_exact_refine_returns_exact_cosines(spark, sf_dir):
     assert got
     for r in got:
         assert brute[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_knn_graph_ivf_exact_excludes_self_and_finds_planted(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        ann_knn_graph_ivf_exact,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v0 = emb.filter(F.col("vec_id") == 0)
+    planted = emb.unionByName(
+        v0.select(F.lit(777_777).cast("long").alias("vec_id"), "embedding")
+    )
+    out = ann_knn_graph_ivf_exact(planted, k=3).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    # the exact duplicate is vector 0's rank-1 neighbor (and vice versa)
+    top0 = [r for r in out if r["query_id"] == 0 and r["rnk"] == 1][0]
+    assert top0["neighbor_id"] == 777_777
+    topd = [r for r in out if r["query_id"] == 777_777 and r["rnk"] == 1][0]
+    assert topd["neighbor_id"] == 0
+
+
+def test_semdedup_exact_finds_planted_duplicates(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        semdedup_pairs_exact,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 888_000).alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(dups)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs_exact(planted, threshold=0.95).collect()
+    }
+    for i in range(5):  # every planted duplicate pair is found
+        assert (i, i + 888_000) in pairs
+    # no pair ordering violations, no self-pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_lsh_exact_identical_vector_same_bucket(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        ann_topk_lsh_exact,
+        lsh_plane_weights_exact,
+    )
+
+    # plane weights are deterministic and reproducible
+    w1 = lsh_plane_weights_exact(4, 64)
+    w2 = lsh_plane_weights_exact(4, 64)
+    assert w1 == w2 and len(w1) == 4 and len(w1[0]) == 64
+    assert all(-1.0 <= x <= 1.0 for row in w1 for x in row)
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    q0 = emb.filter(F.col("vec_id") == 0)
+    planted = corpus.unionByName(
+        q0.select(F.lit(555_555).cast("long").alias("vec_id"), "embedding")
+    )
+    # an identical vector lands in the SAME bucket (same sign pattern)
+    # so multiprobe-or-not it must surface at rank 1 with cosine 1
+    out = ann_topk_lsh_exact(corpus=planted, queries=q0, k=3).collect()
+    top = [r for r in out if r["rnk"] == 1][0]
+    assert top["neighbor_id"] == 555_555
+    assert top["cosine"] == pytest.approx(1.0, abs=1e-6)
