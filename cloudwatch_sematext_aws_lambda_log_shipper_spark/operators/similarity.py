@@ -221,7 +221,19 @@ def with_recall_at_k(
     Scale: both frames are top-k outputs (|queries| * k rows), so the
     joins + groupBy are tiny regardless of corpus size; computing
     `exact` costs one extra brute-force pass — sample the query set when
-    |queries| is large."""
+    |queries| is large.
+
+    Both inputs are eagerly materialized here: each is referenced by
+    TWO plan branches (ann: the hits join + the final output join;
+    exact: the hits join + the query-id spine), and without the
+    checkpoint the whole approximate-search pipeline and the brute-
+    force pass would each evaluate twice — measured ~2x on the IVF
+    graph query. The materialized frames are top-k-sized: O(|q| * k)
+    rows regardless of corpus size."""
+    ann = ann.localCheckpoint(eager=True)
+    exact = exact.select("query_id", "neighbor_id").localCheckpoint(
+        eager=True
+    )
     hits = (
         exact.select("query_id", "neighbor_id")
         .join(

@@ -2510,9 +2510,17 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
                                  subset="all", n_clusters=8)
+    # both frames feed two plan branches (the hit count + the output /
+    # the hit count + the size count): materialize once — they are
+    # pair-set-sized, tiny next to the pipelines that produce them
     sem = semdedup_pairs_exact(emb, threshold=0.45, n_clusters=8,
-                               n_assign=2, centers=centers)
-    exact = cosine_pairs_exact(emb, threshold=0.45).select("id_a", "id_b")
+                               n_assign=2,
+                               centers=centers).localCheckpoint(eager=True)
+    exact = (
+        cosine_pairs_exact(emb, threshold=0.45)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
     n_hit = (
         sem.select("id_a", "id_b")
