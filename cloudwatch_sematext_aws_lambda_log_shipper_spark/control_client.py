@@ -257,10 +257,13 @@ def process_all(
     through log groups, drop the shipper's own group (cycle guard,
     subscriber.js:70-73), subscribe each, optionally set retention.
     Returns {"sources": [...], "results": {group: status}}."""
+    # Cycle guard matches the group's BASENAME exactly — a suffix test
+    # would also drop unrelated groups that merely end with own_name
+    # (own_name 'shipper' must not exclude 'other-shipper').
     groups = [
         g
         for g in list_log_groups(client, prefix)
-        if not g.rstrip("/").endswith(own_name)
+        if os.path.basename(g.rstrip("/")) != own_name
     ]
     results: dict[str, str] = {}
     for g in groups:

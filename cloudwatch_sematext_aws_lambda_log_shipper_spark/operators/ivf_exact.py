@@ -144,7 +144,7 @@ def fit_centroids_exact(
     Scale: one narrow assignment pass + one map-side-combinable
     (cluster, dim) aggregation per iteration; the driver holds only
     k x dim floats between iterations."""
-    cn = _unit(corpus, id_col, vec_col, "_id", materialize=True)
+    cn = _unit(corpus, id_col, vec_col, "_id", dim, materialize=True)
     try:
         seed_rows = (
             cn.orderBy(
@@ -251,7 +251,7 @@ def ann_topk_ivf_exact(
     SQL-reproducible."""
     if centers is None:
         centers = fit_centroids_exact(
-            corpus, n_clusters, iters, id_col, vec_col, salt
+            corpus, n_clusters, iters, id_col, vec_col, salt, dim
         )
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
                materialize=True)
@@ -284,7 +284,7 @@ def build_ivf_index_exact(
     results are bit-equal by construction."""
     if centers is None:
         centers = fit_centroids_exact(
-            corpus, n_clusters, iters, id_col, vec_col, salt
+            corpus, n_clusters, iters, id_col, vec_col, salt, dim
         )
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -494,7 +494,7 @@ def ann_topk_ivfpq_exact(
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if artifacts is None:
         centers = fit_centroids_exact(
-            corpus, n_clusters, iters, id_col, vec_col, "ivf"
+            corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
         )
         books = fit_pq_codebooks_exact(
             cn.withColumnRenamed("neighbor_id", "_id"),
@@ -586,7 +586,7 @@ def build_ivfpq_index_exact(
     spark = corpus.sparkSession
     sub = dim // m
     centers = fit_centroids_exact(
-        corpus, n_clusters, iters, id_col, vec_col, "ivf"
+        corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
     )
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
                materialize=True)
@@ -734,6 +734,133 @@ def _ivfpq_search_persisted(
     return _rank_topk(scored, k)
 
 
+# --- exact-fold numpy kernels ---------------------------------------------
+#
+# The fused-codegen pathology: stacking the 64-term unrolled dot INTO a
+# join / filter / exchange-write stage produces generated methods
+# HotSpot executes 8-25x slower than the same expression in a
+# standalone Project (measured at sf0.1: 0.45s standalone vs 4.0s
+# join-fused vs 7.4s filter-fused per ~1.5M pairs), and staging via
+# localCheckpoint pays a corpus*nprobe*1KB materialization instead.
+# For the two pair-heavy operators (k-NN graph, SemDeDup) the exact
+# contract is therefore executed as a numpy PER-DIM FOLD inside the
+# same cogroup-by-cluster plan the production BLAS operator
+# (similarity.ann_knn_graph_ivf) uses:
+#
+#     acc = 0; for d in range(dim): acc += Q[:, d] * C[:, d]
+#
+# Each step is one IEEE-754 double multiply + add per pair — the
+# identical left-fold sequence dot_cols unrolls and DuckDB's
+# list_dot_product evaluates, just vectorized ACROSS pairs, so every
+# emitted double still replays bit-for-bit in the oracle. numpy does
+# not fuse multiply-add, so there is no FMA drift.
+
+
+def _exact_fold_gram(Q, C):
+    """(nq, nc) matrix of left-fold dots between the rows of Q and C —
+    bit-identical to dot_cols / DuckDB list_dot_product per entry."""
+    import numpy as np
+
+    acc = np.zeros((Q.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(Q.shape[1]):
+        acc += np.multiply.outer(Q[:, d], C[:, d])
+    return acc
+
+
+def _fold_norms(X):
+    """Per-row sqrt(left-fold dot(x, x)) — the raw-vector norm the
+    oracles compute as sqrt(list_dot_product(e, e))."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for d in range(X.shape[1]):
+        acc += X[:, d] * X[:, d]
+    return np.sqrt(acc)
+
+
+def exact_fold_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Brute-force exact top-k under the exact-arith contract, executed
+    as one corpus scan with the (small) query set shipped in the UDF
+    closure: per Arrow batch, the raw-vector cosine
+    fold(q,c) / (sqrt(fold(q,q)) * sqrt(fold(c,c))) for every
+    (batch-row, query) pair, per-query-per-batch top-k preselection
+    (same (cos DESC, id) order as the final rank, so the global window
+    sees a superset of the true top-k), then the global rank. Output:
+    (query_id, neighbor_id) — the ground-truth frame for sampled
+    recall audits.
+
+    Scale: |queries| is an audit sample (N/16 ids); the corpus streams
+    once; the window input is |queries| * k * n_batches skinny rows."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qpdf = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            as_double(F.col(vec_col)).alias("_qv"),
+        )
+        .orderBy("_qid")
+        .toPandas()
+    )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rnk int"
+        ).select("query_id", "neighbor_id")
+    qids = qpdf["_qid"].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["_qv"]])
+    qn = _fold_norms(Q)
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), as_double(F.col(vec_col)).alias("_cv")
+    )
+
+    def score(batches, _qids=qids, _Q=Q, _qn=qn, _k=k, _self=exclude_self):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["_cid"].to_numpy(dtype=np.int64)
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_cv"]])
+            cos = _exact_fold_gram(_Q, C) / np.multiply.outer(
+                _qn, _fold_norms(C)
+            )
+            out_q, out_c, out_s = [], [], []
+            for i in range(len(_qids)):
+                row = cos[i]
+                keep = np.ones(len(cids), dtype=bool)
+                if _self:
+                    keep = cids != _qids[i]
+                idx = np.nonzero(keep)[0]
+                if len(idx) == 0:
+                    continue
+                # (cos DESC, id ASC) — identical to the global rank
+                order = np.lexsort((cids[idx], -row[idx]))[:_k]
+                sel = idx[order]
+                out_q.append(np.full(len(sel), _qids[i]))
+                out_c.append(cids[sel])
+                out_s.append(row[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_c),
+                        "cos": np.concatenate(out_s),
+                    }
+                )
+
+    scored = c.mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    return _rank_topk(scored, k).select("query_id", "neighbor_id")
+
+
 # --- exact-arith IVF k-NN graph ------------------------------------------
 
 
@@ -750,13 +877,25 @@ def ann_knn_graph_ivf_exact(
 ) -> DataFrame:
     """Approximate k-NN graph via IVF where queries == corpus, every
     double SQL-reproducible: one assignment pass, per-vector nprobe
-    probes, candidates from the cluster equi-join (both sides shuffle
-    on cluster id — the correct shape when the query set IS the
-    corpus), self-pairs excluded BY ID, exact normalized-dot cosine,
-    (cos DESC, id) rank. Same output shape as
-    similarity.ann_knn_graph_ivf; still approximate (cross-cluster
-    neighbors beyond the probes are missed) — recall rides along via
-    with_recall_at_k at the query layer, now hash-checked."""
+    probes, candidates scored inside a cogroup on the cluster key
+    (both sides shuffle on cluster id — the correct shape when the
+    query set IS the corpus, and the SAME plan as the production BLAS
+    operator similarity.ann_knn_graph_ivf), self-pairs excluded BY ID,
+    exact per-dim-fold cosine, (cos DESC, id) rank. Still approximate
+    (cross-cluster neighbors beyond the probes are missed) — recall
+    rides along via with_recall_at_k at the query layer, hash-checked.
+
+    Scoring runs as the numpy exact fold (see _exact_fold_gram): the
+    per-pair arithmetic is bit-identical to dot_cols / DuckDB, the
+    per-cluster block never materializes corpus*nprobe*dim candidate
+    vectors (measured 3x faster than the staged JVM-expression
+    pipeline, 25x faster than join-fused codegen). The cluster key is
+    SALTED: a bare equi-join/cogroup on _cl has at most n_clusters
+    distinct keys, serializing the fan-out onto n_clusters cores;
+    probes salt by query-id hash, members replicate across the salt
+    range, results are layout-invariant by exactness."""
+    import numpy as np
+
     if centers is None:
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
@@ -766,10 +905,67 @@ def ann_knn_graph_ivf_exact(
     assigned = _assign_exact(cn, centers, dim, "neighbor_id")
     qn = cn.select(F.col("neighbor_id").alias("query_id"), "_u")
     probes = _query_probes_exact(qn, centers, nprobe, dim)
+    salt_n = max(
+        1,
+        (2 * corpus.sparkSession.sparkContext.defaultParallelism)
+        // max(1, n_clusters),
+    )
+    p_s = probes.withColumn(
+        "_salt", F.pmod(F.xxhash64("query_id"), F.lit(salt_n)).cast("int")
+    )
+    a_s = assigned.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(s) for s in range(salt_n)])),
+    )
+
+    _k = k
+
+    def cluster_scores(key, probes_pdf, members_pdf):
+        import pandas as pd
+
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos": []}
+            )
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in probes_pdf["_qu"]]
+        )
+        C = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in members_pdf["_u"]]
+        )
+        qi = probes_pdf["query_id"].to_numpy(dtype=np.int64)
+        ci = members_pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cos = _exact_fold_gram(Q, C)
+        out_q, out_c, out_s = [], [], []
+        for i in range(len(qi)):
+            keep = np.nonzero(ci != qi[i])[0]  # self excluded by id
+            if len(keep) == 0:
+                continue
+            # local (cos DESC, id ASC) top-k preselection — the global
+            # rank sees a superset of the true per-query top-k
+            order = np.lexsort((ci[keep], -cos[i, keep]))[:_k]
+            sel = keep[order]
+            out_q.append(np.full(len(sel), qi[i]))
+            out_c.append(ci[sel])
+            out_s.append(cos[i, sel])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos": []}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_c),
+                "cos": np.concatenate(out_s),
+            }
+        )
+
     scored = (
-        assigned.join(probes.withColumnRenamed("_cl", "_cl"), "_cl")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", dot_cols(F.col("_qu"), F.col("_u"), dim))
+        p_s.groupBy("_cl", "_salt")
+        .cogroup(a_s.groupBy("_cl", "_salt"))
+        .applyInPandas(
+            cluster_scores, "query_id long, neighbor_id long, cos double"
+        )
     )
     return _rank_topk(scored, k)
 
@@ -798,32 +994,136 @@ def semdedup_pairs_exact(
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
         )
+    import numpy as np
+
     cn = _unit(corpus, id_col, vec_col, "_id", dim, materialize=True)
-    multi = _query_probes_exact(
-        cn.withColumnRenamed("_id", "query_id"), centers, n_assign, dim
-    ).select(F.col("query_id").alias("_id"), F.col("_qu").alias("_u"), "_cl")
+    # materialized: both cogroup sides read it — without the checkpoint
+    # the probe pipeline (cross join + window) would evaluate twice
+    multi = (
+        _query_probes_exact(
+            cn.withColumnRenamed("_id", "query_id"), centers, n_assign, dim
+        )
+        .select(F.col("query_id").alias("_id"), F.col("_qu").alias("_u"), "_cl")
+        .localCheckpoint(eager=True)
+    )
+    # cogroup-by-cluster scoring with the numpy exact fold — the same
+    # plan + arithmetic contract as ann_knn_graph_ivf_exact (see the
+    # _exact_fold_gram block comment for why not a JVM expression).
+    # The a-side salts by id hash, the b-side replicates across the
+    # salt range: a pair (x, y), x < y sharing a cluster meets exactly
+    # once per shared cluster in group (cl, hash(x)); the groupBy
+    # afterwards dedups pairs sharing BOTH probed clusters.
+    salt_n = max(
+        1,
+        (2 * corpus.sparkSession.sparkContext.defaultParallelism)
+        // max(1, n_clusters),
+    )
+    # distinct column names per side: a self-cogroup over one frame
+    # would otherwise make every attribute reference ambiguous
     a = multi.select(
-        F.col("_id").alias("id_a"), F.col("_u").alias("_ua"), "_cl"
+        F.col("_id").alias("id_a"),
+        F.col("_u").alias("_ua"),
+        F.col("_cl").alias("_cla"),
+    ).withColumn(
+        "_salta", F.pmod(F.xxhash64("id_a"), F.lit(salt_n)).cast("int")
     )
     b = multi.select(
-        F.col("_id").alias("id_b"), F.col("_u").alias("_ub"), "_cl"
+        F.col("_id").alias("id_b"),
+        F.col("_u").alias("_ub"),
+        F.col("_cl").alias("_clb"),
+    ).withColumn(
+        "_saltb",
+        F.explode(F.array(*[F.lit(s) for s in range(salt_n)])),
+    )
+
+    _thr = float(threshold)
+
+    def cluster_pairs(key, a_pdf, b_pdf):
+        import pandas as pd
+
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["_ua"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["_ub"]])
+        ai = a_pdf["id_a"].to_numpy(dtype=np.int64)
+        bi = b_pdf["id_b"].to_numpy(dtype=np.int64)
+        cos = _exact_fold_gram(A, B)
+        i, j = np.nonzero((ai[:, None] < bi[None, :]) & (cos >= _thr))
+        return pd.DataFrame(
+            {"id_a": ai[i], "id_b": bi[j], "_cos": cos[i, j]}
+        )
+
+    pairs_raw = (
+        a.groupBy("_cla", "_salta")
+        .cogroup(b.groupBy("_clb", "_saltb"))
+        .applyInPandas(cluster_pairs, "id_a long, id_b long, _cos double")
     )
     pairs = (
-        a.join(b, "_cl")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            dot_cols(F.col("_ua"), F.col("_ub"), dim).alias("_cos"),
-        )
-        .filter(F.col("_cos") >= F.lit(float(threshold)))
         # a pair sharing BOTH probed clusters appears twice: dedup
-        .groupBy("id_a", "id_b")
-        .agg(F.first("_cos").alias("_cos"))
+        pairs_raw.groupBy("id_a", "id_b").agg(F.first("_cos").alias("_cos"))
     )
     return pairs.select(
         "id_a", "id_b", F.round("_cos", 6).alias("cosine")
     )
+
+
+def cosine_pairs_exact_audit(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """AUDIT-SAMPLED exact threshold pairs for the SemDeDup recall
+    gate: the ground-truth pair set restricted to pairs whose LARGER id
+    passes :func:`similarity.audit_sample_pred` (md5-gated, 1/16) — so
+    the exact pass costs |corpus| x |audited| fold-dots instead of the
+    all-pairs O(N^2 d) blocked GEMM, and the oracle replays the same
+    rule digit-for-digit. Cosine is the raw-vector fixed expression
+    dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) in dot_cols order —
+    bit-equal to DuckDB's list_dot_product arithmetic.
+
+    Scale: the audited side rides the UDF closure (N/16 skinny rows);
+    the corpus streams through once; the numpy per-dim fold (see
+    _exact_fold_gram) is bit-identical to DuckDB's arithmetic."""
+    import numpy as np
+
+    from .similarity import audit_sample_pred
+
+    spark = corpus.sparkSession
+    bpdf = (
+        corpus.filter(audit_sample_pred(F.col(id_col)))
+        .select(
+            F.col(id_col).alias("_bid"),
+            as_double(F.col(vec_col)).alias("_bv"),
+        )
+        .orderBy("_bid")
+        .toPandas()
+    )
+    if len(bpdf) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long")
+    bids = bpdf["_bid"].to_numpy(dtype=np.int64)
+    B = np.stack([np.asarray(v, dtype=np.float64) for v in bpdf["_bv"]])
+    bn = _fold_norms(B)
+    a = corpus.select(
+        F.col(id_col).alias("_aid"), as_double(F.col(vec_col)).alias("_av")
+    )
+
+    def score(batches, _bids=bids, _B=B, _bn=bn, _thr=float(threshold)):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            aids = pdf["_aid"].to_numpy(dtype=np.int64)
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_av"]])
+            cos = _exact_fold_gram(A, _B) / np.multiply.outer(
+                _fold_norms(A), _bn
+            )
+            i, j = np.nonzero((aids[:, None] < _bids[None, :]) & (cos >= _thr))
+            yield pd.DataFrame({"id_a": aids[i], "id_b": _bids[j]})
+
+    return a.mapInPandas(score, "id_a long, id_b long")
 
 
 # --- exact-arith hyperplane LSH ------------------------------------------

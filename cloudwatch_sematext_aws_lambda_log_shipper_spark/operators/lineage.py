@@ -22,6 +22,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# The checkpoint dir most recently passed to cut_lineage. Spark stores
+# setCheckpointDir's value as a scheme-qualified URI plus a per-set UUID
+# subdir (e.g. '/tmp/ckpt' -> 'file:/tmp/ckpt/<uuid>'), so a plain-path
+# startswith() test against getCheckpointDir() never matches and every
+# call would re-set the dir — spraying one UUID sibling per iteration,
+# exactly the sprawl the guard exists to prevent. Caching the last
+# requested path module-side decides "already set" without parsing the
+# qualified form.
+_LAST_CHECKPOINT_DIR: str | None = None
+
 
 def cut_lineage(
     df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
@@ -29,14 +39,12 @@ def cut_lineage(
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` into
     ``checkpoint_dir`` when given (sets the context's checkpoint dir on
     first use), else ``localCheckpoint``."""
+    global _LAST_CHECKPOINT_DIR
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     current = sc._jsc.sc().getCheckpointDir()
-    # setCheckpointDir appends a per-context UUID subdir, so match by
-    # prefix — re-setting on every call would spray sibling dirs
-    if not current.isDefined() or not current.get().startswith(
-        checkpoint_dir
-    ):
+    if not current.isDefined() or _LAST_CHECKPOINT_DIR != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        _LAST_CHECKPOINT_DIR = checkpoint_dir
     return df.checkpoint(eager=eager)

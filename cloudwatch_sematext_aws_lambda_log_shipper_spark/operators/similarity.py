@@ -84,6 +84,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    exclude_self: bool = False,
+    staged: bool = False,
 ) -> DataFrame:
     """Exact top-k: broadcast queries x scan corpus, rank per query.
 
@@ -94,6 +96,16 @@ def cosine_topk(
     ``dim`` (when the vector length is statically known) swaps the
     interpreted HOF cosine for the unrolled codegen'd expression —
     bit-identical values (dot_cols contract), ~10x faster scoring.
+
+    ``exclude_self`` drops query_id == neighbor_id pairs before the
+    rank — for k-NN-graph-style audits where the query set is drawn
+    from the corpus itself.
+
+    ``staged`` checkpoints the (corpus x queries) candidate rows before
+    scoring so the unrolled cosine runs in a standalone Project stage
+    instead of fused into the join's generated loop (measured ~25x
+    slower there; see ivf_exact.ann_knn_graph_ivf_exact). Use for
+    larger query sets; values are bit-identical either way.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("q_vec")
@@ -108,7 +120,18 @@ def cosine_topk(
         cos = dot_cols(qv, cv, dim) / (
             F.sqrt(dot_cols(qv, qv, dim)) * F.sqrt(dot_cols(cv, cv, dim))
         )
-    scored = c.crossJoin(F.broadcast(q)).withColumn("cos", cos)
+    cand = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    if staged:
+        cand = cand.localCheckpoint(eager=True)
+        # skinny re-checkpoint after scoring so the cosine can't fuse
+        # into the window's exchange-write stage either
+        scored = cand.select(
+            "query_id", "neighbor_id", cos.alias("cos")
+        ).localCheckpoint(eager=True)
+    else:
+        scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -198,9 +221,36 @@ def cosine_pairs_exact(
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
 
 
+AUDIT_SALT = "audit"
+AUDIT_HEX_CHARS = ("0",)  # 1/16 of queries carry the exact audit
+
+
+def audit_sample_pred(id_col: Column) -> Column:
+    """Deterministic md5 audit-sampling predicate, replayed verbatim by
+    the DuckDB oracles: a query is audited iff the first hex char of
+    md5(str(id) || 'audit') is in AUDIT_HEX_CHARS (1/16). Sampling the
+    exact ground-truth pass this way drops its O(N^2 d) cost ~16x while
+    the recall columns stay hash-checked — the exact pass runs only for
+    the sampled ids on BOTH engines."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(AUDIT_SALT)))
+    return F.substring(h, 1, 1).isin(*AUDIT_HEX_CHARS)
+
+
+def audit_sample_sql(id_expr: str) -> str:
+    """The DuckDB twin of :func:`audit_sample_pred` (same md5 bytes:
+    both engines hash the UTF-8 of str(id) || salt and emit lowercase
+    hex)."""
+    inlist = ", ".join(f"'{c}'" for c in AUDIT_HEX_CHARS)
+    return (
+        f"substr(md5(CAST({id_expr} AS VARCHAR) || '{AUDIT_SALT}'), 1, 1)"
+        f" IN ({inlist})"
+    )
+
+
 def with_recall_at_k(
     ann: DataFrame, exact: DataFrame, k: int,
     min_mean_recall: float | None = None,
+    audit_sampled: bool = False,
 ) -> DataFrame:
     """Attach per-query recall@k (|ANN hits ∩ exact top-k| / k) as a
     column of the ANN result, so index-quality regressions are visible
@@ -222,6 +272,13 @@ def with_recall_at_k(
     joins + groupBy are tiny regardless of corpus size; computing
     `exact` costs one extra brute-force pass — sample the query set when
     |queries| is large.
+
+    ``audit_sampled=True`` declares that ``exact`` covers only an
+    audited SUBSET of the queries (see :func:`audit_sample_pred`): ann
+    rows for un-audited queries then carry NULL recall_at_k instead of
+    a fabricated 0.0, and the recall_ok mean is taken over the audited
+    spine only. This is the scale mode — the brute-force ground truth
+    costs |audited| x |corpus| instead of |queries| x |corpus|.
 
     Both inputs are eagerly materialized here: each is referenced by
     TWO plan branches (ann: the hits join + the final output join;
@@ -256,8 +313,12 @@ def with_recall_at_k(
         # the exact brute-force pass underneath doesn't run twice.
         per_query = per_query.localCheckpoint(eager=True)
     # Full outer: ann rows keep their recall; exact-side queries with no
-    # ann rows appear once (null neighbor cols, recall 0.0).
-    out = ann.join(per_query, "query_id", "full_outer").fillna(0.0, ["_recall"])
+    # ann rows appear once (null neighbor cols, recall 0.0). In sampled
+    # mode, un-audited ann rows legitimately have no per-query row —
+    # their recall stays NULL (fillna would fake a 0).
+    out = ann.join(per_query, "query_id", "full_outer")
+    if not audit_sampled:
+        out = out.fillna(0.0, ["_recall"])
     cols = [*ann.columns, F.round("_recall", 6).alias("recall_at_k")]
     if min_mean_recall is not None:
         gate = per_query.agg(

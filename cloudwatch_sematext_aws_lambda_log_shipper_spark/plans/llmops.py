@@ -26,6 +26,8 @@ from ..operators.multimodal import decode_image_features, with_media_meta
 from ..operators.similarity import (
     ann_topk_ivf,
     ann_topk_lsh,
+    audit_sample_pred,
+    audit_sample_sql,
     cosine_pairs_exact,
     cosine_topk,
     with_recall_at_k,
@@ -485,13 +487,15 @@ def _knn_graph_ivf_oracle(
     k: int = 5,
     iters: int = 3,
     dim: int = _IVF_DIM,
-    floor: float = 0.451,
+    floor: float = 0.4503,
 ) -> str:
     """IVF k-NN graph (queries == corpus) replay: the same Lloyd fit
     CTEs over ALL vectors, per-vector probes, cluster-join candidates
-    with self-pairs excluded, exact refine rank, brute-force exact
-    graph + recall + gate. Floor 0.451 sits mid-grid for the 500-query
-    mean (multiples of 1/(5*N)), so a float-avg ulp can never flip the
+    with self-pairs excluded, exact refine rank, AUDIT-SAMPLED exact
+    graph + recall + gate. The audited mean is a multiple of
+    1/(k*n_audited); floor 0.4503 lands on that grid only if n_audited
+    is a multiple of 2000 (0.4503*5 = 2.2515 = 4503/2000), far above
+    any plausible audit size — a float-avg ulp can never flip the
     boolean."""
     unit = (
         "list_transform(e, x -> x /"
@@ -527,13 +531,19 @@ def _knn_graph_ivf_oracle(
         " FROM gprob p JOIN afin a ON p.j = a.j"
         f" WHERE p.query_id <> a.vec_id) QUALIFY rnk <= {k}),"
     )
+    # AUDIT-SAMPLED ground truth (r11 verdict #1): the exact top-k is
+    # computed only for the md5-gated 1/16 query subset — the O(N^2 d)
+    # brute-force pass shrinks ~16x; un-audited queries carry NULL
+    # recall_at_k, the gate means over the audited spine only. Both
+    # engines replay the identical sampling rule.
     lines.append(
         "exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
         "SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
         " row_number() OVER (PARTITION BY a.vec_id ORDER BY"
         " list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
         " * sqrt(list_dot_product(b.e, b.e))) DESC, b.vec_id) AS rnk"
-        " FROM emb a JOIN emb b ON a.vec_id <> b.vec_id)"
+        " FROM emb a JOIN emb b ON a.vec_id <> b.vec_id"
+        f" WHERE {audit_sample_sql('a.vec_id')})"
         f" WHERE rnk <= {k}),"
     )
     tail = (
@@ -546,11 +556,11 @@ def _knn_graph_ivf_oracle(
         " FROM (SELECT DISTINCT query_id FROM exact) q"
         " LEFT JOIN hits h USING (query_id)),\n"
         f"gate AS (SELECT avg(recall) >= {floor} AS recall_ok FROM perq)\n"
-        "SELECT p.query_id, a.neighbor_id,"
+        "SELECT query_id, a.neighbor_id,"
         " CAST(ROUND(a.cos, 6) AS DOUBLE) AS cosine, CAST(a.rnk AS INT) AS rnk,"
         " CAST(ROUND(p.recall, 6) AS DOUBLE) AS recall_at_k,"
         " (SELECT recall_ok FROM gate) AS recall_ok\n"
-        "FROM perq p LEFT JOIN ann a USING (query_id)"
+        "FROM ann a FULL OUTER JOIN perq p USING (query_id)"
     )
     return "\n".join(lines) + "\n" + tail
 
@@ -565,9 +575,11 @@ def _semdedup_exact_oracle(
 ) -> str:
     """SemDeDup replay: the Lloyd fit over all vectors, n_assign-way
     multi-assignment, bucketed pair join with exact cosine threshold,
-    dedup across shared clusters, plus recall vs the brute-force
-    same-threshold pair set. recall = one integer division — the gate
-    boolean is identical on both engines even at the floor."""
+    dedup across shared clusters, plus recall vs the AUDIT-SAMPLED
+    brute-force same-threshold pair set (pairs whose larger id passes
+    the md5 1/16 gate — the engine applies the identical rule, so the
+    exact pass is never all-pairs). recall = one integer division — the
+    gate boolean is identical on both engines even at the floor."""
     unit = (
         "list_transform(e, x -> x /"
         " greatest(sqrt(list_dot_product(e, e)), 1e-12))"
@@ -597,7 +609,8 @@ def _semdedup_exact_oracle(
         "sexact AS MATERIALIZED ("
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b"
         " FROM emb a JOIN emb b ON a.vec_id < b.vec_id"
-        " WHERE list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+        f" WHERE {audit_sample_sql('b.vec_id')}"
+        " AND list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
         f" * sqrt(list_dot_product(b.e, b.e))) >= {threshold}),"
     )
     tail = (
@@ -2503,9 +2516,16 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-checked too.
 
     Scale: candidates come from a bucketed equi-join on cluster id
-    (~N^2/k pair work instead of N^2); the exact pass exists only for
-    the recall audit and is skipped in production."""
-    from ..operators.ivf_exact import semdedup_pairs_exact
+    (~N^2/k pair work instead of N^2); the ground-truth pass for the
+    recall audit is AUDIT-SAMPLED (r11 verdict #1) — exact pairs are
+    enumerated only where the larger id passes the md5 1/16 gate
+    (cosine_pairs_exact_audit: |corpus| x |audited| fold-dots, all
+    codegen'd JVM, no blocked GEMM), and the oracle replays the same
+    rule."""
+    from ..operators.ivf_exact import (
+        cosine_pairs_exact_audit,
+        semdedup_pairs_exact,
+    )
 
     emb = _emb(spark, sf_dir)
     centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
@@ -2517,8 +2537,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_assign=2,
                                centers=centers).localCheckpoint(eager=True)
     exact = (
-        cosine_pairs_exact(emb, threshold=0.45)
-        .select("id_a", "id_b")
+        cosine_pairs_exact_audit(emb, threshold=0.45)
         .localCheckpoint(eager=True)
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
@@ -3441,19 +3460,28 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the cluster key — the scale shape for embedding_knn_graph's
     O(n^2 d) exact GEMM) replayed end-to-end by the chained-CTE
     oracle. recall_at_k vs the exact graph + the recall_ok mean floor
-    (0.451 — mid-grid for the N-query mean, ulp-flip-proof) are now
-    hash-checked output columns rather than a rows-only waiver."""
-    from ..operators.ivf_exact import ann_knn_graph_ivf_exact
-    from ..operators.similarity import knn_graph, with_recall_at_k
+    are hash-checked output columns rather than a rows-only waiver.
+
+    AUDIT-SAMPLED ground truth (r11 verdict #1): the exact top-k runs
+    only for the md5-gated 1/16 query subset (one broadcast-queries
+    corpus scan, codegen'd fold-dots — never the O(N^2 d) full graph);
+    un-audited rows carry NULL recall_at_k and the gate means over the
+    audited spine. The oracle replays the identical sampling rule, so
+    every emitted value stays hash-checked."""
+    from ..operators.ivf_exact import (
+        ann_knn_graph_ivf_exact,
+        exact_fold_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
                                  subset="all")
     approx = ann_knn_graph_ivf_exact(emb, k=5, nprobe=6, centers=centers)
-    exact = knn_graph(emb, k=5).select(
-        F.col("vec_id").alias("query_id"), "neighbor_id"
+    audited = emb.filter(audit_sample_pred(F.col("vec_id")))
+    exact = exact_fold_topk(emb, audited, k=5, exclude_self=True)
+    return with_recall_at_k(
+        approx, exact, k=5, min_mean_recall=0.4503, audit_sampled=True
     )
-    return with_recall_at_k(approx, exact, k=5, min_mean_recall=0.451)
 
 
 _HARD_NEG_ORACLE = """

@@ -36,6 +36,16 @@ def get_spark(
         # intermittent stalls on identical queries. 24g keeps pauses
         # sub-100ms at sf0.1 while leaving headroom for broadcast joins.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # The exact-arith ANN paths codegen 64+-term unrolled dot
+        # expressions whose generated methods exceed HotSpot's
+        # 8000-byte DontCompileHugeMethods ceiling — by default those
+        # methods run BYTECODE-INTERPRETED (measured 9x slower than
+        # JIT'd on a 1.5M-row scoring join; slower even than the
+        # interpreted HOF fold). Lifting the ceiling lets C2 compile
+        # them: same flag belongs in spark.executor.extraJavaOptions on
+        # a real cluster (local[...] executors share the driver JVM).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),

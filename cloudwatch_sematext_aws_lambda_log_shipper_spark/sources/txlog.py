@@ -451,8 +451,14 @@ def read_zordered(
         if part["z_bucket"] in cand_cache[v]:
             keep.append(f)
     if not keep:
-        raise ValueError(
-            f"{table}@v{snap['version']}: no files survive the z-order box"
+        # An empty keep list is a legitimate outcome (a selective box
+        # whose candidate z_buckets hold zero files): return an empty
+        # frame with the table schema instead of raising.
+        any_file = snap["files"][0] if snap["files"] else None
+        if any_file is None:
+            raise ValueError(f"{table}@v{snap['version']}: empty table")
+        return (
+            spark.read.parquet(os.path.join(table, any_file)).limit(0)
         )
     # z_bucket is the ONLY partition column a z-ordered commit writes,
     # and it is a helper the reader never sees — all surviving files
