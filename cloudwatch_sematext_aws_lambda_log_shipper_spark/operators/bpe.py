@@ -144,6 +144,60 @@ def _decode_syms_col():
     return F.split(F.expr("substring(s, 2, length(s) - 2)"), _DELIM * 2)
 
 
+# How many ranked pairs one snapshot fetches for batch selection. A
+# TakeOrderedAndProject of 256 skinny rows costs the same job as the
+# old limit(1) — the window only bounds how large one batch can get.
+_BATCH_WINDOW = 256
+
+
+def _select_batch(ranked, max_n: int):
+    """Greedy-batch prefix selection: from one ranked pair-count
+    snapshot ((count DESC, left, right) — the sequential tie-break),
+    pick the merges sequential greedy would provably choose next, in
+    order. Soundness argument:
+
+    - A pair whose symbols are DISJOINT from every earlier batch
+      member's symbols keeps its exact count after those merges apply.
+    - Every pair whose count a batch merge (a,b)->ab can change either
+      touches {a, b} (and can only DECREASE), or is a NEW pair
+      (x,ab)/(ab,y) whose count is bounded by the OLD count of a
+      touching pair ((x,a) / (b,y) respectively).
+    - Scanning in rank order, the FIRST pair that touches the batch's
+      symbol set bounds every touched/new pair's possible count (all
+      touching pairs rank at or below it). Batch members STRICTLY
+      above that bound therefore remain the argmax at their step —
+      ties are impossible, so the lexicographic tie-break never has to
+      compare against an unknowable new symbol.
+
+    The batched merge table is bit-identical to the sequential one by
+    construction, which is why the DuckDB oracles (which replay
+    sequential steps) need no change."""
+    batch, seen = [], set()
+    stop_count = None
+    for i, r in enumerate(ranked):
+        if r.pair_count < 2:
+            break
+        syms = {r.left, r.right}
+        if batch and (syms & seen):
+            stop_count = r.pair_count
+            break
+        batch.append(r)
+        seen |= syms
+        if len(batch) >= max_n:
+            break
+    else:
+        # window exhausted with no touching pair: pairs beyond the
+        # window rank at or below the last seen count — same bound
+        if len(ranked) >= _BATCH_WINDOW and ranked:
+            stop_count = ranked[-1].pair_count
+    if stop_count is not None:
+        batch = [b for b in batch if b.pair_count > stop_count]
+    if not batch and ranked and ranked[0].pair_count >= 2:
+        # the global argmax is always a sound single-step batch
+        batch = [ranked[0]]
+    return batch
+
+
 def _train_loop_string(symtab: DataFrame, n_merges: int,
                        checkpoint_dir: str | None = None):
     """Merge loop, 100% JVM: pair counts from the split-on-';;' array
@@ -153,9 +207,20 @@ def _train_loop_string(symtab: DataFrame, n_merges: int,
     non-overlapping semantics of :func:`_merge_syms` (same argument the
     DuckDB oracle in plans/llmops.py relies on: with every symbol
     ';'-free, ';l;;r;' matches exactly an (l, r) adjacency at symbol
-    boundaries). No Python workers anywhere in the loop."""
+    boundaries). No Python workers anywhere in the loop.
+
+    BATCHED (r11 verdict #5): each round collects one ranked
+    pair-count snapshot and applies every merge :func:`_select_batch`
+    proves sequential greedy would pick next — disjoint batch members'
+    replaces compose into ONE projection, so a round costs one
+    counting job + one lineage cut no matter how many merges land.
+    Production tokenizers need 30k merges; per-merge job scheduling is
+    the binding constraint, and corpora with many disjoint frequent
+    pairs batch dozens of merges per round (pinned in
+    tests/test_bpe_batch.py: 100 merges in <= 20 jobs). Output is
+    bit-identical to the sequential loop by the _select_batch proof."""
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         syms = _decode_syms_col()
         pairs = (
             symtab.select(
@@ -173,23 +238,27 @@ def _train_loop_string(symtab: DataFrame, n_merges: int,
             .groupBy("p.left", "p.right")
             .agg(F.sum("count").alias("pair_count"))
         )
-        top = (
+        ranked = (
             pairs.orderBy(F.col("pair_count").desc(), "left", "right")
-            .limit(1)
+            .limit(_BATCH_WINDOW)
             .collect()
         )
-        if not top or top[0].pair_count < 2:
+        batch = _select_batch(ranked, n_merges - len(merges))
+        if not batch:
             break
-        t = top[0]
-        merges.append((step, t.left, t.right, t.left + t.right, t.pair_count))
-        symtab = symtab.withColumn(
-            "s",
-            F.replace(
+        for t in batch:
+            merges.append(
+                (len(merges) + 1, t.left, t.right, t.left + t.right,
+                 t.pair_count)
+            )
+            symtab = symtab.withColumn(
                 "s",
-                F.lit(f"{_DELIM}{t.left}{_DELIM}{_DELIM}{t.right}{_DELIM}"),
-                F.lit(f"{_DELIM}{t.left}{t.right}{_DELIM}"),
-            ),
-        )
+                F.replace(
+                    "s",
+                    F.lit(f"{_DELIM}{t.left}{_DELIM}{_DELIM}{t.right}{_DELIM}"),
+                    F.lit(f"{_DELIM}{t.left}{t.right}{_DELIM}"),
+                ),
+            )
         symtab = cut_lineage(symtab, checkpoint_dir, eager=False)
     return merges, symtab.select("word", "count", _decode_syms_col().alias("syms"))
 

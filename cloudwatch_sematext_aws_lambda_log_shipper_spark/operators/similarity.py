@@ -31,6 +31,16 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# Above this dimension the unrolled fold is a net loss: janino FAILS to
+# compile the generated method (observed at dim=768: "Failed to compile
+# the generated Java code", with multi-second compile attempts per
+# stage before each fallback), so every stage pays a doomed compile and
+# then runs interpreted anyway. The HOF fold evaluates the identical
+# left-fold sequence without codegen involvement, so values are
+# unchanged — only the execution strategy flips.
+DOT_UNROLL_MAX_DIM = 128
+
+
 def dot_cols(a: Column, b: Column, dim: int) -> Column:
     """:func:`dot` UNROLLED into the flat expression
     ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` — the exact left-fold tree
@@ -42,7 +52,15 @@ def dot_cols(a: Column, b: Column, dim: int) -> Column:
     out — the caller owns the schema). Keep expression TREES in mind
     when stacking these: see ivf_exact._unit for the CollapseProject
     blowup this can trigger when the operands are themselves wide
-    derived expressions."""
+    derived expressions.
+
+    For ``dim > DOT_UNROLL_MAX_DIM`` this returns the HOF fold
+    instead — bit-identical values (pinned in
+    tests/test_audit_sampling.py / test_dim768.py), because past that
+    width the unrolled method defeats janino and the "fast path" would
+    be a per-stage compile failure plus interpreted eval."""
+    if dim > DOT_UNROLL_MAX_DIM:
+        return dot(a, b)
     z: Column = F.lit(0.0)
     for i in range(dim):
         z = z + a.getItem(i) * b.getItem(i)

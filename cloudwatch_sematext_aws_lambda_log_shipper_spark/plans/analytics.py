@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..artifacts import artifact_root
 from .registry import load, query
 
 
@@ -1333,7 +1334,7 @@ def events_txlog_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     base = _os.path.join(
-        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+        artifact_root("txlog"), _os.path.basename(_os.path.normpath(sf_dir))
     )
     table = _os.path.join(base, "events_zx")
     _shutil.rmtree(table, ignore_errors=True)
@@ -1399,7 +1400,7 @@ def events_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     base = _os.path.join(
-        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+        artifact_root("txlog"), _os.path.basename(_os.path.normpath(sf_dir))
     )
     table = _os.path.join(base, "events_tx")
     _shutil.rmtree(table, ignore_errors=True)
@@ -1870,7 +1871,7 @@ def events_txlog_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     base = _os.path.join(
-        "/tmp/spark_graft_txlog", _os.path.basename(_os.path.normpath(sf_dir))
+        artifact_root("txlog"), _os.path.basename(_os.path.normpath(sf_dir))
     )
     table = _os.path.join(base, "events_mutate")
     _shutil.rmtree(table, ignore_errors=True)

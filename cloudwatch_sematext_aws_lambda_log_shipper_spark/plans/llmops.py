@@ -701,11 +701,15 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     the persisted indexes, at JSON-file size (k x dim floats). The
     SEARCH work (assign/probe/score the corpus) still runs per query;
     only the model-state fit is cached. Atomic tmp+rename write;
-    stale fingerprints are superseded, never reused."""
+    stale fingerprints are superseded, never reused. The root follows
+    the engine-wide artifact convention (artifacts.artifact_root):
+    override the base with SPARK_GRAFT_ARTIFACT_DIR."""
     import json as _json
     import os as _os
 
-    root = "/tmp/spark_graft_ivf_fit"
+    from ..artifacts import artifact_root
+
+    root = artifact_root("ivf_fit")
     _os.makedirs(root, exist_ok=True)
     fp = _source_fingerprint(_os.path.join(sf_dir, "embeddings.parquet"))
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
@@ -4509,19 +4513,33 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     shingled, banded = signature_tables(spark, sf_dir)
-    # Cap OFF by default: the brute-force DuckDB oracle models the
-    # UNCAPPED pair set, and healthy corpora have no hot buckets so the
-    # cap is a no-op there anyway. CURATE_NEARDUP_CAP=<n> enables the
-    # production hot-bucket cap for Zipf-skewed corpora (one giant
-    # near-dup cluster): bounded per-bucket pair work at the cost of
-    # missing some members of oversized clusters — measured by
-    # scripts/scale_stress_skew.py. Results are bit-identical whenever
-    # no bucket exceeds the cap (the _cap_buckets contract).
+    # Hot-bucket cap ON by default (r11 verdict #4): a Zipf-skewed
+    # corpus (one giant near-dup family) otherwise makes one band
+    # bucket quadratic — measured exponent 0.808 uncapped vs 0.341
+    # capped in scale_stress_skew.json. The cap is a provable NO-OP
+    # whenever no bucket exceeds it (_cap_buckets contract), which is
+    # every healthy corpus including the oracle SFs — so the
+    # brute-force DuckDB oracle (which models the ideal pair set; the
+    # xxhash64 MinHash banding itself is not SQL-expressible) still
+    # matches bit-for-bit WITH the cap active. On corpora where the
+    # cap does engage, it deliberately trades oversized-cluster
+    # completeness for bounded pair work — that divergence is the
+    # feature, covered by scripts/scale_stress_skew.py and
+    # tests/test_skew.py. CURATE_NEARDUP_CAP=<n> overrides; 0/off
+    # disables.
     import os as _os
 
-    _cap = _os.environ.get("CURATE_NEARDUP_CAP")
+    from ..operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    _cap_env = _os.environ.get("CURATE_NEARDUP_CAP", "").strip().lower()
+    if _cap_env in ("0", "off", "none"):
+        _cap = None
+    elif _cap_env:
+        _cap = int(_cap_env)
+    else:
+        _cap = DEFAULT_MAX_BUCKET_SIZE
     clusters = near_dup_clusters_from_store(
-        shingled, banded, max_bucket_size=int(_cap) if _cap else None
+        shingled, banded, max_bucket_size=_cap
     ).select("doc_id", "cluster_id")
     best = F.col("n_chars").cast("long") * F.lit(4294967296).cast(
         "long"

@@ -23,6 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..artifacts import artifact_root
 from ..operators.decode import gzip_b64_udf
 from ..operators.parse import parse_log_events, split_dlq
 from ..pipeline import run_batch
@@ -436,7 +437,7 @@ def log_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
     base = os.path.join(
-        "/tmp/spark_graft_sink", os.path.basename(os.path.normpath(sf_dir))
+        artifact_root("sink"), os.path.basename(os.path.normpath(sf_dir))
     )
     table = os.path.join(base, "logs")
     write_log_table(clean, table, mode="overwrite")
@@ -487,7 +488,7 @@ def log_attributes_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     query; the variant extraction is codegen'd JVM work."""
     clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
     base = os.path.join(
-        "/tmp/spark_graft_sink_attrs", os.path.basename(os.path.normpath(sf_dir))
+        artifact_root("sink_attrs"), os.path.basename(os.path.normpath(sf_dir))
     )
     table = os.path.join(base, "logs")
     write_log_table(clean, table, mode="overwrite")
@@ -706,7 +707,7 @@ def log_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clean, _dlq = split_dlq(parse_log_events(synth_log_events(spark, sf_dir)))
     base = os.path.join(
-        "/tmp/spark_graft_sink", os.path.basename(os.path.normpath(sf_dir))
+        artifact_root("sink"), os.path.basename(os.path.normpath(sf_dir))
     )
     table = os.path.join(base, "rollup_src")
     rollup = os.path.join(base, "rollup_mv")

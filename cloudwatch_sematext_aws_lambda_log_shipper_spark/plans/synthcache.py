@@ -33,7 +33,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-CACHE_ROOT = "/tmp/spark_graft_synth"
+from ..artifacts import artifact_root
+
+CACHE_ROOT = artifact_root("synth")
 
 
 def source_fingerprint(path: str) -> str:

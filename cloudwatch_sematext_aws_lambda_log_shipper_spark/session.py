@@ -42,10 +42,21 @@ def get_spark(
         # methods run BYTECODE-INTERPRETED (measured 9x slower than
         # JIT'd on a 1.5M-row scoring join; slower even than the
         # interpreted HOF fold). Lifting the ceiling lets C2 compile
-        # them: same flag belongs in spark.executor.extraJavaOptions on
-        # a real cluster (local[...] executors share the driver JVM).
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # them. -Xss64m: Catalyst's tree transforms recurse once per
+        # expression node, and a dim-768 unrolled left-fold (1537
+        # nodes) overflows the default ~1MB thread stack AT PLAN TIME
+        # (StackOverflowError in withColumn) — a deeper stack is the
+        # fix that keeps the fold's bit pattern intact. Same flags
+        # belong in spark.executor.extraJavaOptions on a real cluster
+        # (local[...] executors share the driver JVM).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -Xss64m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -Xss64m",
+        )
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark_graft_warehouse"),
