@@ -105,6 +105,55 @@ class FlakyFileTransport(BulkTransport):
         self.inner.send(key, payload)
 
 
+class HttpBulkTransport(BulkTransport):
+    """HTTP transport for an Elasticsearch-style ``_bulk`` endpoint —
+    the logsene-js xhr path (shipper.js:29) made concrete with stdlib
+    urllib (no dependencies). Each bulk POSTs as
+    ``application/x-ndjson``; the idempotency key travels as an
+    ``X-Bulk-Key: {batch}-{partition}-{chunk}`` header so a receiver
+    can treat redeliveries (task retries, backoff resends) as
+    overwrites. Any non-2xx response or socket-level failure raises
+    :class:`TransportError`, engaging the seam's bounded
+    retry/backoff.
+
+    Construct executor-side via a zero-arg factory (one connection
+    context per partition); ``extra_headers`` carries auth tokens the
+    way logsene-js sends the app token."""
+
+    def __init__(
+        self,
+        url: str,
+        timeout_s: float = 10.0,
+        extra_headers: dict[str, str] | None = None,
+    ):
+        self.url = url if url.endswith("/_bulk") else url.rstrip("/") + "/_bulk"
+        self.timeout_s = timeout_s
+        self.extra_headers = dict(extra_headers or {})
+
+    def send(self, key: tuple[int, int, int], payload: bytes) -> None:
+        import urllib.error
+        import urllib.request
+
+        b, p, i = key
+        headers = {
+            "Content-Type": "application/x-ndjson",
+            "X-Bulk-Key": f"{b}-{p}-{i}",
+            **self.extra_headers,
+        }
+        req = urllib.request.Request(
+            self.url, data=payload, method="POST", headers=headers
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                status = getattr(resp, "status", 200)
+                if not 200 <= status < 300:
+                    raise TransportError(f"bulk {key}: HTTP {status}")
+        except urllib.error.HTTPError as e:
+            raise TransportError(f"bulk {key}: HTTP {e.code}") from e
+        except (urllib.error.URLError, OSError) as e:
+            raise TransportError(f"bulk {key}: {e}") from e
+
+
 def _send_with_retry(
     transport: BulkTransport,
     key: tuple[int, int, int],
