@@ -119,11 +119,36 @@ def gc_millis(spark) -> int:
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
 
+def wait_for_quiet(
+    max_load: float, timeout_s: float = 900.0, poll_s: float = 15.0
+) -> float:
+    """Block until the 1-minute load average drops below ``max_load``
+    (or the timeout passes) — the r11 round-end record was captured at
+    load 9-23 and its numbers were uninterpretable. Returns the load
+    observed when the wait ended; proceeding on timeout is deliberate
+    (a record under stated load beats no record)."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= max_load and time.time() - t0 < timeout_s:
+        print(
+            f"bench: waiting for quiet host (1-min load {load:.1f} >="
+            f" {max_load}, {int(time.time() - t0)}s elapsed)",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    wait_for_quiet(
+        float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "4.0")),
+        float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900")),
+    )
     load_start = os.getloadavg()
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -173,6 +198,25 @@ def main() -> None:
                 failed.add(name)
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
+    # Unstable-query retry (one extra run): a >3x spread between the
+    # two interleaved runs means at least one was contaminated; a third
+    # sample makes the MIN trustworthy and clears the flag unless the
+    # spread persists.
+    retried = sorted(
+        n for n, ts in runs.items()
+        if len(ts) == 2 and min(ts) > 0 and max(ts) / min(ts) > 3.0
+    )
+    for name in retried:
+        try:
+            g0 = gc_millis(spark)
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            runs[name].append(time.time() - t0)
+            gc_runs[name].append(gc_millis(spark) - g0)
+        except Exception as exc:
+            failed.add(name)
+            print(f"bench: {name} FAILED (retry): {exc}", file=sys.stderr)
+        spark.catalog.clearCache()
     gc_timed_ms = gc_millis(spark) - gc_timed_start
 
     timings = {name: round(min(ts), 2) for name, ts in runs.items()}
@@ -191,13 +235,17 @@ def main() -> None:
             ratio = ts[1] / ts[0]
             if ratio > noise["ratio"]:
                 noise = {"q": name, "ratio": round(ratio, 2)}
-    # Unstable queries: run pair differing by >3x in EITHER direction
-    # (ratio>3 on a non-first run = contamination or GC lottery; the
-    # r9 heap defect made log_dlq_replay land anywhere in 3-127s on
-    # identical code — this flag would have caught it in-band).
+    # Unstable queries: runs differing by >3x (ratio>3 on a non-first
+    # run = contamination or GC lottery; the r9 heap defect made
+    # log_dlq_replay land anywhere in 3-127s on identical code — this
+    # flag would have caught it in-band). After the retry pass, a query
+    # stays flagged only if its best TWO runs still differ >3x.
+    def _spread(ts):
+        s = sorted(t for t in ts if t > 0)
+        return (s[1] / s[0]) if len(s) >= 2 else 1.0
+
     unstable = sorted(
-        n for n, ts in runs.items()
-        if len(ts) == 2 and min(ts) > 0 and max(ts) / min(ts) > 3.0
+        n for n, ts in runs.items() if len(ts) >= 2 and _spread(ts) > 3.0
     )
     print(
         "bench per-run times: "
@@ -222,7 +270,8 @@ def main() -> None:
         "runs": {n: [round(t, 2) for t in ts] for n, ts in runs.items()},
         "gc_ms": gc_runs,  # per-run JVM GC time deltas, ms
         "gc_timed_ms": gc_timed_ms,  # total GC inside the timed region
-        "unstable": unstable,  # run pair spread >3x — GC or co-tenant
+        "unstable": unstable,  # best-two-run spread >3x — GC or co-tenant
+        "retried": retried,  # got a third run after a >3x pair spread
         "noise": noise,
         "load": load,  # 1/5/15-min at start + 1-min at end
         "streaming": streaming,

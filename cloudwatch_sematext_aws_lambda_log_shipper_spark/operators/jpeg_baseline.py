@@ -22,7 +22,10 @@ Coverage:
   successive approximation, interleaved DC / single-component AC
   scans, EOB runs, refinement correction bits, restarts — closing the
   real-world gap where a large share of web JPEGs are progressive.
-  Only arithmetic-coded / hierarchical / lossless streams (SOF3/5-7/
+  LOSSLESS-sequential (SOF3, Annex H) decodes too: per-sample
+  prediction (all 7 selectors), DC-style Huffman'd differences,
+  restart handling, point transform — bit-exact round trips. Only
+  arithmetic-coded / hierarchical / differential streams (SOF5-7/
   9-11/13-15) still error loudly.
 - :func:`encode_baseline_jpeg` — grayscale or RGB input, 4:4:4, the
   spec's example Huffman tables (Annex K) embedded via DHT (the
@@ -35,6 +38,9 @@ Coverage:
   progressive-vs-baseline decode equality is an exact pixel pin in
   tests, including the AC-refinement encoder's buffered correction
   bits and cross-block EOB runs.
+- :func:`encode_lossless_jpeg` — the SOF3 write path (predictor 1-7,
+  optional restart interval / point transform); decode(encode(img))
+  == img exactly.
 
 Determinism: all DCT math in float64 with a fixed operation order;
 integer outputs via round-half-away + clip. No randomness anywhere.
@@ -286,6 +292,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     restart_interval = 0
     progressive = False
+    lossless = False
+    precision = 8
     mcux = mcuy = 0
 
     while pos < len(data):
@@ -349,10 +357,23 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                     c["coef"] = np.zeros(
                         (c["bh"], c["bw"], 64), dtype=np.int32
                     )
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m == 0xC3:  # SOF3: lossless sequential (Huffman), Annex H
+            lossless = True
+            precision = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq}
+                )
+        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG (SOF marker 0xFF{m:02X}): arithmetic-"
-                "coded / hierarchical / lossless streams are out of scope"
+                "coded / hierarchical / differential streams are out of"
+                " scope (baseline, progressive SOF2 and lossless SOF3"
+                " all decode)"
             )
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -364,6 +385,13 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cs)
                 comp["td"], comp["ta"] = tables >> 4, tables & 0xF
                 scan.append(comp)
+            if lossless:
+                sel = seg[1 + 2 * ns]  # Ss = predictor selection (H.1)
+                pt = seg[3 + 2 * ns] & 0xF  # Al = point transform
+                return _decode_lossless_scan(
+                    data, pos + seglen, h, w, precision, scan, huff_dc,
+                    restart_interval, sel, pt,
+                )
             if not progressive:
                 pos += seglen
                 return _decode_scan(
@@ -433,6 +461,81 @@ def _decode_scan(data, pos, h, w, comps, scan, qt, huff_dc, huff_ac, dri):
                         c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
 
     return _planes_to_rgb(comps, h, w, hmax, vmax)
+
+
+def _lossless_pred(pl, y, x, sel, iy, ix, default):
+    """One sample's prediction (T.81 H.1.2): the first sample of the
+    scan / restart interval predicts the midpoint default; the rest of
+    that first line predicts from the LEFT neighbor; the first column
+    of later lines predicts from ABOVE; everywhere else the scan's
+    selected predictor runs over a=left, b=above, c=above-left.
+    (iy, ix) is where the current interval started."""
+    if y == iy:
+        if x == ix:
+            return default
+        return int(pl[y, x - 1])  # first line: selection 1
+    if x == 0:
+        return int(pl[y - 1, x])  # first column: selection 2
+    a, b, c = int(pl[y, x - 1]), int(pl[y - 1, x]), int(pl[y - 1, x - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"invalid lossless predictor selection {sel}")
+
+
+def _decode_lossless_scan(
+    data, pos, h, w, precision, scan, huff_dc, dri, sel, pt
+) -> np.ndarray:
+    """Lossless-sequential scan (T.81 Annex H): per-sample predictive
+    coding, diffs Huffman-coded as (SSSS category, magnitude bits) like
+    DC coefficients (SSSS=16 encodes diff 32768 with no extra bits),
+    reconstruction mod 2^16, output shifted by the point transform.
+    Components must be 1x1-sampled (interleaved MCU = one sample per
+    component — the universal lossless layout); 3 components are
+    returned as-is as RGB (lossless JPEG defines no color transform),
+    1 component replicates to gray RGB."""
+    if any(c["h"] != 1 or c["v"] != 1 for c in scan):
+        raise NotImplementedError("lossless with subsampling unsupported")
+    if precision > 8:
+        raise NotImplementedError(
+            f"lossless precision {precision} > 8 has no uint8 output"
+        )
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    default = 1 << (precision - pt - 1)
+    r = _BitReader(data, pos)
+    iy = ix = 0  # where the current restart interval started
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if dri and n and n % dri == 0:
+                r.restart()
+                iy, ix = y, x
+            n += 1
+            for c, pl in zip(scan, planes):
+                t = r.huff(huff_dc[c["td"]])
+                diff = 32768 if t == 16 else _extend(r.bits(t), t)
+                pred = _lossless_pred(pl, y, x, sel, iy, ix, default)
+                pl[y, x] = (pred + diff) & 0xFFFF
+    out = [
+        np.clip(pl << pt, 0, (1 << precision) - 1).astype(np.uint8)
+        for pl in planes
+    ]
+    if len(out) == 1:
+        return np.stack([out[0]] * 3, axis=-1)
+    if len(out) == 3:
+        return np.stack(out, axis=-1)
+    raise NotImplementedError(f"{len(out)}-component lossless JPEG")
 
 
 def _planes_to_rgb(comps, h, w, hmax, vmax) -> np.ndarray:
@@ -1198,5 +1301,107 @@ def encode_progressive_jpeg(
             st.emit_eobrun()
         bwr.flush()
         out.extend(bwr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_lossless_jpeg(
+    img: np.ndarray,
+    predictor: int = 1,
+    restart_interval: int = 0,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    LOSSLESS-sequential JPEG (SOF3, T.81 Annex H): per-sample
+    prediction with the selected predictor (1-7), differences coded as
+    DC-style (SSSS, magnitude-bits) Huffman symbols through one
+    self-describing fixed table, components stored AS-IS (no color
+    transform — the lossless convention), interleaved one sample per
+    component per MCU. ``restart_interval`` > 0 emits DRI + RSTn every
+    that many samples; ``point_transform`` drops Pt low bits before
+    prediction (decode shifts back — only then is the round trip
+    lossy-by-Pt). decode_baseline_jpeg inverts this exactly:
+    decode(encode(img)) == img for Pt=0, pinned in
+    tests/test_jpeg_lossless.py."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    planes = (
+        [img.astype(np.int64)]
+        if gray
+        else [img[:, :, i].astype(np.int64) for i in range(3)]
+    )
+    pt = point_transform
+    planes = [pl >> pt for pl in planes]
+    precision = 8
+    default = 1 << (precision - pt - 1)
+
+    # one pass to collect diffs (per plane, raster order, the
+    # _lossless_pred rule — encoder and decoder share it)
+    diffs: list[list[int]] = [[] for _ in planes]
+    iy = ix = 0
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                iy, ix = y, x
+            n += 1
+            for pl, out in zip(planes, diffs):
+                pred = _lossless_pred(pl, y, x, predictor, iy, ix, default)
+                out.append(int(pl[y, x]) - pred)
+
+    cats = sorted(
+        {(_mag_bits(d)[0] if d != 32768 else 16) for ds in diffs for d in ds}
+    )
+    bits, vals = _fixed_table(cats)
+    enc = _build_encode_table(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    nc = len(planes)
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sof += bytes([i + 1, 0x11, 0])  # 1x1 sampling, tq unused
+    seg(0xC3, sof)
+    seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah<<4|Al=Pt
+    seg(0xDA, sos)
+
+    bwr = _BitWriter()
+    rst = 0
+    idx = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and idx and idx % restart_interval == 0:
+                bwr.flush()
+                out.extend(bwr.out)
+                bwr = _BitWriter()
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+            for ds in diffs:
+                d = ds[idx]
+                if d == 32768:
+                    t, code = 16, 0
+                else:
+                    t, code = _mag_bits(d)
+                ln, cd = enc[t]
+                bwr.bits(cd, ln)
+                if t and t != 16:
+                    bwr.bits(code, t)
+            idx += 1
+    bwr.flush()
+    out.extend(bwr.out)
     out.extend(b"\xff\xd9")
     return bytes(out)

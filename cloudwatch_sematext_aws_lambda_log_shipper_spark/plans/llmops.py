@@ -1104,6 +1104,91 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_LOSSLESS_ORACLE = """
+WITH sel AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 59 = 0
+)
+SELECT count(*) AS n,
+       CAST(SUM(8 + doc_id % 24) AS BIGINT) AS total_width,
+       CAST(SUM(8 + n_chars % 16) AS BIGINT) AS total_height,
+       count(*) AS n_exact_match
+FROM sel
+"""
+
+
+@query("multimodal_jpeg_lossless", _JPEG_LOSSLESS_ORACLE)
+def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless JPEG (SOF3, T.81 Annex H) under the hash gate: a
+    deterministic md5-stream grayscale image per selected doc encodes
+    lossless with the doc-determined predictor (1 + doc_id % 7) and a
+    row-aligned restart interval, decodes through the vendored codec,
+    and the aggregate carries SOF3-header dims (oracle recomputes from
+    the doc formulas — the lossless marker walk is hash-checked) and
+    n_exact_match pinned at count(*): ONE pixel differing from the
+    ORIGINAL array anywhere fails the gate — the lossless contract is
+    stronger than progressive's cross-codec match, it is bit-identity
+    with the source. Closes the r11 "What's missing" #3 SOF3 slice
+    (arithmetic/hierarchical remain loud errors).
+
+    Scale: Arrow-batched mapInPandas codec work over a deterministic
+    corpus sample, same shape as the progressive query."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 59 == 0)
+        .select("doc_id", "n_chars")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg_baseline import (
+            decode_baseline_jpeg,
+            encode_lossless_jpeg,
+            jpeg_dims,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(doc_id) % 24
+                h = 8 + int(n_chars) % 16
+                need = w * h
+                buf = bytearray()
+                i = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"L{doc_id}:{i}".encode()).digest()
+                    i += 1
+                img = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(
+                    h, w
+                )
+                jl = encode_lossless_jpeg(
+                    img,
+                    predictor=1 + int(doc_id) % 7,
+                    restart_interval=w * 4,
+                )
+                same = bool((decode_baseline_jpeg(jl)[:, :, 0] == img).all())
+                pw, ph, _nc = jpeg_dims(jl)
+                rows.append((int(doc_id), pw, ph, same))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "same"]
+            )
+
+    feats = docs.mapInPandas(
+        gen, "media_id long, width int, height int, same boolean"
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.when(F.col("same"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_match"),
+    )
+
+
 _CORPUS_PREP_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, source, text,

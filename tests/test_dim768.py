@@ -136,3 +136,65 @@ def test_dim768_ivfpq_end_to_end(spark):
     assert len(out) == 18
     assert all(abs(r["cosine"]) <= 1.000001 for r in out)
     assert all(1 <= r["rnk"] <= 3 for r in out)
+
+
+def _py_unit(vec):
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    n = max(acc ** 0.5, 1e-12)
+    return [x / n for x in vec]
+
+
+def _py_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_dim768_kcenter_matches_python_reference(spark):
+    # k-center is dim-agnostic by construction (HOF fold); this pins
+    # BIT-equality of the dim-768 selection against a pure-Python
+    # replay of the same greedy (normalize -> 1 - fold-dot -> running
+    # min -> (dist DESC, id) argmax, selected pinned to 0 by identity)
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    rows = _vecs(40, 768)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_sample(corpus, m=5)
+
+    units = {i: _py_unit(v) for i, v in rows}
+    sel = [min(units)]
+    want = [(1, sel[0], None)]
+    md = {i: None for i in units}
+    for step in range(2, 6):
+        c = units[sel[-1]]
+        for i in units:
+            d = 1.0 - _py_dot(units[i], c)
+            if i == sel[-1]:
+                md[i] = 0.0
+            elif md[i] is None:
+                md[i] = d
+            else:
+                md[i] = min(md[i], d)
+        far = max(md.items(), key=lambda kv: (kv[1], -kv[0]))
+        want.append((step, far[0], far[1]))
+        sel.append(far[0])
+    assert got == want
+
+
+def test_dim768_mmr_select_runs_and_is_deterministic(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    rows = _vecs(40, 768)
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = _py_unit([math.cos(0.01 * d) for d in range(768)])
+    a = mmr_select(corpus, q, k=4)
+    b = mmr_select(corpus, q, k=4)
+    assert a == b
+    assert len(a) == 4 and len({i for _, i, _ in a}) == 4

@@ -103,11 +103,14 @@ def test_progressive_random_images_property():
         assert (got == want).all(), (h, w, trial)
 
 
-def test_arithmetic_and_lossless_still_rejected():
+def test_arithmetic_and_differential_still_rejected():
+    # r12: SOF3 lossless now DECODES (test_jpeg_lossless.py); only the
+    # arithmetic-coded / hierarchical / differential families remain
+    # loud errors
     img = _img(16, 16)
     data = bytearray(encode_baseline_jpeg(img, quant=2))
     i = bytes(data).index(b"\xff\xc0")
-    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arith sequential / arith lossless
+    for sof in (0xC5, 0xC9, 0xCB):  # diff sequential / arith seq / arith lossless
         data[i + 1] = sof
         with pytest.raises(NotImplementedError):
             decode_baseline_jpeg(bytes(data))
