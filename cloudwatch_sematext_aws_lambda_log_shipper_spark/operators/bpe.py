@@ -173,18 +173,25 @@ def _select_batch(ranked, max_n: int):
     construction, which is why the DuckDB oracles (which replay
     sequential steps) need no change."""
     batch, seen = [], set()
+    adding = True
     stop_count = None
-    for i, r in enumerate(ranked):
+    for r in ranked:
         if r.pair_count < 2:
             break
         syms = {r.left, r.right}
         if batch and (syms & seen):
+            # the first touching pair IN RANK ORDER bounds every
+            # touched/new count — even entries past the max_n cutoff
+            # must be scanned for it, or a touching pair TYING a batch
+            # member's count could beat it lexicographically as a new
+            # pair in the sequential replay
             stop_count = r.pair_count
             break
-        batch.append(r)
-        seen |= syms
-        if len(batch) >= max_n:
-            break
+        if adding:
+            batch.append(r)
+            seen |= syms
+            if len(batch) >= max_n:
+                adding = False  # stop adding, keep scanning for touch
     else:
         # window exhausted with no touching pair: pairs beyond the
         # window rank at or below the last seen count — same bound
