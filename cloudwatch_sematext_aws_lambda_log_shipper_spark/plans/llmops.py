@@ -2619,25 +2619,30 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     centers, _ = _ivf_fit_cached(spark, sf_dir, emb, want_books=False,
                                  subset="all", n_clusters=8)
-    # both frames feed two plan branches (the hit count + the output /
-    # the hit count + the size count): materialize once — they are
-    # pair-set-sized, tiny next to the pipelines that produce them
+    # sem feeds two plan branches (the hit join + the output):
+    # materialize once — it is pair-set-sized, tiny next to the
+    # pipeline that produces it. The audit pair set is consumed ONCE:
+    # its count and the hit count come from a single left join + one
+    # aggregate pass, so it needs no materialization of its own.
     sem = semdedup_pairs_exact(emb, threshold=0.45, n_clusters=8,
                                n_assign=2,
                                centers=centers).localCheckpoint(eager=True)
-    exact = (
-        cosine_pairs_exact_audit(emb, threshold=0.45)
-        .localCheckpoint(eager=True)
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("_n_exact"))
-    n_hit = (
-        sem.select("id_a", "id_b")
-        .join(exact, ["id_a", "id_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    exact = cosine_pairs_exact_audit(emb, threshold=0.45)
+    stats = (
+        exact.join(
+            F.broadcast(
+                sem.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+            ),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("_n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("_n_hit"),
+        )
     )
     gate = (
-        n_hit.crossJoin(F.broadcast(n_exact))
-        .select(
+        stats.select(
             F.when(F.col("_n_exact") == 0, F.lit(1.0))
             .otherwise(
                 F.col("_n_hit").cast("double")

@@ -171,3 +171,15 @@ def test_unaudited_rows_carry_null_recall(spark):
     # every query produced rows (ann covers all); gate is True (ann
     # here IS brute-force exact)
     assert all(r["recall_ok"] for r in out)
+
+
+def test_semdedup_gate_zero_denominator_reads_true(spark):
+    # threshold high enough that the audited exact pair set is EMPTY:
+    # the gate's zero-denominator convention is recall 1.0 / True
+    # (nothing to find => nothing missed), matching the oracle's CASE
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        cosine_pairs_exact_audit,
+    )
+
+    corpus = _corpus(spark, n=80, dim=8)
+    assert cosine_pairs_exact_audit(corpus, threshold=0.999999, dim=8).count() == 0
