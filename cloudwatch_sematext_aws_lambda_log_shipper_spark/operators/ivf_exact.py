@@ -464,6 +464,41 @@ def fit_pq_codebooks_exact(
     return [(j, t, v) for (j, t), v in sorted(books.items())]
 
 
+def encode_codes_exact(
+    cn: DataFrame,
+    centers,
+    books,
+    m: int = 4,
+    dim: int = 64,
+    id_name: str = "neighbor_id",
+) -> DataFrame:
+    """PQ-encode a normalized corpus under the exact contract:
+    (id, _j, _t, _cl) — nearest coarse centroid by argmax-of-fold-dots
+    plus, per subspace, the (d2 ASC, code) nearest codebook entry by
+    the fixed L2 expression. Deterministic given (corpus bytes,
+    centers, books), which is what lets callers fingerprint-cache the
+    result (plans/llmops._ivf_fit_cached)."""
+    spark = cn.sparkSession
+    sub = dim // m
+    cb_df = F.broadcast(
+        spark.createDataFrame(
+            [(j, t, list(v)) for j, t, v in books],
+            "_j int, _t int, _cb array<double>",
+        )
+    )
+    assigned = _assign_exact(cn, centers, dim, id_name)
+    wmin = Window.partitionBy(id_name, "_j").orderBy("_d2", "_t")
+    return (
+        _subvectors(assigned, id_name, m, dim)
+        .join(cb_df, "_j")
+        .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
+        .withColumn("_r", F.row_number().over(wmin))
+        .filter(F.col("_r") == 1)
+        .select(id_name, "_j", "_t")
+        .join(assigned.select(id_name, "_cl"), id_name)
+    )
+
+
 def ann_topk_ivfpq_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -514,17 +549,7 @@ def ann_topk_ivfpq_exact(
         )
     )
     if codes_df is None:
-        assigned = _assign_exact(cn, centers, dim, "neighbor_id")
-        wmin = Window.partitionBy("neighbor_id", "_j").orderBy("_d2", "_t")
-        codes_df = (
-            _subvectors(assigned, "neighbor_id", m, dim)
-            .join(cb_df, "_j")
-            .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
-            .withColumn("_r", F.row_number().over(wmin))
-            .filter(F.col("_r") == 1)
-            .select("neighbor_id", "_j", "_t")
-            .join(assigned.select("neighbor_id", "_cl"), "neighbor_id")
-        )
+        codes_df = encode_codes_exact(cn, centers, books, m=m, dim=dim)
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
@@ -584,7 +609,6 @@ def build_ivfpq_index_exact(
     plus the normalized vectors for the refine fetch, so the index is
     self-contained."""
     spark = corpus.sparkSession
-    sub = dim // m
     centers = fit_centroids_exact(
         corpus, n_clusters, iters, id_col, vec_col, "ivf", dim
     )
@@ -610,23 +634,7 @@ def build_ivfpq_index_exact(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    assigned = _assign_exact(cn, centers, dim, "neighbor_id")
-    cb_df = F.broadcast(
-        spark.createDataFrame(
-            [(j, t, list(v)) for j, t, v in books],
-            "_j int, _t int, _cb array<double>",
-        )
-    )
-    wmin = Window.partitionBy("neighbor_id", "_j").orderBy("_d2", "_t")
-    codes = (
-        _subvectors(assigned, "neighbor_id", m, dim)
-        .join(cb_df, "_j")
-        .withColumn("_d2", _l2_expr(F.col("_sv"), F.col("_cb"), sub))
-        .withColumn("_r", F.row_number().over(wmin))
-        .filter(F.col("_r") == 1)
-        .select("neighbor_id", "_j", "_t")
-        .join(assigned.select("neighbor_id", "_cl"), "neighbor_id")
-    )
+    codes = encode_codes_exact(cn, centers, books, m=m, dim=dim)
     (
         codes.withColumnRenamed("_cl", "cluster")
         .repartition("cluster")

@@ -41,6 +41,25 @@ def dot(a: Column, b: Column) -> Column:
 DOT_UNROLL_MAX_DIM = 128
 
 
+def _unroll_enabled() -> bool:
+    """Unrolling is OPT-IN (SPARK_GRAFT_DOT_UNROLL=1). Measured r12:
+    each distinct unrolled-dot stage costs ~2-4 s of driver-side
+    Catalyst/janino work before the first row is scored, and a fresh
+    ANN query builds several such stages — so below roughly 10^7
+    scored rows per stage the compile tax dominates and the HOF fold
+    (identical left-fold bit pattern, zero compile) is 3-10x faster
+    end-to-end (sf0.1: one-shot IVF 19.5 s unrolled vs 1.9 s HOF;
+    IVF-PQ 7.9 vs 4.2; LSH 5.3 vs 1.7). Flip the env on for
+    long-lived large-batch deployments where per-row codegen wins and
+    the compile amortizes; values are bit-identical either way
+    (pinned in tests/test_dim768.py)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_DOT_UNROLL", "").strip().lower() in (
+        "1", "true", "on", "yes",
+    )
+
+
 def dot_cols(a: Column, b: Column, dim: int) -> Column:
     """:func:`dot` UNROLLED into the flat expression
     ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` — the exact left-fold tree
@@ -58,8 +77,13 @@ def dot_cols(a: Column, b: Column, dim: int) -> Column:
     instead — bit-identical values (pinned in
     tests/test_audit_sampling.py / test_dim768.py), because past that
     width the unrolled method defeats janino and the "fast path" would
-    be a per-stage compile failure plus interpreted eval."""
-    if dim > DOT_UNROLL_MAX_DIM:
+    be a per-stage compile failure plus interpreted eval.
+
+    Unrolling is additionally OPT-IN via SPARK_GRAFT_DOT_UNROLL=1 (see
+    :func:`_unroll_enabled`): the per-stage compile tax only amortizes
+    on long-lived large-batch scoring, and below ~10^7 scored rows per
+    stage the HOF fold is measured 3-10x faster end-to-end."""
+    if dim > DOT_UNROLL_MAX_DIM or not _unroll_enabled():
         return dot(a, b)
     z: Column = F.lit(0.0)
     for i in range(dim):

@@ -693,29 +693,43 @@ def _lsh_exact_oracle(
 
 
 def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
-                    subset: str = "c10plus", n_clusters: int = 16):
+                    subset: str = "c10plus", n_clusters: int = 16,
+                    want_codes: bool = False):
     """Fingerprint-keyed cache for the DETERMINISTIC exact-arith fits
-    (centroids, PQ codebooks): the fit is a pure function of the corpus
-    bytes + pinned hyperparameters, so recomputing it per query run is
-    pure waste — the same amortization move as the signature store and
-    the persisted indexes, at JSON-file size (k x dim floats). The
-    SEARCH work (assign/probe/score the corpus) still runs per query;
-    only the model-state fit is cached. Atomic tmp+rename write;
-    stale fingerprints are superseded, never reused. The root follows
-    the engine-wide artifact convention (artifacts.artifact_root):
-    override the base with SPARK_GRAFT_ARTIFACT_DIR."""
+    (centroids, PQ codebooks) and — with ``want_codes`` — the PQ
+    encoding of the corpus: all three are pure functions of the corpus
+    bytes + pinned hyperparameters, so recomputing them per query run
+    is pure waste — the same amortization move as the signature store
+    and the persisted indexes, at JSON-file size (k x dim floats; the
+    codes are 4 small ints per corpus row). The probe/ADC/refine SEARCH
+    work still runs per query. Atomic tmp+rename write; stale
+    fingerprints are superseded, never reused. The root follows the
+    engine-wide artifact convention (artifacts.artifact_root): override
+    the base with SPARK_GRAFT_ARTIFACT_DIR.
+
+    Returns (centers, books, codes_df) when ``want_codes`` else
+    (centers, books)."""
     import json as _json
     import os as _os
 
     from ..artifacts import artifact_root
 
+    want_books = want_books or want_codes
     root = artifact_root("ivf_fit")
     _os.makedirs(root, exist_ok=True)
     fp = _source_fingerprint(_os.path.join(sf_dir, "embeddings.parquet"))
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     key = (f"{sf_name}-{fp}-{subset}-c{n_clusters}i3"
-           + ("-pq4x16i2" if want_books else ""))
+           + ("-pq4x16i2" if want_books else "")
+           + ("-codes" if want_codes else ""))
     path = _os.path.join(root, key + ".json")
+
+    def _codes_df(rows):
+        return spark.createDataFrame(
+            [(int(i), int(j), int(t), int(cl)) for i, j, t, cl in rows],
+            "neighbor_id long, _j int, _t int, _cl int",
+        )
+
     if _os.path.exists(path):
         with open(path) as f:
             state = _json.load(f)
@@ -723,24 +737,39 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
         books = (
             [(j, t, v) for j, t, v in state["books"]] if want_books else None
         )
+        if want_codes:
+            return centers, books, _codes_df(state["codes"])
         return centers, books
     from ..operators.ivf_exact import (
         _unit,
+        encode_codes_exact,
         fit_centroids_exact,
         fit_pq_codebooks_exact,
     )
 
     centers = fit_centroids_exact(corpus, n_clusters=n_clusters)
     books = None
+    codes_rows = None
     state = {"centers": centers}
     if want_books:
         cn = _unit(corpus, "vec_id", "embedding", "_id", materialize=True)
         books = fit_pq_codebooks_exact(cn, spark)
         state["books"] = [[j, t, v] for j, t, v in books]
+        if want_codes:
+            codes_rows = [
+                [r["neighbor_id"], r["_j"], r["_t"], r["_cl"]]
+                for r in encode_codes_exact(
+                    cn.withColumnRenamed("_id", "neighbor_id"),
+                    centers, books,
+                ).collect()
+            ]
+            state["codes"] = codes_rows
     tmp = f"{path}.tmp.{_os.getpid()}"
     with open(tmp, "w") as f:
         _json.dump(state, f)
     _os.replace(tmp, path)
+    if want_codes:
+        return centers, books, _codes_df(codes_rows)
     return centers, books
 
 
@@ -3905,9 +3934,11 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
-    centers, books = _ivf_fit_cached(spark, sf_dir, corpus, want_books=True)
+    centers, books, codes_df = _ivf_fit_cached(
+        spark, sf_dir, corpus, want_books=True, want_codes=True
+    )
     ann = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5,
-                               artifacts=(centers, books, None))
+                               artifacts=(centers, books, codes_df))
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)

@@ -37,10 +37,12 @@ def _corpus(spark, n, dim):
     )
 
 
-def test_hof_fold_bit_equals_unrolled(spark):
-    # the dim > DOT_UNROLL_MAX_DIM fallback returns the HOF fold; its
-    # values must be BIT-identical to the unrolled form — pinned at the
-    # widest dim the unrolled form still compiles
+def test_hof_fold_bit_equals_unrolled(spark, monkeypatch):
+    # the dim > DOT_UNROLL_MAX_DIM fallback (and the default
+    # unroll-off policy, r12) returns the HOF fold; its values must be
+    # BIT-identical to the unrolled form — pinned at the widest dim
+    # the unrolled form still compiles, with the opt-in env forced ON
+    # so the unrolled expression is genuinely built
     assert DOT_UNROLL_MAX_DIM >= 64
     df = (
         spark.createDataFrame(
@@ -53,11 +55,14 @@ def test_hof_fold_bit_equals_unrolled(spark):
         )
         .localCheckpoint(eager=True)
     )
+    monkeypatch.setenv("SPARK_GRAFT_DOT_UNROLL", "1")
+    unrolled = dot_cols(F.col("a"), F.col("b"), 64).alias("unrolled")
+    monkeypatch.delenv("SPARK_GRAFT_DOT_UNROLL")
+    default = dot_cols(F.col("a"), F.col("b"), 64).alias("default_fold")
     rows = df.select(
-        dot_cols(F.col("a"), F.col("b"), 64).alias("unrolled"),
-        dot(F.col("a"), F.col("b")).alias("hof"),
+        unrolled, default, dot(F.col("a"), F.col("b")).alias("hof"),
     ).collect()
-    assert all(r["unrolled"] == r["hof"] for r in rows)
+    assert all(r["unrolled"] == r["hof"] == r["default_fold"] for r in rows)
 
 
 def test_dim768_fit_produces_unit_centroids(spark):
