@@ -31,6 +31,120 @@ from pyspark.sql import functions as F
 
 M48 = float(1 << 48)  # hash space size for the 12-hex-digit hash
 
+# --- deterministic HyperLogLog (Flajolet et al. 2007) -------------------
+#
+# The classic HLL with every source of engine-dependence removed so a
+# DuckDB oracle replays the sketch AND the estimator bit-for-bit:
+#   - element hash: the 48-bit md5 prefix (kmv_hash) — no xxhash seed,
+#     no implementation-defined mixing;
+#   - register index = h % m, remaining window w = h // m (40 bits for
+#     p=8); rho = leading zeros in the window + 1 = 41 - bitlength(w),
+#     with bitlength via length(bin(w)) — an INTEGER, never a log2
+#     float (log2 of an exact power of two is one libm ulp away from
+#     flipping a floor);
+#   - the harmonic sum is kept in INTEGER form: sum over registers of
+#     2^(41 - M_j) as BIGINT (absent registers contribute 2^41), so
+#     the only float ops are one division, the alpha constant (a
+#     pre-multiplied literal, identical digits in both engines), and
+#     the small-range ln correction — each a single fixed-order
+#     expression, rounded to 4 dp.
+#
+# Scale: the register table is a map-side-combinable (group, idx)
+# max — the shuffle carries at most m rows per group no matter how
+# many billions of elements each group holds, which is the entire
+# point of HLL at 100 TB. Spark's own approx_count_distinct gives the
+# same asymptotics with a denser encoding but implementation-defined
+# values; this variant trades ~2x constant factor for replayability.
+
+HLL_P = 8  # 2^8 = 256 registers; relative error ~1.04/sqrt(256) = 6.5%
+HLL_M = 1 << HLL_P
+_HLL_WINDOW = 48 - HLL_P  # bits left after the register index
+_HLL_RHO_MAX = _HLL_WINDOW + 1
+# alpha_256 * m^2 * 2^(rho_max): ONE pre-multiplied double literal so
+# both engines divide the identical constant by the integer sum
+HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M * HLL_M) * float(
+    1 << _HLL_RHO_MAX
+)
+HLL_LINEAR_CUTOFF = 2.5 * HLL_M  # below this, linear counting is used
+
+
+def hll_estimate(
+    df: DataFrame, group_cols: list[str], elem_col: str
+) -> DataFrame:
+    """Per-group deterministic-HLL distinct estimate:
+    (group_cols..., n_users_hll). NULL elements are ignored (matching
+    COUNT(DISTINCT ...) semantics)."""
+    h = kmv_hash(F.col(elem_col))
+    hashed = df.filter(F.col(elem_col).isNotNull()).select(
+        *group_cols, h.alias("_h")
+    )
+    w = F.expr(f"_h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    regs = (
+        hashed.select(
+            *group_cols, (F.col("_h") % HLL_M).alias("_idx"), rho.alias("_rho")
+        )
+        .groupBy(*group_cols, "_idx")
+        .agg(F.max("_rho").alias("_m_j"))
+    )
+    grp = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - _m_j)")
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_regs"),
+    )
+    s_total = F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_regs")) * F.lit(
+        1 << _HLL_RHO_MAX
+    ).cast("long")
+    v = F.lit(HLL_M) - F.col("_n_regs")  # registers never touched
+    raw = F.lit(HLL_ALPHA_NUM) / s_total.cast("double")
+    est = F.when(
+        (raw <= F.lit(HLL_LINEAR_CUTOFF)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return grp.select(*group_cols, F.round(est, 4).alias("n_users_hll"))
+
+
+def hll_oracle_ctes(
+    group_sql: str, elem_sql: str, source: str = "events"
+) -> str:
+    """DuckDB CTE text replaying :func:`hll_estimate` digit-for-digit
+    over ``source`` — ends with a ``hll`` CTE of
+    (group_sql columns..., n_users_hll)."""
+    m, rmax = HLL_M, _HLL_RHO_MAX
+    return f"""
+hll_hashed AS (
+  SELECT {group_sql},
+         CAST('0x' || substr(md5(CAST({elem_sql} AS VARCHAR)), 1, 12)
+              AS BIGINT) AS h
+  FROM {source} WHERE {elem_sql} IS NOT NULL
+), hll_regs AS (
+  SELECT * EXCLUDE (h), h % {m} AS idx,
+         MAX(CASE WHEN h // {m} = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(h // {m})) END) AS m_j
+  FROM hll_hashed GROUP BY ALL
+), hll_grp AS (
+  SELECT * EXCLUDE (idx, m_j),
+         SUM(CAST(1 AS BIGINT) << ({rmax} - m_j)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM hll_regs GROUP BY ALL
+), hll AS (
+  SELECT * EXCLUDE (s_present, n_regs),
+         ROUND(CASE WHEN {HLL_ALPHA_NUM!r} / CAST(s_present
+                         + ({m} - n_regs) * CAST({1 << rmax} AS BIGINT)
+                         AS DOUBLE) <= {HLL_LINEAR_CUTOFF!r}
+                     AND {m} - n_regs > 0
+               THEN {float(m)!r} * ln({float(m)!r}
+                                      / CAST({m} - n_regs AS DOUBLE))
+               ELSE {HLL_ALPHA_NUM!r} / CAST(s_present
+                         + ({m} - n_regs) * CAST({1 << rmax} AS BIGINT)
+                         AS DOUBLE)
+               END, 4) AS n_users_hll
+  FROM hll_grp
+)"""
+
 
 def kmv_hash(col) -> F.Column:
     """48-bit md5-derived element hash, identical in any engine."""
