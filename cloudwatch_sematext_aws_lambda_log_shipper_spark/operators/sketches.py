@@ -31,6 +31,75 @@ from pyspark.sql import functions as F
 
 M48 = float(1 << 48)  # hash space size for the 12-hex-digit hash
 
+# --- deterministic Bloom filter (Bloom 1970) -----------------------------
+#
+# k md5-derived hash rows over an m-bucket space, materialized as the
+# SET of hit (row, bucket) pairs — at most k * |keys| skinny rows, so
+# the "bitmap" broadcasts like any small dim table and the membership
+# test is k chained BROADCAST LEFT SEMI joins on a computed bucket
+# column: narrow, shuffle-free, and digit-replayable in SQL (each
+# bucket is the 48-bit md5 of key || ';bf' || row, mod m). False
+# positives are possible by design (that is the trade); negatives
+# never are — the exact join after the pre-filter only shrinks.
+
+BLOOM_K = 4
+BLOOM_M = 65536
+
+
+def bloom_bucket(col: F.Column, row: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(";bf"),
+                               F.lit(str(row)))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_bits(keys: DataFrame, key_col: str) -> DataFrame:
+    """(i, b): the distinct hit buckets per hash row for the build-side
+    key set — the Bloom 'bitmap' as skinny rows (<= k * |keys|)."""
+    parts = [
+        keys.select(F.lit(i).alias("i"),
+                    bloom_bucket(F.col(key_col), i).alias("b"))
+        for i in range(BLOOM_K)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_prefilter(
+    fact: DataFrame, bits: DataFrame, key_col: str
+) -> DataFrame:
+    """Rows of ``fact`` whose key passes every hash row's membership
+    test: k chained broadcast left-semi joins — no shuffle of the fact
+    side, the 100 TB pre-filter shape (cuts the expensive downstream
+    join's input to true-matches + the false-positive sliver)."""
+    out = fact
+    for i in range(BLOOM_K):
+        probe = f"_bf{i}"
+        out = (
+            out.withColumn(probe, bloom_bucket(F.col(key_col), i))
+            .join(
+                F.broadcast(
+                    bits.filter(F.col("i") == i).select(
+                        F.col("b").alias(probe)
+                    )
+                ),
+                probe,
+                "left_semi",
+            )
+            .drop(probe)
+        )
+    return out
+
+
 # --- deterministic HyperLogLog (Flajolet et al. 2007) -------------------
 #
 # The classic HLL with every source of engine-dependence removed so a
@@ -66,6 +135,66 @@ HLL_ALPHA_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * float(HLL_M * HLL_M) * float(
     1 << _HLL_RHO_MAX
 )
 HLL_LINEAR_CUTOFF = 2.5 * HLL_M  # below this, linear counting is used
+
+
+# --- deterministic Count-Min sketch (Cormode & Muthukrishnan 2005) ------
+#
+# d hash rows x w counters; every counter is an exact integer count of
+# the items hashing into it, so the sketch AND the point estimates
+# (min over rows) replay in any engine given the same hash family —
+# here the 48-bit md5 of (item || ';cms' || row). The one-sided error
+# guarantee (estimate >= true count, overcount <= eps*N w.h.p.) is a
+# pure integer statement, checked in-band by the queries.
+#
+# Scale: the sketch aggregate is map-side combinable down to d*w rows
+# per partition regardless of corpus size — the mergeable-summary
+# shape; point lookups touch d rows of a d*w-row broadcast table.
+
+CMS_D = 4
+CMS_W = 512
+
+
+def cms_bucket(col: F.Column, row: F.Column | int) -> F.Column:
+    """Row-``row`` counter index for an item: 48-bit md5 of the
+    salted item string, mod CMS_W — digit-replayable in SQL."""
+    r = F.lit(row) if isinstance(row, int) else row
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(";cms"),
+                               r.cast("string"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def cms_sketch(df: DataFrame, item_col: str) -> DataFrame:
+    """(i, b, c): the d x w counter table over ``df[item_col]``."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    hashed = df.select(F.col(item_col).alias("_it")).select(
+        "_it", rows
+    ).select("i", cms_bucket(F.col("_it"), F.col("i")).alias("b"))
+    return hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame, candidates: DataFrame, item_col: str
+) -> DataFrame:
+    """min-over-rows point estimate for each candidate item:
+    (item_col..., n_cms). ``candidates`` keeps its other columns."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    probes = candidates.select(item_col, rows).select(
+        item_col, "i", cms_bucket(F.col(item_col), F.col("i")).alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy(item_col)
+        .agg(F.min("c").alias("n_cms"))
+    )
+    return candidates.join(est, item_col)
 
 
 def hll_estimate(

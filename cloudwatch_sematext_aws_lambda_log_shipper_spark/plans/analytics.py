@@ -225,6 +225,99 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLED_QUANTILE_S = 400
+
+_SAMPLED_QUANTILE_ORACLE = f"""
+WITH pri AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR) || 'qsamp'), event_id)
+           AS rk
+  FROM events
+), samp AS (
+  SELECT event_type, value FROM pri WHERE rk <= {_SAMPLED_QUANTILE_S}
+), sq AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS p25_sampled,
+         quantile_cont(value, 0.50) AS p50_sampled,
+         quantile_cont(value, 0.75) AS p75_sampled
+  FROM samp GROUP BY event_type
+), audit AS (
+  SELECT e.event_type, count(*) AS n,
+         SUM(CASE WHEN e.value <= s.p25_sampled THEN 1 ELSE 0 END) AS le25,
+         SUM(CASE WHEN e.value <= s.p50_sampled THEN 1 ELSE 0 END) AS le50,
+         SUM(CASE WHEN e.value <= s.p75_sampled THEN 1 ELSE 0 END) AS le75
+  FROM events e JOIN sq s USING (event_type) GROUP BY e.event_type
+)
+SELECT s.event_type, a.n, s.p25_sampled, s.p50_sampled, s.p75_sampled,
+       abs(CAST(a.le25 AS DOUBLE) / a.n - 0.25) <= 0.12
+       AND abs(CAST(a.le50 AS DOUBLE) / a.n - 0.50) <= 0.12
+       AND abs(CAST(a.le75 AS DOUBLE) / a.n - 0.75) <= 0.12 AS within_bound
+FROM sq s JOIN audit a USING (event_type)
+"""
+
+
+@query("events_value_quantiles_sampled", _SAMPLED_QUANTILE_ORACLE)
+def events_value_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles by DETERMINISTIC uniform sampling, under
+    the STRICT hash gate: each group keeps its s=400 rows of smallest
+    md5(event_id || salt) priority — bottom-k by a uniform hash IS a
+    mergeable uniform sample (the KMV argument: per-partition partial
+    bottom-k merge into the global bottom-k, so at 100 TB each group
+    ships s rows, never its full value set) — and the interpolated
+    sample quantiles estimate the population's. Spark `percentile` ==
+    DuckDB `quantile_cont` on the identical sampled multiset, so every
+    emitted double hash-matches. The in-band audit puts the estimate
+    back through the EXACT CDF (integer counts): ``within_bound``
+    gates |F(est) - q| <= 0.12 (rank error ~ sqrt(q(1-q)/s) = 0.025
+    at the median; the bound is ~4.8 sigma). Groups smaller than s
+    degenerate to the exact quantiles by construction.
+
+    This is the hash-gated twin of events_value_quantiles_approx (GK
+    sketch, the one remaining rows-only waiver — GK is genuinely
+    order-dependent and no SQL replay exists); same problem, same
+    error regime, replayable arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    pri = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("qsamp")))
+    w = Window.partitionBy("event_type").orderBy(pri, "event_id")
+    samp = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _SAMPLED_QUANTILE_S)
+    )
+    sq = samp.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25_sampled"),
+        F.percentile("value", 0.50).alias("p50_sampled"),
+        F.percentile("value", 0.75).alias("p75_sampled"),
+    )
+    audit = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(sq), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p25_sampled"), 1).otherwise(0)
+            ).alias("_le25"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p50_sampled"), 1).otherwise(0)
+            ).alias("_le50"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p75_sampled"), 1).otherwise(0)
+            ).alias("_le75"),
+        )
+    )
+    ok = (
+        (F.abs(F.col("_le25").cast("double") / F.col("n") - 0.25) <= 0.12)
+        & (F.abs(F.col("_le50").cast("double") / F.col("n") - 0.50) <= 0.12)
+        & (F.abs(F.col("_le75").cast("double") / F.col("n") - 0.75) <= 0.12)
+    )
+    return sq.join(audit, "event_type").select(
+        "event_type", "n", "p25_sampled", "p50_sampled", "p75_sampled",
+        ok.alias("within_bound"),
+    )
+
+
 _ASOF_ORACLE = """
 SELECT e.event_id, e.user_id, e.ts,
        o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate

@@ -997,6 +997,87 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), tot AS (
+  SELECT count(*) AS n_total FROM toks
+), rows_i AS (
+  SELECT unnest([0, 1, 2, 3]) AS i
+), sketch AS (
+  SELECT i,
+         CAST('0x' || substr(md5(token || ';cms' || CAST(i AS VARCHAR)),
+                             1, 12) AS BIGINT) % 512 AS b,
+         count(*) AS c
+  FROM toks, rows_i GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS n_exact
+  FROM toks GROUP BY token ORDER BY n_exact DESC, token LIMIT 20
+), probes AS (
+  SELECT e.token, e.n_exact, r.i,
+         CAST('0x' || substr(md5(e.token || ';cms' || CAST(r.i AS VARCHAR)),
+                             1, 12) AS BIGINT) % 512 AS b
+  FROM exact e, rows_i r
+), est AS (
+  SELECT p.token, min(p.n_exact) AS n_exact, min(s.c) AS n_cms
+  FROM probes p JOIN sketch s USING (i, b) GROUP BY p.token
+)
+SELECT e.token, e.n_exact, e.n_cms, e.n_cms - e.n_exact AS overcount,
+       e.n_cms >= e.n_exact
+       AND (e.n_cms - e.n_exact) * 512 <= 3 * t.n_total AS within_bound
+FROM est e, tot t
+"""
+
+
+@query("token_cms_freq", _CMS_ORACLE)
+def token_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates under the STRICT
+    hash gate (operators/sketches.py cms_sketch): the 4x512 counter
+    table is exact integer counts under the md5 hash family, so DuckDB
+    replays the sketch, the min-over-rows estimates, and the in-band
+    guarantee check digit-for-digit. Candidates here are the exact
+    top-20 tokens (the audit you'd drop at scale — in production the
+    candidate set comes from the heavy_hitters MG operator and the
+    sketch answers point queries the MG summary can't).
+
+    Scale: the sketch aggregate map-side-combines to <= d*w = 2048
+    rows per partition no matter the corpus size; estimates join
+    candidates against the broadcast 2048-row table. ``within_bound``
+    is the CMS one-sided guarantee as pure integers: estimate never
+    undercounts, and the overcount stays <= 3N/w (cross-multiplied —
+    no float division)."""
+    from ..operators.sketches import CMS_W, cms_point_estimates, cms_sketch
+    from ..operators.text import words
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(words(F.col("text"))).alias("token"))
+    toks = toks.localCheckpoint(eager=True)  # three consumers below
+    sketch = cms_sketch(toks, "token")
+    n_total = toks.count()
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("token"))
+        .limit(20)
+    )
+    est = cms_point_estimates(sketch, exact, "token")
+    return est.select(
+        "token",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+        (
+            (F.col("n_cms") >= F.col("n_exact"))
+            & (
+                (F.col("n_cms") - F.col("n_exact")) * F.lit(CMS_W)
+                <= F.lit(3) * F.lit(n_total)
+            )
+        ).alias("within_bound"),
+    )
+
+
+
 # --- multimodal ---------------------------------------------------------
 
 

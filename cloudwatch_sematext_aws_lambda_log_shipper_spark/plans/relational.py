@@ -424,6 +424,87 @@ def events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), rows_i AS (
+  SELECT unnest([0, 1, 2, 3]) AS i
+), bits AS (
+  SELECT i, CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                    || ';bf' || CAST(i AS VARCHAR)),
+                                1, 12) AS BIGINT) % 65536 AS b
+  FROM dim, rows_i GROUP BY 1, 2
+), pass AS (
+  SELECT o_custkey, o_totalprice FROM orders
+  WHERE (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ';bf' || '0'),
+                             1, 12) AS BIGINT) % 65536)
+          IN (SELECT b FROM bits WHERE i = 0)
+    AND (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ';bf' || '1'),
+                             1, 12) AS BIGINT) % 65536)
+          IN (SELECT b FROM bits WHERE i = 1)
+    AND (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ';bf' || '2'),
+                             1, 12) AS BIGINT) % 65536)
+          IN (SELECT b FROM bits WHERE i = 2)
+    AND (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ';bf' || '3'),
+                             1, 12) AS BIGINT) % 65536)
+          IN (SELECT b FROM bits WHERE i = 3)
+), matched AS (
+  SELECT p.* FROM pass p WHERE o_custkey IN (SELECT c_custkey FROM dim)
+)
+SELECT (SELECT count(*) FROM orders) AS n_orders,
+       (SELECT count(*) FROM pass) AS n_pass_bloom,
+       count(*) AS n_match,
+       (SELECT count(*) FROM pass) - count(*) AS n_false_positive,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         AS match_revenue
+FROM matched
+"""
+
+
+@query("orders_bloom_prefilter_join", _BLOOM_ORACLE)
+def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pushdown under the STRICT hash gate
+    (operators/sketches.py bloom_bits/bloom_prefilter): the build side
+    (BUILDING-segment customers) becomes k=4 md5 hash rows over a
+    65536-bucket space — at most k*|keys| skinny broadcast rows — and
+    the fact side passes through k chained broadcast LEFT SEMI joins
+    with NO shuffle before the exact join. This is the 100 TB shape
+    Spark's own runtime row-group filters approximate, with every
+    bucket value replayable in SQL. The one row out carries the
+    in-band efficacy audit: pass count vs true-match count and the
+    false-positive sliver (negatives are impossible by construction —
+    the exact semi join after the pre-filter proves it: n_match is
+    computed FROM the pre-filtered rows and equals the plain semi
+    join's count, which the oracle checks by replaying both)."""
+    from ..operators.sketches import bloom_bits, bloom_prefilter
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = bloom_bits(dim, "c_custkey").localCheckpoint(eager=True)
+    passed = bloom_prefilter(
+        orders.select("o_custkey", "o_totalprice"), bits, "o_custkey"
+    ).localCheckpoint(eager=True)
+    matched = passed.join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    n_orders = orders.count()
+    n_pass = passed.count()
+    return matched.agg(
+        F.lit(n_orders).cast("long").alias("n_orders"),
+        F.lit(n_pass).cast("long").alias("n_pass_bloom"),
+        F.count(F.lit(1)).alias("n_match"),
+        (F.lit(n_pass) - F.count(F.lit(1))).cast("long").alias(
+            "n_false_positive"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("match_revenue"),
+    )
+
+
 def _hll_daily_oracle() -> str:
     from ..operators.sketches import hll_oracle_ctes
 
