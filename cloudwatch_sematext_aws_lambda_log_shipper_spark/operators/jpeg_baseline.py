@@ -267,7 +267,9 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int] | None:
             continue
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                 0xCD, 0xCE, 0xCF):
+                 0xCD, 0xCE, 0xCF, 0xDE):
+            # 0xDE (DHP) leads every hierarchical stream and carries
+            # the FINAL image dims — frames after it are pyramid levels
             h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
             return w, h, data[pos + 7]
         if m == 0xDA:
@@ -368,12 +370,21 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq}
                 )
-        elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m == 0xDE:  # DHP: hierarchical stream (T.81 Annex J)
+            from .jpeg_hierarchical import decode_hierarchical_jpeg
+
+            return decode_hierarchical_jpeg(data)
+        elif m in (0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                f"differential frame 0xFF{m:02X} outside a hierarchical"
+                " stream (no preceding DHP marker)"
+            )
+        elif m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"unsupported JPEG (SOF marker 0xFF{m:02X}): arithmetic-"
-                "coded / hierarchical / differential streams are out of"
-                " scope (baseline, progressive SOF2 and lossless SOF3"
-                " all decode)"
+                f"unsupported JPEG (SOF marker 0xFF{m:02X}):"
+                " arithmetic-coded streams are out of scope (baseline,"
+                " progressive SOF2, lossless SOF3 and hierarchical"
+                " DHP/SOF5/SOF7 all decode)"
             )
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]

@@ -1299,6 +1299,89 @@ def multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_HIERARCHICAL_ORACLE = """
+WITH sel AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 61 = 0
+)
+SELECT count(*) AS n,
+       CAST(SUM(9 + doc_id % 22) AS BIGINT) AS total_width,
+       CAST(SUM(9 + n_chars % 14) AS BIGINT) AS total_height,
+       count(*) AS n_exact_match
+FROM sel
+"""
+
+
+@query("multimodal_jpeg_hierarchical", _JPEG_HIERARCHICAL_ORACLE)
+def multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical JPEG (DHP + SOF5/SOF7, T.81 Annex J) under the
+    hash gate: a deterministic md5-stream grayscale image per selected
+    doc encodes as a 2-level pyramid (SOF0 base at half resolution,
+    EXP 2x expansion, SOF7 differential-lossless correction), decodes
+    through the vendored codec, and the aggregate pins DHP-header dims
+    (the oracle recomputes them from the doc formulas — hierarchical
+    files report FINAL dims from DHP, not the base frame's) and
+    n_exact_match at count(*): the lossless-final pyramid must
+    reproduce the source bit-for-bit, so one divergent pixel anywhere
+    fails the gate. Closes the r11 "What's missing" #3 hierarchical
+    slice (arithmetic remains the loud error).
+
+    Scale: Arrow-batched mapInPandas codec work over a deterministic
+    corpus sample, same shape as the progressive/lossless queries."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 61 == 0)
+        .select("doc_id", "n_chars")
+    )
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg_baseline import (
+            decode_baseline_jpeg,
+            jpeg_dims,
+        )
+        from ..operators.jpeg_hierarchical import encode_hierarchical_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 9 + int(doc_id) % 22
+                h = 9 + int(n_chars) % 14
+                need = w * h
+                buf = bytearray()
+                i = 0
+                while len(buf) < need:
+                    buf += hashlib.md5(f"H{doc_id}:{i}".encode()).digest()
+                    i += 1
+                img = np.frombuffer(bytes(buf[:need]), dtype=np.uint8).reshape(
+                    h, w
+                )
+                jh = encode_hierarchical_jpeg(
+                    img, levels=2, quant=8, final_lossless=True
+                )
+                same = bool((decode_baseline_jpeg(jh)[:, :, 0] == img).all())
+                pw, ph, _nc = jpeg_dims(jh)
+                rows.append((int(doc_id), pw, ph, same))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "same"]
+            )
+
+    feats = docs.mapInPandas(
+        gen, "media_id long, width int, height int, same boolean"
+    )
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("width").cast("long")).alias("total_width"),
+        F.sum(F.col("height").cast("long")).alias("total_height"),
+        F.sum(F.when(F.col("same"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_match"),
+    )
+
+
 _CORPUS_PREP_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, source, text,

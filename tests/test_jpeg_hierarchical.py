@@ -1,0 +1,106 @@
+"""Hierarchical JPEG (operators/jpeg_hierarchical.py — T.81 Annex J:
+DHP, EXP expansion, SOF5 differential DCT, SOF7 differential
+lossless). The lossless-final pyramid must round-trip bit-exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_baseline import (
+    decode_baseline_jpeg,
+    jpeg_dims,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.jpeg_hierarchical import (
+    _expand_axis,
+    decode_hierarchical_jpeg,
+    encode_hierarchical_jpeg,
+)
+
+
+def _img(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(16, 16), (17, 23), (8, 8), (9, 13), (24, 24, 3), (21, 13, 3)],
+)
+def test_lossless_final_roundtrip_bit_exact(shape):
+    img = _img(shape, seed=sum(shape))
+    enc = encode_hierarchical_jpeg(img, levels=2, quant=8,
+                                   final_lossless=True)
+    dec = decode_baseline_jpeg(enc)  # dispatches on DHP
+    want = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
+    assert np.array_equal(dec, want)
+
+
+def test_three_level_pyramid_lossless(spark_unused=None):
+    img = _img((33, 41), seed=3)
+    enc = encode_hierarchical_jpeg(img, levels=3, quant=4,
+                                   final_lossless=True)
+    dec = decode_hierarchical_jpeg(enc)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_lossy_final_stage_bounded_error():
+    # smooth gradient: a differential DCT correction at quant=2 should
+    # land within a few counts of the source
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((y * 3 + x * 5) % 256).astype(np.uint8)
+    enc = encode_hierarchical_jpeg(img, levels=2, quant=2,
+                                   final_lossless=False)
+    dec = decode_hierarchical_jpeg(enc)
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+    assert err <= 8
+
+
+def test_dims_come_from_dhp_not_base_frame():
+    img = _img((30, 44), seed=9)
+    enc = encode_hierarchical_jpeg(img, levels=2)
+    w, h, nc = jpeg_dims(enc)
+    assert (w, h, nc) == (44, 30, 1)  # final dims, not the 22x15 base
+
+
+def test_expand_axis_matches_spec_interpolation():
+    # J.1.1.2: even outputs copy, odd outputs (Ra + Rb + 1) >> 1
+    p = np.array([[10, 20, 31]], dtype=np.int64)
+    out = _expand_axis(p, 1, 6)
+    assert out.tolist() == [[10, 15, 20, 26, 31, 31]]
+    # odd target length drops the trailing replicated sample
+    assert _expand_axis(p, 1, 5).tolist() == [[10, 15, 20, 26, 31]]
+
+
+def test_rgb_streams_carry_adobe_transform_flag():
+    img = _img((12, 12, 3), seed=4)
+    enc = encode_hierarchical_jpeg(img, levels=2)
+    assert b"Adobe" in enc  # transform=0: components stored as RGB
+    dec = decode_hierarchical_jpeg(enc)
+    assert np.array_equal(dec, img)
+
+
+def test_differential_frame_outside_hierarchy_is_loud():
+    img = _img((16, 16), seed=5)
+    enc = encode_hierarchical_jpeg(img, levels=2)
+    # orphan the differential frame: SOI followed directly by SOF7
+    i = enc.find(b"\xff\xc7")
+    assert i > 0
+    with pytest.raises(ValueError, match="outside a hierarchical"):
+        decode_baseline_jpeg(b"\xff\xd8" + enc[i:])
+    # without DHP, a baseline decoder stops after the BASE frame: it
+    # returns the half-resolution pyramid level, never the final image
+    stripped = bytearray(enc)
+    j = stripped.find(b"\xff\xde")
+    seglen = int.from_bytes(stripped[j + 2 : j + 4], "big")
+    del stripped[j : j + 2 + seglen]
+    base = decode_baseline_jpeg(bytes(stripped))
+    assert base.shape[:2] == (8, 8)
+
+
+def test_single_level_is_plain_frame_inside_hierarchy():
+    img = _img((16, 16), seed=6)
+    enc = encode_hierarchical_jpeg(img, levels=1, quant=1)
+    dec = decode_hierarchical_jpeg(enc)
+    # quant=1 DCT at level 1: near-exact (IDCT rounding only)
+    err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+    assert err <= 1

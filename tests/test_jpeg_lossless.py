@@ -73,9 +73,16 @@ def test_worstcase_extremes_roundtrip():
 
 
 def test_differential_sofs_still_error_loudly():
+    # r12: SOF7 decodes INSIDE a hierarchical stream (see
+    # test_jpeg_hierarchical.py); orphaned outside one it is a
+    # malformed-stream ValueError, and arithmetic SOFs remain the
+    # NotImplementedError
     img = _noise((8, 8))
     data = bytearray(encode_lossless_jpeg(img))
     i = bytes(data).find(b"\xff\xc3")
     data[i + 1] = 0xC7  # rewrite SOF3 -> SOF7 (differential lossless)
+    with pytest.raises(ValueError, match="outside a hierarchical"):
+        decode_baseline_jpeg(bytes(data))
+    data[i + 1] = 0xCB  # SOF11: lossless ARITHMETIC
     with pytest.raises(NotImplementedError):
         decode_baseline_jpeg(bytes(data))

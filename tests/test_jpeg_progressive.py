@@ -104,16 +104,21 @@ def test_progressive_random_images_property():
 
 
 def test_arithmetic_and_differential_still_rejected():
-    # r12: SOF3 lossless now DECODES (test_jpeg_lossless.py); only the
-    # arithmetic-coded / hierarchical / differential families remain
-    # loud errors
+    # r12: SOF3 lossless AND hierarchical DHP/SOF5/SOF7 now DECODE
+    # (test_jpeg_lossless.py / test_jpeg_hierarchical.py); arithmetic
+    # frames remain loud NotImplementedErrors, and an orphaned
+    # differential frame outside a hierarchical stream is a malformed-
+    # stream ValueError
     img = _img(16, 16)
     data = bytearray(encode_baseline_jpeg(img, quant=2))
     i = bytes(data).index(b"\xff\xc0")
-    for sof in (0xC5, 0xC9, 0xCB):  # diff sequential / arith seq / arith lossless
+    for sof in (0xC9, 0xCB):  # arith sequential / arith lossless
         data[i + 1] = sof
         with pytest.raises(NotImplementedError):
             decode_baseline_jpeg(bytes(data))
+    data[i + 1] = 0xC5  # differential sequential, no DHP
+    with pytest.raises(ValueError, match="outside a hierarchical"):
+        decode_baseline_jpeg(bytes(data))
 
 
 def test_progressive_through_multimodal_path(spark):
