@@ -3562,6 +3562,61 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=5)
 
 
+_MUTUAL_KNN_ORACLE = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM c a JOIN c b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS r
+  FROM pairs
+), knn AS (
+  SELECT vec_id, neighbor_id, cos FROM ranked WHERE r <= 5
+)
+SELECT a.vec_id, a.neighbor_id, ROUND(a.cos, 6) AS cosine
+FROM knn a JOIN knn b
+  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+WHERE a.vec_id < a.neighbor_id
+"""
+
+
+@query("embedding_mutual_knn", _MUTUAL_KNN_ORACLE)
+def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal (mutual) k-NN pairs: (a, b) kept only when each is in
+    the other's exact top-5 — the standard symmetric-neighborhood
+    filter for curation-grade similarity graphs (one-directional hubs
+    drop out; what survives is genuinely mutual affinity). Composition:
+    the exact k-NN graph self-joined on the reversed edge, one pair row
+    per unordered pair (vec_id < neighbor_id). Cosines stay
+    bit-comparable (the knn_graph rescore contract), so the brute-force
+    DuckDB replay hash-matches.
+
+    Scale: the self-join runs over two top-k frames (N*k rows each),
+    shuffling on vector id — tiny next to the graph build itself, which
+    is the shared knn_graph kernel (blocked GEMM candidates + fold
+    rescore, never all-pairs materialized)."""
+    from ..operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    g = knn_graph(emb, k=5).localCheckpoint(eager=True)  # two consumers
+    fwd = g.select("vec_id", "neighbor_id", "cosine")
+    rev = g.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("vec_id"),
+    )
+    return (
+        fwd.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
 # --- BPE tokenizer training ---------------------------------------------
 
 

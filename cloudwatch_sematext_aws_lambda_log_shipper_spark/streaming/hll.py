@@ -1,0 +1,124 @@
+"""Streaming deterministic HyperLogLog: per-key register state.
+
+The batch operator (operators/sketches.py hll_estimate) is a grouped
+aggregation; the streaming twin holds each key's m=256 registers as
+query state and folds every micro-batch's elements in with the SAME
+md5-derived (index, rho) rule — register max is the canonical
+mergeable-summary fold, so the streaming estimate after batch N equals
+the batch operator run over batches 1..N exactly (pinned in
+tests/test_streaming_hll.py). Output (update mode) after each
+micro-batch: the key's current distinct estimate, rounded like the
+batch estimator.
+
+State per key: 256 small ints (bounded regardless of stream length or
+element cardinality — the entire point of HLL in a stream). The
+shuffle keys on the group column; checkpointed with the query,
+restart-safe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketches import (
+    HLL_ALPHA_NUM,
+    HLL_LINEAR_CUTOFF,
+    HLL_M,
+    _HLL_RHO_MAX,
+)
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_distinct_hll", T.DoubleType()),
+    ]
+)
+
+_HLL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("regs", T.ArrayType(T.IntegerType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _idx_rho(element: str) -> tuple[int, int]:
+    """The batch operator's (register index, rho) rule, digit-for-digit:
+    48-bit md5 prefix, idx = h % m, rho = rho_max - bitlength(h // m)
+    (rho_max when the window is zero)."""
+    h = int(hashlib.md5(element.encode("utf-8")).hexdigest()[:12], 16)
+    w = h // HLL_M
+    rho = _HLL_RHO_MAX if w == 0 else _HLL_RHO_MAX - w.bit_length()
+    return h % HLL_M, rho
+
+
+def hll_estimate_from_registers(regs: list[int]) -> float:
+    """The batch estimator over a register array: BIGINT harmonic sum
+    (absent registers contribute 2^rho_max), one division, the
+    linear-counting ln correction, rounded to 4 dp — the identical
+    arithmetic as operators/sketches.hll_estimate."""
+    s = sum(1 << (_HLL_RHO_MAX - m) for m in regs if m > 0)
+    n_regs = sum(1 for m in regs if m > 0)
+    s += (HLL_M - n_regs) << _HLL_RHO_MAX
+    v = HLL_M - n_regs
+    raw = HLL_ALPHA_NUM / float(s)
+    if raw <= HLL_LINEAR_CUTOFF and v > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / float(v))
+    else:
+        est = raw
+    return round(est, 4)
+
+
+def _hll_fold(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        regs, n_seen = state.get
+        regs = list(regs)
+    else:
+        regs, n_seen = [0] * HLL_M, 0
+    for pdf in pdfs:
+        vals = pdf["element"].dropna()
+        n_seen += len(vals)
+        for el in vals:
+            idx, rho = _idx_rho(str(el))
+            if rho > regs[idx]:
+                regs[idx] = rho
+    state.update((regs, n_seen))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_seen": [n_seen],
+            "n_distinct_hll": [hll_estimate_from_registers(regs)],
+        }
+    )
+
+
+def streaming_hll_distinct(
+    elements: DataFrame, key_col: str = "key", elem_col: str = "element"
+) -> DataFrame:
+    """Per-key running distinct estimate, updated every micro-batch.
+    The estimate after any prefix of the stream equals the batch
+    hll_estimate over that prefix (register max is order-insensitive
+    and duplicate-insensitive by construction)."""
+    keyed = elements.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(elem_col).cast("string").alias("element"),
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        _hll_fold,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=_HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
