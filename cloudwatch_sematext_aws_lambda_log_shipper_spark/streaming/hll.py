@@ -76,7 +76,10 @@ def hll_estimate_from_registers(regs: list[int]) -> float:
         est = float(HLL_M) * math.log(float(HLL_M) / float(v))
     else:
         est = raw
-    return round(est, 4)
+    # HALF-UP to 4 dp like Spark's F.round / DuckDB's ROUND — Python's
+    # built-in round() is half-EVEN and would diverge on exact .00005
+    # boundaries (estimates are always positive here)
+    return math.floor(est * 10000.0 + 0.5) / 10000.0
 
 
 def _hll_fold(
