@@ -114,6 +114,94 @@ def _merge_pass(symtab: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+# Scale factor for the WordPiece likelihood score's exact integer
+# quotient: floor(pair_count * 10^18 / (left_count * right_count)).
+# Both engines floor-divide identically (Spark `div` on DECIMAL(38,0)
+# products == DuckDB `//` on HUGEINT), so the argmax is
+# hash-replayable; two true ratios only collide after agreeing to 18
+# digits, where the (left, right) lexicographic tie-break is applied
+# identically anyway.
+_WP_SCALE = 10**18
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    word_filter=None,
+    min_pair_count: int = 2,
+    checkpoint_dir: str | None = None,
+):
+    """WordPiece-style tokenizer training (Schuster & Nakajima 2012;
+    the BERT tokenizer's criterion): like BPE but each step merges the
+    pair maximizing count(pair) / (count(left) * count(right)) — the
+    likelihood gain of the merge under a unigram LM — instead of the
+    raw pair count. Unigram counts come from the CURRENT segmentation,
+    so the loop is inherently sequential (a merge changes every score
+    globally — BPE's greedy-batching soundness argument does not
+    transfer).
+
+    Returns (merges, symtab): merges = [(step, left, right, merged,
+    pair_count, score_q)] with score_q the exact integer quotient
+    above; symtab = the final (word, count, syms) table.
+
+    Distribution shape per step: the BPE pair-count aggregate plus one
+    symbol-unigram aggregate (both map-side combined, |vocab|-bounded),
+    a broadcast join of pair rows against the two unigram counts, a
+    TakeOrdered(1) argmax, and the shared Arrow merge pass."""
+    wf = word_freq_table(docs, text_col, word_filter)
+    symtab = cut_lineage(_initial_symbols(wf), checkpoint_dir)
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = _pair_counts(symtab).filter(
+            F.col("pair_count") >= min_pair_count
+        )
+        uni = (
+            symtab.select("count", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("count").alias("uc"))
+        )
+        lc = uni.select(
+            F.col("sym").alias("left"), F.col("uc").alias("_lc")
+        )
+        rc = uni.select(
+            F.col("sym").alias("right"), F.col("uc").alias("_rc")
+        )
+        scored = (
+            pairs.join(lc, "left")
+            .join(rc, "right")
+            .selectExpr(
+                "left",
+                "right",
+                "pair_count",
+                f"(CAST(pair_count AS DECIMAL(20,0))"
+                f" * CAST({_WP_SCALE} AS DECIMAL(19,0)))"
+                f" div (CAST(_lc AS DECIMAL(20,0))"
+                f" * CAST(_rc AS DECIMAL(20,0))) AS score_q",
+            )
+        )
+        top = scored.orderBy(
+            F.col("score_q").desc(), F.col("left"), F.col("right")
+        ).take(1)
+        if not top:
+            break
+        t = top[0]
+        merges.append(
+            (
+                step,
+                t["left"],
+                t["right"],
+                t["left"] + t["right"],
+                int(t["pair_count"]),
+                int(t["score_q"]),
+            )
+        )
+        symtab = cut_lineage(
+            _merge_pass(symtab, t["left"], t["right"]), checkpoint_dir
+        )
+    return merges, symtab
+
+
 # Delimiter for the JVM string representation of a symbol sequence:
 # [a, b] <-> ";a;;b;". Sound only while no symbol contains it — merged
 # symbols are concatenations of their parts, so delimiter-freedom is

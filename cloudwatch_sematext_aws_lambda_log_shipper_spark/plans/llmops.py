@@ -3715,6 +3715,87 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wordpiece_step_ctes(n_merges: int) -> str:
+    """The BPE chained-CTE replay with the WordPiece argmax: each step
+    additionally aggregates symbol unigram counts from the CURRENT
+    segmentation and ranks pairs by the exact integer quotient
+    floor(c * 10^18 / (uc_left * uc_right)) — HUGEINT `//` here,
+    DECIMAL `div` in the engine, identical floors (operators/bpe.py
+    _WP_SCALE)."""
+    steps = []
+    for k in range(1, n_merges + 1):
+        p = f"wsyms{k - 1}"
+        steps.append(f"""wp{k} AS MATERIALIZED (
+  SELECT l, r, SUM(cnt) AS c FROM (
+    SELECT cnt, syms[i] AS l, syms[i + 1] AS r
+    FROM (SELECT cnt, string_split(trim(s, ';'), ';;') AS syms,
+                 unnest(generate_series(1, len(string_split(trim(s, ';'), ';;')) - 1)) AS i
+          FROM {p})
+  ) GROUP BY l, r HAVING SUM(cnt) >= 2
+), wu{k} AS MATERIALIZED (
+  SELECT sym, SUM(cnt) AS uc FROM (
+    SELECT cnt, unnest(string_split(trim(s, ';'), ';;')) AS sym FROM {p}
+  ) GROUP BY sym
+), wm{k} AS MATERIALIZED (
+  SELECT l, r, c,
+         (CAST(c AS HUGEINT) * 1000000000000000000)
+           // (CAST(ul.uc AS HUGEINT) * ur.uc) AS sq
+  FROM wp{k} JOIN wu{k} ul ON l = ul.sym JOIN wu{k} ur ON r = ur.sym
+  ORDER BY sq DESC, l, r LIMIT 1
+), wsyms{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, ';' || m.l || ';;' || m.r || ';',
+                    ';' || m.l || m.r || ';') AS s
+  FROM {p} CROSS JOIN wm{k} m
+)""")
+    return ",\n".join(steps)
+
+
+def _wordpiece_oracle(n_merges: int = 8) -> str:
+    rows = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS INT) AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count, "
+        f"CAST(sq AS BIGINT) AS score_q FROM wm{k}"
+        for k in range(1, n_merges + 1)
+    )
+    base = _bpe_word_cte().strip()
+    # the shared word CTE names its symbol table syms0; alias it
+    return f"""
+WITH {base},
+wsyms0 AS (SELECT * FROM syms0),
+{_wordpiece_step_ctes(n_merges)}
+SELECT * FROM (
+{rows}
+)
+"""
+
+
+@query("wordpiece_merge_table", _wordpiece_oracle())
+def wordpiece_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer training under the STRICT hash gate
+    (operators/bpe.py train_wordpiece): 8 merges chosen by the BERT
+    criterion — maximize count(pair) / (count(left) * count(right))
+    over the current segmentation — with the score compared as an
+    EXACT integer quotient (floor(c * 10^18 / (lc * rc)); Spark
+    DECIMAL `div` == DuckDB HUGEINT `//`), so the oracle replays all
+    eight argmax+rewrite iterations digit-for-digit, unigram
+    aggregates included. The second tokenizer-training algorithm in
+    the engine; same distribution shape as BPE (vocab-bounded
+    map-side-combined aggregates + TakeOrdered(1) + the Arrow merge
+    pass) with one extra unigram aggregate per step."""
+    from ..operators.bpe import train_wordpiece
+
+    docs = _docs(spark, sf_dir)
+    merges, _symtab = train_wordpiece(
+        docs, n_merges=8, word_filter=~F.col("word").contains(";")
+    )
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string,"
+        " pair_count long, score_q long",
+    )
+
+
 def _tokenize_pack_oracle(n_merges: int = 12, budget: int = 128) -> str:
     """documents -> BPE tokens -> concat-then-chunk packing, fully
     replayed: the merge chain comes from _bpe_step_ctes, per-word token
