@@ -1,0 +1,103 @@
+"""Streaming Count-Min sketch: per-hash-row counter state.
+
+The batch operator (operators/sketches.py cms_sketch) is a grouped
+count; the streaming twin holds each hash row's w counters as query
+state and folds every micro-batch in with the SAME md5 bucket rule, so
+the running counter table after batch N equals the batch sketch over
+batches 1..N exactly (counters are plain sums — order-insensitive by
+construction; pinned in tests/test_streaming_cms.py). Elements fan out
+to all d rows BEFORE the groupBy, so each state group sees its full
+share of the stream.
+
+State per group: w=512 longs (bounded regardless of stream length or
+item-space size). Output (update mode) after each micro-batch: the
+row's buckets TOUCHED in that batch with their running totals — a
+downstream point estimate for item x is min over rows i of the latest
+(i, bucket_i(x)) count, exactly the batch estimator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketches import CMS_D, CMS_W
+
+CMS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.IntegerType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("n_row", T.LongType()),
+    ]
+)
+
+_CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.ArrayType(T.LongType())),
+        T.StructField("n_row", T.LongType()),
+    ]
+)
+
+
+def _bucket(element: str, row: int) -> int:
+    """The batch operator's bucket rule, digit-for-digit:
+    48-bit md5 of element + ';cms' + row, mod w."""
+    h = hashlib.md5(f"{element};cms{row}".encode("utf-8")).hexdigest()
+    return int(h[:12], 16) % CMS_W
+
+
+def _cms_fold(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    row = int(key[0])
+    if state.exists:
+        counters, n_row = state.get
+        counters = list(counters)
+    else:
+        counters, n_row = [0] * CMS_W, 0
+    touched = set()
+    for pdf in pdfs:
+        vals = pdf["element"].dropna()
+        n_row += len(vals)
+        for el in vals:
+            b = _bucket(str(el), row)
+            counters[b] += 1
+            touched.add(b)
+    state.update((counters, n_row))
+    bs = sorted(touched)
+    yield pd.DataFrame(
+        {
+            "i": row,
+            "b": bs,
+            "c": [counters[b] for b in bs],
+            "n_row": n_row,
+        }
+    )
+
+
+def streaming_cms_counters(
+    elements: DataFrame, elem_col: str = "element"
+) -> DataFrame:
+    """Running CMS counter updates, one state group per hash row.
+    Emits each touched (i, b) bucket's running total after every
+    micro-batch; the latest row per (i, b) IS the batch cms_sketch
+    value over the whole stream so far."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
+    fanned = elements.select(
+        F.col(elem_col).cast("string").alias("element")
+    ).select("element", rows)
+    return fanned.groupBy("i").applyInPandasWithState(
+        _cms_fold,
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
