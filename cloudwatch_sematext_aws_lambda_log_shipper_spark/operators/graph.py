@@ -75,7 +75,7 @@ def pagerank(
 
     teleport = (MASS * 15) // (100 * n)
     state = nodes.withColumn("s", F.lit(MASS // n).cast("long"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             state.join(ew, state.node == ew._src)
             .select(
@@ -95,7 +95,12 @@ def pagerank(
                 ).alias("s"),
             )
         )
-        state = cut_lineage(state, checkpoint_dir)
+        # cut every SECOND iteration (and after the last): a 2-deep
+        # join nest analyzes fine, and each eager cut is a full
+        # materialization job — cadence 2 halves those. Values are
+        # identical (the cut only truncates lineage).
+        if i % 2 == 1 or i == n_iter - 1:
+            state = cut_lineage(state, checkpoint_dir)
     return state.select(
         "node",
         F.col("s").alias("pr_scaled"),
