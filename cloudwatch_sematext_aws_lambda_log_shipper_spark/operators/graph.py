@@ -20,10 +20,11 @@ that NO float ever feeds the next iteration.
 
 Scale: each iteration is one equi join (state x edges, shuffling on
 the edge key) + one map-side-combinable aggregate; state is one long
-per node. Lineage is cut with localCheckpoint every iteration —
-without it the 10-iteration plan nests 10 joins deep and the optimizer
-re-analyzes the whole tree each step (the connected-components
-lesson). Driver holds nothing.
+per node. Lineage is cut with localCheckpoint every SECOND iteration
+(state is single-referenced per step, so a 2-deep nest re-evaluates
+nothing; without any cut the 10-iteration plan nests 10 joins deep and
+the optimizer re-analyzes the whole tree each step — the
+connected-components lesson). Driver holds nothing.
 """
 
 from __future__ import annotations
@@ -153,7 +154,7 @@ def label_propagation(
         checkpoint_dir,
     )
     state = nodes.withColumn("lbl", F.col("node"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         votes = (
             state.join(e, state.node == e._src)
             .groupBy(F.col("_dst").alias("vnode"), "lbl")
@@ -171,6 +172,10 @@ def label_propagation(
                 F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
             )
         )
+        # NO cadence here (unlike pagerank): state is referenced TWICE
+        # per iteration (the votes join AND the label carry), so an
+        # uncut level would re-evaluate the previous iteration's work
+        # once per reference — the cut per iteration is load-bearing
         state = cut_lineage(state, checkpoint_dir)
     return state.select("node", F.col("lbl").alias("community"))
 
