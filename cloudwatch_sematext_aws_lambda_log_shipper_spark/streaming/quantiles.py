@@ -1,0 +1,126 @@
+"""Streaming sampled quantiles: per-key bottom-k priority sample.
+
+The batch operator (plans/analytics.events_value_quantiles_sampled)
+keeps each group's s rows of smallest md5 priority — a mergeable
+uniform sample (bottom-k under a fixed hash is closed under union), so
+the streaming twin holds exactly that bottom-k as query state: each
+micro-batch's rows fold in by priority and only the s smallest
+survive. The sample after any stream prefix therefore equals the batch
+sample over that prefix ROW-FOR-ROW, and the interpolated quantiles
+match Spark's `percentile` / DuckDB's `quantile_cont` on it (same
+linear-interpolation rule, pinned in tests/test_streaming_quantiles.py).
+
+State per key: at most s (priority, value) pairs — bounded regardless
+of stream length. Output (update mode) after each micro-batch:
+(key, n_seen, sample_n, p25, p50, p75).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SAMPLE_SIZE = 400
+
+Q_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("sample_n", T.IntegerType()),
+        T.StructField("p25", T.DoubleType()),
+        T.StructField("p50", T.DoubleType()),
+        T.StructField("p75", T.DoubleType()),
+    ]
+)
+
+_Q_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pris", T.ArrayType(T.StringType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def sample_priority(element_id: str) -> str:
+    """The batch query's priority rule: md5(id || 'qsamp') hex —
+    string-ordered, identical in any engine."""
+    return hashlib.md5(f"{element_id}qsamp".encode("utf-8")).hexdigest()
+
+
+def interpolated_quantile(sorted_vals: list[float], q: float) -> float:
+    """Linear interpolation on order statistics — the rule shared by
+    Spark `percentile` and DuckDB `quantile_cont`: rank = q*(n-1),
+    result = v[floor] + frac * (v[ceil] - v[floor])."""
+    n = len(sorted_vals)
+    if n == 1:
+        return sorted_vals[0]
+    rank = q * (n - 1)
+    lo = int(rank)
+    frac = rank - lo
+    hi = min(lo + 1, n - 1)
+    return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def _q_fold(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        pris, vals, n_seen = state.get
+        sample = list(zip(pris, vals))
+    else:
+        sample, n_seen = [], 0
+    for pdf in pdfs:
+        ok = pdf.dropna(subset=["element_id", "value"])
+        n_seen += len(ok)
+        for eid, v in zip(ok["element_id"], ok["value"]):
+            sample.append((sample_priority(str(eid)), float(v)))
+        if len(sample) > SAMPLE_SIZE:
+            sample.sort()
+            sample = sample[:SAMPLE_SIZE]
+    sample.sort()
+    state.update(
+        ([p for p, _ in sample], [v for _, v in sample], n_seen)
+    )
+    sv = sorted(v for _, v in sample)
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "n_seen": [n_seen],
+            "sample_n": [len(sv)],
+            "p25": [interpolated_quantile(sv, 0.25) if sv else None],
+            "p50": [interpolated_quantile(sv, 0.50) if sv else None],
+            "p75": [interpolated_quantile(sv, 0.75) if sv else None],
+        }
+    )
+
+
+def streaming_sampled_quantiles(
+    elements: DataFrame,
+    key_col: str = "key",
+    id_col: str = "element_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running quantile estimates from the bottom-k priority
+    sample, updated every micro-batch. The sample (and therefore every
+    emitted quantile) after any prefix equals the batch bottom-k
+    operator over that prefix."""
+    keyed = elements.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("string").alias("element_id"),
+        F.col(value_col).cast("double").alias("value"),
+    ).groupBy("key")
+    return keyed.applyInPandasWithState(
+        _q_fold,
+        outputStructType=Q_OUTPUT_SCHEMA,
+        stateStructType=_Q_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
