@@ -91,7 +91,11 @@ def _centers_df(spark: SparkSession, centers) -> DataFrame:
 
 
 def _assign_exact(
-    frame: DataFrame, centers, dim: int, id_name: str
+    frame: DataFrame,
+    centers,
+    dim: int,
+    id_name: str,
+    est_rows: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as a BROADCAST cross join + max_by:
     one codegen'd 64-term dot per (row, centroid) pair — a single
@@ -112,7 +116,9 @@ def _assign_exact(
         .select(
             id_name,
             "_j",
-            dot_cols(F.col("_u"), F.col("_cu"), dim).alias("_dot"),
+            dot_cols(
+                F.col("_u"), F.col("_cu"), dim, est_rows=est_rows
+            ).alias("_dot"),
         )
         .groupBy(id_name)
         .agg(
@@ -241,6 +247,7 @@ def ann_topk_ivf_exact(
     salt: str = "ivf",
     centers=None,
     dim: int = 64,
+    est_scored_rows: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN under the exact-arithmetic contract: fit (or take)
     replayable centroids, assign the corpus and probe the queries with
@@ -248,7 +255,12 @@ def ann_topk_ivf_exact(
     dot) inside the probed clusters only, rank (cos DESC, id). Same
     output shape as similarity.ann_topk_ivf; still genuinely
     approximate (nprobe < n_clusters), but every emitted double is
-    SQL-reproducible."""
+    SQL-reproducible.
+
+    ``est_scored_rows``: the caller's estimate of rows the scoring
+    stage will touch (|queries| * |corpus| * nprobe / n_clusters) —
+    feeds the dot_cols cost rule so 100 TB deployments get the
+    codegen'd dot automatically (values bit-identical either way)."""
     if centers is None:
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, salt, dim
@@ -256,10 +268,12 @@ def ann_topk_ivf_exact(
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
                materialize=True)
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
-    assigned = _assign_exact(cn, centers, dim, "neighbor_id")
+    assigned = _assign_exact(cn, centers, dim, "neighbor_id",
+                             est_rows=est_scored_rows)
     probes = _query_probes_exact(qn, centers, nprobe, dim)
     scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
+                        est_rows=est_scored_rows)
     )
     return _rank_topk(scored, k)
 
@@ -314,12 +328,14 @@ def query_ivf_index_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    est_scored_rows: int | None = None,
 ) -> DataFrame:
     """Search the persisted exact-arith IVF index: the distinct probed
     cluster ids become a literal IN-filter on the partition column
     (FileScan PartitionFilters — only ~nprobe/n_clusters of the index
     bytes are read), then fold-dot scoring + rank exactly like the
-    one-shot path."""
+    one-shot path. ``est_scored_rows`` feeds the dot_cols cost rule
+    (see ann_topk_ivf_exact)."""
     cent = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -339,7 +355,8 @@ def query_ivf_index_exact(
         .withColumnRenamed("cluster", "_cl")
     )
     scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
+                        est_rows=est_scored_rows)
     )
     return _rank_topk(scored, k)
 
@@ -514,6 +531,7 @@ def ann_topk_ivfpq_exact(
     pq_iters: int = 2,
     dim: int = 64,
     artifacts: tuple | None = None,
+    est_scored_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with ADC + exact refine, every double SQL-reproducible:
     coarse probe (the exact-arith IVF machinery), candidates scored
@@ -521,7 +539,9 @@ def ann_topk_ivfpq_exact(
     per-subspace LUT dot terms, top-(k*refine_factor) shortlist by
     (adc DESC, id), then exact normalized-dot cosine on the shortlist
     ranks the final top-k. ``artifacts`` = (centers, books, codes_df)
-    from a persisted index; None fits + encodes one-shot."""
+    from a persisted index; None fits + encodes one-shot.
+    ``est_scored_rows`` feeds the dot_cols cost rule (the ADC-term
+    stage is the one that fans out candidates x m subspaces)."""
     spark = corpus.sparkSession
     sub = dim // m
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
@@ -567,7 +587,8 @@ def ann_topk_ivfpq_exact(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub), 12)
+            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub,
+                             est_rows=est_scored_rows), 12)
             .cast("decimal(16,12)")
             .alias("_term"),
         )
@@ -656,10 +677,12 @@ def query_ivfpq_index_exact(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int = 64,
+    est_scored_rows: int | None = None,
 ) -> DataFrame:
     """Search the persisted exact-arith IVF-PQ index: probed cluster
     ids partition-prune the code-table scan; ADC + refine run exactly
-    like the one-shot path (bit-equal results by construction)."""
+    like the one-shot path (bit-equal results by construction).
+    ``est_scored_rows`` feeds the dot_cols cost rule."""
     cent = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -686,12 +709,14 @@ def query_ivfpq_index_exact(
     )
     cn = spark.read.parquet(os.path.join(path, "vectors"))
     return _ivfpq_search_persisted(
-        spark, cn, codes, probes, books, k, refine_factor, m, dim
+        spark, cn, codes, probes, books, k, refine_factor, m, dim,
+        est_scored_rows=est_scored_rows,
     )
 
 
 def _ivfpq_search_persisted(
-    spark, cn, codes_df, probes, books, k, refine_factor, m, dim
+    spark, cn, codes_df, probes, books, k, refine_factor, m, dim,
+    est_scored_rows=None,
 ):
     """ADC + refine tail shared by the persisted path (codes already
     cluster-pruned; ``cn`` the stored normalized vectors)."""
@@ -717,7 +742,8 @@ def _ivfpq_search_persisted(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub), 12)
+            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub,
+                             est_rows=est_scored_rows), 12)
             .cast("decimal(16,12)")
             .alias("_term"),
         )
@@ -1164,6 +1190,7 @@ def ann_topk_lsh_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    est_scored_rows: int | None = None,
 ) -> DataFrame:
     """Hyperplane-LSH ANN with multiprobe, every step replayable:
     bucket bit p = (dot(u, plane_p) >= 0), computed per (row, plane)
@@ -1224,6 +1251,7 @@ def ann_topk_lsh_exact(
         F.explode(flips).alias("_b"),
     )
     scored = cn.join(probes, "_b").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim)
+        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
+                        est_rows=est_scored_rows)
     )
     return _rank_topk(scored, k)

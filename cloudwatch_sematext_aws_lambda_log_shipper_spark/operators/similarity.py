@@ -40,27 +40,53 @@ def dot(a: Column, b: Column) -> Column:
 # unchanged — only the execution strategy flips.
 DOT_UNROLL_MAX_DIM = 128
 
+# The measured break-even (PROFILE_r12): each distinct unrolled-dot
+# stage costs ~2-4 s of driver-side Catalyst/janino compile before the
+# first row scores, and the per-row win over the interpreted HOF fold
+# is ~1-2 us — so the unrolled form only pays for itself when a stage
+# scores >= ~10^6-10^7 rows. We flip at 5e6, the geometric middle of
+# the measured band; at bench scale (10^4-10^5 scored rows/stage) the
+# fold wins 3-10x end-to-end (sf0.1: one-shot IVF 19.5 s unrolled vs
+# 1.9 s HOF; IVF-PQ 7.9 vs 4.2; LSH 5.3 vs 1.7), while at a real
+# 100 TB deployment (10^9+ scored rows) the codegen'd form is the
+# right side and the rule picks it automatically from the caller's
+# row estimate.
+DOT_UNROLL_CROSSOVER_ROWS = 5_000_000
 
-def _unroll_enabled() -> bool:
-    """Unrolling is OPT-IN (SPARK_GRAFT_DOT_UNROLL=1). Measured r12:
-    each distinct unrolled-dot stage costs ~2-4 s of driver-side
-    Catalyst/janino work before the first row is scored, and a fresh
-    ANN query builds several such stages — so below roughly 10^7
-    scored rows per stage the compile tax dominates and the HOF fold
-    (identical left-fold bit pattern, zero compile) is 3-10x faster
-    end-to-end (sf0.1: one-shot IVF 19.5 s unrolled vs 1.9 s HOF;
-    IVF-PQ 7.9 vs 4.2; LSH 5.3 vs 1.7). Flip the env on for
-    long-lived large-batch deployments where per-row codegen wins and
-    the compile amortizes; values are bit-identical either way
-    (pinned in tests/test_dim768.py)."""
+_logged_strategies: set = set()
+
+
+def _log_dot_strategy(strategy: str, dim: int, why: str) -> None:
+    """One-time (per strategy x dim x reason) observability line so the
+    active physical form is visible in driver logs (ADVICE r12: an env
+    var silently flipping every caller's plan was unobservable)."""
+    key = (strategy, dim, why)
+    if key not in _logged_strategies:
+        _logged_strategies.add(key)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "dot_cols strategy=%s dim=%d (%s)", strategy, dim, why
+        )
+
+
+def _unroll_override() -> bool | None:
+    """SPARK_GRAFT_DOT_UNROLL forces the strategy when set: 1/true/on
+    forces the unrolled form, 0/false/off forces the HOF fold. Unset
+    (the default) lets the cost rule below decide per call site."""
     import os
 
-    return os.environ.get("SPARK_GRAFT_DOT_UNROLL", "").strip().lower() in (
-        "1", "true", "on", "yes",
-    )
+    raw = os.environ.get("SPARK_GRAFT_DOT_UNROLL", "").strip().lower()
+    if raw in ("1", "true", "on", "yes"):
+        return True
+    if raw in ("0", "false", "off", "no"):
+        return False
+    return None
 
 
-def dot_cols(a: Column, b: Column, dim: int) -> Column:
+def dot_cols(
+    a: Column, b: Column, dim: int, est_rows: int | None = None
+) -> Column:
     """:func:`dot` UNROLLED into the flat expression
     ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` — the exact left-fold tree
     the HOF builds (acc starts 0.0, one ``acc + x*y`` per element), so
@@ -79,12 +105,36 @@ def dot_cols(a: Column, b: Column, dim: int) -> Column:
     width the unrolled method defeats janino and the "fast path" would
     be a per-stage compile failure plus interpreted eval.
 
-    Unrolling is additionally OPT-IN via SPARK_GRAFT_DOT_UNROLL=1 (see
-    :func:`_unroll_enabled`): the per-stage compile tax only amortizes
-    on long-lived large-batch scoring, and below ~10^7 scored rows per
-    stage the HOF fold is measured 3-10x faster end-to-end."""
-    if dim > DOT_UNROLL_MAX_DIM or not _unroll_enabled():
+    Below that width the form is a COST RULE (r13, replacing the r12
+    env-only knob): callers that know roughly how many rows the stage
+    will score pass ``est_rows``, and the unrolled form is chosen only
+    when ``est_rows >= DOT_UNROLL_CROSSOVER_ROWS`` — the measured
+    point where the ~2-4 s/stage Catalyst+janino compile tax
+    amortizes against the ~1-2 us/row interpreted-fold overhead
+    (PROFILE_r12). With no estimate the fold is the default (right at
+    bench scale, measured 3-10x). SPARK_GRAFT_DOT_UNROLL=1/0 remains
+    an explicit override either way; the active strategy logs once
+    per (strategy, dim) so the physical form is observable."""
+    if dim > DOT_UNROLL_MAX_DIM:
+        _log_dot_strategy("hof-fold", dim, "dim > DOT_UNROLL_MAX_DIM")
         return dot(a, b)
+    forced = _unroll_override()
+    if forced is False:
+        _log_dot_strategy("hof-fold", dim, "SPARK_GRAFT_DOT_UNROLL=0")
+        return dot(a, b)
+    if forced is None:
+        if est_rows is None or est_rows < DOT_UNROLL_CROSSOVER_ROWS:
+            _log_dot_strategy(
+                "hof-fold",
+                dim,
+                "est_rows below crossover"
+                if est_rows is not None
+                else "no row estimate",
+            )
+            return dot(a, b)
+        _log_dot_strategy("unrolled", dim, "est_rows >= crossover")
+    else:
+        _log_dot_strategy("unrolled", dim, "SPARK_GRAFT_DOT_UNROLL=1")
     z: Column = F.lit(0.0)
     for i in range(dim):
         z = z + a.getItem(i) * b.getItem(i)

@@ -153,6 +153,14 @@ HLL_LINEAR_CUTOFF = 2.5 * HLL_M  # below this, linear counting is used
 CMS_D = 4
 CMS_W = 512
 
+# Shared bottom-k sample size for the deterministic sampled-quantile
+# operator. ONE definition used by both the batch query
+# (plans/analytics.events_value_quantiles_sampled) and its streaming
+# twin (streaming/quantiles.py) so the row-for-row prefix-equality
+# contract between them cannot silently break if the size is tuned
+# (ADVICE r12). tests/test_advice_r13.py pins that both import it.
+SAMPLED_QUANTILE_S = 400
+
 
 def cms_bucket(col: F.Column, row: F.Column | int) -> F.Column:
     """Row-``row`` counter index for an item: 48-bit md5 of the
@@ -172,9 +180,16 @@ def cms_bucket(col: F.Column, row: F.Column | int) -> F.Column:
 
 
 def cms_sketch(df: DataFrame, item_col: str) -> DataFrame:
-    """(i, b, c): the d x w counter table over ``df[item_col]``."""
+    """(i, b, c): the d x w counter table over ``df[item_col]``.
+
+    NULL items are dropped (matching hll_estimate's COUNT(DISTINCT)
+    semantics) — previously a NULL hashed to a NULL bucket and grouped
+    into an (i, NULL) row, which the streaming twin (streaming/cms.py,
+    which dropna's) could never reproduce (ADVICE r12)."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
-    hashed = df.select(F.col(item_col).alias("_it")).select(
+    hashed = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).alias("_it")
+    ).select(
         "_it", rows
     ).select("i", cms_bucket(F.col("_it"), F.col("i")).alias("b"))
     return hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..artifacts import artifact_root
+from ..operators.sketches import SAMPLED_QUANTILE_S as _SAMPLED_QUANTILE_S
 from .registry import load, query
 
 
@@ -225,7 +226,6 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SAMPLED_QUANTILE_S = 400
 
 _SAMPLED_QUANTILE_ORACLE = f"""
 WITH pri AS (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -76,10 +77,15 @@ def hll_estimate_from_registers(regs: list[int]) -> float:
         est = float(HLL_M) * math.log(float(HLL_M) / float(v))
     else:
         est = raw
-    # HALF-UP to 4 dp like Spark's F.round / DuckDB's ROUND — Python's
-    # built-in round() is half-EVEN and would diverge on exact .00005
-    # boundaries (estimates are always positive here)
-    return math.floor(est * 10000.0 + 0.5) / 10000.0
+    # HALF-UP to 4 dp in DECIMAL semantics, exactly Spark's F.round /
+    # DuckDB's ROUND (both round the decimal expansion via BigDecimal
+    # HALF_UP): floor(est*10000 + 0.5) is NOT the same rule — the
+    # binary product est*10000 can land on the other side of .5 for
+    # boundary values (ADVICE r12). Decimal(repr(est)) reproduces the
+    # shortest decimal expansion BigDecimal.valueOf(double) uses.
+    return float(
+        Decimal(repr(est)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def _hll_fold(

