@@ -274,9 +274,9 @@ def events_value_quantiles_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     degenerate to the exact quantiles by construction.
 
     This is the hash-gated twin of events_value_quantiles_approx (GK
-    sketch, the one remaining rows-only waiver — GK is genuinely
-    order-dependent and no SQL replay exists); same problem, same
-    error regime, replayable arithmetic."""
+    sketch — genuinely order-dependent, no SQL replay exists; as of
+    r13 a pytest-only library operator rather than a declared query);
+    same problem, same error regime, replayable arithmetic."""
     ev = load(spark, sf_dir, "events")
     pri = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("qsamp")))
     w = Window.partitionBy("event_type").orderBy(pri, "event_id")
@@ -907,7 +907,6 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_value_quantiles_approx")  # sketch-based -> rows-only check
 def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile, the
     Greenwald-Khanna family) vs the exact percentiles, self-auditing:
@@ -917,6 +916,16 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     Approx answers differ by engine/algorithm, so there is no DuckDB
     hash twin; the truth is carried IN the result instead, the same
     pattern as the ANN queries' recall_ok.
+
+    PYTEST-ONLY operator as of r13 (the verdict's #5, option a): the
+    GK merge is the single genuinely order-dependent op in the repo,
+    so it was the one rows-only row in the oracle sweep. The DECLARED
+    sampled-quantile capability is events_value_quantiles_sampled —
+    same problem, same error regime, strict hash gate — and this GK
+    path stays as the library operator for 100 TB single-pass use,
+    pinned by tests/test_relational3.py
+    test_approx_quantiles_within_sketch_bound (the within_bound rank
+    audit below must hold on every row).
 
     Scale: this is the quantile path that works at 100 TB — the sketch
     is map-side mergeable with O(accuracy * log n) state per partition,

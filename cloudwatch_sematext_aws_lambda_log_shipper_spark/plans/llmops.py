@@ -377,6 +377,114 @@ def _ivf_exact_oracle(
     return "\n".join(lines) + "\n" + _recall_tail_ctes(k, floor)
 
 
+# --- dim-768 derived corpus (r13: production embedding dimension in
+# the DECLARED surface) ---------------------------------------------------
+#
+# The driver's embeddings table is dim-64; production text embeddings
+# are 768/1536-wide, and until r13 no benched/oracle-gated query ever
+# exercised that width (the HOF-fold scaling story lived only in
+# tests/test_dim768.py). This derivation expands each dim-64 vector to
+# dim-768 with arithmetic BOTH engines evaluate bit-identically:
+#
+#   u[d] = e[d % 64] * (1 - (d // 64) * 0.0625)          (12 scaled tiles)
+#        + (md5_48(vec_id ':' d 'e768') / 2^48 - 0.5) * 0.25   (hash noise)
+#
+# The tile term keeps the source table's cluster structure (so IVF
+# recall stays meaningful); the 48-bit-md5 noise term raises the
+# corpus to full rank 768 (a pure tiling would make the 768-dim
+# problem secretly 64-dimensional). Every operation — element_at,
+# literal multiply/add, md5 hex parse, division by 2^48 — is the
+# repo's proven cross-engine-exact vocabulary, so the derived corpus
+# itself is part of the oracle replay (bit-parity pinned in
+# tests/test_emb768.py).
+
+_EMB768_DIM = 768
+
+
+def _emb768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding: array<double> x768) derived from the
+    embeddings table — the Spark half of the derivation above."""
+    emb = _emb(spark, sf_dir)
+    e = F.col("embedding").cast("array<double>")
+
+    def component(d):
+        base = F.element_at(e, (d % 64) + 1)
+        tile = (d - (d % 64)) / F.lit(64)
+        scale = F.lit(1.0) - tile * F.lit(0.0625)
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("vec_id").cast("string"), F.lit(":"),
+                            d.cast("string"), F.lit("e768"),
+                        )
+                    ),
+                    1, 12,
+                ),
+                16, 10,
+            )
+            .cast("long")
+            .cast("double")
+        )
+        noise = h / F.lit(281474976710656.0)
+        return base * scale + (noise - F.lit(0.5)) * F.lit(0.25)
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_EMB768_DIM - 1)), component
+    )
+    return emb.select("vec_id", vec.alias("embedding"))
+
+
+def _ivf768_prelude_ctes() -> list[str]:
+    """emb (the derived dim-768 vectors) / n / qn — the dim-768 twin of
+    _ivf_prelude_ctes, deriving the corpus inside the oracle."""
+    derive = (
+        "list_transform(range(768), d ->"
+        " e0[(d % 64) + 1] * (1.0 - ((d - (d % 64)) / 64) * 0.0625)"
+        " + (CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||"
+        " CAST(d AS VARCHAR) || 'e768'), 1, 12) AS BIGINT)"
+        " / 281474976710656.0 - 0.5) * 0.25)"
+    )
+    unit = (
+        "list_transform(e, x -> x /"
+        " greatest(sqrt(list_dot_product(e, e)), 1e-12))"
+    )
+    return [
+        "WITH e0t AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),",
+        f"emb AS MATERIALIZED (SELECT vec_id, {derive} AS e FROM e0t),",
+        f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+        " FROM emb WHERE vec_id >= 10),",
+        f"qn AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+        " FROM emb WHERE vec_id < 10),",
+    ]
+
+
+def _ivf768_exact_oracle(
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    k: int = 5,
+    iters: int = 2,
+    floor: float = _IVF_RECALL_FLOOR,
+) -> str:
+    """The dim-64 IVF oracle with the dim-768 derived-corpus prelude —
+    every downstream CTE (_lloyd_ctes/_ivf_search_ctes/recall tail) is
+    already dim-parameterized."""
+    lines = _ivf768_prelude_ctes()
+    lines += _lloyd_ctes(n_clusters, iters, "ivf", _EMB768_DIM)
+    lines += _ivf_search_ctes(f"c{iters}", nprobe)
+    lines.append(
+        "ann AS MATERIALIZED (SELECT query_id, neighbor_id, cos,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cos DESC, neighbor_id) AS rnk"
+        " FROM (SELECT p.query_id, a.vec_id AS neighbor_id,"
+        " list_dot_product(p.qu, a.u) AS cos"
+        f" FROM probes p JOIN afin a ON p.j = a.j) QUALIFY rnk <= {k}),"
+    )
+    return "\n".join(lines) + "\n" + _recall_tail_ctes(k, floor)
+
+
 def _ivfpq_exact_oracle(
     n_clusters: int = 16,
     nprobe: int = 8,
@@ -792,6 +900,40 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_ivf_exact(corpus=corpus, queries=queries, k=5,
                              centers=centers)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
+    return with_recall_at_k(ann, exact, k=5,
+                            min_mean_recall=_IVF_RECALL_FLOOR)
+
+
+@query("embedding_ann_ivf_768", _ivf768_exact_oracle())
+def embedding_ann_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN at a PRODUCTION embedding dimension (768) under the
+    STRICT hash gate — the r13 verdict's #1 ask: until this query, the
+    declared/benched surface only ever ran dim-64 vectors, so the
+    HOF-fold scaling posture (dot_cols falls back to the interpreted
+    fold above DOT_UNROLL_MAX_DIM because janino cannot compile a
+    768-term method) was proven only in pytest. The corpus is derived
+    from the embeddings table by a bit-replayable expansion (see
+    _emb768: scaled tiles keep cluster structure, 48-bit-md5 noise
+    raises it to full rank), and the ENTIRE pipeline — derivation,
+    normalization, md5-ordered Lloyd fit, assignment, probes, scoring,
+    recall audit — replays in one chained-CTE DuckDB oracle at dim 768.
+
+    Scale: same plan as embedding_ann_ivf (broadcast centroids, probe
+    join, fold-dot scoring, no collects beyond the k x 768 centroid
+    matrix); at 100 TB the est_scored_rows hint would flip narrow-dim
+    stages to the codegen'd dot, while 768-wide dots stay on the fold
+    by the janino guard — exactly the policy tests pin bit-equal."""
+    from ..operators.ivf_exact import ann_topk_ivf_exact
+
+    emb = _emb768(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_ivf_exact(
+        corpus=corpus, queries=queries, k=5, n_clusters=8, nprobe=3,
+        iters=2, dim=_EMB768_DIM,
+    )
+    exact = cosine_topk(corpus=corpus, queries=queries, k=5,
+                        dim=_EMB768_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)
 
