@@ -54,50 +54,81 @@ def _bucket(element: str, row: int) -> int:
     return int(h[:12], 16) % CMS_W
 
 
-def _cms_fold(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    row = int(key[0])
-    if state.exists:
-        counters, n_row = state.get
-        counters = list(counters)
-    else:
-        counters, n_row = [0] * CMS_W, 0
-    touched = set()
-    for pdf in pdfs:
-        vals = pdf["element"].dropna()
-        n_row += len(vals)
-        for el in vals:
-            b = _bucket(str(el), row)
-            counters[b] += 1
-            touched.add(b)
-    state.update((counters, n_row))
-    bs = sorted(touched)
-    yield pd.DataFrame(
-        {
-            "i": row,
-            "b": bs,
-            "c": [counters[b] for b in bs],
-            "n_row": n_row,
-        }
-    )
+def _cms_fold_factory(ttl_ms: int | None):
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        row = int(key[0])
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expiry: unlike HLL/quantiles, CMS state is bounded by
+            # CONSTRUCTION (d groups x w longs — the key is the hash
+            # row, not a stream key), so this is not a memory valve.
+            # It is a FRESHNESS horizon: after > ttl of stream silence
+            # the counters reset, so point estimates mean "counts since
+            # the last >ttl idle gap" rather than since stream start.
+            state.remove()
+            return
+        if state.exists:
+            counters, n_row = state.get
+            counters = list(counters)
+        else:
+            counters, n_row = [0] * CMS_W, 0
+        touched = set()
+        for pdf in pdfs:
+            vals = pdf["element"].dropna()
+            n_row += len(vals)
+            for el in vals:
+                b = _bucket(str(el), row)
+                counters[b] += 1
+                touched.add(b)
+        state.update((counters, n_row))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        bs = sorted(touched)
+        yield pd.DataFrame(
+            {
+                "i": row,
+                "b": bs,
+                "c": [counters[b] for b in bs],
+                "n_row": n_row,
+            }
+        )
+
+    return fold
+
+
+_cms_fold = _cms_fold_factory(None)
 
 
 def streaming_cms_counters(
-    elements: DataFrame, elem_col: str = "element"
+    elements: DataFrame,
+    elem_col: str = "element",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Running CMS counter updates, one state group per hash row.
     Emits each touched (i, b) bucket's running total after every
     micro-batch; the latest row per (i, b) IS the batch cms_sketch
-    value over the whole stream so far."""
+    value over the whole stream so far.
+
+    ``ttl_ms`` (r13): freshness horizon — state resets after > ttl of
+    processing-time silence on a hash row (see _cms_fold_factory for
+    why this is a semantics knob, not a memory one: CMS state is
+    bounded at d x w longs by construction). Batch equality holds only
+    for ttl_ms=None. availableNow runs with a TTL never self-terminate
+    (timeout-sweep batches keep scheduling) — see
+    streaming_hll_distinct."""
     rows = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("i")
     fanned = elements.select(
         F.col(elem_col).cast("string").alias("element")
     ).select("element", rows)
     return fanned.groupBy("i").applyInPandasWithState(
-        _cms_fold,
+        _cms_fold_factory(ttl_ms),
         outputStructType=CMS_OUTPUT_SCHEMA,
         stateStructType=_CMS_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

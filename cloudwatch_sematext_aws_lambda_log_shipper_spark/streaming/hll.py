@@ -88,46 +88,87 @@ def hll_estimate_from_registers(regs: list[int]) -> float:
     )
 
 
-def _hll_fold(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        regs, n_seen = state.get
-        regs = list(regs)
-    else:
-        regs, n_seen = [0] * HLL_M, 0
-    for pdf in pdfs:
-        vals = pdf["element"].dropna()
-        n_seen += len(vals)
-        for el in vals:
-            idx, rho = _idx_rho(str(el))
-            if rho > regs[idx]:
-                regs[idx] = rho
-    state.update((regs, n_seen))
-    yield pd.DataFrame(
-        {
-            "key": [key[0]],
-            "n_seen": [n_seen],
-            "n_distinct_hll": [hll_estimate_from_registers(regs)],
-        }
-    )
+def _hll_fold_factory(ttl_ms: int | None):
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL eviction: drop the key's registers entirely. Nothing
+            # is emitted — update mode already shipped the running
+            # estimate after the last batch that touched this key, so
+            # removal loses no output, only memory. If the key speaks
+            # again the estimate RESTARTS from empty: post-eviction
+            # rows mean "distinct since the key's last >ttl idle gap",
+            # not since stream start (the semantics choice, documented
+            # on streaming_hll_distinct).
+            state.remove()
+            return
+        if state.exists:
+            regs, n_seen = state.get
+            regs = list(regs)
+        else:
+            regs, n_seen = [0] * HLL_M, 0
+        for pdf in pdfs:
+            vals = pdf["element"].dropna()
+            n_seen += len(vals)
+            for el in vals:
+                idx, rho = _idx_rho(str(el))
+                if rho > regs[idx]:
+                    regs[idx] = rho
+        state.update((regs, n_seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n_seen],
+                "n_distinct_hll": [hll_estimate_from_registers(regs)],
+            }
+        )
+
+    return fold
+
+
+_hll_fold = _hll_fold_factory(None)
 
 
 def streaming_hll_distinct(
-    elements: DataFrame, key_col: str = "key", elem_col: str = "element"
+    elements: DataFrame,
+    key_col: str = "key",
+    elem_col: str = "element",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running distinct estimate, updated every micro-batch.
     The estimate after any prefix of the stream equals the batch
     hll_estimate over that prefix (register max is order-insensitive
-    and duplicate-insensitive by construction)."""
+    and duplicate-insensitive by construction).
+
+    ``ttl_ms`` (r13): per-key state expiry. The register arrays are
+    bounded (m=256 small ints) but the KEY SPACE of a real log stream
+    is not — without expiry, total state grows with every key ever
+    seen. With a TTL, a key idle for > ttl_ms of processing time is
+    evicted (state.remove(); checkpoint-safe, pinned in
+    tests/test_streaming_eviction.py) and its next activity restarts
+    the estimate from empty — i.e. the emitted estimate means
+    "distinct elements since the key's last >ttl idle gap". The exact
+    prefix-equality contract vs the batch operator holds only for the
+    default ttl_ms=None (never evict). Caveat: while any key holds a
+    timeout deadline the engine keeps scheduling timeout-sweep
+    micro-batches, so an availableNow run with a TTL will not
+    self-terminate — stop() it, as the long-running deployments this
+    knob exists for already do."""
     keyed = elements.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(elem_col).cast("string").alias("element"),
     ).groupBy("key")
     return keyed.applyInPandasWithState(
-        _hll_fold,
+        _hll_fold_factory(ttl_ms),
         outputStructType=HLL_OUTPUT_SCHEMA,
         stateStructType=_HLL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

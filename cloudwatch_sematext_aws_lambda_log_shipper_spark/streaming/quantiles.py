@@ -74,9 +74,28 @@ def interpolated_quantile(sorted_vals: list[float], q: float) -> float:
     return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
 
 
-def _q_fold(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+def _q_fold_factory(ttl_ms: int | None):
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _q_fold_impl(key, pdfs, state, ttl_ms)
+
+    return fold
+
+
+def _q_fold_impl(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
+    if ttl_ms is not None and state.hasTimedOut:
+        # TTL eviction: drop the key's sample. The last running
+        # quantiles were already emitted (update mode); next activity
+        # restarts the sample from empty — "quantiles since the key's
+        # last >ttl idle gap" (see streaming_sampled_quantiles).
+        state.remove()
+        return
     if state.exists:
         pris, eids, vals, n_seen = state.get
         sample = list(zip(pris, eids, vals))
@@ -108,6 +127,8 @@ def _q_fold(
             n_seen,
         )
     )
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     sv = sorted(v for _, _, v in sample)
     yield pd.DataFrame(
         {
@@ -121,25 +142,44 @@ def _q_fold(
     )
 
 
+# module-level fold (no TTL) kept for direct unit-testing of the
+# truncation rule (tests/test_advice_r13.py)
+_q_fold = _q_fold_factory(None)
+
+
 def streaming_sampled_quantiles(
     elements: DataFrame,
     key_col: str = "key",
     id_col: str = "element_id",
     value_col: str = "value",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-key running quantile estimates from the bottom-k priority
     sample, updated every micro-batch. The sample (and therefore every
     emitted quantile) after any prefix equals the batch bottom-k
-    operator over that prefix."""
+    operator over that prefix.
+
+    ``ttl_ms`` (r13): per-key state expiry. The sample is bounded
+    (s=400 rows) but the key space is not; with a TTL, a key idle
+    > ttl_ms of processing time drops its sample (checkpoint-safe) and
+    later activity restarts it — emitted quantiles then describe
+    values since the key's last >ttl idle gap. Prefix equality vs the
+    batch operator holds only for ttl_ms=None. availableNow runs with
+    a TTL never self-terminate (timeout-sweep batches keep scheduling)
+    — see streaming_hll_distinct."""
     keyed = elements.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(id_col).cast("string").alias("element_id"),
         F.col(value_col).cast("double").alias("value"),
     ).groupBy("key")
     return keyed.applyInPandasWithState(
-        _q_fold,
+        _q_fold_factory(ttl_ms),
         outputStructType=Q_OUTPUT_SCHEMA,
         stateStructType=_Q_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
