@@ -27,8 +27,19 @@ marks color streams with the Adobe APP14 ``transform = 0`` flag
 (ITU-T T.872 §6.5.3 / Adobe TN5116) — the decoder honors it; absent
 APP14, 3-component streams fall back to the YCbCr interpretation.
 
-Differential PROGRESSIVE (SOF6) and all arithmetic-coded frames stay
-loud NotImplementedErrors in decode_baseline_jpeg's marker walk.
+- differential PROGRESSIVE frames (SOF6, r13): the residual
+  coefficients arrive over MULTIPLE scans — spectral selection and
+  successive approximation exactly as Annex G defines them for
+  non-differential progressive frames (the AC scan machinery is
+  shared with jpeg_baseline), with the one Annex-J difference that DC
+  coefficients carry no cross-block prediction (PRED = 0 per
+  F.1.1.5.1, same rule as SOF5). The frame's accumulated coefficient
+  arrays reconstruct (dequant + IDCT, NO level shift) when the next
+  marker-level event ends the frame, and add to the reference like
+  any differential DCT frame.
+
+All arithmetic-coded frames (SOF9-15) stay loud NotImplementedErrors
+in decode_baseline_jpeg's marker walk.
 
 Reference comparison: the reference repo (shipper.js) has no media
 path at all — this exists for the multimodal ingest brief
@@ -57,6 +68,7 @@ from .jpeg_baseline import (
 
 _SEQ_SOFS = (0xC0, 0xC1)  # non-differential sequential DCT
 _DIFF_SEQ_SOF = 0xC5
+_DIFF_PROG_SOF = 0xC6  # differential progressive DCT (r13)
 _DIFF_LOSSLESS_SOF = 0xC7
 _LOSSLESS_SOF = 0xC3
 
@@ -194,6 +206,87 @@ def _decode_lossless_frame_scan(
     return [pl << pt for pl in planes]
 
 
+def _decode_diff_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac, dri
+):
+    """One SOF6 (differential progressive) SOS into the frame's
+    accumulated coefficient arrays. AC scans reuse jpeg_baseline's
+    Annex-G units verbatim (spectral bands and successive approximation
+    are identical in differential frames); DC scans differ in exactly
+    one way: no cross-block prediction (F.1.1.5.1), so the first scan
+    deposits extend(bits) << Al directly and refinement ORs bit Al.
+    Returns the byte position of the next marker."""
+    from .jpeg_baseline import _ac_first_unit, _ac_refine_unit
+
+    mcux, mcuy = -(-frame["w"] // 8), -(-frame["h"] // 8)
+    for c in frame["comps"]:
+        if "coef" not in c:
+            c["coef"] = np.zeros((mcuy, mcux, 64), dtype=np.int64)
+    r = _BitReader(data, pos)
+    eobrun = 0
+    n = 0
+    if ss == 0:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and n and n % dri == 0:
+                    r.restart()
+                n += 1
+                for c in scan:
+                    blk = c["coef"][my, mx]
+                    if ah == 0:
+                        t = r.huff(huff_dc[c["td"]])
+                        blk[0] = _extend(r.bits(t), t) << al  # PRED = 0
+                    elif r.bits(1):
+                        blk[0] |= 1 << al
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        c = scan[0]
+        ac = huff_ac[c["ta"]]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and n and n % dri == 0:
+                    r.restart()
+                    eobrun = 0
+                n += 1
+                blk = c["coef"][my, mx]
+                if ah == 0:
+                    eobrun = _ac_first_unit(r, blk, ss, se, al, ac, eobrun)
+                else:
+                    eobrun = _ac_refine_unit(r, blk, ss, se, al, ac, eobrun)
+    pos = r.pos
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            break
+        pos += 1
+    return pos
+
+
+def _finish_diff_prog_frame(frame, refs, qt):
+    """Reconstruct a completed SOF6 frame: dequant + IDCT each
+    accumulated residual block (NO level shift — A.3.1 differential),
+    crop, add to the reference, clip. Returns the new reference."""
+    fh, fw = frame["h"], frame["w"]
+    planes = []
+    for c in frame["comps"]:
+        q = qt[c["tq"]]
+        mcuy, mcux = c["coef"].shape[:2]
+        plane = np.zeros((mcuy * 8, mcux * 8), dtype=np.int64)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = np.zeros(64, dtype=np.float64)
+                blk[ZIGZAG] = c["coef"][my, mx] * q
+                plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.round(
+                    _idct2(blk.reshape(8, 8))
+                ).astype(np.int64)
+        planes.append(plane[:fh, :fw])
+    return [np.clip(r + p, 0, 255) for r, p in zip(refs, planes)]
+
+
 def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
     """Decode a hierarchical (DHP) JPEG to (h, w, 3) uint8 RGB.
     decode_baseline_jpeg delegates here on seeing the DHP marker."""
@@ -212,6 +305,18 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
     # current frame state
     frame: dict | None = None
 
+    def _flush_progressive():
+        # a SOF6 frame's coefficients accumulate across scans and only
+        # reconstruct when the next marker-level event ends the frame
+        nonlocal refs, frame
+        if (
+            frame is not None
+            and frame.get("progressive")
+            and "coef" in frame["comps"][0]
+        ):
+            refs = _finish_diff_prog_frame(frame, refs, qt)
+            frame = None
+
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -221,6 +326,7 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             pos -= 1
             continue
         if m == 0xD9:
+            _flush_progressive()
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue
@@ -230,6 +336,7 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             final_h, final_w = struct.unpack(">HH", seg[1:5])
             n_comps = seg[5]
         elif m == 0xDF:  # EXP (B.3.3)
+            _flush_progressive()
             pending_exp = (seg[0] >> 4, seg[0] & 0xF)
         elif m == 0xDB:
             p = 0
@@ -264,8 +371,10 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
         elif m in _SEQ_SOFS + (
             _LOSSLESS_SOF,
             _DIFF_SEQ_SOF,
+            _DIFF_PROG_SOF,
             _DIFF_LOSSLESS_SOF,
         ):
+            _flush_progressive()
             fh, fw = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -279,19 +388,29 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
                 "h": fh,
                 "w": fw,
                 "comps": comps,
-                "differential": m in (_DIFF_SEQ_SOF, _DIFF_LOSSLESS_SOF),
+                "differential": m
+                in (_DIFF_SEQ_SOF, _DIFF_PROG_SOF, _DIFF_LOSSLESS_SOF),
+                "progressive": m == _DIFF_PROG_SOF,
                 "lossless": m in (_LOSSLESS_SOF, _DIFF_LOSSLESS_SOF),
             }
+            if frame["progressive"] and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                raise NotImplementedError(
+                    "hierarchical frames with subsampled components"
+                    " unsupported"
+                )
             if frame["differential"]:
                 if refs is None:
                     raise ValueError("differential frame before base frame")
                 eh, ev = pending_exp if pending_exp else (0, 0)
                 refs = [_expand(p, eh, ev, fh, fw) for p in refs]
                 pending_exp = None
-        elif m in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC2, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported frame 0xFF{m:02X} inside a hierarchical"
-                " stream (progressive / arithmetic frames)"
+                " stream (non-differential progressive / arithmetic"
+                " frames)"
             )
         elif m == 0xDA:
             if frame is None:
@@ -304,8 +423,16 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
                 comp["td"], comp["ta"] = tables >> 4, tables & 0xF
                 scan.append(comp)
             ss = seg[1 + 2 * ns]
-            pt = seg[3 + 2 * ns] & 0xF
+            se = seg[2 + 2 * ns]
+            ah = seg[3 + 2 * ns] >> 4
+            pt = seg[3 + 2 * ns] & 0xF  # Al in DCT scans, Pt in lossless
             spos = pos + seglen
+            if frame.get("progressive"):
+                pos = _decode_diff_prog_scan(
+                    data, spos, frame, scan, ss, se, ah, pt,
+                    huff_dc, huff_ac, dri,
+                )
+                continue
             if frame["lossless"]:
                 planes = _decode_lossless_frame_scan(
                     data, spos, frame["h"], frame["w"], scan, huff_dc,
@@ -506,6 +633,151 @@ def _encode_dct_frame(
     return recon
 
 
+def _encode_diff_prog_frame(
+    out: bytearray, planes: list[np.ndarray], quant: int
+) -> list[np.ndarray]:
+    """Emit one SOF6 (differential progressive) frame for 1x1-sampled
+    integer RESIDUAL planes and return the decoder-reconstructed
+    residuals. The scan script exercises both Annex-G mechanisms:
+
+      1. DC first scan, Al=1 (all components interleaved, PRED = 0);
+      2. DC refinement scan, Ah=1 -> Al=0 (one bit per block);
+      3. per component: AC first scan Ss=1..5, then Ss=6..63 (spectral
+         selection), both Al=0.
+
+    Coefficients and the decoder model are identical to
+    _encode_dct_frame's differential arm — only the scan packaging
+    differs, so the reconstructed planes (and therefore the lossless
+    pyramid guarantee when a SOF7 frame follows) are unchanged."""
+    fh, fw = planes[0].shape
+    nc = len(planes)
+    qzz = np.full(64, quant, dtype=np.int64)
+    qmat = np.zeros(64, dtype=np.int64)
+    qmat[ZIGZAG] = qzz
+    qmat = qmat.reshape(8, 8)
+
+    mcux, mcuy = -(-fw // 8), -(-fh // 8)
+    blocks: list[list[np.ndarray]] = [[] for _ in planes]
+    recon = [
+        np.zeros((mcuy * 8, mcux * 8), dtype=np.int64) for _ in planes
+    ]
+    for ci, plane in enumerate(planes):
+        pf = plane.astype(np.float64)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blk = _block_at(pf, my * 8, mx * 8)
+                coef = _fdct2(blk)  # no level shift (differential)
+                zz = (
+                    np.round(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
+                )
+                blocks[ci].append(zz)
+                deq = np.zeros(64, dtype=np.float64)
+                deq[ZIGZAG] = zz * qzz
+                recon[ci][
+                    my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                ] = np.round(_idct2(deq.reshape(8, 8))).astype(np.int64)
+    recon = [r[:fh, :fw] for r in recon]
+
+    # self-describing tables: DC categories of value >> 1 (the Al=1
+    # first scan; ARITHMETIC shift — the decoder reconstructs
+    # (hi << 1) | low_bit in two's complement, so hi = floor(v/2) and
+    # the refinement bit is v & 1, for negatives too), AC run/size
+    # symbols per band
+    dc_cats = {
+        _mag_bits(int(zz[0]) >> 1)[0] for bl in blocks for zz in bl
+    }
+    ac_syms: set[int] = {0x00, 0xF0}
+    for bl in blocks:
+        for zz in bl:
+            for lo, hi in ((1, 5), (6, 63)):
+                run = 0
+                last = max(
+                    (k for k in range(lo, hi + 1) if zz[k]), default=0
+                )
+                for k in range(lo, last + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        run -= 16
+                    ac_syms.add((min(run, 15) << 4) | _mag_bits(int(zz[k]))[0])
+                    run = 0
+    dbits, dvals = _fixed_table(sorted(dc_cats))
+    abits, avals = _fixed_table(sorted(ac_syms))
+    enc_dc = _build_encode_table(dbits, dvals)
+    enc_ac = _build_encode_table(abits, avals)
+
+    _emit_seg(out, 0xDB, bytes([0]) + bytes(int(x) for x in qzz))
+    _emit_seg(out, _DIFF_PROG_SOF, _sof_payload(fh, fw, nc))
+    _emit_seg(out, 0xC4, bytes([0x00]) + bytes(dbits) + bytes(dvals))
+    _emit_seg(out, 0xC4, bytes([0x10]) + bytes(abits) + bytes(avals))
+
+    def sos_header(comp_ids, ss, se, ah, al, ac_table):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, (0x00 << 4) | ac_table])
+        sos += bytes([ss, se, (ah << 4) | al])
+        _emit_seg(out, 0xDA, sos)
+
+    # scan 1: DC first, Al=1, interleaved, PRED = 0
+    sos_header(list(range(1, nc + 1)), 0, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                v = int(blocks[ci][my * mcux + mx][0])
+                hi = v >> 1  # arithmetic shift (see table note above)
+                t, code = _mag_bits(hi)
+                ln, cd = enc_dc[t]
+                bw.bits(cd, ln)
+                bw.bits(code, t)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scan 2: DC refinement, Ah=1 Al=0 — the dropped low bit per block
+    sos_header(list(range(1, nc + 1)), 0, 0, 1, 0, 0)
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                v = int(blocks[ci][my * mcux + mx][0])
+                bw.bits(v & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+    # scans 3+: AC spectral-selection bands per component, Al=0.
+    # Per-block EOB (no EOB runs) keeps the writer simple; the decoder
+    # handles both (EOB0 == eobrun 1).
+    for ci in range(nc):
+        for lo, hi in ((1, 5), (6, 63)):
+            sos_header([ci + 1], lo, hi, 0, 0, 0)
+            bw = _BitWriter()
+            for zz in blocks[ci]:
+                run = 0
+                last = max(
+                    (k for k in range(lo, hi + 1) if zz[k]), default=0
+                )
+                for k in range(lo, last + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = enc_ac[0xF0]
+                        bw.bits(cd, ln)
+                        run -= 16
+                    t, code = _mag_bits(int(zz[k]))
+                    ln, cd = enc_ac[(run << 4) | t]
+                    bw.bits(cd, ln)
+                    bw.bits(code, t)
+                    run = 0
+                if last < hi:
+                    ln, cd = enc_ac[0x00]  # EOB0
+                    bw.bits(cd, ln)
+            bw.flush()
+            out.extend(bw.out)
+    return recon
+
+
 def _encode_diff_lossless_frame(
     out: bytearray, targets: list[np.ndarray], refs: list[np.ndarray]
 ) -> None:
@@ -558,6 +830,7 @@ def encode_hierarchical_jpeg(
     levels: int = 2,
     quant: int = 8,
     final_lossless: bool = True,
+    progressive_diff: bool = False,
 ) -> bytes:
     """Encode (h, w) gray / (h, w, 3) RGB uint8 as a hierarchical JPEG:
     a SOF0 base frame at 1/2^(levels-1) resolution, then per level an
@@ -565,7 +838,15 @@ def encode_hierarchical_jpeg(
     SOF7 lossless when ``final_lossless``, making the whole pyramid
     bit-exact). Components are stored without color transform (APP14
     transform=0 on color streams) so lossless means lossless in the
-    input samples."""
+    input samples.
+
+    ``progressive_diff`` (r13): code the differential DCT stages as
+    SOF6 (differential PROGRESSIVE) frames — multi-scan spectral
+    selection + DC successive approximation — instead of SOF5. The
+    coefficients and the modeled decoder reconstruction are identical,
+    only the scan packaging changes, so the final_lossless pyramid
+    stays bit-exact with an SOF6 stage inside (pinned in
+    tests/test_jpeg_hierarchical.py)."""
     img = np.asarray(img)
     if levels < 1:
         raise ValueError("levels must be >= 1")
@@ -604,7 +885,12 @@ def encode_hierarchical_jpeg(
             refs = [t.copy() for t in target]
         else:
             residual = [t - r for t, r in zip(target, refs)]
-            rec = _encode_dct_frame(out, residual, quant, differential=True)
+            if progressive_diff:
+                rec = _encode_diff_prog_frame(out, residual, quant)
+            else:
+                rec = _encode_dct_frame(
+                    out, residual, quant, differential=True
+                )
             refs = [
                 np.clip(r + d, 0, 255) for r, d in zip(refs, rec)
             ]

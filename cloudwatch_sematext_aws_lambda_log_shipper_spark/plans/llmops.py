@@ -1455,17 +1455,19 @@ FROM sel
 
 @query("multimodal_jpeg_hierarchical", _JPEG_HIERARCHICAL_ORACLE)
 def multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical JPEG (DHP + SOF5/SOF7, T.81 Annex J) under the
+    """Hierarchical JPEG (DHP + SOF6/SOF7, T.81 Annex J) under the
     hash gate: a deterministic md5-stream grayscale image per selected
-    doc encodes as a 2-level pyramid (SOF0 base at half resolution,
-    EXP 2x expansion, SOF7 differential-lossless correction), decodes
-    through the vendored codec, and the aggregate pins DHP-header dims
-    (the oracle recomputes them from the doc formulas — hierarchical
-    files report FINAL dims from DHP, not the base frame's) and
-    n_exact_match at count(*): the lossless-final pyramid must
-    reproduce the source bit-for-bit, so one divergent pixel anywhere
-    fails the gate. Closes the r11 "What's missing" #3 hierarchical
-    slice (arithmetic remains the loud error).
+    doc encodes as a 3-level pyramid — SOF0 base at quarter
+    resolution, EXP 2x expansion, an SOF6 differential PROGRESSIVE
+    middle stage (r13: multi-scan spectral selection + DC successive
+    approximation over the residual), another EXP, and the SOF7
+    differential-lossless final — decodes through the vendored codec,
+    and the aggregate pins DHP-header dims (the oracle recomputes them
+    from the doc formulas — hierarchical files report FINAL dims from
+    DHP, not the base frame's) and n_exact_match at count(*): the
+    lossless-final pyramid must reproduce the source bit-for-bit, so
+    one divergent pixel anywhere — including any SOF6 scan-packaging
+    defect — fails the gate. Arithmetic coding remains the loud error.
 
     Scale: Arrow-batched mapInPandas codec work over a deterministic
     corpus sample, same shape as the progressive/lossless queries."""
@@ -1502,7 +1504,8 @@ def multimodal_jpeg_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h, w
                 )
                 jh = encode_hierarchical_jpeg(
-                    img, levels=2, quant=8, final_lossless=True
+                    img, levels=3, quant=8, final_lossless=True,
+                    progressive_diff=True,
                 )
                 same = bool((decode_baseline_jpeg(jh)[:, :, 0] == img).all())
                 pw, ph, _nc = jpeg_dims(jh)

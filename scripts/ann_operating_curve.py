@@ -1,7 +1,7 @@
-"""ANN operating curve (r11 verdict stretch #8): recall@k vs latency
-as a function of nprobe over the PERSISTED exact-arith IVF and IVF-PQ
-indexes — the curve a user needs to pick nprobe for their recall
-target.
+"""ANN operating curve (r11 verdict stretch #8; r13 verdict #3):
+recall@k vs latency as a function of nprobe over the PERSISTED
+exact-arith IVF and IVF-PQ indexes — the curve a user needs to pick
+nprobe for their recall target.
 
 Setup: corpus = embeddings with vec_id >= 500 at the given SF dir,
 queries = the 500 held-out vectors (vec_id < 500; at smaller SFs,
@@ -10,6 +10,17 @@ whatever is available). Ground truth = brute-force exact top-k
 scoring). Each nprobe gets a best-of-2 latency on the SAME persisted
 index, so the measured cost is pure search (probe + partition-pruned
 scan + ADC/score + rank), never fit or encode.
+
+r13 addition — the PQ PARAMETER sweep (`pq_sweep` in the JSON): the
+r12 curve honestly showed IVF-PQ saturating at recall 0.23-0.28, but
+that was m=4 x 16 codes on the near-uniform synthetic embeddings
+table — an artifact of giving PQ 16 centroids per 16-dim subspace of
+structureless vectors, not of the operator. The sweep measures
+(m, n_codes) x nprobe on a CLUSTERABLE deterministic
+mixture-of-Gaussians corpus (the fit tests' shape) and records the
+cheapest operating point with recall@5 >= 0.8, which
+operators/ivf_exact.fit_pq_codebooks_exact's docstring points users
+at.
 
 Usage:  python scripts/ann_operating_curve.py [sf_dir] [k]
 Output: /tmp/spark_graft_scale/ann_operating_curve.json (copy into the
@@ -27,6 +38,92 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = "/tmp/spark_graft_scale/ann_operating_curve.json"
+
+
+def synth_mog(spark, n: int, offset: int = 0, n_centers: int = 32,
+              dim: int = 64, noise: float = 0.15):
+    """Deterministic mixture-of-Gaussians-ish corpus: 32 well-separated
+    sin-basis centers + small per-vector sin jitter. Clusterable by
+    construction — the corpus shape PQ codebooks are FOR (each subspace
+    concentrates on n_centers tight blobs, so n_codes >= n_centers'
+    footprint in that subspace quantizes cleanly)."""
+    import math
+
+    rows = []
+    for i in range(offset, offset + n):
+        c = i % n_centers
+        rows.append(
+            (
+                i,
+                [
+                    math.sin(1.7 * c + 0.13 * d)
+                    + noise * math.sin(0.91 * i + 3.7 * d)
+                    for d in range(dim)
+                ],
+            )
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def pq_parameter_sweep(spark, ix, k: int) -> dict:
+    """(m, n_codes) x nprobe recall/latency grid on the clusterable
+    corpus; returns the grid plus the cheapest >= 0.8-recall point."""
+    import tempfile
+    import time
+
+    corpus = synth_mog(spark, 2000, offset=500).localCheckpoint(eager=True)
+    queries = synth_mog(spark, 500, offset=0).localCheckpoint(eager=True)
+    by_query: dict[int, set[int]] = {}
+    for r in ix.exact_fold_topk(corpus, queries, k=k).collect():
+        by_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    grid: dict = {}
+    best = None
+    for m, n_codes in [(4, 16), (8, 16), (8, 64), (16, 64)]:
+        path = tempfile.mkdtemp(prefix=f"pq_sweep_{m}_{n_codes}_")
+        t0 = time.time()
+        ix.build_ivfpq_index_exact(
+            corpus, path, n_clusters=16, m=m, n_codes=n_codes
+        )
+        build_s = round(time.time() - t0, 2)
+        for nprobe in (4, 8):
+            times = []
+            rows = []
+            for _ in range(2):
+                t0 = time.time()
+                rows = ix.query_ivfpq_index_exact(
+                    spark, path, queries, k=k, nprobe=nprobe, m=m
+                ).collect()
+                times.append(time.time() - t0)
+            got: dict[int, set[int]] = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            recall = round(
+                sum(
+                    len(got.get(q, set()) & nbrs) / len(nbrs)
+                    for q, nbrs in by_query.items()
+                )
+                / len(by_query),
+                4,
+            )
+            point = {
+                "m": m,
+                "n_codes": n_codes,
+                "nprobe": nprobe,
+                "sec": round(min(times), 2),
+                "recall_at_k": recall,
+                "build_s": build_s,
+            }
+            grid[f"m{m}_c{n_codes}_p{nprobe}"] = point
+            print(f"pq_sweep {point}")
+            if recall >= 0.8 and (best is None or point["sec"] < best["sec"]):
+                best = point
+    return {
+        "corpus": "synth_mog 2000x64, 32 centers, noise 0.15",
+        "n_queries": len(by_query),
+        "grid": grid,
+        "recommended": best,
+    }
 
 
 def main() -> None:
@@ -113,6 +210,8 @@ def main() -> None:
             f"nprobe={nprobe}: ivf {curve['ivf'][str(nprobe)]}"
             f" | ivfpq {curve['ivfpq'][str(nprobe)]}"
         )
+
+    curve["pq_sweep"] = pq_parameter_sweep(spark, ix, k)
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:

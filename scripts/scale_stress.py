@@ -50,6 +50,12 @@ QUERIES = [
     # and the GD probe is n_iter full-corpus aggregates
     "doc_cdc_dedup_stats",
     "corpus_quality_linear_probe",
+    # r13 x100 set (verdict #4): the capped store-backed near-dup
+    # pairs and a persisted-index probe — run these at x100 via
+    # SCALE_STRESS_ONLY=corpus_curate_e2e,near_dup_pairs,embedding_ann_ivf_index
+    # with SCALE_STRESS_OUT=scale_stress_x100.json
+    "near_dup_pairs",
+    "embedding_ann_ivf_index",
 ]
 
 
@@ -194,7 +200,10 @@ def main() -> None:
             )
     if cmd in ("run", "all"):
         res = run_queries(dirs)
-        out = os.path.join(OUT_ROOT, "scale_stress.json")
+        out = os.path.join(
+            OUT_ROOT,
+            os.environ.get("SCALE_STRESS_OUT", "scale_stress.json"),
+        )
         # merge into any existing record so a SCALE_STRESS_ONLY partial
         # run refreshes its queries without clobbering the rest
         merged = {}

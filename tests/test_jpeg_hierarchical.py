@@ -104,3 +104,65 @@ def test_single_level_is_plain_frame_inside_hierarchy():
     # quant=1 DCT at level 1: near-exact (IDCT rounding only)
     err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
     assert err <= 1
+
+
+# --- SOF6 differential progressive (r13) ---------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(16, 16), (17, 23), (41, 53), (24, 24, 3), (21, 13, 3)],
+)
+def test_sof6_lossless_pyramid_bit_exact(shape):
+    # an SOF6 differential-progressive middle stage inside a
+    # lossless-final pyramid: multi-scan spectral selection + DC
+    # successive approximation must reconstruct the identical residual
+    img = _img(shape, seed=sum(shape) + 70)
+    enc = encode_hierarchical_jpeg(
+        img, levels=3, quant=8, final_lossless=True, progressive_diff=True
+    )
+    assert b"\xff\xc6" in enc  # the SOF6 marker is really in there
+    dec = decode_baseline_jpeg(enc)  # dispatches on DHP
+    want = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
+    assert np.array_equal(dec, want)
+
+
+def test_sof6_scan_packaging_equals_sof5_reconstruction():
+    # SOF5 and SOF6 code the SAME quantized coefficients; only the scan
+    # packaging differs — the decoded images must be identical
+    img = _img((32, 40), seed=77)
+    seq = encode_hierarchical_jpeg(
+        img, levels=2, quant=6, final_lossless=False, progressive_diff=False
+    )
+    prog = encode_hierarchical_jpeg(
+        img, levels=2, quant=6, final_lossless=False, progressive_diff=True
+    )
+    assert b"\xff\xc5" in seq and b"\xff\xc6" in prog
+    assert np.array_equal(
+        decode_hierarchical_jpeg(seq), decode_hierarchical_jpeg(prog)
+    )
+
+
+def test_sof6_negative_dc_successive_approximation():
+    # a residual stage dominated by NEGATIVE DC values (bright base,
+    # dark target) exercises the two's-complement arithmetic-shift
+    # split (hi = v >> 1, low bit = v & 1) in the DC refinement scan
+    img = np.full((24, 24), 30, dtype=np.uint8)
+    img[::2, ::2] = 220  # downsample mean ~ bright, residuals negative
+    enc = encode_hierarchical_jpeg(
+        img, levels=2, quant=3, final_lossless=True, progressive_diff=True
+    )
+    dec = decode_hierarchical_jpeg(enc)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_nondifferential_progressive_inside_hierarchy_still_loud():
+    img = _img((16, 16), seed=9)
+    enc = bytearray(
+        encode_hierarchical_jpeg(img, levels=3, progressive_diff=True)
+    )
+    i = enc.find(b"\xff\xc6")
+    assert i > 0  # levels=3 + lossless final -> SOF6 middle stage
+    enc[i + 1] = 0xC2  # rewrite the frame marker to plain progressive
+    with pytest.raises(NotImplementedError, match="0xFFC2"):
+        decode_hierarchical_jpeg(bytes(enc))
