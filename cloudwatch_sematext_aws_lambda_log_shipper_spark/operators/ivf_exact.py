@@ -51,6 +51,7 @@ def _unit(
     out_id: str,
     dim: int = 64,
     materialize: bool = False,
+    kernel: str | None = None,
 ) -> DataFrame:
     """(out_id, _u) with _u the elementwise-normalized double vector.
     The norm dot unrolls (codegen'd); the division stays a ONE-node
@@ -66,20 +67,58 @@ def _unit(
     reference a plain column of a LogicalRDD instead of inlining the
     normalization subtree into all dim x n_clusters terms. (For the
     100 TB one-shot path this is the usual normalize-once cache; the
-    persisted-index path materializes to parquet instead.)"""
+    persisted-index path materializes to parquet instead.)
+
+    ``kernel`` (r13): "sql" = the expression form above; "numpy" = the
+    Arrow-batched per-dim fold (the _exact_fold_gram family — the same
+    left-fold sequence vectorized ACROSS rows, so every double is
+    bit-identical; pinned in tests/test_emb768.py). None picks by the
+    dot policy boundary: above DOT_UNROLL_MAX_DIM the SQL fold runs
+    interpreted at ~3.7 us/element (measured dim-768, PROFILE_r13) and
+    the numpy kernel is ~20x faster; at narrow dims the codegen'd SQL
+    form wins and keeps the plan JVM-pure."""
+    from .similarity import DOT_UNROLL_MAX_DIM
+
+    if kernel is None:
+        kernel = "numpy" if dim > DOT_UNROLL_MAX_DIM else "sql"
     raw = df.select(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias("_e")
     )
-    e = F.col("_e")
-    out = (
-        raw.withColumn(
-            "_n", F.greatest(F.sqrt(dot_cols(e, e, dim)), F.lit(1e-12))
+    if kernel == "numpy":
+
+        def norm_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_e"]]
+                )
+                acc = np.zeros(X.shape[0], dtype=np.float64)
+                for d in range(X.shape[1]):
+                    acc += X[:, d] * X[:, d]
+                n = np.maximum(np.sqrt(acc), 1e-12)
+                U = X / n[:, None]
+                yield pd.DataFrame(
+                    {out_id: pdf[out_id].values, "_u": list(U)}
+                )
+
+        out = raw.mapInPandas(
+            norm_batches, f"{out_id} long, _u array<double>"
         )
-        .select(
-            out_id,
-            F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+    else:
+        e = F.col("_e")
+        out = (
+            raw.withColumn(
+                "_n", F.greatest(F.sqrt(dot_cols(e, e, dim)), F.lit(1e-12))
+            )
+            .select(
+                out_id,
+                F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+            )
         )
-    )
     return out.localCheckpoint(eager=True) if materialize else out
 
 
@@ -248,6 +287,7 @@ def ann_topk_ivf_exact(
     centers=None,
     dim: int = 64,
     est_scored_rows: int | None = None,
+    assigned_pairs=None,
 ) -> DataFrame:
     """IVF-flat ANN under the exact-arithmetic contract: fit (or take)
     replayable centroids, assign the corpus and probe the queries with
@@ -260,7 +300,14 @@ def ann_topk_ivf_exact(
     ``est_scored_rows``: the caller's estimate of rows the scoring
     stage will touch (|queries| * |corpus| * nprobe / n_clusters) —
     feeds the dot_cols cost rule so 100 TB deployments get the
-    codegen'd dot automatically (values bit-identical either way)."""
+    codegen'd dot automatically (values bit-identical either way).
+
+    ``assigned_pairs``: optional precomputed corpus assignment as
+    [(id, cluster)] — the assignment is a pure function of
+    (corpus, centers), so callers that cache the fit (the
+    _ivf_fit_cached pattern) can cache it too and skip the
+    |corpus| x k argmax pass; the persisted-index path
+    (build_ivf_index_exact) is the durable version of the same move."""
     if centers is None:
         centers = fit_centroids_exact(
             corpus, n_clusters, iters, id_col, vec_col, salt, dim
@@ -268,8 +315,20 @@ def ann_topk_ivf_exact(
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
                materialize=True)
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
-    assigned = _assign_exact(cn, centers, dim, "neighbor_id",
-                             est_rows=est_scored_rows)
+    if assigned_pairs is not None:
+        spark = corpus.sparkSession
+        assigned = cn.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(i), int(c)) for i, c in assigned_pairs],
+                    "neighbor_id long, _cl int",
+                )
+            ),
+            "neighbor_id",
+        )
+    else:
+        assigned = _assign_exact(cn, centers, dim, "neighbor_id",
+                                 est_rows=est_scored_rows)
     probes = _query_probes_exact(qn, centers, nprobe, dim)
     scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
         "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,

@@ -68,3 +68,32 @@ def test_embedding_ann_ivf_768_end_to_end(spark, sf_dir):
                if r["cosine"] is not None)
     # the audit gate must hold (recall floor 0.45 at nprobe=3/8)
     assert all(r["recall_ok"] for r in rows)
+
+
+def test_unit_numpy_kernel_bit_equals_sql_fold(spark):
+    # _unit's dim>128 numpy path must produce the IDENTICAL doubles as
+    # the SQL fold form (same left-fold norm, same max, same division)
+    import math
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        _unit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [math.sin(0.31 * i + 0.017 * d) for d in range(768)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    a = {
+        r["vec_id"]: list(r["_u"])
+        for r in _unit(df, "vec_id", "embedding", "vec_id", 768,
+                       kernel="sql").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["_u"])
+        for r in _unit(df, "vec_id", "embedding", "vec_id", 768,
+                       kernel="numpy").collect()
+    }
+    assert a == b and len(a) == 40
