@@ -562,6 +562,7 @@ def _ivfpq_exact_oracle(
     pq_iters: int = 2,
     dim: int = _IVF_DIM,
     floor: float = _IVF_RECALL_FLOOR,
+    prelude: list[str] | None = None,
 ) -> str:
     sub = dim // m
     d2 = (
@@ -569,7 +570,7 @@ def _ivfpq_exact_oracle(
         " - 2.0 * list_dot_product(s.sv, b.cb)"
         " + list_dot_product(b.cb, b.cb)"
     )
-    lines = _ivf_prelude_ctes()
+    lines = list(prelude) if prelude is not None else _ivf_prelude_ctes()
     lines += _lloyd_ctes(n_clusters, iters, "ivf", dim)
     lines += _ivf_search_ctes(f"c{iters}", nprobe)
     lines.append(
@@ -1006,6 +1007,66 @@ def embedding_ann_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus=corpus, queries=queries, k=5, n_clusters=8, nprobe=3,
         iters=2, dim=_EMB768_DIM, centers=centers,
         assigned_pairs=assigned,
+    )
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5,
+                            min_mean_recall=_IVF_RECALL_FLOOR)
+
+
+@query(
+    "embedding_ann_ivfpq_768",
+    _ivfpq_exact_oracle(
+        n_clusters=8, nprobe=4, m=16, n_codes=64, refine_factor=12,
+        iters=2, pq_iters=1, dim=768, prelude=_ivf768_prelude_ctes(),
+    ),
+)
+def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at a production embedding dimension (768), at the
+    OPERATING POINT the r13 curve sweep recommends (m=16 x 64 codes —
+    <= 48 dims per subspace, >= 64 codes; the m=4 x 16 default
+    saturates at ~0.38 recall, see fit_pq_codebooks_exact), under the
+    STRICT hash gate: the same chained-CTE oracle as the dim-64 PQ
+    queries with the derived-768 prelude swapped in, replaying
+    derivation, coarse fit, PQ codebook fit, encoding, ADC, refine and
+    the recall audit end-to-end.
+
+    Runs through the PERSISTED index (build once per corpus
+    fingerprint via synthcache, probe many — bit-equal to the one-shot
+    path by construction, the same claim the dim-64 index query makes)
+    so the timed per-run work is probes + partition-pruned ADC +
+    exact refine. Recall floor 0.45 (measured 0.60 at sf0.01 / 0.52 at
+    sf0.1 with nprobe=4/8, refine 12)."""
+    import os as _os
+
+    from ..operators.ivf_exact import (
+        build_ivfpq_index_exact,
+        exact_fold_topk,
+        query_ivfpq_index_exact,
+    )
+    from .synthcache import materialize_dir
+
+    emb = _emb768(spark, sf_dir, materialize=True)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def _write(df, p):
+        build_ivfpq_index_exact(
+            df, p, n_clusters=8, m=16, n_codes=64, iters=2, pq_iters=1,
+            dim=_EMB768_DIM,
+        )
+        open(_os.path.join(p, "_SUCCESS"), "w").close()
+
+    path = materialize_dir(
+        spark,
+        sf_dir,
+        "ivfpqx768",
+        builder=lambda: corpus,
+        source="embeddings.parquet",
+        writer=_write,
+    )
+    ann = query_ivfpq_index_exact(
+        spark, path, queries, k=5, nprobe=4, refine_factor=12, m=16,
+        dim=_EMB768_DIM,
     )
     exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,

@@ -97,3 +97,18 @@ def test_unit_numpy_kernel_bit_equals_sql_fold(spark):
                        kernel="numpy").collect()
     }
     assert a == b and len(a) == 40
+
+
+def test_embedding_ann_ivfpq_768_end_to_end(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        embedding_ann_ivfpq_768,
+    )
+
+    out = embedding_ann_ivfpq_768(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) >= 10
+    assert {"query_id", "neighbor_id", "cosine", "rnk", "recall_at_k",
+            "recall_ok"} <= set(out.columns)
+    assert all(abs(r["cosine"]) <= 1.000001 for r in rows
+               if r["cosine"] is not None)
+    assert all(r["recall_ok"] for r in rows)
