@@ -27,16 +27,17 @@ marks color streams with the Adobe APP14 ``transform = 0`` flag
 (ITU-T T.872 §6.5.3 / Adobe TN5116) — the decoder honors it; absent
 APP14, 3-component streams fall back to the YCbCr interpretation.
 
-- differential PROGRESSIVE frames (SOF6, r13): the residual
-  coefficients arrive over MULTIPLE scans — spectral selection and
-  successive approximation exactly as Annex G defines them for
-  non-differential progressive frames (the AC scan machinery is
-  shared with jpeg_baseline), with the one Annex-J difference that DC
-  coefficients carry no cross-block prediction (PRED = 0 per
-  F.1.1.5.1, same rule as SOF5). The frame's accumulated coefficient
-  arrays reconstruct (dequant + IDCT, NO level shift) when the next
-  marker-level event ends the frame, and add to the reference like
-  any differential DCT frame.
+- PROGRESSIVE frames (r13): differential SOF6 — the residual
+  coefficients arrive over MULTIPLE scans, spectral selection and
+  successive approximation exactly as Annex G defines them (the AC
+  scan machinery is shared with jpeg_baseline), with the one Annex-J
+  difference that DC coefficients carry no cross-block prediction
+  (PRED = 0 per F.1.1.5.1, same rule as SOF5) — and non-differential
+  SOF2 as the pyramid's BASE frame (full G.1.2.1 DC prediction,
+  +128 level shift at reconstruction). A frame's accumulated
+  coefficient arrays reconstruct when the next marker-level event
+  ends the frame; differential frames add to the reference,
+  non-differential frames become it.
 
 All arithmetic-coded frames (SOF9-15) stay loud NotImplementedErrors
 in decode_baseline_jpeg's marker walk.
@@ -67,6 +68,7 @@ from .jpeg_baseline import (
 )
 
 _SEQ_SOFS = (0xC0, 0xC1)  # non-differential sequential DCT
+_PROG_SOF = 0xC2  # non-differential progressive (base frame, r13)
 _DIFF_SEQ_SOF = 0xC5
 _DIFF_PROG_SOF = 0xC6  # differential progressive DCT (r13)
 _DIFF_LOSSLESS_SOF = 0xC7
@@ -209,15 +211,19 @@ def _decode_lossless_frame_scan(
 def _decode_diff_prog_scan(
     data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac, dri
 ):
-    """One SOF6 (differential progressive) SOS into the frame's
-    accumulated coefficient arrays. AC scans reuse jpeg_baseline's
-    Annex-G units verbatim (spectral bands and successive approximation
-    are identical in differential frames); DC scans differ in exactly
-    one way: no cross-block prediction (F.1.1.5.1), so the first scan
-    deposits extend(bits) << Al directly and refinement ORs bit Al.
-    Returns the byte position of the next marker."""
+    """One progressive SOS (SOF6 differential or SOF2 non-differential
+    base frame, r13) into the frame's accumulated coefficient arrays.
+    AC scans reuse jpeg_baseline's Annex-G units verbatim (spectral
+    bands and successive approximation are identical either way); DC
+    scans differ in exactly one way between the two frame kinds:
+    differential frames carry no cross-block prediction (F.1.1.5.1),
+    so their first scan deposits extend(bits) << Al directly, while
+    non-differential frames accumulate the G.1.2.1 per-component
+    prediction. Refinement ORs bit Al in both. Returns the byte
+    position of the next marker."""
     from .jpeg_baseline import _ac_first_unit, _ac_refine_unit
 
+    differential = frame["differential"]
     mcux, mcuy = -(-frame["w"] // 8), -(-frame["h"] // 8)
     for c in frame["comps"]:
         if "coef" not in c:
@@ -226,16 +232,25 @@ def _decode_diff_prog_scan(
     eobrun = 0
     n = 0
     if ss == 0:
+        for c in scan:
+            c["pred"] = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 if dri and n and n % dri == 0:
                     r.restart()
+                    for c in scan:
+                        c["pred"] = 0
                 n += 1
                 for c in scan:
                     blk = c["coef"][my, mx]
                     if ah == 0:
                         t = r.huff(huff_dc[c["td"]])
-                        blk[0] = _extend(r.bits(t), t) << al  # PRED = 0
+                        d = _extend(r.bits(t), t)
+                        if differential:
+                            blk[0] = d << al  # PRED = 0 (F.1.1.5.1)
+                        else:
+                            c["pred"] += d  # G.1.2.1 prediction
+                            blk[0] = c["pred"] << al
                     elif r.bits(1):
                         blk[0] |= 1 << al
     else:
@@ -267,9 +282,12 @@ def _decode_diff_prog_scan(
 
 
 def _finish_diff_prog_frame(frame, refs, qt):
-    """Reconstruct a completed SOF6 frame: dequant + IDCT each
-    accumulated residual block (NO level shift — A.3.1 differential),
-    crop, add to the reference, clip. Returns the new reference."""
+    """Reconstruct a completed progressive frame: dequant + IDCT each
+    accumulated block. Differential (SOF6): no level shift (A.3.1),
+    residual adds to the reference, clip. Non-differential (SOF2 base
+    frame, r13): +128 level shift, the planes BECOME the reference.
+    Returns the new reference."""
+    shift = 0.0 if frame["differential"] else 128.0
     fh, fw = frame["h"], frame["w"]
     planes = []
     for c in frame["comps"]:
@@ -281,10 +299,12 @@ def _finish_diff_prog_frame(frame, refs, qt):
                 blk = np.zeros(64, dtype=np.float64)
                 blk[ZIGZAG] = c["coef"][my, mx] * q
                 plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.round(
-                    _idct2(blk.reshape(8, 8))
+                    _idct2(blk.reshape(8, 8)) + shift
                 ).astype(np.int64)
         planes.append(plane[:fh, :fw])
-    return [np.clip(r + p, 0, 255) for r, p in zip(refs, planes)]
+    if frame["differential"]:
+        return [np.clip(r + p, 0, 255) for r, p in zip(refs, planes)]
+    return [np.clip(p, 0, 255) for p in planes]
 
 
 def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
@@ -370,6 +390,7 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             adobe_transform = seg[11]
         elif m in _SEQ_SOFS + (
             _LOSSLESS_SOF,
+            _PROG_SOF,
             _DIFF_SEQ_SOF,
             _DIFF_PROG_SOF,
             _DIFF_LOSSLESS_SOF,
@@ -390,7 +411,7 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
                 "comps": comps,
                 "differential": m
                 in (_DIFF_SEQ_SOF, _DIFF_PROG_SOF, _DIFF_LOSSLESS_SOF),
-                "progressive": m == _DIFF_PROG_SOF,
+                "progressive": m in (_PROG_SOF, _DIFF_PROG_SOF),
                 "lossless": m in (_LOSSLESS_SOF, _DIFF_LOSSLESS_SOF),
             }
             if frame["progressive"] and any(
@@ -406,11 +427,10 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
                 eh, ev = pending_exp if pending_exp else (0, 0)
                 refs = [_expand(p, eh, ev, fh, fw) for p in refs]
                 pending_exp = None
-        elif m in (0xC2, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported frame 0xFF{m:02X} inside a hierarchical"
-                " stream (non-differential progressive / arithmetic"
-                " frames)"
+                " stream (arithmetic-coded frames)"
             )
         elif m == 0xDA:
             if frame is None:
@@ -634,27 +654,32 @@ def _encode_dct_frame(
 
 
 def _encode_diff_prog_frame(
-    out: bytearray, planes: list[np.ndarray], quant: int
+    out: bytearray, planes: list[np.ndarray], quant: int,
+    differential: bool = True,
 ) -> list[np.ndarray]:
-    """Emit one SOF6 (differential progressive) frame for 1x1-sampled
-    integer RESIDUAL planes and return the decoder-reconstructed
-    residuals. The scan script exercises both Annex-G mechanisms:
+    """Emit one progressive frame — SOF6 (differential, over RESIDUAL
+    planes) or SOF2 (non-differential base frame, r13) — for
+    1x1-sampled integer planes and return the decoder-reconstructed
+    planes. The scan script exercises both Annex-G mechanisms:
 
-      1. DC first scan, Al=1 (all components interleaved, PRED = 0);
+      1. DC first scan, Al=1 (all components interleaved; PRED = 0 in
+         differential frames, the G.1.2.1 per-component prediction
+         chain over hi = v >> 1 otherwise);
       2. DC refinement scan, Ah=1 -> Al=0 (one bit per block);
       3. per component: AC first scan Ss=1..5, then Ss=6..63 (spectral
          selection), both Al=0.
 
     Coefficients and the decoder model are identical to
-    _encode_dct_frame's differential arm — only the scan packaging
-    differs, so the reconstructed planes (and therefore the lossless
-    pyramid guarantee when a SOF7 frame follows) are unchanged."""
+    _encode_dct_frame's — only the scan packaging differs, so the
+    reconstructed planes (and therefore the lossless pyramid guarantee
+    when a SOF7 frame follows) are unchanged."""
     fh, fw = planes[0].shape
     nc = len(planes)
     qzz = np.full(64, quant, dtype=np.int64)
     qmat = np.zeros(64, dtype=np.int64)
     qmat[ZIGZAG] = qzz
     qmat = qmat.reshape(8, 8)
+    shift = 0.0 if differential else 128.0
 
     mcux, mcuy = -(-fw // 8), -(-fh // 8)
     blocks: list[list[np.ndarray]] = [[] for _ in planes]
@@ -666,7 +691,7 @@ def _encode_diff_prog_frame(
         for my in range(mcuy):
             for mx in range(mcux):
                 blk = _block_at(pf, my * 8, mx * 8)
-                coef = _fdct2(blk)  # no level shift (differential)
+                coef = _fdct2(blk - shift)
                 zz = (
                     np.round(coef / qmat).astype(np.int64).reshape(64)[ZIGZAG]
                 )
@@ -675,17 +700,24 @@ def _encode_diff_prog_frame(
                 deq[ZIGZAG] = zz * qzz
                 recon[ci][
                     my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                ] = np.round(_idct2(deq.reshape(8, 8))).astype(np.int64)
+                ] = np.round(_idct2(deq.reshape(8, 8)) + shift).astype(
+                    np.int64
+                )
     recon = [r[:fh, :fw] for r in recon]
 
-    # self-describing tables: DC categories of value >> 1 (the Al=1
-    # first scan; ARITHMETIC shift — the decoder reconstructs
+    # self-describing tables: DC categories of the Al=1 first-scan
+    # symbols (ARITHMETIC shift — the decoder reconstructs
     # (hi << 1) | low_bit in two's complement, so hi = floor(v/2) and
-    # the refinement bit is v & 1, for negatives too), AC run/size
-    # symbols per band
-    dc_cats = {
-        _mag_bits(int(zz[0]) >> 1)[0] for bl in blocks for zz in bl
-    }
+    # the refinement bit is v & 1, for negatives too; non-differential
+    # frames code the per-component DIFFS of that hi chain), AC
+    # run/size symbols per band
+    dc_cats: set[int] = set()
+    for bl in blocks:
+        pred = 0
+        for zz in bl:
+            hi = int(zz[0]) >> 1
+            dc_cats.add(_mag_bits(hi if differential else hi - pred)[0])
+            pred = hi
     ac_syms: set[int] = {0x00, 0xF0}
     for bl in blocks:
         for zz in bl:
@@ -708,7 +740,8 @@ def _encode_diff_prog_frame(
     enc_ac = _build_encode_table(abits, avals)
 
     _emit_seg(out, 0xDB, bytes([0]) + bytes(int(x) for x in qzz))
-    _emit_seg(out, _DIFF_PROG_SOF, _sof_payload(fh, fw, nc))
+    _emit_seg(out, _DIFF_PROG_SOF if differential else _PROG_SOF,
+              _sof_payload(fh, fw, nc))
     _emit_seg(out, 0xC4, bytes([0x00]) + bytes(dbits) + bytes(dvals))
     _emit_seg(out, 0xC4, bytes([0x10]) + bytes(abits) + bytes(avals))
 
@@ -719,15 +752,19 @@ def _encode_diff_prog_frame(
         sos += bytes([ss, se, (ah << 4) | al])
         _emit_seg(out, 0xDA, sos)
 
-    # scan 1: DC first, Al=1, interleaved, PRED = 0
+    # scan 1: DC first, Al=1, interleaved (PRED = 0 differential,
+    # G.1.2.1 prediction chain otherwise)
     sos_header(list(range(1, nc + 1)), 0, 0, 0, 1, 0)
     bw = _BitWriter()
+    preds = [0] * nc
     for my in range(mcuy):
         for mx in range(mcux):
             for ci in range(nc):
                 v = int(blocks[ci][my * mcux + mx][0])
                 hi = v >> 1  # arithmetic shift (see table note above)
-                t, code = _mag_bits(hi)
+                d = hi if differential else hi - preds[ci]
+                preds[ci] = hi
+                t, code = _mag_bits(d)
                 ln, cd = enc_dc[t]
                 bw.bits(cd, ln)
                 bw.bits(code, t)
@@ -831,6 +868,7 @@ def encode_hierarchical_jpeg(
     quant: int = 8,
     final_lossless: bool = True,
     progressive_diff: bool = False,
+    progressive_base: bool = False,
 ) -> bytes:
     """Encode (h, w) gray / (h, w, 3) RGB uint8 as a hierarchical JPEG:
     a SOF0 base frame at 1/2^(levels-1) resolution, then per level an
@@ -842,10 +880,12 @@ def encode_hierarchical_jpeg(
 
     ``progressive_diff`` (r13): code the differential DCT stages as
     SOF6 (differential PROGRESSIVE) frames — multi-scan spectral
-    selection + DC successive approximation — instead of SOF5. The
+    selection + DC successive approximation — instead of SOF5.
+    ``progressive_base`` (r13): code the BASE frame as SOF2
+    (non-differential progressive) instead of SOF0. In both cases the
     coefficients and the modeled decoder reconstruction are identical,
     only the scan packaging changes, so the final_lossless pyramid
-    stays bit-exact with an SOF6 stage inside (pinned in
+    stays bit-exact with SOF2/SOF6 stages inside (pinned in
     tests/test_jpeg_hierarchical.py)."""
     img = np.asarray(img)
     if levels < 1:
@@ -869,7 +909,13 @@ def encode_hierarchical_jpeg(
     fh, fw = planes[0].shape
     _emit_seg(out, 0xDE, _sof_payload(fh, fw, len(planes)))  # DHP
 
-    refs = _encode_dct_frame(out, pyramid[0], quant, differential=False)
+    if progressive_base:
+        refs = _encode_diff_prog_frame(
+            out, pyramid[0], quant, differential=False
+        )
+    else:
+        refs = _encode_dct_frame(out, pyramid[0], quant,
+                                 differential=False)
     refs = [np.clip(r, 0, 255) for r in refs]
     for li in range(1, len(pyramid)):
         target = pyramid[li]

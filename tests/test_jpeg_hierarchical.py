@@ -156,13 +156,41 @@ def test_sof6_negative_dc_successive_approximation():
     assert np.array_equal(dec[:, :, 0], img)
 
 
-def test_nondifferential_progressive_inside_hierarchy_still_loud():
+def test_arithmetic_frame_inside_hierarchy_still_loud():
     img = _img((16, 16), seed=9)
     enc = bytearray(
         encode_hierarchical_jpeg(img, levels=3, progressive_diff=True)
     )
     i = enc.find(b"\xff\xc6")
     assert i > 0  # levels=3 + lossless final -> SOF6 middle stage
-    enc[i + 1] = 0xC2  # rewrite the frame marker to plain progressive
-    with pytest.raises(NotImplementedError, match="0xFFC2"):
+    enc[i + 1] = 0xCE  # rewrite to a differential arithmetic frame
+    with pytest.raises(NotImplementedError, match="0xFFCE"):
         decode_hierarchical_jpeg(bytes(enc))
+
+
+@pytest.mark.parametrize("shape", [(41, 53), (24, 24, 3), (17, 23, 3)])
+def test_sof2_base_frame_lossless_pyramid(shape):
+    # non-differential progressive BASE frame (SOF2) inside the
+    # pyramid: the full progressive pyramid SOF2 -> SOF6 -> SOF7
+    # stays bit-exact; only arithmetic coding remains excluded
+    img = _img(shape, seed=sum(shape) + 200)
+    enc = encode_hierarchical_jpeg(
+        img, levels=3, quant=8, final_lossless=True,
+        progressive_diff=True, progressive_base=True,
+    )
+    assert b"\xff\xc2" in enc and b"\xff\xc6" in enc and b"\xff\xc7" in enc
+    dec = decode_baseline_jpeg(enc)
+    want = img if img.ndim == 3 else np.stack([img] * 3, axis=2)
+    assert np.array_equal(dec, want)
+
+
+def test_sof2_base_packaging_equals_sof0_reconstruction():
+    img = _img((32, 40), seed=88)
+    seq = encode_hierarchical_jpeg(img, levels=2, quant=6,
+                                   final_lossless=False)
+    prog = encode_hierarchical_jpeg(img, levels=2, quant=6,
+                                    final_lossless=False,
+                                    progressive_base=True)
+    assert np.array_equal(
+        decode_hierarchical_jpeg(seq), decode_hierarchical_jpeg(prog)
+    )
