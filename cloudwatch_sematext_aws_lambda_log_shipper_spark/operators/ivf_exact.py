@@ -85,6 +85,7 @@ def _unit(
         F.col(id_col).alias(out_id), as_double(F.col(vec_col)).alias("_e")
     )
     if kernel == "numpy":
+        id_type = raw.schema[out_id].dataType.simpleString()
 
         def norm_batches(batches):
             import numpy as np
@@ -93,20 +94,30 @@ def _unit(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["_e"]]
-                )
-                acc = np.zeros(X.shape[0], dtype=np.float64)
-                for d in range(X.shape[1]):
-                    acc += X[:, d] * X[:, d]
-                n = np.maximum(np.sqrt(acc), 1e-12)
-                U = X / n[:, None]
+                # NULL embeddings pass through as NULL _u, matching the
+                # SQL form (transform(NULL, ...) is NULL)
+                mask = pdf["_e"].notna().to_numpy()
+                us: list = [None] * len(pdf)
+                if mask.any():
+                    X = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in pdf["_e"][mask]
+                        ]
+                    )
+                    acc = np.zeros(X.shape[0], dtype=np.float64)
+                    for d in range(X.shape[1]):
+                        acc += X[:, d] * X[:, d]
+                    n = np.maximum(np.sqrt(acc), 1e-12)
+                    U = X / n[:, None]
+                    for slot, u in zip(np.nonzero(mask)[0], U):
+                        us[slot] = u
                 yield pd.DataFrame(
-                    {out_id: pdf[out_id].values, "_u": list(U)}
+                    {out_id: pdf[out_id].values, "_u": us}
                 )
 
         out = raw.mapInPandas(
-            norm_batches, f"{out_id} long, _u array<double>"
+            norm_batches, f"{out_id} {id_type}, _u array<double>"
         )
     else:
         e = F.col("_e")

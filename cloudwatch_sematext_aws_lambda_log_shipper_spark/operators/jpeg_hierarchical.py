@@ -359,6 +359,11 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             _flush_progressive()
             pending_exp = (seg[0] >> 4, seg[0] & 0xF)
         elif m == 0xDB:
+            # a pending progressive frame reconstructs with the CURRENT
+            # quant tables — a T.81-legal DQT redefinition between that
+            # frame's last scan and the next SOF must not retroactively
+            # requantize it (r13 review finding)
+            _flush_progressive()
             p = 0
             while p < len(seg):
                 prec, tid = seg[p] >> 4, seg[p] & 0xF

@@ -362,8 +362,9 @@ def _ivf_exact_oracle(
     iters: int = 3,
     dim: int = _IVF_DIM,
     floor: float = _IVF_RECALL_FLOOR,
+    prelude: list[str] | None = None,
 ) -> str:
-    lines = _ivf_prelude_ctes()
+    lines = list(prelude) if prelude is not None else _ivf_prelude_ctes()
     lines += _lloyd_ctes(n_clusters, iters, "ivf", dim)
     lines += _ivf_search_ctes(f"c{iters}", nprobe)
     lines.append(
@@ -451,8 +452,7 @@ def _emb768(
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(_EMB768_DIM - 1)), component
     )
-    out = emb.select("vec_id", vec.alias("embedding"))
-    return out.localCheckpoint(eager=True) if materialize else out
+    return emb.select("vec_id", vec.alias("embedding"))
 
 
 def _ivf768_fit_cached(spark: SparkSession, sf_dir: str, corpus,
@@ -536,19 +536,11 @@ def _ivf768_exact_oracle(
 ) -> str:
     """The dim-64 IVF oracle with the dim-768 derived-corpus prelude —
     every downstream CTE (_lloyd_ctes/_ivf_search_ctes/recall tail) is
-    already dim-parameterized."""
-    lines = _ivf768_prelude_ctes()
-    lines += _lloyd_ctes(n_clusters, iters, "ivf", _EMB768_DIM)
-    lines += _ivf_search_ctes(f"c{iters}", nprobe)
-    lines.append(
-        "ann AS MATERIALIZED (SELECT query_id, neighbor_id, cos,"
-        " row_number() OVER (PARTITION BY query_id"
-        " ORDER BY cos DESC, neighbor_id) AS rnk"
-        " FROM (SELECT p.query_id, a.vec_id AS neighbor_id,"
-        " list_dot_product(p.qu, a.u) AS cos"
-        f" FROM probes p JOIN afin a ON p.j = a.j) QUALIFY rnk <= {k}),"
+    already dim-parameterized, so this is one parameterized call."""
+    return _ivf_exact_oracle(
+        n_clusters=n_clusters, nprobe=nprobe, k=k, iters=iters,
+        dim=_EMB768_DIM, floor=floor, prelude=_ivf768_prelude_ctes(),
     )
-    return "\n".join(lines) + "\n" + _recall_tail_ctes(k, floor)
 
 
 def _ivfpq_exact_oracle(

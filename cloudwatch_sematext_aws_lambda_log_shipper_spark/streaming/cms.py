@@ -13,7 +13,10 @@ State per group: w=512 longs (bounded regardless of stream length or
 item-space size). Output (update mode) after each micro-batch: the
 row's buckets TOUCHED in that batch with their running totals — a
 downstream point estimate for item x is min over rows i of the latest
-(i, bucket_i(x)) count, exactly the batch estimator.
+(i, bucket_i(x)) count, exactly the batch estimator. With a ttl_ms
+freshness horizon, expiry emits an explicit c=0 row for EVERY bucket
+of the expired hash row, so the latest-row contract survives the
+reset (consumers see the new epoch, never stale pre-gap counts).
 """
 
 from __future__ import annotations
@@ -66,7 +69,21 @@ def _cms_fold_factory(ttl_ms: int | None):
             # It is a FRESHNESS horizon: after > ttl of stream silence
             # the counters reset, so point estimates mean "counts since
             # the last >ttl idle gap" rather than since stream start.
+            # Unlike the per-key sketches, CMS output is PER-BUCKET
+            # incremental ("latest row per (i, b) IS the sketch
+            # value"), so a silent removal would leave stale pre-gap
+            # rows in the sink: emit an explicit c=0 reset for every
+            # bucket of this hash row so downstream latest-row
+            # consumers see the new epoch (r13 review finding).
             state.remove()
+            yield pd.DataFrame(
+                {
+                    "i": row,
+                    "b": list(range(CMS_W)),
+                    "c": [0] * CMS_W,
+                    "n_row": 0,
+                }
+            )
             return
         if state.exists:
             counters, n_row = state.get

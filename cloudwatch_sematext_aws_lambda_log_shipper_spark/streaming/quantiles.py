@@ -44,10 +44,16 @@ Q_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# State schema is UNCHANGED from r12 (pris/vals/n_seen) so existing
+# checkpoints restore across the r13 upgrade: the element id needed
+# for the batch-exact truncation tie-break is PACKED into each pris
+# entry as md5hex(32 chars) + element_id — md5 hex is fixed-width, so
+# lexicographic order of the packed string IS the batch ORDER BY
+# (priority, element_id), and pre-r13 entries (bare 32-char hex)
+# continue as (priority, "").
 _Q_STATE_SCHEMA = T.StructType(
     [
         T.StructField("pris", T.ArrayType(T.StringType())),
-        T.StructField("eids", T.ArrayType(T.StringType())),
         T.StructField("vals", T.ArrayType(T.DoubleType())),
         T.StructField("n_seen", T.LongType()),
     ]
@@ -97,39 +103,40 @@ def _q_fold_impl(
         state.remove()
         return
     if state.exists:
-        pris, eids, vals, n_seen = state.get
-        sample = list(zip(pris, eids, vals))
+        pris, vals, n_seen = state.get
+        sample = list(zip(pris, vals))
     else:
         sample, n_seen = [], 0
     # Truncation key is (priority, element_id) — the batch query's
     # exact ORDER BY (md5 priority, event_id) — NOT (priority, value):
     # at the k-boundary a priority tie (duplicate element_id replays,
     # md5 collisions) must keep the same rows the batch window keeps
-    # (ADVICE r12). Python's sort is stable, so fully-tied rows keep
+    # (ADVICE r12). The element id rides packed behind the fixed-width
+    # md5 hex (see _Q_STATE_SCHEMA), so sorting the packed string IS
+    # that ORDER BY; Python's sort is stable, so fully-tied rows keep
     # stream order, matching row_number's arbitrary-but-consistent
     # order within duplicate (pri, id) keys.
-    trunc_key = lambda t: (t[0], t[1])  # noqa: E731
+    trunc_key = lambda t: t[0]  # noqa: E731
     for pdf in pdfs:
         ok = pdf.dropna(subset=["element_id", "value"])
         n_seen += len(ok)
         for eid, v in zip(ok["element_id"], ok["value"]):
             eid = str(eid)
-            sample.append((sample_priority(eid), eid, float(v)))
+            sample.append((sample_priority(eid) + eid, float(v)))
         if len(sample) > SAMPLE_SIZE:
             sample.sort(key=trunc_key)
             sample = sample[:SAMPLE_SIZE]
     sample.sort(key=trunc_key)
     state.update(
         (
-            [p for p, _, _ in sample],
-            [e for _, e, _ in sample],
-            [v for _, _, v in sample],
+            [p for p, _ in sample],
+            [v for _, v in sample],
             n_seen,
         )
     )
     if ttl_ms is not None:
         state.setTimeoutDuration(ttl_ms)
-    sv = sorted(v for _, _, v in sample)
+    sv = sorted(v for _, v in sample)
     yield pd.DataFrame(
         {
             "key": [key[0]],

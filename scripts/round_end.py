@@ -74,11 +74,28 @@ def main() -> None:
         capture_output=True, text=True,
     )
     sys.stderr.write(bench.stderr[-4000:])
+    if bench.returncode != 0:
+        sys.exit(f"round_end: bench FAILED (rc={bench.returncode}) — "
+                 "fix before recording the round")
     line = bench.stdout.strip().splitlines()[-1] if bench.stdout.strip() else ""
     try:
         record = json.loads(line)
     except (json.JSONDecodeError, ValueError):
         sys.exit(f"round_end: bench produced no parseable record: {line!r}")
+    # a query that crashed anywhere (warmup/store-warm/timed) lands as
+    # -1.0 in the full record — refuse to enshrine a partial bench as
+    # the round's official number (r13 review finding)
+    try:
+        with open(os.path.join(HERE, "BENCH_FULL.json")) as f:
+            full = json.load(f)
+        broken = sorted(
+            q for q, t in full.get("queries", {}).items() if t < 0
+        )
+    except (OSError, json.JSONDecodeError) as exc:
+        sys.exit(f"round_end: cannot read BENCH_FULL.json: {exc}")
+    if broken:
+        sys.exit(f"round_end: bench had FAILED queries {broken} — "
+                 "fix before recording the round")
     bench_out = os.path.join(HERE, f"BENCH_r{rnd}.json")
     with open(bench_out, "w") as f:
         json.dump(record, f, separators=(",", ":"))

@@ -114,9 +114,36 @@ def test_streaming_quantile_truncation_is_value_independent():
     st = _FakeState()
     out = list(_q_fold(("k",), iter([pdf]), st))
     assert len(out) == 1 and int(out[0]["n_seen"].iloc[0]) == 500
-    _, _, kept_vals, _ = st.value
+    pris_packed, kept_vals, _ = st.value
     assert sorted(kept_vals) == sorted(vals[:SAMPLED_QUANTILE_S])
     assert sorted(kept_vals) != sorted(vals[-SAMPLED_QUANTILE_S:])
+    # r12-compatible state shape: element id packed behind the 32-hex
+    # priority, so old checkpoints restore and the packed string sorts
+    # exactly as the batch ORDER BY (priority, element_id)
+    assert all(len(p) > 32 and p[32:] == "x" for p in pris_packed)
+
+
+def test_quantile_state_restores_r12_checkpoints():
+    # pre-r13 state entries are bare 32-char md5 hex (no packed id);
+    # the fold must keep folding them (they continue as (pri, ""))
+    import hashlib
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.quantiles import (
+        _q_fold,
+    )
+
+    st = _FakeState()
+    old = [
+        (hashlib.md5(f"e{i}qsamp".encode()).hexdigest(), float(i))
+        for i in range(5)
+    ]
+    st.value = ([p for p, _ in old], [v for _, v in old], 5)
+    st.exists = True
+    pdf = pd.DataFrame({"element_id": ["z"], "value": [9.0]})
+    out = list(_q_fold(("k",), iter([pdf]), st))
+    assert int(out[0]["n_seen"].iloc[0]) == 6
+    pris, vals, _n = st.value
+    assert len(vals) == 6 and 9.0 in vals
 
 
 def _expr_str(col) -> str:

@@ -165,14 +165,24 @@ def test_cms_ttl_resets_freshness_horizon(spark, tmp_path):
     # CMS keys are the d hash rows themselves, so every key gets data
     # in every non-empty batch — the expiry can only fire from an
     # EMPTY timeout-sweep batch. Restart with no new data and idle:
-    # the engine schedules sweep batches, the expired rows reset.
+    # the engine schedules sweep batches, the expired rows reset AND
+    # emit explicit c=0 rows for every bucket (the latest-row-per-(i,b)
+    # sink contract must see the new epoch, not stale pre-gap counts)
     _run_until(spark, build, inp, ck, out, schema,
-               lambda rs: True, settle_s=4.0)
+               lambda rs: any(r["n_row"] == 0 for r in rs), settle_s=2.0)
     _write(inp, "b2.json", [("a",) for _ in range(3)], ("element",))
     rows = _run_until(
         spark, build, inp, ck, out, schema,
         lambda rs: any(r["n_row"] in (3, 23) for r in rs))
 
     per_row_counts = sorted({r["n_row"] for r in rows})
-    assert per_row_counts == [3, 20], per_row_counts
+    assert per_row_counts == [0, 3, 20], per_row_counts  # reset epoch
     assert max(r["c"] for r in rows if r["n_row"] == 3) == 3
+    # the reset tombstones cover the full bucket space per hash row
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.sketches import (
+        CMS_W,
+    )
+
+    zero = [r for r in rows if r["n_row"] == 0]
+    assert len({(r["i"], r["b"]) for r in zero}) >= CMS_W
+    assert all(r["c"] == 0 for r in zero)
