@@ -1283,8 +1283,11 @@ def ann_topk_lsh_exact(
     the top-k. Data-independent (no fit) — lower recall than IVF on
     near-uniform vectors by design; the recall gate rides at the query
     layer."""
+    from .similarity import DOT_UNROLL_MAX_DIM
+
     spark = corpus.sparkSession
     planes = lsh_plane_weights_exact(num_planes, dim)
+    wide = dim > DOT_UNROLL_MAX_DIM
     pdf = F.broadcast(
         spark.createDataFrame(
             [(p, w) for p, w in enumerate(planes)],
@@ -1293,6 +1296,45 @@ def ann_topk_lsh_exact(
     )
 
     def bucket(frame: DataFrame, id_name: str) -> DataFrame:
+        if wide:
+            # Arrow-batched per-dim fold (the _exact_fold_gram family):
+            # the sign of the left-fold dot is bit-identical to the SQL
+            # form, and at 768 dims the interpreted HOF fold measures
+            # ~3.7 us/element (PROFILE_r13) — the same kernel boundary
+            # as _unit. Planes ship in the closure (num_planes x dim
+            # doubles — a few KB).
+            id_type = frame.schema[id_name].dataType.simpleString()
+
+            def kern(batches, _planes=planes):
+                import numpy as np
+                import pandas as pd
+
+                W = np.array(_planes, dtype=np.float64)
+                for pd_batch in batches:
+                    if len(pd_batch) == 0:
+                        continue
+                    U = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in pd_batch["_u"]
+                        ]
+                    )
+                    G = _exact_fold_gram(U, W)  # (n, num_planes)
+                    b = (
+                        (G >= 0).astype(np.int64)
+                        * (1 << np.arange(W.shape[0], dtype=np.int64))
+                    ).sum(axis=1)
+                    yield pd.DataFrame(
+                        {
+                            id_name: pd_batch[id_name].values,
+                            "_b": b.astype("int32"),
+                            "_u": list(U),
+                        }
+                    )
+
+            return frame.mapInPandas(
+                kern, f"{id_name} {id_type}, _b int, _u array<double>"
+            )
         return (
             frame.crossJoin(pdf)
             .select(
@@ -1332,8 +1374,44 @@ def ann_topk_lsh_exact(
         F.col("_u").alias("_qu"),
         F.explode(flips).alias("_b"),
     )
-    scored = cn.join(probes, "_b").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
-                        est_rows=est_scored_rows)
-    )
+    cand = cn.join(probes, "_b")
+    if wide:
+        # pairwise per-dim fold across the candidate rows — the same
+        # left-fold sequence, vectorized (see bucket() note)
+        def cos_kern(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pd_batch in batches:
+                if len(pd_batch) == 0:
+                    continue
+                Q = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pd_batch["_qu"]]
+                )
+                C = np.stack(
+                    [np.asarray(v, dtype=np.float64)
+                     for v in pd_batch["_u"]]
+                )
+                acc = np.zeros(len(pd_batch), dtype=np.float64)
+                for d in range(Q.shape[1]):
+                    acc += Q[:, d] * C[:, d]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd_batch["query_id"].values,
+                        "neighbor_id": pd_batch["neighbor_id"].values,
+                        "cos": acc,
+                    }
+                )
+
+        scored = cand.select(
+            "query_id", "neighbor_id", "_qu", "_u"
+        ).mapInPandas(
+            cos_kern, "query_id long, neighbor_id long, cos double"
+        )
+    else:
+        scored = cand.withColumn(
+            "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
+                            est_rows=est_scored_rows)
+        )
     return _rank_topk(scored, k)

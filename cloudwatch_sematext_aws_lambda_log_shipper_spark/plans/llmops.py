@@ -800,6 +800,7 @@ def _lsh_exact_oracle(
     k: int = 5,
     dim: int = _IVF_DIM,
     floor: float = 0.25,
+    prelude: list[str] | None = None,
 ) -> str:
     """Hyperplane-LSH replay: planes re-derived in SQL from the same
     md5 hex digits the engine uses (weight = (hex4/65536)*2-1),
@@ -823,13 +824,19 @@ def _lsh_exact_oracle(
     flips = ", ".join(
         f"CAST(xor(b.b, {1 << p}) AS INT)" for p in range(num_planes)
     )
-    lines = [
-        "WITH emb AS MATERIALIZED (SELECT vec_id,"
-        " CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
-        f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u"
-        " FROM emb WHERE vec_id >= 10),",
-        f"qn AS MATERIALIZED (SELECT vec_id, {unit} AS u"
-        " FROM emb WHERE vec_id < 10),",
+    lines = (
+        list(prelude)
+        if prelude is not None
+        else [
+            "WITH emb AS MATERIALIZED (SELECT vec_id,"
+            " CAST(embedding AS DOUBLE[]) AS e FROM embeddings),",
+            f"n AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+            " FROM emb WHERE vec_id >= 10),",
+            f"qn AS MATERIALIZED (SELECT vec_id, {unit} AS u"
+            " FROM emb WHERE vec_id < 10),",
+        ]
+    )
+    lines += [
         "ph AS MATERIALIZED (SELECT gp.p, gd.d,"
         " md5(CAST(gp.p AS VARCHAR) || ':' || CAST(gd.d AS VARCHAR)) AS h"
         f" FROM generate_series(0, {num_planes - 1}) AS gp(p)"
@@ -1063,6 +1070,35 @@ def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVF_RECALL_FLOOR)
+
+
+@query(
+    "embedding_ann_lsh_768",
+    _lsh_exact_oracle(dim=768, prelude=_ivf768_prelude_ctes()),
+)
+def embedding_ann_lsh_768(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN at dim 768 — the third member of the
+    production-dimension ANN trio (with embedding_ann_ivf_768 and
+    embedding_ann_ivfpq_768), under the STRICT hash gate: the md5-hex
+    plane weights re-derive in SQL at 768 components per plane, and
+    the whole pipeline (derived corpus, normalization, bucket bits,
+    Hamming-1 multiprobe, candidate join, exact cosine rank, recall
+    audit) replays in one CTE chain.
+
+    Above DOT_UNROLL_MAX_DIM the bucket-bit and candidate-scoring
+    stages run the Arrow-batched per-dim fold kernels (bit-identical
+    left folds — the _unit/_exact_fold_gram boundary, PROFILE_r13);
+    data-independent as ever, so recall is lower than the fitted
+    paths by design and the gate rides at 0.25 like the dim-64 twin."""
+    from ..operators.ivf_exact import ann_topk_lsh_exact, exact_fold_topk
+
+    emb = _emb768(spark, sf_dir, materialize=True)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = ann_topk_lsh_exact(corpus=corpus, queries=queries, k=5,
+                             num_planes=4, dim=_EMB768_DIM)
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.25)
 
 
 @query("embedding_ann_lsh", _lsh_exact_oracle())

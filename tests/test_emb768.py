@@ -112,3 +112,16 @@ def test_embedding_ann_ivfpq_768_end_to_end(spark, sf_dir):
     assert all(abs(r["cosine"]) <= 1.000001 for r in rows
                if r["cosine"] is not None)
     assert all(r["recall_ok"] for r in rows)
+
+
+def test_embedding_ann_lsh_768_end_to_end(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        embedding_ann_lsh_768,
+    )
+
+    out = embedding_ann_lsh_768(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) >= 10
+    assert {"query_id", "neighbor_id", "cosine", "rnk", "recall_at_k",
+            "recall_ok"} <= set(out.columns)
+    assert all(r["recall_ok"] for r in rows)
