@@ -105,10 +105,7 @@ def _unit(
                             for v in pdf["_e"][mask]
                         ]
                     )
-                    acc = np.zeros(X.shape[0], dtype=np.float64)
-                    for d in range(X.shape[1]):
-                        acc += X[:, d] * X[:, d]
-                    n = np.maximum(np.sqrt(acc), 1e-12)
+                    n = np.maximum(_fold_norms(X), 1e-12)
                     U = X / n[:, None]
                     for slot, u in zip(np.nonzero(mask)[0], U):
                         us[slot] = u
@@ -888,10 +885,20 @@ def _fold_norms(X):
     oracles compute as sqrt(list_dot_product(e, e))."""
     import numpy as np
 
-    acc = np.zeros(X.shape[0], dtype=np.float64)
-    for d in range(X.shape[1]):
-        acc += X[:, d] * X[:, d]
-    return np.sqrt(acc)
+    return np.sqrt(_exact_fold_pairwise(X, X))
+
+
+def _exact_fold_pairwise(Q, C):
+    """Row-paired left-fold dots (Q[i] . C[i]) — the third shape of
+    the bit-exactness-critical fold (gram = all pairs, norms = self,
+    pairwise = aligned rows); ONE definition so the fold order can
+    never drift between kernels."""
+    import numpy as np
+
+    acc = np.zeros(Q.shape[0], dtype=np.float64)
+    for d in range(Q.shape[1]):
+        acc += Q[:, d] * C[:, d]
+    return acc
 
 
 def exact_fold_topk(
@@ -1313,22 +1320,33 @@ def ann_topk_lsh_exact(
                 for pd_batch in batches:
                     if len(pd_batch) == 0:
                         continue
-                    U = np.stack(
-                        [
-                            np.asarray(v, dtype=np.float64)
-                            for v in pd_batch["_u"]
-                        ]
-                    )
-                    G = _exact_fold_gram(U, W)  # (n, num_planes)
-                    b = (
-                        (G >= 0).astype(np.int64)
-                        * (1 << np.arange(W.shape[0], dtype=np.int64))
-                    ).sum(axis=1)
+                    # NULL _u (a NULL embedding through _unit) lands in
+                    # bucket 0 with _u NULL — exactly the SQL form
+                    # (when(NULL >= 0, bit).otherwise(0) sums to 0)
+                    mask = pd_batch["_u"].notna().to_numpy()
+                    bs = np.zeros(len(pd_batch), dtype=np.int64)
+                    us: list = [None] * len(pd_batch)
+                    if mask.any():
+                        U = np.stack(
+                            [
+                                np.asarray(v, dtype=np.float64)
+                                for v in pd_batch["_u"][mask]
+                            ]
+                        )
+                        G = _exact_fold_gram(U, W)  # (n, num_planes)
+                        b = (
+                            (G >= 0).astype(np.int64)
+                            * (1 << np.arange(W.shape[0], dtype=np.int64))
+                        ).sum(axis=1)
+                        idx = np.nonzero(mask)[0]
+                        bs[idx] = b
+                        for slot, u in zip(idx, U):
+                            us[slot] = u
                     yield pd.DataFrame(
                         {
                             id_name: pd_batch[id_name].values,
-                            "_b": b.astype("int32"),
-                            "_u": list(U),
+                            "_b": bs.astype("int32"),
+                            "_u": us,
                         }
                     )
 
@@ -1376,8 +1394,12 @@ def ann_topk_lsh_exact(
     )
     cand = cn.join(probes, "_b")
     if wide:
+        qid_type = cand.schema["query_id"].dataType.simpleString()
+        nid_type = cand.schema["neighbor_id"].dataType.simpleString()
+
         # pairwise per-dim fold across the candidate rows — the same
-        # left-fold sequence, vectorized (see bucket() note)
+        # left-fold sequence, vectorized (see bucket() note); NULL
+        # vectors score NULL like the SQL fold would
         def cos_kern(batches):
             import numpy as np
             import pandas as pd
@@ -1385,29 +1407,35 @@ def ann_topk_lsh_exact(
             for pd_batch in batches:
                 if len(pd_batch) == 0:
                     continue
-                Q = np.stack(
-                    [np.asarray(v, dtype=np.float64)
-                     for v in pd_batch["_qu"]]
-                )
-                C = np.stack(
-                    [np.asarray(v, dtype=np.float64)
-                     for v in pd_batch["_u"]]
-                )
-                acc = np.zeros(len(pd_batch), dtype=np.float64)
-                for d in range(Q.shape[1]):
-                    acc += Q[:, d] * C[:, d]
+                mask = (
+                    pd_batch["_qu"].notna() & pd_batch["_u"].notna()
+                ).to_numpy()
+                cos: list = [None] * len(pd_batch)
+                if mask.any():
+                    Q = np.stack(
+                        [np.asarray(v, dtype=np.float64)
+                         for v in pd_batch["_qu"][mask]]
+                    )
+                    C = np.stack(
+                        [np.asarray(v, dtype=np.float64)
+                         for v in pd_batch["_u"][mask]]
+                    )
+                    acc = _exact_fold_pairwise(Q, C)
+                    for slot, v in zip(np.nonzero(mask)[0], acc):
+                        cos[slot] = float(v)
                 yield pd.DataFrame(
                     {
                         "query_id": pd_batch["query_id"].values,
                         "neighbor_id": pd_batch["neighbor_id"].values,
-                        "cos": acc,
+                        "cos": cos,
                     }
                 )
 
         scored = cand.select(
             "query_id", "neighbor_id", "_qu", "_u"
         ).mapInPandas(
-            cos_kern, "query_id long, neighbor_id long, cos double"
+            cos_kern,
+            f"query_id {qid_type}, neighbor_id {nid_type}, cos double",
         )
     else:
         scored = cand.withColumn(

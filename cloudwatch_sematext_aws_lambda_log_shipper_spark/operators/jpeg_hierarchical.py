@@ -286,12 +286,15 @@ def _finish_diff_prog_frame(frame, refs, qt):
     accumulated block. Differential (SOF6): no level shift (A.3.1),
     residual adds to the reference, clip. Non-differential (SOF2 base
     frame, r13): +128 level shift, the planes BECOME the reference.
-    Returns the new reference."""
+    Returns the new reference. Dequantization uses the per-component
+    tables SNAPSHOTTED at each component's first scan (see the SOS
+    handler) — later DQT redefinitions belong to later frames."""
     shift = 0.0 if frame["differential"] else 128.0
     fh, fw = frame["h"], frame["w"]
+    snap = frame.get("qt_snapshot", {})
     planes = []
     for c in frame["comps"]:
-        q = qt[c["tq"]]
+        q = snap.get(c["tq"], qt[c["tq"]])
         mcuy, mcux = c["coef"].shape[:2]
         plane = np.zeros((mcuy * 8, mcux * 8), dtype=np.int64)
         for my in range(mcuy):
@@ -359,11 +362,6 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             _flush_progressive()
             pending_exp = (seg[0] >> 4, seg[0] & 0xF)
         elif m == 0xDB:
-            # a pending progressive frame reconstructs with the CURRENT
-            # quant tables — a T.81-legal DQT redefinition between that
-            # frame's last scan and the next SOF must not retroactively
-            # requantize it (r13 review finding)
-            _flush_progressive()
             p = 0
             while p < len(seg):
                 prec, tid = seg[p] >> 4, seg[p] & 0xF
@@ -453,6 +451,18 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             pt = seg[3 + 2 * ns] & 0xF  # Al in DCT scans, Pt in lossless
             spos = pos + seglen
             if frame.get("progressive"):
+                # snapshot each scanned component's quant table at ITS
+                # first scan: a progressive frame reconstructs only
+                # when the frame ENDS, so without the snapshot a
+                # T.81-legal DQT between this frame's last scan and
+                # the next SOF would retroactively requantize it,
+                # while flushing on DQT instead would truncate frames
+                # whose scans are interleaved with table definitions
+                # (both r13 review findings — the snapshot fixes both)
+                snap = frame.setdefault("qt_snapshot", {})
+                for c in scan:
+                    if c["tq"] not in snap:
+                        snap[c["tq"]] = qt[c["tq"]].copy()
                 pos = _decode_diff_prog_scan(
                     data, spos, frame, scan, ss, se, ah, pt,
                     huff_dc, huff_ac, dri,

@@ -125,3 +125,33 @@ def test_embedding_ann_lsh_768_end_to_end(spark, sf_dir):
     assert {"query_id", "neighbor_id", "cosine", "rnk", "recall_at_k",
             "recall_ok"} <= set(out.columns)
     assert all(r["recall_ok"] for r in rows)
+
+
+def test_lsh768_tolerates_null_embeddings_and_string_ids(spark):
+    # NULL embeddings flow through the wide (numpy-kernel) LSH path as
+    # NULL scores in bucket 0 — the same as the narrow SQL path — and
+    # the kernels preserve a non-long id column's type end-to-end
+    import math
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        ann_topk_lsh_exact,
+    )
+
+    rows = [
+        (f"doc{i}", [math.sin(0.31 * i + 0.017 * d) for d in range(768)])
+        for i in range(30)
+    ] + [("docnull", None)]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, embedding array<double>"
+    ).filter("doc_id != 'doc0'")
+    queries = spark.createDataFrame(
+        rows[:1], "doc_id string, embedding array<double>"
+    )
+    out = ann_topk_lsh_exact(
+        corpus=corpus, queries=queries, k=3, num_planes=4,
+        id_col="doc_id", dim=768,
+    ).collect()
+    assert 1 <= len(out) <= 3
+    assert all(isinstance(r["query_id"], str) for r in out)
+    assert all(r["neighbor_id"] != "docnull" or r["cosine"] is None
+               for r in out)

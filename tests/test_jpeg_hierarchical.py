@@ -194,3 +194,33 @@ def test_sof2_base_packaging_equals_sof0_reconstruction():
     assert np.array_equal(
         decode_hierarchical_jpeg(seq), decode_hierarchical_jpeg(prog)
     )
+
+
+def test_dqt_between_scans_and_after_frame_uses_snapshot():
+    # a progressive frame's quant tables are SNAPSHOTTED at each
+    # component's first scan: a DQT redefinition injected mid-frame
+    # (between two of its scans) must neither terminate the frame nor
+    # requantize it, and one injected after the frame's last scan
+    # (before the next SOF) must not retroactively requantize either
+    img = _img((24, 24), seed=31)
+    enc = encode_hierarchical_jpeg(
+        img, levels=3, quant=8, final_lossless=True, progressive_diff=True
+    )
+    want = decode_hierarchical_jpeg(enc)
+    rogue = bytes([0xFF, 0xDB, 0x00, 0x43, 0x00]) + bytes([99] * 64)
+    sof6 = enc.find(b"\xff\xc6")
+    # inject between the SOF6 frame's 2nd and 3rd SOS
+    sos_positions = []
+    p = sof6
+    while len(sos_positions) < 3:
+        p = enc.find(b"\xff\xda", p + 2)
+        sos_positions.append(p)
+    midframe = enc[: sos_positions[2]] + rogue + enc[sos_positions[2]:]
+    assert np.array_equal(decode_hierarchical_jpeg(midframe), want)
+    # inject after the frame's last scan: just before the next SOF7
+    sof7 = enc.find(b"\xff\xc7")
+    assert sof7 > sof6
+    # the EXP (FFDF) precedes SOF7; insert before the EXP
+    exp = enc.rfind(b"\xff\xdf", sof6, sof7)
+    postframe = enc[:exp] + rogue + enc[exp:]
+    assert np.array_equal(decode_hierarchical_jpeg(postframe), want)
