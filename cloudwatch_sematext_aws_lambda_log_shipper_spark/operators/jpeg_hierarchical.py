@@ -495,6 +495,13 @@ def decode_hierarchical_jpeg(data: bytes) -> np.ndarray:
             continue
         pos += seglen
 
+    # a stream truncated before EOI (ADVICE r13): the final progressive
+    # frame's accumulated coefficients would otherwise silently drop and
+    # the decoder would return the PRE-frame reference planes — flush
+    # here so every fully-scanned frame reconstructs regardless of
+    # whether the EOI marker survived
+    _flush_progressive()
+
     if refs is None or not final_h:
         raise ValueError("hierarchical stream without frames")
     if refs[0].shape != (final_h, final_w):

@@ -49,6 +49,15 @@ def main() -> None:
          "tests", "scripts"],
         capture_output=True, text=True,
     ).stdout.strip()
+    # `git diff HEAD` misses brand-new files (ADVICE r13): untracked
+    # source would let recorded artifacts reflect code in no commit
+    untracked = sh(
+        ["git", "ls-files", "--others", "--exclude-standard", "--",
+         "*.py", "cloudwatch_sematext_aws_lambda_log_shipper_spark",
+         "tests", "scripts"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    dirty = "\n".join(x for x in (dirty, untracked) if x)
     if dirty:
         sys.exit(
             "round_end: refusing to run with uncommitted source changes:\n"

@@ -1,0 +1,188 @@
+"""Round-14 asks: the self-feeding dot cost rule and the de-collected
+index caches.
+
+- The r13 verdict's #2: no declared query passed ``est_rows``, so the
+  cost rule's unrolled branch was dead code in the shipped surface.
+  The estimate now derives INSIDE the operators
+  (ivf_exact._derive_est_scored_rows: |queries| * |corpus| * nprobe /
+  n_clusters from checkpointed counts or parquet footers), so the
+  strategy flips at deployment scale with no caller hint. These tests
+  pin that the derived estimate actually REACHES dot_cols — the
+  strategy log's reason string distinguishes a derived-but-small
+  estimate ("est_rows below crossover") from a missing one ("no row
+  estimate"), so a regression that stops deriving is caught even when
+  both land on the fold.
+- The r13 verdict's #1: the O(corpus) driver-side collects are gone —
+  embedding_ann_ivf_768 runs the persisted cluster-partitioned index
+  and the PQ fit cache stores its corpus-sized code table as parquet,
+  never a driver list. Guarded here by a source-level scan of the fit
+  cache (no .collect() on a corpus-sized frame in its body).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators import (
+    ivf_exact,
+    similarity,
+)
+
+
+def _mk_vectors(spark, n, dim, start=0):
+    return spark.createDataFrame(
+        [
+            (start + i, [math.sin(start + i + d) for d in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _reasons_for(strategy):
+    return {
+        why for s, _dim, why in similarity._logged_strategies if s == strategy
+    }
+
+
+def test_derive_est_scored_rows_arithmetic(spark):
+    cn = _mk_vectors(spark, 40, 4).localCheckpoint(eager=True)
+    qn = _mk_vectors(spark, 5, 4, start=100).localCheckpoint(eager=True)
+    assert ivf_exact._derive_est_scored_rows(cn, qn, 3, 8) == int(
+        5 * 40 * 3 / 8
+    )
+    # persisted-index form: corpus_rows from footers, no corpus pass
+    assert ivf_exact._derive_est_scored_rows(
+        None, qn, 2, 4, corpus_rows=1000
+    ) == int(5 * 1000 * 2 / 4)
+    # unusable inputs degrade to None (the fold default), never raise
+    assert ivf_exact._derive_est_scored_rows(None, qn, 2, 4) is None
+
+
+def test_parquet_num_rows_reads_footers_only(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    _mk_vectors(spark, 123, 4).write.parquet(p)
+    assert ivf_exact._parquet_num_rows(p) == 123
+    assert ivf_exact._parquet_num_rows(str(tmp_path / "missing")) is None
+
+
+def test_one_shot_ivf_derives_estimate_and_flips_strategy(
+    spark, monkeypatch
+):
+    # dim 8 keeps the unrolled form legal; the corpus is tiny, so the
+    # flip is driven by monkeypatching the crossover around the DERIVED
+    # estimate (40 * 5 * 2 / 4 = 100 scored rows)
+    monkeypatch.delenv("SPARK_GRAFT_DOT_UNROLL", raising=False)
+    corpus = _mk_vectors(spark, 40, 8)
+    queries = _mk_vectors(spark, 5, 8, start=100)
+
+    def run():
+        return ivf_exact.ann_topk_ivf_exact(
+            corpus=corpus, queries=queries, k=3, n_clusters=4, nprobe=2,
+            iters=1, dim=8,
+        ).collect()
+
+    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10)
+    similarity._logged_strategies.clear()
+    lo = run()
+    assert "est_rows >= crossover" in _reasons_for("unrolled")
+
+    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10**9)
+    similarity._logged_strategies.clear()
+    hi = run()
+    # the estimate was DERIVED and reached the scoring stage (the
+    # "below crossover" reason only fires with a non-None estimate;
+    # other stages — probe ranking, the fit — pass none by design,
+    # so "no row estimate" may ALSO appear and is fine)
+    assert "est_rows below crossover" in _reasons_for("hof-fold")
+
+    # and the strategy never moves a value
+    assert sorted(map(tuple, lo)) == sorted(map(tuple, hi))
+
+
+def test_persisted_ivf_index_derives_estimate_from_footers(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.delenv("SPARK_GRAFT_DOT_UNROLL", raising=False)
+    corpus = _mk_vectors(spark, 40, 8)
+    queries = _mk_vectors(spark, 5, 8, start=100)
+    path = str(tmp_path / "ivf")
+    ivf_exact.build_ivf_index_exact(
+        corpus, path, n_clusters=4, iters=1, dim=8
+    )
+
+    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10)
+    similarity._logged_strategies.clear()
+    lo = ivf_exact.query_ivf_index_exact(
+        spark, path, queries, k=3, nprobe=2, dim=8
+    ).collect()
+    assert "est_rows >= crossover" in _reasons_for("unrolled")
+
+    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10**9)
+    similarity._logged_strategies.clear()
+    hi = ivf_exact.query_ivf_index_exact(
+        spark, path, queries, k=3, nprobe=2, dim=8
+    ).collect()
+    assert "est_rows below crossover" in _reasons_for("hof-fold")
+    assert sorted(map(tuple, lo)) == sorted(map(tuple, hi))
+
+    # the one-shot path and the persisted index agree exactly
+    similarity._logged_strategies.clear()
+    one_shot = ivf_exact.ann_topk_ivf_exact(
+        corpus=corpus, queries=queries, k=3, n_clusters=4, nprobe=2,
+        iters=1, dim=8,
+    ).collect()
+    assert sorted(map(tuple, one_shot)) == sorted(map(tuple, hi))
+
+
+def test_fit_cache_never_collects_corpus_sized_frames():
+    # the r13 verdict's #1: _ivf768_fit_cached collected the full
+    # corpus assignment to the driver. It is deleted; the surviving
+    # fit cache may collect only driver-sized fits (centroids,
+    # codebooks) — its code table round-trips through parquet
+    import inspect
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import llmops
+
+    assert not hasattr(llmops, "_ivf768_fit_cached")
+    src = inspect.getsource(llmops._ivf_fit_cached)
+    assert ".collect()" not in src
+    assert "write" in src and "parquet" in src
+
+
+def test_pq_fit_cache_codes_roundtrip_parquet(spark, tmp_path, monkeypatch):
+    # the parquet-cached code table must be byte-for-byte the encode
+    # output (same rows, same schema) and served as a SCAN
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        _ivf_fit_cached,
+    )
+
+    # artifact_root reads the env at call time — no reload needed
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centers, books, codes = _ivf_fit_cached(
+        spark, sf_dir, corpus, want_books=True, want_codes=True
+    )
+    direct = ivf_exact.encode_codes_exact(
+        ivf_exact._unit(corpus, "vec_id", "embedding", "neighbor_id",
+                        materialize=True),
+        centers,
+        books,
+    )
+    assert sorted(codes.columns) == sorted(direct.columns)
+    got = sorted(map(tuple, codes.select(*direct.columns).collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    # second call serves the cached parquet (no re-encode): same rows
+    _, _, codes2 = _ivf_fit_cached(
+        spark, sf_dir, corpus, want_books=True, want_codes=True
+    )
+    assert sorted(map(tuple, codes2.select(*direct.columns).collect())) == want

@@ -224,3 +224,19 @@ def test_dqt_between_scans_and_after_frame_uses_snapshot():
     exp = enc.rfind(b"\xff\xdf", sof6, sof7)
     postframe = enc[:exp] + rogue + enc[exp:]
     assert np.array_equal(decode_hierarchical_jpeg(postframe), want)
+
+
+def test_truncated_stream_missing_eoi_still_flushes_final_frame():
+    # ADVICE r13: a stream whose final frame is progressive and whose
+    # EOI marker is missing must still reconstruct that frame — the
+    # pre-fix decoder only flushed on EOI/EXP/SOF, so the accumulated
+    # coefficients silently dropped and it returned the PRE-frame
+    # reference planes
+    img = _img((32, 40), seed=123)
+    enc = encode_hierarchical_jpeg(
+        img, levels=2, quant=6, final_lossless=False, progressive_diff=True
+    )
+    want = decode_hierarchical_jpeg(enc)
+    assert enc.endswith(b"\xff\xd9")
+    truncated = enc[:-2]  # drop the EOI marker only; scans intact
+    assert np.array_equal(decode_hierarchical_jpeg(truncated), want)
