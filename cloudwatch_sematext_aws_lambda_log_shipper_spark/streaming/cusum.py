@@ -59,17 +59,31 @@ def streaming_cusum(
     key_col: str = "key",
     ts_col: str = "ts",
     value_col: str = "value",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """value-per-tick stream -> per-row cumulative deviation from
     ``target`` with an ``alert`` flag while |drift| >= ``threshold``.
     ``target`` and ``threshold`` are scaled to exact integers once at
-    plan time (10^-6 resolution)."""
+    plan time (10^-6 resolution).
+
+    ``ttl_ms`` (r14): per-key state expiry — a key idle for > ttl_ms
+    of processing time is evicted (state.remove(); checkpoint-safe,
+    pinned in tests/test_streaming_eviction_r14.py). A returned key's
+    accumulator RESTARTS at S=0: post-gap rows measure drift since the
+    gap, not since stream start — the standard online-CUSUM reset
+    (an alert that was live before the gap must re-accumulate to
+    re-fire). Default None keeps whole-stream accumulation. Caveat:
+    with any registered deadline an availableNow run keeps scheduling
+    timeout-sweep batches and will not self-terminate — stop() it."""
     target_scaled = round(float(target) * SCALE)
     threshold_scaled = round(float(threshold) * SCALE)
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             s, n = state.get
         else:
@@ -92,6 +106,8 @@ def streaming_cusum(
                     }
                 )
         state.update((s, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=[f.name for f in CUSUM_OUTPUT_SCHEMA])
 
     return (
@@ -104,6 +120,8 @@ def streaming_cusum(
             CUSUM_OUTPUT_SCHEMA,
             _STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout,
         )
     )

@@ -55,10 +55,22 @@ _EWMA_STATE_SCHEMA = T.StructType(
 )
 
 
-def _ewma_fold_factory(alpha: float, spike_factor: float):
+def _ewma_fold_factory(
+    alpha: float, spike_factor: float, ttl_ms: int | None = None
+):
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL eviction: the key's (ewma, n) pair drops; if the key
+            # speaks again the average RE-SEEDS from its first post-gap
+            # value, and that first row can never flag is_spike (it is
+            # judged against no history — the same rule as a brand-new
+            # key). That is the honest semantics for a series that went
+            # silent past the horizon: a stale average from before the
+            # gap is not "history", it is noise.
+            state.remove()
+            return
         prev, n = state.get if state.exists else (None, 0)
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             "ts", kind="stable"
@@ -72,6 +84,8 @@ def _ewma_fold_factory(alpha: float, spike_factor: float):
             ewmas.append(prev)
             n += 1
         state.update((prev, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 "key": key[0],
@@ -92,19 +106,34 @@ def streaming_ewma(
     value_col: str = "value",
     alpha: float = 0.3,
     spike_factor: float = 2.0,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stateful streaming EWMA + spike flags, updated every micro-batch
     (update output mode). ``points`` must be a streaming frame of
-    (key, ts, value)."""
+    (key, ts, value).
+
+    ``ttl_ms`` (r14): per-key state expiry — a key idle for > ttl_ms
+    of processing time is evicted (state.remove(); checkpoint-safe,
+    pinned in tests/test_streaming_eviction_r14.py). A returned key
+    re-seeds its average from its first post-gap value and that row
+    cannot flag is_spike (no history to judge against). Unbounded key
+    cardinality on a real log stream makes the default keep-forever
+    state a slow leak; set a TTL in long-running deployments. Caveat:
+    with any registered deadline an availableNow run keeps scheduling
+    timeout-sweep batches and will not self-terminate — stop() it."""
     keyed = points.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(ts_col).cast("timestamp").alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     ).groupBy("key")
     return keyed.applyInPandasWithState(
-        _ewma_fold_factory(alpha, spike_factor),
+        _ewma_fold_factory(alpha, spike_factor, ttl_ms),
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

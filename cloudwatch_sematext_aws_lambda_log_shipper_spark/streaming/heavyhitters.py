@@ -19,7 +19,12 @@ answers whenever one is needed.
 
 Scale: the shuffle keys on the group id (n_groups partitions — size it
 to the cluster); state is O(n_groups * k) tuples TOTAL, checkpointed
-with the query, restart-safe.
+with the query, restart-safe. The GROUP space is fixed by construction
+(pmod into n_groups), so unlike the per-key sketches the state here
+cannot grow with key cardinality — ``ttl_ms`` exists for the
+complementary reason: a long-lived deployment whose item distribution
+moves on (yesterday's hot groups idle) can reclaim those groups'
+summaries instead of holding stale candidates forever.
 """
 
 from __future__ import annotations
@@ -51,10 +56,21 @@ _HH_STATE_SCHEMA = T.StructType(
 )
 
 
-def _mg_fold_factory(k: int):
+def _mg_fold_factory(k: int, ttl_ms: int | None = None):
     def fold(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL eviction: drop the idle group's summary AND its
+            # running total. Update mode already shipped the group's
+            # last candidates, so removal loses no output — but the
+            # Misra-Gries guarantee RESTARTS with the state: after a
+            # >ttl idle gap, a group's rows mean "candidates over the
+            # post-gap suffix", and the count > n_group / k survival
+            # bound applies to that suffix, not the whole stream
+            # (the same semantics choice as streaming_hll_distinct).
+            state.remove()
+            return
         if state.exists:
             items, counts, n_group = state.get
             summary = dict(zip(items, counts))
@@ -70,6 +86,8 @@ def _mg_fold_factory(k: int):
                 cut = sorted(summary.values(), reverse=True)[k]
                 summary = {i: c - cut for i, c in summary.items() if c - cut > 0}
         state.update((list(summary.keys()), list(summary.values()), n_group))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         # a summary CAN thin to empty (a batch of all-unique items cuts
         # every 1-count entry); emit a NULL-item marker row so the
         # group's exact running total stays observable downstream
@@ -100,12 +118,23 @@ def streaming_heavy_hitter_candidates(
     item_col: str = "item",
     k: int = 32,
     n_groups: int = 32,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming Misra-Gries candidates, updated every micro-batch.
     Emits each touched group's full current summary (update output
     mode). Any item whose global stream count exceeds
     sum(n_group) / k is guaranteed present in its group's rows.
-    """
+
+    ``ttl_ms`` (r14): a group idle for > ttl_ms of processing time is
+    evicted (state.remove(); checkpoint-safe — the deadline persists
+    in the checkpoint and fires on restart like the sketch trio's,
+    pinned in tests/test_streaming_eviction_r14.py). A returned
+    group's candidates then cover only the post-gap suffix — see
+    _mg_fold_factory for the precise guarantee. Default None keeps
+    the exact whole-stream Misra-Gries bound. Caveat: while any group
+    holds a timeout deadline the engine keeps scheduling timeout-sweep
+    micro-batches, so an availableNow run with a TTL will not
+    self-terminate — stop() it."""
     keyed = items.select(
         F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(n_groups))
         .cast("int")
@@ -113,9 +142,13 @@ def streaming_heavy_hitter_candidates(
         F.col(item_col).cast("string").alias("item"),
     ).groupBy("group_id")
     return keyed.applyInPandasWithState(
-        _mg_fold_factory(k),
+        _mg_fold_factory(k, ttl_ms),
         outputStructType=HH_OUTPUT_SCHEMA,
         stateStructType=_HH_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -73,7 +73,20 @@ class StreamingScd2Maintainer:
 
     ``seed`` (a batch DataFrame with key+attr+valid_from+valid_to
     columns) initializes version v-1 on first use.
-    """
+
+    ``history_retention_s`` (r14 — the TTL story for this operator):
+    the maintainer's per-key "state" is the dimension itself, and its
+    unbounded part is not the key space (current rows are the product
+    and must live forever) but the CLOSED-version history, which grows
+    with every change, forever. With a retention horizon, each commit
+    drops closed rows whose ``valid_to`` is older than
+    (batch max ``eff_col``) - retention — an EVENT-TIME horizon
+    anchored to the data (replay-deterministic: re-running a batch
+    prunes identically; a wall-clock horizon would not), the same
+    watermark discipline the streaming joins use. Point-in-time joins
+    stay exact within the retention window and lose only pre-horizon
+    history; current rows and the tiling invariant are untouched.
+    Default None keeps all history (the r13 behavior)."""
 
     def __init__(
         self,
@@ -84,6 +97,7 @@ class StreamingScd2Maintainer:
         eff_col: str = "eff_ts",
         seed: DataFrame | None = None,
         keep_versions: int = 3,
+        history_retention_s: float | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -91,6 +105,7 @@ class StreamingScd2Maintainer:
         self.attr_cols = attr_cols
         self.eff_col = eff_col
         self.keep_versions = keep_versions
+        self.history_retention_s = history_retention_s
         os.makedirs(state_dir, exist_ok=True)
         if self._read_pointer() is None:
             if seed is None:
@@ -140,6 +155,24 @@ class StreamingScd2Maintainer:
             attr_cols=self.attr_cols,
             eff_col=self.eff_col,
         )
+        if self.history_retention_s is not None:
+            # event-time horizon from THIS batch's max eff (not wall
+            # clock — a retried batch_id must prune identically); an
+            # all-stale batch (max eff = None) prunes nothing
+            mx = folded.agg(F.max(self.eff_col)).first()[0]
+            if mx is not None:
+                import datetime as _dt
+
+                if isinstance(mx, (_dt.datetime, _dt.date)):
+                    horizon = mx - _dt.timedelta(
+                        seconds=self.history_retention_s
+                    )
+                else:  # numeric eff axis (epoch seconds, versions)
+                    horizon = mx - self.history_retention_s
+                new_dim = new_dim.filter(
+                    F.col("valid_to").isNull()
+                    | (F.col("valid_to") >= F.lit(horizon))
+                )
         vdir = f"v{batch_id}"
         new_dim.write.mode("overwrite").parquet(
             os.path.join(self.state_dir, vdir)
