@@ -250,6 +250,27 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_DIM = 64
 _IVF_RECALL_FLOOR = 0.45
 
+# r14 (verdict #7): per-query recall floors at measured-minus-margin.
+# The r13 blanket 0.45 was so loose the dim-64 PQ queries (m=4 x 16
+# codes, saturation ~0.38/0.26 — the operating-curve finding) shipped
+# with recall_ok=false in every run, and the comfortably-above queries
+# could regress 0.2+ recall without flipping anything. Measured means
+# (sf0.01 / sf0.1, scripts in PROFILE_r14): ivf 0.62/0.74, ivf_768
+# 0.56/0.70, ivfpq 0.38/0.26, ivfpq_768 0.60/0.52, lsh 0.58/0.56,
+# lsh_768 0.52/0.52, knn_graph_ivf 0.67/0.69. Floors = min measured
+# mean minus a 0.05-0.11 margin (wider for the data-independent LSH),
+# placed OFF the representable mean grid (multiples of 1/(k*n_queries))
+# so the >= gate can never tie across engines — the 0.4503 convention.
+_IVF_FLOOR = 0.5503          # ivf + ivf_index (min 0.62)
+_IVF768_FLOOR = 0.4903       # ivf_768 (min 0.56)
+_IVFPQ_FLOOR = 0.2003        # ivfpq + ivfpq_index (min 0.26: m4x16
+#                              saturation — the 768 twin runs the
+#                              curve-recommended m16x64 point instead)
+_IVFPQ768_FLOOR = 0.4503     # ivfpq_768 (min 0.52)
+_LSH_FLOOR = 0.4503          # lsh + lsh_768 (min 0.52; data-
+#                              independent planes get the widest margin)
+_KNN_GRAPH_FLOOR = 0.6003    # knn_graph_ivf (min 0.67; audited grid)
+
 
 def _ivf_prelude_ctes() -> list[str]:
     """emb / normalized corpus (n) / normalized queries (qn)."""
@@ -904,7 +925,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     return centers, books, spark.read.parquet(codes_dir)
 
 
-@query("embedding_ann_ivf", _ivf_exact_oracle())
+@query("embedding_ann_ivf", _ivf_exact_oracle(floor=_IVF_FLOOR))
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (nprobe=6/16) under the STRICT hash gate: the
     exact-arithmetic pipeline (operators/ivf_exact.py — md5-ordered
@@ -923,11 +944,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_ivf_exact(corpus=corpus, queries=queries, k=5,
                              centers=centers)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
-    return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=_IVF_FLOOR)
 
 
-@query("embedding_ann_ivf_768", _ivf768_exact_oracle())
+@query("embedding_ann_ivf_768", _ivf768_exact_oracle(floor=_IVF768_FLOOR))
 def embedding_ann_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN at a PRODUCTION embedding dimension (768) under the
     STRICT hash gate — the r13 verdict's #1 ask: until this query, the
@@ -988,7 +1008,7 @@ def embedding_ann_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+                            min_mean_recall=_IVF768_FLOOR)
 
 
 @query(
@@ -996,6 +1016,7 @@ def embedding_ann_ivf_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivfpq_exact_oracle(
         n_clusters=8, nprobe=4, m=16, n_codes=64, refine_factor=12,
         iters=2, pq_iters=1, dim=768, prelude=_ivf768_prelude_ctes(),
+        floor=_IVFPQ768_FLOOR,
     ),
 )
 def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,12 +1071,13 @@ def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+                            min_mean_recall=_IVFPQ768_FLOOR)
 
 
 @query(
     "embedding_ann_lsh_768",
-    _lsh_exact_oracle(dim=768, prelude=_ivf768_prelude_ctes()),
+    _lsh_exact_oracle(dim=768, prelude=_ivf768_prelude_ctes(),
+                      floor=_LSH_FLOOR),
 )
 def embedding_ann_lsh_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN at dim 768 — the third member of the
@@ -1079,10 +1101,10 @@ def embedding_ann_lsh_768(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_lsh_exact(corpus=corpus, queries=queries, k=5,
                              num_planes=4, dim=_EMB768_DIM)
     exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
-    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.25)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=_LSH_FLOOR)
 
 
-@query("embedding_ann_lsh", _lsh_exact_oracle())
+@query("embedding_ann_lsh", _lsh_exact_oracle(floor=_LSH_FLOOR))
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (multiprobe) under the STRICT hash
     gate: planes derive from md5 hex digits (the oracle re-derives the
@@ -1100,7 +1122,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_lsh_exact(corpus=corpus, queries=queries, k=5,
                              num_planes=4)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
-    return with_recall_at_k(ann, exact, k=5, min_mean_recall=0.25)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=_LSH_FLOOR)
 
 
 _COSINE_NEARDUP_ORACLE = """
@@ -2335,7 +2357,7 @@ def multimodal_video_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _video_container_pipeline(spark, sf_dir, "mp4")
 
 
-@query("embedding_ann_ivf_index", _ivf_exact_oracle())
+@query("embedding_ann_ivf_index", _ivf_exact_oracle(floor=_IVF_FLOOR))
 def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF path under the STRICT hash gate: centroids + the
     normalized corpus partitioned by cluster are built ONCE per corpus
@@ -2375,8 +2397,7 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same floor as the one-shot IVF — a stale/degenerate persisted
     # index flips recall_ok in the emitted snapshot (and now fails the
     # hash compare outright)
-    return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+    return with_recall_at_k(ann, exact, k=5, min_mean_recall=_IVF_FLOOR)
 
 
 _SPLIT_LEAKAGE_ORACLE = f"""
@@ -4164,7 +4185,8 @@ def corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "source", "n_tokens", "bin_offset", "bin_id")
 
 
-@query("embedding_knn_graph_ivf", _knn_graph_ivf_oracle())
+@query("embedding_knn_graph_ivf",
+       _knn_graph_ivf_oracle(floor=_KNN_GRAPH_FLOOR))
 def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-approximate k-NN graph under the STRICT hash gate: the
     exact-arith pipeline (fit + per-vector probes + cluster-join
@@ -4192,7 +4214,8 @@ def embedding_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited = emb.filter(audit_sample_pred(F.col("vec_id")))
     exact = exact_fold_topk(emb, audited, k=5, exclude_self=True)
     return with_recall_at_k(
-        approx, exact, k=5, min_mean_recall=0.4503, audit_sampled=True
+        approx, exact, k=5, min_mean_recall=_KNN_GRAPH_FLOOR,
+        audit_sampled=True
     )
 
 
@@ -4505,7 +4528,7 @@ def doc_dup_span_exact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_char_spans(_docs(spark, sf_dir), min_len=30)
 
 
-@query("embedding_ann_ivfpq", _ivfpq_exact_oracle())
+@query("embedding_ann_ivfpq", _ivfpq_exact_oracle(floor=_IVFPQ_FLOOR))
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with ADC scoring and exact refine under the STRICT
     hash gate (operators/ivf_exact.py): coarse IVF probe, candidates
@@ -4530,10 +4553,11 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                artifacts=(centers, books, codes_df))
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+                            min_mean_recall=_IVFPQ_FLOOR)
 
 
-@query("embedding_ann_ivfpq_index", _ivfpq_exact_oracle())
+@query("embedding_ann_ivfpq_index",
+       _ivfpq_exact_oracle(floor=_IVFPQ_FLOOR))
 def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF-PQ path under the STRICT hash gate: centroids, PQ
     codebooks, the cluster-partitioned code table AND the normalized
@@ -4573,7 +4597,7 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = query_ivfpq_index_exact(spark, path, queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
-                            min_mean_recall=_IVF_RECALL_FLOOR)
+                            min_mean_recall=_IVFPQ_FLOOR)
 
 
 def _hash_emb_cte(source: str = "documents", prefix: str = "") -> str:

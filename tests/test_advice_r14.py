@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from pyspark.sql import functions as F
 
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators import (
@@ -186,3 +185,40 @@ def test_pq_fit_cache_codes_roundtrip_parquet(spark, tmp_path, monkeypatch):
         spark, sf_dir, corpus, want_books=True, want_codes=True
     )
     assert sorted(map(tuple, codes2.select(*direct.columns).collect())) == want
+
+
+def test_tightened_recall_floors_catch_midband_regression(spark):
+    # verdict #7: floors at measured-minus-margin. A planted regression
+    # with mean recall 0.5 (between the old blanket 0.45 and the new
+    # per-query IVF floor 0.5503) must now flip recall_ok — under the
+    # r13 floor it sailed through
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        with_recall_at_k,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        _IVF_FLOOR,
+        _IVFPQ_FLOOR,
+        _KNN_GRAPH_FLOOR,
+        _LSH_FLOOR,
+    )
+
+    k = 2
+    exact = spark.createDataFrame(
+        [(q, n) for q in range(10) for n in (100 + q, 200 + q)],
+        "query_id long, neighbor_id long",
+    )
+    # planted ANN: hits exactly one of the two exact neighbors per
+    # query -> mean recall 0.5
+    ann = spark.createDataFrame(
+        [(q, 100 + q, 0.9, 1) for q in range(10)],
+        "query_id long, neighbor_id long, cosine double, rnk int",
+    )
+    degraded = with_recall_at_k(ann, exact, k=k,
+                                min_mean_recall=_IVF_FLOOR).collect()
+    assert all(r["recall_ok"] is False for r in degraded)
+    # the old blanket floor would NOT have flipped
+    old = with_recall_at_k(ann, exact, k=k,
+                           min_mean_recall=0.45).collect()
+    assert all(r["recall_ok"] is True for r in old)
+    # floors are ordered by what each family actually delivers
+    assert _IVFPQ_FLOOR < _LSH_FLOOR < _IVF_FLOOR < _KNN_GRAPH_FLOOR
