@@ -60,7 +60,31 @@ class StreamingShipper:
         # dynamic partition overwrite of ingest_batch=<id>, so the retry
         # replaces its own output instead of duplicating it — this is
         # what upgrades the checkpointed stream to exactly-once.
-        clean, dlq = run_batch(batch_df)
+        #
+        # Two streaming-only physical moves (r14, profiled — neither
+        # changes a value, both cut wall-clock):
+        # 1. FAN OUT the decode: a file/Kinesis micro-batch arrives in
+        #    as few partitions as source files/shards (measured: 3
+        #    partitions for the 20k-record bench batch on 32 cores),
+        #    and the gunzip UDF is the pipeline's CPU. Repartitioning
+        #    the raw records (small: compressed payloads) to cluster
+        #    parallelism before decode spreads that CPU across every
+        #    core/executor.
+        # 2. MATERIALIZE the parsed batch once: clean and DLQ are two
+        #    filter branches of one parse pipeline — written naively,
+        #    each write re-runs decode+parse end to end (gunzip twice).
+        #    localCheckpoint pins the parsed rows (bounded by the
+        #    micro-batch size, which a real deployment caps at the
+        #    source) so both sinks scan memory.
+        from ..operators.parse import split_dlq
+        from ..pipeline import parse_kinesis_records
+
+        spark = batch_df.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
+        parsed = parse_kinesis_records(batch_df).localCheckpoint(eager=True)
+        clean, dlq = split_dlq(parsed)
         self.sink.ship(clean, dlq, batch_id=batch_id)
 
     def start(self, available_now: bool = False) -> StreamingQuery:
