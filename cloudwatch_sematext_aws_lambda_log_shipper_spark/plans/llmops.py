@@ -5179,7 +5179,9 @@ FROM packed p JOIN dsir ds USING (doc_id)
 
 
 @query("corpus_curate_e2e", _curate_e2e_oracle())
-def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curate_e2e(
+    spark: SparkSession, sf_dir: str, survivor_cap: int | None = None
+) -> DataFrame:
     """THE flagship LLM-data deliverable: the full curation pipeline the
     individual operators exist for, composed end-to-end under the hash
     gate. Six stages:
@@ -5306,6 +5308,16 @@ def corpus_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     curated = s3b.join(hit_ids, "doc_id", "left_anti")
+    if survivor_cap is not None:
+        # r14 (verdict #6): scale-stress instrumentation, NOT part of
+        # the declared query (the driver/oracle path always passes
+        # None). Caps the curated pool to the lowest-id N survivors
+        # (one TakeOrdered) so stages 5-6 (DSIR, BPE train, encode,
+        # pack) see a FIXED-size corpus at every scale — the x100
+        # exponent then isolates the stage-1..4 scan/dedup plan cost
+        # from output-volume growth (x100 survivors grew 86x and
+        # dragged the uncapped exponent from 0.27 to 0.40).
+        curated = curated.orderBy("doc_id").limit(int(survivor_cap))
     # Materialize the curated corpus ONCE (MEMORY_AND_DISK): four
     # consumers read it (BPE training's eager collect, DSIR, encode,
     # packing) and would otherwise each replay the whole stage-1..4

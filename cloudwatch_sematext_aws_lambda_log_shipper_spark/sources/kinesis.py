@@ -76,6 +76,7 @@ class SourceConfig:
         starting_position: str = "LATEST",
         max_records_per_fetch: int = 1000,
         connector_format: str = "kinesis",
+        extra_options: dict[str, str] | None = None,
     ):
         if kind not in ("files", "kinesis"):
             raise ValueError(f"unknown source kind: {kind!r}")
@@ -92,10 +93,17 @@ class SourceConfig:
         self.starting_position = starting_position
         self.max_records_per_fetch = max_records_per_fetch
         self.connector_format = connector_format
+        # connector-specific passthrough (credentials provider, role
+        # ARN, consumer name, ... — and the recorded-protocol stub's
+        # recordpath); rendered after the standard map so a deployment
+        # can also override a standard key deliberately
+        self.extra_options = dict(extra_options or {})
 
     def kinesis_options(self) -> dict[str, str]:
         """The rendered production option map (spark-sql-kinesis names;
-        serverless.yml:24-32 semantics). Unit-testable without AWS."""
+        serverless.yml:24-32 semantics). Unit-testable without AWS —
+        and executable end to end against the registered stub
+        connector (sources/kinesis_stub.py, tests/test_kinesis_stub.py)."""
         opts = {
             "streamName": self.stream_name,
             "region": self.region,
@@ -104,6 +112,7 @@ class SourceConfig:
         }
         if self.endpoint_url:
             opts["endpointUrl"] = self.endpoint_url
+        opts.update(self.extra_options)
         return opts
 
     def stream(self, spark: SparkSession) -> DataFrame:

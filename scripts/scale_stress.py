@@ -56,7 +56,23 @@ QUERIES = [
     # with SCALE_STRESS_OUT=scale_stress_x100.json
     "near_dup_pairs",
     "embedding_ann_ivf_index",
+    # r14 (verdict #6): curate with the survivor pool capped at 4096
+    # (the x1 output size) so the exponent isolates stage-1..4 plan
+    # cost from output-volume growth — the uncapped x100 exponent is
+    # dominated by survivors growing 86x through DSIR/BPE/packing
+    "corpus_curate_e2e_capped",
 ]
+
+# pseudo-queries: harness-only variants not in the declared registry
+# (the @query decorator registers functions unwrapped, so extra kwargs
+# pass straight through)
+PSEUDO = {
+    "corpus_curate_e2e_capped": lambda REG: (
+        lambda spark, d: REG["corpus_curate_e2e"](
+            spark, d, survivor_cap=4096
+        )
+    ),
+}
 
 
 def build_scaled(base: str, n: int) -> str:
@@ -143,7 +159,7 @@ def run_queries(dirs: dict[int, str]) -> dict:
     only = os.environ.get("SCALE_STRESS_ONLY", "")
     if only:
         queries = [q for q in QUERIES if q in only.split(",")]
-    missing = [q for q in queries if q not in REG]
+    missing = [q for q in queries if q not in REG and q not in PSEUDO]
     if missing:
         raise SystemExit(f"registry missing queries: {missing}")
 
@@ -151,7 +167,7 @@ def run_queries(dirs: dict[int, str]) -> dict:
     results: dict[str, dict] = {q: {} for q in queries}
     for scale, d in sorted(dirs.items()):
         for q in queries:
-            fn = REG[q]
+            fn = PSEUDO[q](REG) if q in PSEUDO else REG[q]
             t_warm = time.time()
             fn(spark, d).count()  # warmup: builds caches/stores/indexes
             warm = time.time() - t_warm
