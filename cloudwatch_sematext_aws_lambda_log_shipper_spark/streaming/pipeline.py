@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..pipeline import run_batch
 from ..sink import LogSink
 from ..sources.kinesis import stream_kinesis_event_files  # noqa: F401 (re-export)
 
