@@ -452,9 +452,14 @@ def query_ivf_index_exact(
     centers = [list(r["centroid"]) for r in cent]
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if est_scored_rows is None:
+        apath = os.path.join(path, "assigned")
         est_scored_rows = _derive_est_scored_rows(
-            None, qn, nprobe, len(centers),
-            corpus_rows=_parquet_num_rows(os.path.join(path, "assigned")),
+            # footer counting only lists local paths; on an object
+            # store (s3a://, hdfs://) fall back to a distributed count
+            # of the id column — one narrow scan, still no collect
+            spark.read.parquet(apath).select("neighbor_id"),
+            qn, nprobe, len(centers),
+            corpus_rows=_parquet_num_rows(apath),
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
@@ -830,9 +835,11 @@ def query_ivfpq_index_exact(
     if est_scored_rows is None:
         # the codes table holds m rows per corpus vector already, so
         # footer rows * nprobe/n_clusters * |queries| IS the ADC fanout
-        code_rows = _parquet_num_rows(os.path.join(path, "codes"))
+        cpath = os.path.join(path, "codes")
         est_scored_rows = _derive_est_scored_rows(
-            None, qn, nprobe, len(centers), corpus_rows=code_rows
+            spark.read.parquet(cpath).select("neighbor_id"),
+            qn, nprobe, len(centers),
+            corpus_rows=_parquet_num_rows(cpath),
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True

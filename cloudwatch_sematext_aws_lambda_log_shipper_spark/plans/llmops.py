@@ -877,6 +877,44 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     path = _os.path.join(root, key + ".json")
     codes_dir = _os.path.join(root, key + "-codes.parquet")
 
+    # GC (review r14): the codes sidecar made this root hold
+    # CORPUS-sized artifacts, so superseded fingerprints of the same
+    # (sf, params) key and hour-stale crashed .build. dirs must be
+    # swept like synthcache does — "superseded, never reused" must not
+    # mean "leaked forever".
+    import re as _re
+    import time as _time
+
+    tail = key[len(f"{sf_name}-{fp}"):]
+    stale_pat = _re.compile(
+        _re.escape(sf_name) + r"-[0-9a-f]{16}" + _re.escape(tail)
+        # -codes.json is the retired r13 driver-collected format —
+        # corpus-sized, swept regardless of fingerprint
+        + r"(\.json|-codes\.parquet|-codes\.json)$"
+    )
+    live = {key + ".json", key + "-codes.parquet"}
+    for entry in _os.listdir(root):
+        full = _os.path.join(root, entry)
+        if ".build." in entry or ".tmp." in entry:
+            try:
+                if _time.time() - _os.stat(full).st_mtime > 3600:
+                    _shutil.rmtree(full, ignore_errors=True)
+                    if _os.path.exists(full):
+                        _os.remove(full)
+            except OSError:
+                pass
+            continue
+        if entry in live:
+            continue  # the live key's own json/sidecar
+        if stale_pat.match(entry):
+            if _os.path.isdir(full):
+                _shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    _os.remove(full)
+                except OSError:
+                    pass
+
     def _load_json():
         with open(path) as f:
             return _json.load(f)
@@ -1064,6 +1102,7 @@ def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
+        supersedes=("ivfpqx768",),
     )
     ann = query_ivfpq_index_exact(
         spark, path, queries, k=5, nprobe=4, refine_factor=12, m=16,
@@ -4593,6 +4632,7 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
+        supersedes=("ivfpqx",),
     )
     ann = query_ivfpq_index_exact(spark, path, queries, k=5)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)

@@ -59,13 +59,24 @@ def source_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _gc(cache_root: str, keep: str, sf_name: str, name: str) -> None:
+def _gc(
+    cache_root: str,
+    keep: str,
+    sf_name: str,
+    name: str,
+    supersedes: tuple[str, ...] = (),
+) -> None:
     """Drop superseded fingerprints of the SAME (sf, name) corpus and
     hour-stale `.build.` dirs abandoned by crashed builds. A live
     concurrent build is young, so the GC can never pull a racing
-    session's in-progress build out from under it."""
+    session's in-progress build out from under it. ``supersedes``
+    (r14) lists RETIRED names this corpus replaces — when a cache key
+    gains new components (e.g. hyperparameters folded into the name)
+    the old-name dirs would otherwise never match the endswith test
+    and leak forever."""
     if not os.path.isdir(cache_root):
         return
+    dead_names = (name,) + tuple(supersedes)
     for entry in os.listdir(cache_root):
         full = os.path.join(cache_root, entry)
         if full == keep:
@@ -74,7 +85,7 @@ def _gc(cache_root: str, keep: str, sf_name: str, name: str) -> None:
         superseded = (
             not is_build
             and entry.startswith(f"{sf_name}-")
-            and entry.endswith(f"-{name}")
+            and any(entry.endswith(f"-{n}") for n in dead_names)
         )
         stale_build = False
         if is_build:
@@ -93,16 +104,19 @@ def materialize_dir(
     builder: Callable[[], DataFrame],
     source: str = "events.parquet",
     writer: Callable[[DataFrame, str], None] | None = None,
+    supersedes: tuple[str, ...] = (),
 ) -> str:
     """Build `builder()`'s output into a STORED parquet corpus at most
     once per (source fingerprint, name); return the corpus directory.
     `writer(df, path)` customizes the write (e.g. partitionBy + sidecar
-    metadata) — it must leave a `_SUCCESS` marker at `path`."""
+    metadata) — it must leave a `_SUCCESS` marker at `path`.
+    ``supersedes`` names retired cache keys this corpus replaces (see
+    _gc)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(os.path.join(sf_dir, source))
     path = os.path.join(CACHE_ROOT, f"{sf_name}-{fp}-{name}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _gc(CACHE_ROOT, path, sf_name, name)
+        _gc(CACHE_ROOT, path, sf_name, name, supersedes)
         tmp = f"{path}.build.{os.getpid()}"
         if writer is None:
             builder().write.mode("overwrite").parquet(tmp)

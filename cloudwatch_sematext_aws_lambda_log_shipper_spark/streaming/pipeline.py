@@ -8,8 +8,10 @@ Reference parity:
   source for ``spark.readStream.format("kinesis")`` — every transform
   downstream is identical.
 - per-invocation ship (shipper.js:150-153) -> ``foreachBatch`` running
-  the SAME ``run_batch`` used in batch mode, landing clean + DLQ via
-  ``LogSink``.
+  the SAME parse_kinesis_records -> split_dlq kernel as batch-mode
+  ``run_batch`` (composed inline with a decode fan-out and a persist()
+  between parse and the two sink writes — physical moves only; see
+  ``_ship_batch``), landing clean + DLQ via ``LogSink``.
 - delivery: checkpointed file-source offsets + batch_id-keyed dynamic
   partition OVERWRITE (ingest_batch=<id>) => exactly-once to the log
   table across restarts AND mid-batch failures/retries — a retried
@@ -33,7 +35,8 @@ from ..sources.kinesis import stream_kinesis_event_files  # noqa: F401 (re-expor
 
 
 class StreamingShipper:
-    """Continuous shipper: file-source micro-batches through run_batch
+    """Continuous shipper: file-source micro-batches through the
+    run_batch kernel (parse -> split, persisted once per batch)
     into a LogSink, 2 s trigger, checkpointed."""
 
     def __init__(
@@ -60,8 +63,9 @@ class StreamingShipper:
         # replaces its own output instead of duplicating it — this is
         # what upgrades the checkpointed stream to exactly-once.
         #
-        # Two streaming-only physical moves (r14, profiled — neither
-        # changes a value, both cut wall-clock):
+        # Same parse_kinesis_records -> split_dlq kernel as run_batch,
+        # with two streaming-only physical moves between them (r14,
+        # profiled — neither changes a value, both cut wall-clock):
         # 1. FAN OUT the decode: a file/Kinesis micro-batch arrives in
         #    as few partitions as source files/shards (measured: 3
         #    partitions for the 20k-record bench batch on 32 cores),
@@ -72,9 +76,12 @@ class StreamingShipper:
         # 2. MATERIALIZE the parsed batch once: clean and DLQ are two
         #    filter branches of one parse pipeline — written naively,
         #    each write re-runs decode+parse end to end (gunzip twice).
-        #    localCheckpoint pins the parsed rows (bounded by the
-        #    micro-batch size, which a real deployment caps at the
-        #    source) so both sinks scan memory.
+        #    persist() pins the parsed rows (bounded by the micro-batch
+        #    size, which a real deployment caps at the source) so both
+        #    sinks scan memory, and the explicit unpersist() releases
+        #    the blocks the moment the ship lands — a 2 s-trigger
+        #    stream must not leave per-batch blocks waiting on driver
+        #    GC (localCheckpoint cleanup) to free executor storage.
         from ..operators.parse import split_dlq
         from ..pipeline import parse_kinesis_records
 
@@ -82,9 +89,12 @@ class StreamingShipper:
         par = spark.sparkContext.defaultParallelism
         if batch_df.rdd.getNumPartitions() < par:
             batch_df = batch_df.repartition(par)
-        parsed = parse_kinesis_records(batch_df).localCheckpoint(eager=True)
-        clean, dlq = split_dlq(parsed)
-        self.sink.ship(clean, dlq, batch_id=batch_id)
+        parsed = parse_kinesis_records(batch_df).persist()
+        try:
+            clean, dlq = split_dlq(parsed)
+            self.sink.ship(clean, dlq, batch_id=batch_id)
+        finally:
+            parsed.unpersist()
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         records = stream_kinesis_event_files(

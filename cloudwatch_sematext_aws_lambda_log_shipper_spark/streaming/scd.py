@@ -158,15 +158,33 @@ class StreamingScd2Maintainer:
         if self.history_retention_s is not None:
             # event-time horizon from THIS batch's max eff (not wall
             # clock — a retried batch_id must prune identically); an
-            # all-stale batch (max eff = None) prunes nothing
-            mx = folded.agg(F.max(self.eff_col)).first()[0]
+            # all-stale batch (max eff = None) prunes nothing. The max
+            # comes from batch_df, NOT the folded frame: last-write-wins
+            # folding keeps each key's max eff so the global max is
+            # identical, and reading it pre-fold avoids re-running the
+            # fold's shuffle as a second driver action (review r14).
+            mx = (
+                batch_df.filter(F.col(self.eff_col).isNotNull())
+                .agg(F.max(self.eff_col))
+                .first()[0]
+            )
             if mx is not None:
                 import datetime as _dt
 
-                if isinstance(mx, (_dt.datetime, _dt.date)):
+                if isinstance(mx, _dt.datetime):
                     horizon = mx - _dt.timedelta(
                         seconds=self.history_retention_s
                     )
+                elif isinstance(mx, _dt.date):
+                    # date - timedelta(seconds=...) silently DROPS the
+                    # sub-day part (review r14: an hour retention would
+                    # prune same-day history). Promote to midnight so
+                    # sub-day retention can only KEEP more, never less;
+                    # Spark compares the DATE valid_to against the
+                    # timestamp horizon at midnight.
+                    horizon = _dt.datetime.combine(
+                        mx, _dt.time.min
+                    ) - _dt.timedelta(seconds=self.history_retention_s)
                 else:  # numeric eff axis (epoch seconds, versions)
                     horizon = mx - self.history_retention_s
                 new_dim = new_dim.filter(

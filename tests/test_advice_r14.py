@@ -222,3 +222,92 @@ def test_tightened_recall_floors_catch_midband_regression(spark):
     assert all(r["recall_ok"] is True for r in old)
     # floors are ordered by what each family actually delivers
     assert _IVFPQ_FLOOR < _LSH_FLOOR < _IVF_FLOOR < _KNN_GRAPH_FLOOR
+
+
+def test_materialize_dir_sweeps_superseded_names(spark, tmp_path, monkeypatch):
+    # review r14: renaming a cache key (hyperparams folded into the
+    # name) must not orphan the old-name dirs forever
+    import os
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans import (
+        synthcache,
+    )
+
+    monkeypatch.setattr(synthcache, "CACHE_ROOT", str(tmp_path))
+    sf_dir = "/root/testdata/sf0.001"
+    fp = synthcache.source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    old = tmp_path / f"sf0.001-{fp}-ivfpqx768"
+    old.mkdir()
+    (old / "_SUCCESS").touch()
+    unrelated = tmp_path / f"sf0.001-{fp}-emb768"
+    unrelated.mkdir()
+    (unrelated / "_SUCCESS").touch()
+
+    def writer(df, p):
+        os.makedirs(p, exist_ok=True)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    path = synthcache.materialize_dir(
+        spark, sf_dir, "ivfpqx768-c8m16n64i2p1",
+        builder=lambda: None, source="embeddings.parquet",
+        writer=writer, supersedes=("ivfpqx768",),
+    )
+    assert not old.exists()          # retired name swept
+    assert unrelated.exists()        # other families untouched
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_ivf_fit_cache_gc_sweeps_stale_fingerprints(
+    spark, tmp_path, monkeypatch
+):
+    # review r14: the codes parquet sidecar made the ivf_fit root hold
+    # corpus-sized artifacts — superseded fingerprints, retired
+    # -codes.json files and hour-stale .build dirs must be swept
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        _ivf_fit_cached,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path))
+    root = tmp_path / "spark_graft_ivf_fit"
+    root.mkdir()
+    stale_fp = "0" * 16
+    stale_json = root / f"sf0.001-{stale_fp}-c10plus-c16i3-pq4x16i2.json"
+    stale_json.write_text("{}")
+    stale_codes = (
+        root / f"sf0.001-{stale_fp}-c10plus-c16i3-pq4x16i2-codes.parquet"
+    )
+    stale_codes.mkdir()
+    retired = root / f"sf0.001-{stale_fp}-c10plus-c16i3-pq4x16i2-codes.json"
+    retired.write_text("{}")
+    crashed = root / "whatever.build.1234"
+    crashed.mkdir()
+    os.utime(crashed, (time.time() - 7200, time.time() - 7200))
+    other_family = root / f"sf0.001-{stale_fp}-emb768-c8i2d768.json"
+    other_family.write_text("{}")
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    centers, books, codes = _ivf_fit_cached(
+        spark, sf_dir, corpus, want_books=True, want_codes=True
+    )
+    assert codes.count() > 0
+    assert not stale_json.exists()
+    assert not stale_codes.exists()
+    assert not retired.exists()
+    assert not crashed.exists()
+    assert other_family.exists()  # different params/family untouched
+    # the live key's files survived the sweep
+    live = [e for e in os.listdir(root) if e.endswith(".json")
+            or e.endswith("-codes.parquet")]
+    assert len(live) == 3  # live json + live codes dir + other_family

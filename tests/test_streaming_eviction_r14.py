@@ -277,3 +277,44 @@ def test_scd2_default_keeps_all_history(spark, tmp_path):
     )
     dim = m.current().collect()
     assert sum(r["valid_to"] is not None for r in dim) == 2  # all kept
+
+
+def test_scd2_subday_retention_on_date_axis_never_overprunes(
+    spark, tmp_path
+):
+    # review r14: date - timedelta(seconds=3600) silently DROPS the
+    # sub-day part, making the horizon equal the batch max date and
+    # pruning same-day closed history the caller asked to keep for an
+    # hour. The horizon must promote to midnight so sub-day retention
+    # can only KEEP more, never less.
+    import datetime as dt
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.scd import (
+        StreamingScd2Maintainer,
+    )
+
+    SCHEMA_DIM = "k long, attr string, valid_from date, valid_to date"
+    SCHEMA_UPD = "k long, attr string, eff_ts date"
+    seed = spark.createDataFrame(
+        [(1, "a", dt.date(2026, 8, 1), None),
+         (2, "b", dt.date(2026, 8, 1), None)],
+        SCHEMA_DIM,
+    )
+    m = StreamingScd2Maintainer(
+        spark, str(tmp_path / "dim"), ["k"], ["attr"], seed=seed,
+        history_retention_s=3600.0,  # one hour, on a DATE eff axis
+    )
+    # both keys close TODAY: the closures are inside the 1-hour window
+    # (same day), so neither may be pruned by the very batch that
+    # created them
+    m.apply_batch(
+        spark.createDataFrame(
+            [(1, "a2", dt.date(2026, 8, 16)),
+             (2, "b2", dt.date(2026, 8, 16))],
+            SCHEMA_UPD,
+        ),
+        0,
+    )
+    dim = m.current().collect()
+    closed = [r for r in dim if r["valid_to"] is not None]
+    assert len(closed) == 2, dim  # same-day history survives
