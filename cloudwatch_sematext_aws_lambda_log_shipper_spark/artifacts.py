@@ -23,3 +23,55 @@ def artifact_root(name: str) -> str:
     import time."""
     base = os.environ.get(_ENV, "/tmp")
     return os.path.join(base, f"spark_graft_{name}")
+
+
+STALE_BUILD_S = 3600.0
+
+
+def sweep_stale_entries(
+    root: str,
+    live: set[str],
+    superseded,
+    build_markers: tuple[str, ...] = (".build.", ".tmp."),
+) -> None:
+    """Shared artifact-root GC policy (one implementation for every
+    cache family — synthcache corpora, the ivf_fit sidecars): remove
+
+    - entries carrying a build marker that are older than
+      ``STALE_BUILD_S`` (abandoned by a crashed build; a live
+      concurrent build is young, so this can never pull a racing
+      session's in-progress build out from under it), and
+    - entries for which ``superseded(entry)`` is true, EXCEPT the
+      exact names in ``live``.
+
+    Callers decide WHEN to sweep (on a cache miss — never on a hit, so
+    a reader mid-scan of a superseded dir in another session only
+    races an actual rebuild, the same window a rebuild always had).
+    Files and directories are both handled; removal errors are
+    swallowed (a half-removed stale entry is re-swept next miss)."""
+    import shutil
+    import time
+
+    if not os.path.isdir(root):
+        return
+    for entry in os.listdir(root):
+        full = os.path.join(root, entry)
+        if any(m in entry for m in build_markers):
+            try:
+                if time.time() - os.stat(full).st_mtime > STALE_BUILD_S:
+                    shutil.rmtree(full, ignore_errors=True)
+                    if os.path.exists(full):
+                        os.remove(full)
+            except OSError:
+                pass
+            continue
+        if entry in live:
+            continue
+        if superseded(entry):
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass

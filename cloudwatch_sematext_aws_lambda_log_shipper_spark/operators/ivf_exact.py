@@ -453,13 +453,16 @@ def query_ivf_index_exact(
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if est_scored_rows is None:
         apath = os.path.join(path, "assigned")
+        corpus_rows = _parquet_num_rows(apath)
         est_scored_rows = _derive_est_scored_rows(
             # footer counting only lists local paths; on an object
             # store (s3a://, hdfs://) fall back to a distributed count
-            # of the id column — one narrow scan, still no collect
-            spark.read.parquet(apath).select("neighbor_id"),
-            qn, nprobe, len(centers),
-            corpus_rows=_parquet_num_rows(apath),
+            # of the id column — one narrow scan, still no collect.
+            # The fallback frame is built only when footers failed
+            # (constructing it costs a driver-side listing).
+            None if corpus_rows is not None
+            else spark.read.parquet(apath).select("neighbor_id"),
+            qn, nprobe, len(centers), corpus_rows=corpus_rows,
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
@@ -836,10 +839,12 @@ def query_ivfpq_index_exact(
         # the codes table holds m rows per corpus vector already, so
         # footer rows * nprobe/n_clusters * |queries| IS the ADC fanout
         cpath = os.path.join(path, "codes")
+        code_rows = _parquet_num_rows(cpath)
         est_scored_rows = _derive_est_scored_rows(
-            spark.read.parquet(cpath).select("neighbor_id"),
-            qn, nprobe, len(centers),
-            corpus_rows=_parquet_num_rows(cpath),
+            # fallback frame only when footers failed (remote path)
+            None if code_rows is not None
+            else spark.read.parquet(cpath).select("neighbor_id"),
+            qn, nprobe, len(centers), corpus_rows=code_rows,
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True

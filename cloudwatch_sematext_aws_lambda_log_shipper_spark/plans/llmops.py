@@ -880,10 +880,16 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     # GC (review r14): the codes sidecar made this root hold
     # CORPUS-sized artifacts, so superseded fingerprints of the same
     # (sf, params) key and hour-stale crashed .build. dirs must be
-    # swept like synthcache does — "superseded, never reused" must not
-    # mean "leaked forever".
+    # swept — "superseded, never reused" must not mean "leaked
+    # forever". Shared policy (artifacts.sweep_stale_entries), and —
+    # like synthcache — it runs ONLY on a cache miss, never on a hit:
+    # the returned codes frame is a LAZY parquet scan, so sweeping on
+    # every call could rmtree a superseded dir out from under another
+    # session's in-flight query; gating on the miss confines that race
+    # to actual rebuilds, the window a rebuild always had.
     import re as _re
-    import time as _time
+
+    from ..artifacts import sweep_stale_entries
 
     tail = key[len(f"{sf_name}-{fp}"):]
     stale_pat = _re.compile(
@@ -892,28 +898,16 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
         # corpus-sized, swept regardless of fingerprint
         + r"(\.json|-codes\.parquet|-codes\.json)$"
     )
-    live = {key + ".json", key + "-codes.parquet"}
-    for entry in _os.listdir(root):
-        full = _os.path.join(root, entry)
-        if ".build." in entry or ".tmp." in entry:
-            try:
-                if _time.time() - _os.stat(full).st_mtime > 3600:
-                    _shutil.rmtree(full, ignore_errors=True)
-                    if _os.path.exists(full):
-                        _os.remove(full)
-            except OSError:
-                pass
-            continue
-        if entry in live:
-            continue  # the live key's own json/sidecar
-        if stale_pat.match(entry):
-            if _os.path.isdir(full):
-                _shutil.rmtree(full, ignore_errors=True)
-            else:
-                try:
-                    _os.remove(full)
-                except OSError:
-                    pass
+    missing = not _os.path.exists(path) or (
+        want_codes
+        and not _os.path.exists(_os.path.join(codes_dir, "_SUCCESS"))
+    )
+    if missing:
+        sweep_stale_entries(
+            root,
+            {key + ".json", key + "-codes.parquet"},
+            lambda e: stale_pat.match(e) is not None,
+        )
 
     def _load_json():
         with open(path) as f:

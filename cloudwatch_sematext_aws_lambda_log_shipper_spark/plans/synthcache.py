@@ -28,12 +28,11 @@ from __future__ import annotations
 
 import os
 import shutil
-import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..artifacts import artifact_root
+from ..artifacts import artifact_root, sweep_stale_entries
 
 CACHE_ROOT = artifact_root("synth")
 
@@ -59,42 +58,18 @@ def source_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
-def _gc(
-    cache_root: str,
-    keep: str,
-    sf_name: str,
-    name: str,
-    supersedes: tuple[str, ...] = (),
-) -> None:
+def _gc(cache_root: str, keep: str, sf_name: str, name: str) -> None:
     """Drop superseded fingerprints of the SAME (sf, name) corpus and
-    hour-stale `.build.` dirs abandoned by crashed builds. A live
-    concurrent build is young, so the GC can never pull a racing
-    session's in-progress build out from under it. ``supersedes``
-    (r14) lists RETIRED names this corpus replaces — when a cache key
-    gains new components (e.g. hyperparameters folded into the name)
-    the old-name dirs would otherwise never match the endswith test
-    and leak forever."""
-    if not os.path.isdir(cache_root):
-        return
-    dead_names = (name,) + tuple(supersedes)
-    for entry in os.listdir(cache_root):
-        full = os.path.join(cache_root, entry)
-        if full == keep:
-            continue
-        is_build = ".build." in entry
-        superseded = (
-            not is_build
-            and entry.startswith(f"{sf_name}-")
-            and any(entry.endswith(f"-{n}") for n in dead_names)
-        )
-        stale_build = False
-        if is_build:
-            try:
-                stale_build = time.time() - os.stat(full).st_mtime > 3600
-            except OSError:
-                pass
-        if superseded or stale_build:
-            shutil.rmtree(full, ignore_errors=True)
+    hour-stale `.build.` dirs abandoned by crashed builds (the shared
+    artifacts.sweep_stale_entries policy). A live concurrent build is
+    young, so the GC can never pull a racing session's in-progress
+    build out from under it."""
+    sweep_stale_entries(
+        cache_root,
+        {os.path.basename(keep)},
+        lambda e: e.startswith(f"{sf_name}-") and e.endswith(f"-{name}"),
+        build_markers=(".build.",),
+    )
 
 
 def materialize_dir(
@@ -110,13 +85,25 @@ def materialize_dir(
     once per (source fingerprint, name); return the corpus directory.
     `writer(df, path)` customizes the write (e.g. partitionBy + sidecar
     metadata) — it must leave a `_SUCCESS` marker at `path`.
-    ``supersedes`` names retired cache keys this corpus replaces (see
-    _gc)."""
+    ``supersedes`` names RETIRED cache keys this corpus replaces —
+    swept on every call, warm or cold (review r14: a rename that
+    landed before supersedes existed leaves the old dir beside an
+    already-built new key, so a miss-only sweep would never fire).
+    Safe on hits because no current code constructs retired-name
+    paths — there are no live readers to race."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     fp = source_fingerprint(os.path.join(sf_dir, source))
     path = os.path.join(CACHE_ROOT, f"{sf_name}-{fp}-{name}")
+    if supersedes:
+        sweep_stale_entries(
+            CACHE_ROOT,
+            {os.path.basename(path)},
+            lambda e: e.startswith(f"{sf_name}-")
+            and any(e.endswith(f"-{n}") for n in supersedes),
+            build_markers=(".build.",),
+        )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _gc(CACHE_ROOT, path, sf_name, name, supersedes)
+        _gc(CACHE_ROOT, path, sf_name, name)
         tmp = f"{path}.build.{os.getpid()}"
         if writer is None:
             builder().write.mode("overwrite").parquet(tmp)

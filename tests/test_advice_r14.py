@@ -258,6 +258,20 @@ def test_materialize_dir_sweeps_superseded_names(spark, tmp_path, monkeypatch):
     assert unrelated.exists()        # other families untouched
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
 
+    # WARM-hit sweep (review r14): machines where the renamed key was
+    # built BEFORE supersedes existed never see a cache miss — the
+    # retired-name sweep must fire on hits too (safe: no current code
+    # constructs retired-name paths, so there is no reader to race)
+    old.mkdir()
+    (old / "_SUCCESS").touch()
+    path2 = synthcache.materialize_dir(
+        spark, sf_dir, "ivfpqx768-c8m16n64i2p1",
+        builder=lambda: None, source="embeddings.parquet",
+        writer=writer, supersedes=("ivfpqx768",),
+    )
+    assert path2 == path
+    assert not old.exists()
+
 
 def test_ivf_fit_cache_gc_sweeps_stale_fingerprints(
     spark, tmp_path, monkeypatch

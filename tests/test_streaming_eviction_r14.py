@@ -282,11 +282,12 @@ def test_scd2_default_keeps_all_history(spark, tmp_path):
 def test_scd2_subday_retention_on_date_axis_never_overprunes(
     spark, tmp_path
 ):
-    # review r14: date - timedelta(seconds=3600) silently DROPS the
-    # sub-day part, making the horizon equal the batch max date and
-    # pruning same-day closed history the caller asked to keep for an
-    # hour. The horizon must promote to midnight so sub-day retention
-    # can only KEEP more, never less.
+    # semantics pin (review r14): on a DATE eff axis with sub-day
+    # retention, same-day closed history must survive the batch that
+    # created it — the horizon promotes the max date to midnight
+    # before subtracting so the sub-day part is carried explicitly
+    # (behavior-preserving on pure-date columns, where values only sit
+    # at midnights; load-bearing if valid_to is ever a timestamp).
     import datetime as dt
 
     from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming.scd import (
