@@ -78,9 +78,18 @@ def main() -> None:
         sys.exit(f"round_end: oracle sweep FAILED (rc={r.returncode}) — "
                  "fix before recording the round")
 
+    # The bench starts right after the 25-minute sweep process exits,
+    # when the 1-min load average is still decaying from ~10 — the
+    # default 4.0 quiet gate passes too early and contaminates the
+    # official record (r14: 197.4 s recorded at gate-passing load 3.1
+    # vs 187.5 s re-recorded under a 1.2 gate; streaming 3.7k vs 7.3k
+    # rec/s). Round-end benches always follow the sweep, so they get a
+    # strict gate unless the caller overrides.
+    bench_env = dict(os.environ)
+    bench_env.setdefault("SPARK_GRAFT_BENCH_LOAD_MAX", "1.2")
     bench = sh(
         [sys.executable, os.path.join(HERE, "bench.py")],
-        capture_output=True, text=True,
+        capture_output=True, text=True, env=bench_env,
     )
     sys.stderr.write(bench.stderr[-4000:])
     if bench.returncode != 0:
