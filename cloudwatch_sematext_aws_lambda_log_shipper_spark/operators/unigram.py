@@ -1,0 +1,208 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — the third
+member of the tokenizer-trainer family (operators/bpe.py: BPE merges,
+WordPiece score-quotient merges).
+
+Kudo 2018's unigram model trains by EM: score candidate pieces, Viterbi-
+segment the corpus under the current scores, recount piece usage from
+the optimal segmentations, re-score. This module implements ONE
+deterministic EM round under the repo's exact-arithmetic contract so a
+DuckDB oracle replays every step bit-for-bit:
+
+- candidate pieces are all substrings (length <= max_piece_len) of the
+  distinct-word table, counted per occurrence weighted by word
+  frequency; the vocabulary keeps EVERY single character (so every
+  word stays segmentable) plus the top ``n_multi`` multi-character
+  pieces by (count DESC, piece ASC) with count >= min_count — a
+  deterministic truncation, no RNG;
+- initial scores are ln of exact integers rounded to 9 decimals
+  (the lm.py idiom — the one ln-parity pattern the oracle suite has
+  proven across engines), carried as DECIMAL(20,9);
+- Viterbi DP: best[i] = max over spans (j..i] in the vocab of
+  best[j] + logp(piece), with every partial sum CAST back to
+  DECIMAL(20,9) (exact: 9-dp terms, bounded magnitude) and the argmax
+  tie-broken (total DESC, span length DESC, piece ASC) — identical to
+  a row_number in SQL. Words longer than ``max_word_len`` are excluded
+  from training (documented bound; it is what makes the oracle's DP a
+  fixed unroll);
+- the optimal path is recovered by walking the stored per-position
+  choices back from the word end (<= max_word_len steps), and the
+  M-step recounts piece usage over the paths weighted by word counts;
+- final scores are ln(n_uses) - ln(total_uses), rounded to 9.
+
+Scale: the full corpus is touched ONCE (the word-frequency scan); all
+DP/backtrack work runs on the DISTINCT-word table (orders of magnitude
+smaller) as ONE Arrow-batched pass with the driver-sized vocabulary in
+the closure — the operators/bpe.py merge-pass shape. The only collect
+is the vocabulary itself (every corpus character + n_multi pieces,
+bounded by construction, never by the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import word_freq_table
+
+DEC = "decimal(20,9)"
+
+
+class _NegStr:
+    """Order-reversing string wrapper: used as the LAST component of a
+    max() key so equal (total, l) candidates pick the lexicographically
+    SMALLEST piece — the row_number (total DESC, l DESC, piece ASC)
+    tie-break both engines evaluate."""
+
+    __slots__ = ("s",)
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def __gt__(self, other):
+        return self.s < other.s
+
+    def __lt__(self, other):
+        return self.s > other.s
+
+    def __eq__(self, other):
+        return self.s == other.s
+
+
+def _spans(wf: DataFrame, max_piece_len: int) -> DataFrame:
+    """(word, cnt, i=end pos, l, piece) for every substring span of
+    length <= max_piece_len; positions 1-based (both engines')."""
+    return (
+        wf.select(
+            "word",
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word"))
+            ).alias("i"),
+        )
+        .select(
+            "word",
+            "cnt",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece_len), F.col("i")),
+                )
+            ).alias("l"),
+        )
+        .withColumn("piece", F.expr("substring(word, i - l + 1, l)"))
+    )
+
+
+def train_unigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_multi: int = 48,
+) -> DataFrame:
+    """One deterministic EM round of unigram-LM training over the
+    corpus; returns the trained vocabulary as
+    (piece, n_uses BIGINT, logprob DOUBLE) — pieces that the Viterbi
+    segmentations actually use, scored by usage (the unigram prune:
+    candidates no optimal path touches drop out)."""
+    spark = docs.sparkSession
+    wf = (
+        word_freq_table(docs, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .withColumnRenamed("count", "cnt")
+        .localCheckpoint(eager=True)
+    )
+    spans = _spans(wf, max_piece_len).localCheckpoint(eager=True)
+
+    # candidate counts -> deterministic vocabulary
+    pc = spans.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    singles = pc.filter(F.length("piece") == 1)
+    multi = (
+        pc.filter(
+            (F.length("piece") > 1) & (F.col("c") >= min_count)
+        )
+        .orderBy(F.col("c").desc(), "piece")
+        .limit(n_multi)  # TakeOrdered — no global sort
+    )
+    kept = singles.unionByName(multi)
+    total = kept.agg(F.sum("c").alias("t"))
+    vocab = (
+        kept.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.round(F.log("c") - F.log("t"), 9)
+            .cast(DEC)
+            .alias("logp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Viterbi DP + backtrack in ONE Arrow pass over the DISTINCT-word
+    # table (the operators/bpe.py merge-pass pattern): the vocab is
+    # driver-sized by construction (every corpus character + n_multi
+    # pieces), so it ships in the closure as exact Decimals, and the
+    # per-word DP (<= max_word_len positions x <= max_piece_len spans)
+    # runs in Python Decimal arithmetic — the IDENTICAL 9-dp-scale
+    # additions and (total DESC, l DESC, piece ASC) argmax the engines'
+    # DECIMAL(20,9) chain evaluates, so the oracle replays it
+    # bit-for-bit. The first cut ran the DP as 12 chained join+window
+    # stages + 12 backtrack joins: bit-equal but ~8 s of per-stage
+    # scheduling overhead at sf0.1 for milliseconds of arithmetic
+    # (PROFILE_r14); one Arrow stage does it in <1 s.
+    logp_by_piece = {
+        r["piece"]: r["logp"] for r in vocab.collect()
+    }  # DECIMAL(20,9) -> decimal.Decimal, exact
+
+    def segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                L = len(word)
+                # best[i]: (total Decimal, chosen l) for prefix length i
+                from decimal import Decimal as _D
+
+                best = [None] * (L + 1)
+                best[0] = (_D("0.000000000"), 0)
+                for i in range(1, L + 1):
+                    top = None
+                    for l in range(1, min(max_piece_len, i) + 1):
+                        piece = word[i - l : i]
+                        lp = logp_by_piece.get(piece)
+                        if lp is None or best[i - l] is None:
+                            continue
+                        total = best[i - l][0] + lp
+                        key = (total, l, _NegStr(piece))
+                        if top is None or key > top[0]:
+                            top = (key, total, l)
+                    if top is not None:
+                        best[i] = (top[1], top[2])
+                pos = L
+                while pos > 0:
+                    l = best[pos][1]
+                    piece = word[pos - l : pos]
+                    counts[piece] = counts.get(piece, 0) + int(cnt)
+                    pos -= l
+            yield pd.DataFrame(
+                {
+                    "piece": list(counts.keys()),
+                    "n": list(counts.values()),
+                }
+            )
+
+    all_used = wf.mapInPandas(segment, "piece string, n long")
+
+    usage = all_used.groupBy("piece").agg(
+        F.sum("n").alias("n_uses")
+    )
+    tot = usage.agg(F.sum("n_uses").alias("t"))
+    return usage.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.col("n_uses").cast("long").alias("n_uses"),
+        F.round(F.log("n_uses") - F.log("t"), 9)
+        .cast("double")
+        .alias("logprob"),
+    )

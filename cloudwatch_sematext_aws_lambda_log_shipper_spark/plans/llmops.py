@@ -4139,6 +4139,127 @@ def wordpiece_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_oracle(
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_multi: int = 48,
+) -> str:
+    """One deterministic EM round of unigram-LM training
+    (operators/unigram.py) as a chained-CTE replay: spans ->
+    deterministic vocab (all single chars + top-n multi by
+    (count DESC, piece)) -> ln-of-integers 9-dp DECIMAL(20,9) scores
+    -> an UNROLLED Viterbi DP (one CTE pair per position, argmax as a
+    row_number with the engine's (total DESC, l DESC, piece) tie-break,
+    partial sums cast back to DECIMAL(20,9) after every add) -> an
+    unrolled backtrack (one CTE per step) -> the M-step usage recount
+    and final ln scores. The word-length bound is what makes the DP a
+    fixed unroll."""
+    L, P = max_word_len, max_piece_len
+    lines = [f"""WITH wf AS MATERIALIZED (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' AND length(word) <= {L}
+  GROUP BY word
+),
+spans AS MATERIALIZED (
+  SELECT word, cnt, i, l, substr(word, i - l + 1, l) AS piece
+  FROM wf
+  CROSS JOIN generate_series(1, {L}) AS gi(i)
+  CROSS JOIN generate_series(1, {P}) AS gl(l)
+  WHERE i <= length(word) AND l <= i
+),
+pc AS (SELECT piece, SUM(cnt) AS c FROM spans GROUP BY piece),
+kept AS MATERIALIZED (
+  SELECT piece, c FROM pc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM pc
+    WHERE length(piece) > 1 AND c >= {min_count}
+    ORDER BY c DESC, piece LIMIT {n_multi})
+),
+tot0 AS (SELECT SUM(c) AS t FROM kept),
+vocab AS MATERIALIZED (
+  SELECT piece, CAST(ROUND(ln(c) - ln(t), 9) AS DECIMAL(20,9)) AS logp
+  FROM kept CROSS JOIN tot0
+),
+vs AS MATERIALIZED (
+  SELECT s.word, s.i, s.l, s.piece, v.logp
+  FROM spans s JOIN vocab v USING (piece)
+),
+bacc0 AS (SELECT word, 0 AS pos, CAST(0 AS DECIMAL(20,9)) AS best FROM wf),"""]
+    for i in range(1, L + 1):
+        lines.append(f"""c{i} AS (
+  SELECT s.word, s.l, s.piece,
+         CAST(b.best + s.logp AS DECIMAL(20,9)) AS total
+  FROM vs s JOIN bacc{i - 1} b
+    ON b.word = s.word AND b.pos = {i} - s.l
+  WHERE s.i = {i}
+),
+bst{i} AS MATERIALIZED (
+  SELECT word, total, l FROM (
+    SELECT word, total, l, piece,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY total DESC, l DESC, piece) AS r
+    FROM c{i}) WHERE r = 1
+),
+bacc{i} AS MATERIALIZED (
+  SELECT * FROM bacc{i - 1}
+  UNION ALL
+  SELECT word, {i} AS pos, total AS best FROM bst{i}
+),""")
+    bt_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, {i} AS pos, l FROM bst{i}" for i in range(1, L + 1)
+    )
+    lines.append(f"""bt AS MATERIALIZED (
+{bt_union}
+),
+path0 AS (SELECT word, cnt, length(word) AS pos FROM wf),""")
+    for k in range(1, L + 1):
+        lines.append(f"""e{k} AS MATERIALIZED (
+  SELECT p.word, p.cnt,
+         substr(p.word, p.pos - b.l + 1, b.l) AS piece,
+         p.pos - b.l AS pos2
+  FROM path{k - 1} p JOIN bt b ON b.word = p.word AND b.pos = p.pos
+),
+path{k} AS (SELECT word, cnt, pos2 AS pos FROM e{k} WHERE pos2 > 0),""")
+    e_union = "\n  UNION ALL\n".join(
+        f"  SELECT cnt, piece FROM e{k}" for k in range(1, L + 1)
+    )
+    lines.append(f"""allused AS (
+{e_union}
+),
+usage AS (SELECT piece, SUM(cnt) AS n_uses FROM allused GROUP BY piece),
+tt AS (SELECT SUM(n_uses) AS t FROM usage)
+SELECT piece, CAST(n_uses AS BIGINT) AS n_uses,
+       CAST(ROUND(ln(n_uses) - ln(t), 9) AS DOUBLE) AS logprob
+FROM usage CROSS JOIN tt""")
+    return "\n".join(lines)
+
+
+@query("unigram_vocab_table", _unigram_oracle())
+def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training under the
+    STRICT hash gate (operators/unigram.py) — the THIRD tokenizer
+    trainer beside BPE and WordPiece: one deterministic EM round
+    (candidate substring counts -> deterministic vocab -> ln/DECIMAL
+    Viterbi segmentation of the distinct-word table -> usage recount
+    -> final scores), with the whole pipeline — vocab truncation, the
+    per-position DP argmax, the backtrack, both ln scorings — replayed
+    by a chained-CTE DuckDB oracle whose DP is unrolled one CTE pair
+    per position (the max_word_len=12 bound makes that finite).
+
+    Scale: the corpus is scanned ONCE (word counts); every later stage
+    runs on the distinct-word table (joins + per-word window ranks +
+    TakeOrdered vocab truncation — no global sorts, no collects, no
+    Python in the data path). Words longer than 12 characters are
+    excluded from training, documented at the operator."""
+    from ..operators.unigram import train_unigram
+
+    return train_unigram(_docs(spark, sf_dir))
+
+
 def _tokenize_pack_oracle(n_merges: int = 12, budget: int = 128) -> str:
     """documents -> BPE tokens -> concat-then-chunk packing, fully
     replayed: the merge chain comes from _bpe_step_ctes, per-word token

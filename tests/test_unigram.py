@@ -1,0 +1,86 @@
+"""Unigram-LM tokenizer trainer (operators/unigram.py): one
+deterministic EM round — coverage, pruning, exclusion-bound and score
+semantics. The cross-engine bit-parity of the whole pipeline is pinned
+by the strict oracle on `unigram_vocab_table`; these tests pin the
+operator-level contracts."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.unigram import (
+    train_unigram,
+)
+
+CORPUS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ate the rat"),
+    (3, "mat rat cat bat"),
+    (4, "the the the cat"),
+]
+
+
+def _words(rows, max_word_len=12):
+    out = []
+    for _, t in rows:
+        out += [
+            w
+            for w in re.split(r"\s+", t.lower().strip())
+            if w and len(w) <= max_word_len
+        ]
+    return out
+
+
+def test_every_character_is_covered_exactly_once(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = train_unigram(docs, n_multi=8).collect()
+    total_chars = sum(len(w) for w in _words(CORPUS))
+    covered = sum(r["n_uses"] * len(r["piece"]) for r in rows)
+    # Viterbi segmentation tiles each word occurrence exactly — no
+    # overlap, no gap, weighted by word frequency
+    assert covered == total_chars
+
+
+def test_frequent_whole_words_become_pieces(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = {r["piece"]: r for r in train_unigram(docs, n_multi=8).collect()}
+    words = _words(CORPUS)
+    # 'the' dominates the corpus: it must survive as one piece and be
+    # used once per occurrence
+    assert "the" in rows
+    assert rows["the"]["n_uses"] == words.count("the")
+
+
+def test_scores_are_ln_of_usage_ratios(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    rows = train_unigram(docs, n_multi=8).collect()
+    total = sum(r["n_uses"] for r in rows)
+    for r in rows:
+        want = round(math.log(r["n_uses"]) - math.log(total), 9)
+        assert abs(r["logprob"] - want) < 1e-12, r
+
+
+def test_overlong_words_are_excluded_by_the_documented_bound(spark):
+    docs = spark.createDataFrame(
+        CORPUS + [(9, "supercalifragilistic")],
+        "doc_id long, text string",
+    )
+    rows = train_unigram(docs, n_multi=8).collect()
+    covered = sum(r["n_uses"] * len(r["piece"]) for r in rows)
+    # the 20-char word contributes nothing (documented max_word_len=12)
+    assert covered == sum(len(w) for w in _words(CORPUS))
+
+
+def test_viterbi_beats_greedy_longest_prefix(spark):
+    # corpus engineered so the greedy longest-prefix segmentation of
+    # 'abcd' (ab + cd or abc + d) is NOT optimal: 'bcd' is far more
+    # frequent than any prefix piece, so the optimal path is a + bcd.
+    rows_src = [(i, "bcd " * 30) for i in range(3)] + [(100, "abcd abcd")]
+    docs = spark.createDataFrame(rows_src, "doc_id long, text string")
+    out = {r["piece"]: r["n_uses"]
+           for r in train_unigram(docs, n_multi=4).collect()}
+    # 'bcd' must be chosen inside 'abcd' too: 90 standalone + 2 from
+    # the two 'abcd' occurrences
+    assert out.get("bcd") == 92, out
+    assert out.get("a") == 2, out
