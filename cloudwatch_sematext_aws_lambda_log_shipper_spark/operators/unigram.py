@@ -206,3 +206,88 @@ def train_unigram(
         .cast("double")
         .alias("logprob"),
     )
+
+
+def unigram_segment(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inference half (the encode_with_merges analogue for BPE): Viterbi-
+    segment every document's words under a TRAINED vocabulary — the
+    (piece, logprob) frame train_unigram returns — and emit
+    (id, pieces array<string>) with pieces in document order.
+
+    Same kernel shape as training: the vocabulary collects once
+    (driver-sized by construction) and one Arrow pass segments the
+    documents; scores are carried as 9-dp Decimals so the argmax is
+    deterministic under any partitioning. Characters absent from the
+    vocabulary (possible at inference — training saw a different
+    corpus) fall back to single-character pieces with a score below
+    every trained piece, the conventional UNK-penalty treatment; no
+    word length bound applies at inference (the DP is data-side, not
+    an oracle unroll)."""
+    from decimal import Decimal
+
+    rows = vocab.select("piece", "logprob").collect()
+    logp = {
+        r["piece"]: Decimal(str(round(float(r["logprob"]), 9)))
+        for r in rows
+    }
+    floor = (
+        min(logp.values()) if logp else Decimal("0")
+    ) - Decimal("100.000000000")
+    max_l = max((len(p) for p in logp), default=1)
+
+    def seg_word(word: str) -> list[str]:
+        L = len(word)
+        best: list = [None] * (L + 1)
+        best[0] = (Decimal("0.000000000"), 0)
+        for i in range(1, L + 1):
+            top = None
+            for l in range(1, min(max_l, i) + 1):
+                piece = word[i - l : i]
+                lp = logp.get(piece)
+                if lp is None:
+                    if l != 1:
+                        continue
+                    lp = floor  # OOV char fallback
+                total = best[i - l][0] + lp
+                key = (total, l, _NegStr(piece))
+                if top is None or key > top[0]:
+                    top = (key, total, l)
+            best[i] = (top[1], top[2])
+        out: list[str] = []
+        pos = L
+        while pos > 0:
+            l = best[pos][1]
+            out.append(word[pos - l : pos])
+            pos -= l
+        out.reverse()
+        return out
+
+    import re as _re
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, pieces = [], []
+            for did, text in zip(pdf["_id"], pdf["_t"]):
+                toks: list[str] = []
+                for w in _re.split(r"\s+", str(text).lower().strip()):
+                    if w:
+                        toks += seg_word(w)
+                ids.append(did)
+                pieces.append(toks)
+            yield pd.DataFrame({"_id": ids, "pieces": pieces})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        )
+        .mapInPandas(kern, f"_id {id_type}, pieces array<string>")
+        .withColumnRenamed("_id", id_col)
+    )

@@ -84,3 +84,25 @@ def test_viterbi_beats_greedy_longest_prefix(spark):
     # the two 'abcd' occurrences
     assert out.get("bcd") == 92, out
     assert out.get("a") == 2, out
+
+
+def test_unigram_segment_roundtrips_and_prefers_trained_pieces(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.unigram import (
+        unigram_segment,
+        train_unigram,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    vocab = train_unigram(docs, n_multi=8)
+    segged = {r["doc_id"]: r["pieces"]
+              for r in unigram_segment(docs, vocab).collect()}
+    # concatenating a doc's pieces reproduces its lowercased words
+    for did, text in CORPUS:
+        want = "".join(w for w in re.split(r"\s+", text.lower().strip()) if w)
+        assert "".join(segged[did]) == want
+    # the dominant word segments as one trained piece
+    assert "the" in segged[4]
+    # OOV characters at inference fall back to single chars, not errors
+    oov = spark.createDataFrame([(9, "zzz the")], "doc_id long, text string")
+    got = unigram_segment(oov, vocab).collect()[0]["pieces"]
+    assert got[:3] == ["z", "z", "z"] and got[-1] == "the"
