@@ -26,6 +26,36 @@ def artifact_root(name: str) -> str:
 
 
 STALE_BUILD_S = 3600.0
+_STALE_ENV = "SPARK_GRAFT_STALE_BUILD_S"
+
+
+def _stale_horizon_s() -> float:
+    """Abandoned-build horizon; env-overridable for deployments whose
+    index builds legitimately run longer than the default hour."""
+    try:
+        return float(os.environ.get(_STALE_ENV, STALE_BUILD_S))
+    except ValueError:
+        return STALE_BUILD_S
+
+
+def _newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the entry itself for a
+    file). Spark writes part files under _temporary subdirs, so the TOP
+    dir's mtime can stop moving minutes into a long legitimate build —
+    judging staleness on it alone could rmtree a >1h corpus-sized build
+    out from under a live session (r14 ADVICE). The newest file inside
+    keeps moving as long as the build does."""
+    newest = os.stat(path).st_mtime
+    if os.path.isdir(path):
+        for dirpath, _dirs, files in os.walk(path):
+            for name in files:
+                try:
+                    m = os.stat(os.path.join(dirpath, name)).st_mtime
+                except OSError:
+                    continue
+                if m > newest:
+                    newest = m
+    return newest
 
 
 def sweep_stale_entries(
@@ -58,7 +88,7 @@ def sweep_stale_entries(
         full = os.path.join(root, entry)
         if any(m in entry for m in build_markers):
             try:
-                if time.time() - os.stat(full).st_mtime > STALE_BUILD_S:
+                if time.time() - _newest_mtime(full) > _stale_horizon_s():
                     shutil.rmtree(full, ignore_errors=True)
                     if os.path.exists(full):
                         os.remove(full)

@@ -156,6 +156,8 @@ def train_unigram(
     }  # DECIMAL(20,9) -> decimal.Decimal, exact
 
     def segment(batches):
+        from decimal import Decimal as _D
+
         import pandas as pd
 
         for pdf in batches:
@@ -163,8 +165,6 @@ def train_unigram(
             for word, cnt in zip(pdf["word"], pdf["cnt"]):
                 L = len(word)
                 # best[i]: (total Decimal, chosen l) for prefix length i
-                from decimal import Decimal as _D
-
                 best = [None] * (L + 1)
                 best[0] = (_D("0.000000000"), 0)
                 for i in range(1, L + 1):

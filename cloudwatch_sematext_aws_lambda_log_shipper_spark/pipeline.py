@@ -66,9 +66,33 @@ def parse_kinesis_records(
     return parsed.unionByName(decode_dlq)
 
 
+def batch_kernel(
+    records: DataFrame,
+    observe: bool | Observation = True,
+    fan_out: bool = False,
+) -> DataFrame:
+    """The ONE decode+parse composition every entry point executes —
+    batch backfill (run_batch) and the streaming shipper
+    (streaming/pipeline._ship_batch) are both thin callers, so a stage
+    added here reaches both hot paths (r14 ADVICE: the two paths had
+    drifted into separate compositions).
+
+    fan_out: repartition the RAW records (small: compressed payloads)
+    to cluster parallelism before the gunzip UDF when the input arrives
+    in fewer partitions than cores — a Kinesis/file micro-batch has as
+    many partitions as source shards/files, and gunzip is the
+    pipeline's CPU.
+    """
+    if fan_out:
+        par = records.sparkSession.sparkContext.defaultParallelism
+        if records.rdd.getNumPartitions() < par:
+            records = records.repartition(par)
+    return parse_kinesis_records(records, observe=observe)
+
+
 def run_batch(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full hot path -> (clean log records, DLQ records)."""
-    return split_dlq(parse_kinesis_records(records))
+    return split_dlq(batch_kernel(records))
 
 
 def replay_dlq(dlq: DataFrame) -> tuple[DataFrame, DataFrame]:

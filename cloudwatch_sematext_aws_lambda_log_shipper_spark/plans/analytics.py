@@ -884,20 +884,36 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) compound ordering makes tile assignment TOTAL, so both
     engines bucket identically even among equal values.
 
-    Scale: the window partitions by event_type (parallel across types;
-    within a type Spark sorts that partition's rows once for both
-    ranking functions — same spill profile as any per-key sort); the
-    decile rollup collapses map-side to 10 rows per type.
+    Scale: partitioning the ranking window by event_type alone makes
+    each per-type partition fact-sized/|types| (~5 types here) — a
+    skew magnet. operators/ranking.with_global_ntile range-splits each
+    type's rows across ALL partitions and reassembles exact ranks from
+    bounded prefix offsets, so no task ever sorts more than one range
+    slice; percent_rank falls out of the same pass as
+    (rank-1)/(n-1). The decile rollup collapses map-side to 10 rows
+    per type.
     """
-    from pyspark.sql import Window
+    from ..operators.ranking import with_global_ntile
 
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
+    ranked = with_global_ntile(
+        ev.select("event_type", "value", "event_id"),
+        10,
+        [F.asc("value"), F.asc("event_id")],
+        "decile",
+        partition_cols=["event_type"],
+        rank_out="__r",
+        n_out="__n",
+    ).select(
         "event_type",
         "value",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pr"),
+        "decile",
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__r") - 1) / (F.col("__n") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
     )
     return ranked.groupBy("event_type", "decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2216,10 +2232,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-per-customer frame with full tie-break order, so quartile
     membership is deterministic.
 
-    Scale: one groupBy(custkey) shuffle builds the RFM frame; the three
-    ntile windows sort |customers| rows (at 100 TB: replace ntile with
-    percentile-threshold joins from the GK sketch — same grid, no
-    global sort)."""
+    Scale: one groupBy(custkey) shuffle builds the RFM frame; each
+    quartile score then comes from operators/ranking.with_global_ntile
+    (range-repartition -> bounded prefix-offset window -> per-slice
+    row_number + offset), bit-identical to ntile(4) over the total
+    (metric, c_custkey) order but with NO single-partition WindowExec
+    anywhere in the plan — three distributed sorts instead of three
+    global ones."""
+    from ..operators.ranking import with_global_ntile
+
     orders = load(spark, sf_dir, "orders")
     rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.datediff(
@@ -2228,19 +2249,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_dec("o_totalprice", 14)).cast("double").alias("monetary"),
     )
-    scored = (
-        rfm.withColumn(
-            "r_score",
-            F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("c_custkey"))),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))),
-        )
+    scored = with_global_ntile(
+        rfm, 4, [F.asc("recency_days"), F.asc("c_custkey")], "r_score"
+    )
+    scored = with_global_ntile(
+        scored, 4, [F.desc("frequency"), F.asc("c_custkey")], "f_score"
+    )
+    scored = with_global_ntile(
+        scored, 4, [F.desc("monetary"), F.asc("c_custkey")], "m_score"
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -62,8 +62,14 @@ def stub_payload(n_events: int = 5, fn: str = "stub-fn") -> bytes:
 
 
 class _StubReader(SimpleDataSourceStreamReader):
+    """One record per offset, ``batches`` offsets total (option,
+    default 1 — offset 0 replays the original single-batch payload
+    verbatim; later offsets get per-offset function names so batch
+    boundaries are visible downstream)."""
+
     def __init__(self, options):
         self.options = dict(options)
+        self.n_batches = int(self.options.get("batches", "1"))
 
     def initialOffset(self):
         # the recorded-protocol half: persist exactly the options the
@@ -74,22 +80,31 @@ class _StubReader(SimpleDataSourceStreamReader):
                 json.dump(self.options, f)
         return {"offset": 0}
 
-    def read(self, start):
-        if start["offset"] >= 1:
-            return iter([]), start
-        rows = [
+    def _rows_at(self, offset):
+        fn = "stub-fn" if offset == 0 else f"stub-fn-{offset}"
+        return [
             (
-                stub_payload(),
-                "shard-0",
-                datetime.datetime(2026, 8, 16, 12, 0, 0),
+                stub_payload(fn=fn),
+                f"shard-{offset % 2}",
+                datetime.datetime(2026, 8, 16, 12, 0, offset),
             )
         ]
-        return iter(rows), {"offset": 1}
+
+    def read(self, start):
+        o = start["offset"]
+        if o >= self.n_batches:
+            return iter([]), start
+        return iter(self._rows_at(o)), {"offset": o + 1}
 
     def readBetweenOffsets(self, start, end):
-        if start["offset"] >= 1:
-            return iter([])
-        return self.read(start)[0]
+        # replay EXACTLY [start, end) — an earlier cut ignored `end`
+        # and replayed everything from `start`, which over-delivers the
+        # moment the stub holds more than one offset (r14 ADVICE)
+        hi = min(end["offset"], self.n_batches)
+        rows = []
+        for o in range(start["offset"], hi):
+            rows.extend(self._rows_at(o))
+        return iter(rows)
 
 
 class KinesisStubSource(DataSource):

@@ -42,15 +42,24 @@ class StreamingShipper:
     def __init__(
         self,
         spark: SparkSession,
-        input_path: str,
+        input_path: str | None,
         output_dir: str,
         checkpoint_dir: str,
         trigger_seconds: float = 2.0,
         max_files_per_trigger: int | None = None,
         bulk: bool = False,
+        source=None,
     ):
+        """input_path: file-source stand-in (test/backfill transport).
+        source: a sources.kinesis.SourceConfig — the production
+        transport seam; when given it supplies the record stream
+        (e.g. kind="kinesis" against a real connector or the registered
+        stub) and input_path is ignored."""
+        if input_path is None and source is None:
+            raise ValueError("need input_path or source")
         self.spark = spark
         self.input_path = input_path
+        self.source = source
         self.sink = LogSink(output_dir, bulk=bulk)
         self.checkpoint_dir = checkpoint_dir
         self.trigger_seconds = trigger_seconds
@@ -63,16 +72,18 @@ class StreamingShipper:
         # replaces its own output instead of duplicating it — this is
         # what upgrades the checkpointed stream to exactly-once.
         #
-        # Same parse_kinesis_records -> split_dlq kernel as run_batch,
-        # with two streaming-only physical moves between them (r14,
-        # profiled — neither changes a value, both cut wall-clock):
-        # 1. FAN OUT the decode: a file/Kinesis micro-batch arrives in
-        #    as few partitions as source files/shards (measured: 3
-        #    partitions for the 20k-record bench batch on 32 cores),
-        #    and the gunzip UDF is the pipeline's CPU. Repartitioning
-        #    the raw records (small: compressed payloads) to cluster
-        #    parallelism before decode spreads that CPU across every
-        #    core/executor.
+        # Same batch_kernel as run_batch — ONE composition, two
+        # callers (r14 ADVICE: the inline recomposition here could
+        # silently diverge from run_batch; test_streaming.py pins
+        # streaming output == run_batch output on the same batch) —
+        # with two streaming-only physical moves (r14, profiled —
+        # neither changes a value, both cut wall-clock):
+        # 1. FAN OUT the decode (batch_kernel(fan_out=True)): a
+        #    file/Kinesis micro-batch arrives in as few partitions as
+        #    source files/shards (measured: 3 partitions for the
+        #    20k-record bench batch on 32 cores), and the gunzip UDF is
+        #    the pipeline's CPU; repartitioning the raw records (small:
+        #    compressed payloads) spreads it across every core.
         # 2. MATERIALIZE the parsed batch once: clean and DLQ are two
         #    filter branches of one parse pipeline — written naively,
         #    each write re-runs decode+parse end to end (gunzip twice).
@@ -83,13 +94,9 @@ class StreamingShipper:
         #    stream must not leave per-batch blocks waiting on driver
         #    GC (localCheckpoint cleanup) to free executor storage.
         from ..operators.parse import split_dlq
-        from ..pipeline import parse_kinesis_records
+        from ..pipeline import batch_kernel
 
-        spark = batch_df.sparkSession
-        par = spark.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < par:
-            batch_df = batch_df.repartition(par)
-        parsed = parse_kinesis_records(batch_df).persist()
+        parsed = batch_kernel(batch_df, fan_out=True).persist()
         try:
             clean, dlq = split_dlq(parsed)
             self.sink.ship(clean, dlq, batch_id=batch_id)
@@ -97,9 +104,12 @@ class StreamingShipper:
             parsed.unpersist()
 
     def start(self, available_now: bool = False) -> StreamingQuery:
-        records = stream_kinesis_event_files(
-            self.spark, self.input_path, self.max_files_per_trigger
-        )
+        if self.source is not None:
+            records = self.source.stream(self.spark)
+        else:
+            records = stream_kinesis_event_files(
+                self.spark, self.input_path, self.max_files_per_trigger
+            )
         writer = (
             records.writeStream.foreachBatch(self._ship_batch)
             .option("checkpointLocation", self.checkpoint_dir)

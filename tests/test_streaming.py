@@ -444,3 +444,35 @@ def test_streaming_sessionization_gap_windows(spark, tmp_path):
     assert all(r.function_name == "fn-s" for r in rows.values())
     single = rows[("r2", "2024-01-01T10:20:00")]
     assert (single.n_events, single.n_errors) == (1, 0)
+
+
+def test_streaming_path_equals_run_batch_on_same_records(spark, tmp_path):
+    """r14 ADVICE: the streaming shipper and run_batch are two callers
+    of ONE batch_kernel — pin value equality of the shipped output vs
+    the batch hot path on the same records so the compositions cannot
+    silently diverge."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import run_batch
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out = tmp_path / "out"
+    write_event_file(
+        inp,
+        "a.json",
+        [payload(["one", "plain error line", '{"message":"j","level":"warn"}'])],
+    )
+    shipper = StreamingShipper(spark, str(inp), str(out), str(tmp_path / "ck"))
+    wait_done(shipper.start(available_now=True))
+    shipped = spark.read.parquet(str(out / "logs")).drop(
+        "ingest_batch", "log_date"
+    )
+
+    records = read_kinesis_event_file(spark, str(inp / "a.json"))
+    clean, _dlq = run_batch(records)
+    want = clean.drop("is_corrupt", "_raw")
+
+    cols = sorted(shipped.columns)
+    assert cols == sorted(want.columns)
+    got_rows = sorted(map(str, shipped.select(*cols).collect()))
+    want_rows = sorted(map(str, want.select(*cols).collect()))
+    assert got_rows == want_rows
