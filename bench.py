@@ -207,6 +207,15 @@ def main() -> None:
     cache_state = "warmed"  # every persisted store materialized pre-timing
     gc_runs: dict[str, list[int]] = {}
     gc_timed_start = gc_millis(spark)
+    # r15 (r14 verdict #6): record each ANN query's derived cost-rule
+    # decisions — (dim, est_rows, strategy, why) per dot_cols call site
+    # — so crossover drift is visible in the committed BENCH record.
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (  # noqa: E501
+        drain_dot_decisions,
+    )
+
+    dot_decisions: dict[str, list[dict]] = {}
+    drain_dot_decisions()  # clear warm-pass noise
     for _pass in range(2):  # interleaved timed passes (see module doc)
         for name, fn in qs.items():
             if name in failed:
@@ -220,6 +229,9 @@ def main() -> None:
             except Exception as exc:  # a broken query must not hide the rest
                 failed.add(name)
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            decided = drain_dot_decisions()
+            if _pass == 0 and decided:
+                dot_decisions[name] = decided
             spark.catalog.clearCache()
     # Unstable-query retry (one extra run): a >3x spread between the
     # two interleaved runs means at least one was contaminated; a third
@@ -299,6 +311,7 @@ def main() -> None:
         "load": load,  # 1/5/15-min at start + 1-min at end
         "cache_state": cache_state,
         "streaming": streaming,
+        "dot_decisions": dot_decisions,  # per-query cost-rule record
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

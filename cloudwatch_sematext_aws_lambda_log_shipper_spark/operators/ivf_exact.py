@@ -270,27 +270,87 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
+def _footer_row_bound(df: DataFrame) -> int | None:
+    """UPPER bound on ``df``'s rows from the parquet footers of its
+    input files — no Spark job (filters and projections only ever
+    reduce rows, never add). None when the frame isn't backed by
+    locally-readable parquet files (checkpointed, in-memory,
+    object-store URIs)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            if uri.startswith("file://"):
+                uri = uri[7:]
+            elif uri.startswith("file:"):
+                uri = uri[5:]
+            elif "://" in uri:
+                return None  # remote scheme: footers not local
+            total += pq.ParquetFile(uri).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _derive_est_scored_rows(
     cn: DataFrame | None,
     qn: DataFrame,
     nprobe: int,
     n_clusters: int,
     corpus_rows: int | None = None,
+    raw_corpus: DataFrame | None = None,
+    raw_queries: DataFrame | None = None,
+    multiplier: int = 1,
 ) -> int | None:
     """Self-feeding cost-rule estimate (r14 — the r13 verdict's #2
-    ask): |queries| * |corpus| * nprobe / n_clusters, the rows the
-    scoring join will touch, derived INSIDE the operator so the
+    ask): |queries| * |corpus| * nprobe / n_clusters (times
+    ``multiplier`` — the ADC subspace fanout for PQ callers), the rows
+    the scoring join will touch, derived INSIDE the operator so the
     dot_cols cost rule fires at deployment scale without any caller
-    volunteering a hint. The frames the counts run over are
-    localCheckpointed by the callers (cached-block passes, not
-    recomputations); persisted-index callers pass ``corpus_rows``
-    straight from parquet footers (_parquet_num_rows) and skip the
-    corpus pass entirely. Values are bit-identical under either dot
-    strategy (pinned in tests) — the estimate only moves the clock."""
+    volunteering a hint.
+
+    Cost of deriving (r14 ADVICE): two short-circuits before any
+    count() job runs —
+    - SPARK_GRAFT_DOT_UNROLL set: the strategy is forced either way,
+      so the estimate cannot flip anything; return None untouched.
+    - parquet-footer UPPER bounds on the callers' RAW frames
+      (``raw_corpus``/``raw_queries``): when even the upper-bound
+      estimate sits below the codegen crossover, exact counts cannot
+      flip the rule — return the bound (labeled estimate, no job).
+    Otherwise the frames the counts run over are localCheckpointed by
+    the callers (cached-block passes, not recomputations);
+    persisted-index callers pass ``corpus_rows`` straight from parquet
+    footers (_parquet_num_rows) and skip the corpus pass entirely.
+    Values are bit-identical under either dot strategy (pinned in
+    tests) — the estimate only moves the clock."""
+    from .similarity import DOT_UNROLL_CROSSOVER_ROWS, _unroll_override
+
+    if _unroll_override() is not None:
+        return None
+    mult = max(int(multiplier), 1)
     try:
+        nc_ub = corpus_rows
+        if nc_ub is None and raw_corpus is not None:
+            nc_ub = _footer_row_bound(raw_corpus)
+        nq_ub = (
+            _footer_row_bound(raw_queries)
+            if raw_queries is not None
+            else None
+        )
+        if nc_ub is not None and nq_ub is not None:
+            ub = int(nq_ub * nc_ub * nprobe / max(n_clusters, 1)) * mult
+            if ub < DOT_UNROLL_CROSSOVER_ROWS:
+                return ub
         nc = corpus_rows if corpus_rows is not None else cn.count()
         nq = qn.count()
-        return int(nq * nc * nprobe / max(n_clusters, 1))
+        return int(nq * nc * nprobe / max(n_clusters, 1)) * mult
     except Exception:
         return None
 
@@ -373,7 +433,8 @@ def ann_topk_ivf_exact(
     qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if est_scored_rows is None:
         est_scored_rows = _derive_est_scored_rows(
-            cn, qn, nprobe, len(centers)
+            cn, qn, nprobe, len(centers),
+            raw_corpus=corpus, raw_queries=queries,
         )
     assigned = _assign_exact(cn, centers, dim, "neighbor_id",
                              est_rows=est_scored_rows)
@@ -463,6 +524,7 @@ def query_ivf_index_exact(
             None if corpus_rows is not None
             else spark.read.parquet(apath).select("neighbor_id"),
             qn, nprobe, len(centers), corpus_rows=corpus_rows,
+            raw_queries=queries,
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
@@ -705,8 +767,10 @@ def ann_topk_ivfpq_exact(
         codes_df = encode_codes_exact(cn, centers, books, m=m, dim=dim)
     if est_scored_rows is None:
         # ADC fans each scored candidate out x m subspaces
-        base = _derive_est_scored_rows(cn, qn, nprobe, len(centers))
-        est_scored_rows = None if base is None else base * m
+        est_scored_rows = _derive_est_scored_rows(
+            cn, qn, nprobe, len(centers),
+            raw_corpus=corpus, raw_queries=queries, multiplier=m,
+        )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
@@ -845,6 +909,7 @@ def query_ivfpq_index_exact(
             None if code_rows is not None
             else spark.read.parquet(cpath).select("neighbor_id"),
             qn, nprobe, len(centers), corpus_rows=code_rows,
+            raw_queries=queries,
         )
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True

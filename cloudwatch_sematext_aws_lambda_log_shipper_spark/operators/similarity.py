@@ -55,11 +55,40 @@ DOT_UNROLL_CROSSOVER_ROWS = 5_000_000
 
 _logged_strategies: set = set()
 
+# r15 (r14 verdict #6): the cost rule fires silently at deployment
+# scale — record every (dim, est_rows, strategy, why) decision so the
+# bench/PROFILE artifacts carry per-ANN-query pairs and a future
+# crossover drift is visible in the committed record. Bounded ring so
+# a pathological caller can't grow driver memory; bench drains it per
+# query via drain_dot_decisions().
+_DOT_DECISIONS_MAX = 512
+DOT_DECISIONS: list[dict] = []
 
-def _log_dot_strategy(strategy: str, dim: int, why: str) -> None:
+
+def drain_dot_decisions() -> list[dict]:
+    """Return and clear the recorded cost-rule decisions (one dict per
+    dot_cols call: dim / est_rows / strategy / why)."""
+    out = list(DOT_DECISIONS)
+    DOT_DECISIONS.clear()
+    return out
+
+
+def _log_dot_strategy(
+    strategy: str, dim: int, why: str, est_rows: int | None = None
+) -> None:
     """One-time (per strategy x dim x reason) observability line so the
     active physical form is visible in driver logs (ADVICE r12: an env
-    var silently flipping every caller's plan was unobservable)."""
+    var silently flipping every caller's plan was unobservable) — plus
+    the per-call decision record above."""
+    if len(DOT_DECISIONS) < _DOT_DECISIONS_MAX:
+        DOT_DECISIONS.append(
+            {
+                "dim": dim,
+                "est_rows": est_rows,
+                "strategy": strategy,
+                "why": why,
+            }
+        )
     key = (strategy, dim, why)
     if key not in _logged_strategies:
         _logged_strategies.add(key)
@@ -116,11 +145,15 @@ def dot_cols(
     an explicit override either way; the active strategy logs once
     per (strategy, dim) so the physical form is observable."""
     if dim > DOT_UNROLL_MAX_DIM:
-        _log_dot_strategy("hof-fold", dim, "dim > DOT_UNROLL_MAX_DIM")
+        _log_dot_strategy(
+            "hof-fold", dim, "dim > DOT_UNROLL_MAX_DIM", est_rows
+        )
         return dot(a, b)
     forced = _unroll_override()
     if forced is False:
-        _log_dot_strategy("hof-fold", dim, "SPARK_GRAFT_DOT_UNROLL=0")
+        _log_dot_strategy(
+            "hof-fold", dim, "SPARK_GRAFT_DOT_UNROLL=0", est_rows
+        )
         return dot(a, b)
     if forced is None:
         if est_rows is None or est_rows < DOT_UNROLL_CROSSOVER_ROWS:
@@ -130,11 +163,14 @@ def dot_cols(
                 "est_rows below crossover"
                 if est_rows is not None
                 else "no row estimate",
+                est_rows,
             )
             return dot(a, b)
-        _log_dot_strategy("unrolled", dim, "est_rows >= crossover")
+        _log_dot_strategy("unrolled", dim, "est_rows >= crossover", est_rows)
     else:
-        _log_dot_strategy("unrolled", dim, "SPARK_GRAFT_DOT_UNROLL=1")
+        _log_dot_strategy(
+            "unrolled", dim, "SPARK_GRAFT_DOT_UNROLL=1", est_rows
+        )
     z: Column = F.lit(0.0)
     for i in range(dim):
         z = z + a.getItem(i) * b.getItem(i)

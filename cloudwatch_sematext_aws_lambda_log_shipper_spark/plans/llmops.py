@@ -263,9 +263,12 @@ _IVF_RECALL_FLOOR = 0.45
 # so the >= gate can never tie across engines — the 0.4503 convention.
 _IVF_FLOOR = 0.5503          # ivf + ivf_index (min 0.62)
 _IVF768_FLOOR = 0.4903       # ivf_768 (min 0.56)
-_IVFPQ_FLOOR = 0.2003        # ivfpq + ivfpq_index (min 0.26: m4x16
-#                              saturation — the 768 twin runs the
-#                              curve-recommended m16x64 point instead)
+_IVFPQ_FLOOR = 0.6503        # ivfpq + ivfpq_index (min 0.74: r15 moved
+#                              them off the saturating m4x16 point —
+#                              measured 0.74/0.80 at sf0.01/sf0.1 on
+#                              the curve-recommended m16x64 the 768
+#                              twin already ran; was 0.2003 at ~0.26
+#                              saturation recall)
 _IVFPQ768_FLOOR = 0.4503     # ivfpq_768 (min 0.52)
 _LSH_FLOOR = 0.4503          # lsh + lsh_768 (min 0.52; data-
 #                              independent planes get the widest margin)
@@ -842,7 +845,8 @@ def _lsh_exact_oracle(
 
 def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
                     subset: str = "c10plus", n_clusters: int = 16,
-                    want_codes: bool = False):
+                    want_codes: bool = False, pq_m: int = 4,
+                    pq_codes: int = 16, pq_iters: int = 2):
     """Fingerprint-keyed cache for the DETERMINISTIC exact-arith fits
     (centroids, PQ codebooks) and — with ``want_codes`` — the PQ
     encoding of the corpus: all three are pure functions of the corpus
@@ -873,7 +877,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     fp = _source_fingerprint(_os.path.join(sf_dir, "embeddings.parquet"))
     sf_name = _os.path.basename(_os.path.normpath(sf_dir))
     key = (f"{sf_name}-{fp}-{subset}-c{n_clusters}i3"
-           + ("-pq4x16i2" if want_books else ""))
+           + (f"-pq{pq_m}x{pq_codes}i{pq_iters}" if want_books else ""))
     path = _os.path.join(root, key + ".json")
     codes_dir = _os.path.join(root, key + "-codes.parquet")
 
@@ -933,7 +937,9 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
         if want_books:
             cn = _unit(corpus, "vec_id", "embedding", "_id",
                        materialize=True)
-            books = fit_pq_codebooks_exact(cn, spark)
+            books = fit_pq_codebooks_exact(
+                cn, spark, m=pq_m, n_codes=pq_codes, iters=pq_iters
+            )
             state["books"] = [[j, t, v] for j, t, v in books]
         tmp = f"{path}.tmp.{_os.getpid()}"
         with open(tmp, "w") as f:
@@ -945,7 +951,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
         cn = _unit(corpus, "vec_id", "embedding", "neighbor_id",
                    materialize=True)
         tmp_dir = f"{codes_dir}.build.{_os.getpid()}"
-        encode_codes_exact(cn, centers, books).write.mode(
+        encode_codes_exact(cn, centers, books, m=pq_m).write.mode(
             "overwrite"
         ).parquet(tmp_dir)
         try:
@@ -4682,7 +4688,8 @@ def doc_dup_span_exact_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_char_spans(_docs(spark, sf_dir), min_len=30)
 
 
-@query("embedding_ann_ivfpq", _ivfpq_exact_oracle(floor=_IVFPQ_FLOOR))
+@query("embedding_ann_ivfpq",
+       _ivfpq_exact_oracle(m=16, n_codes=64, floor=_IVFPQ_FLOOR))
 def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with ADC scoring and exact refine under the STRICT
     hash gate (operators/ivf_exact.py): coarse IVF probe, candidates
@@ -4691,19 +4698,27 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. The DuckDB oracle replays BOTH quantizer fits (the
     coarse Lloyd and the m=4-subspace grouped Lloyd), the encoding,
     the ADC scores and the refine — the full billion-scale
-    architecture, fit included. `recall_at_k` + `recall_ok` (mean
-    >= 0.45) ride along as hash-checked output columns; refine
-    guarantees returned cosines are exact, so PQ error can only cost
-    recall, which the gate makes visible."""
+    architecture, fit included. `recall_at_k` + `recall_ok` ride along
+    as hash-checked output columns; refine guarantees returned cosines
+    are exact, so PQ error can only cost recall, which the gate makes
+    visible.
+
+    Operating point: m=16 subspaces x 64 codes — the
+    ann_operating_curve.json recommendation the 768 twin already ran;
+    the old m=4x16 point saturated at ~0.26 recall (the r14 verdict's
+    'documented-bad operating point'), so the un-suffixed query now
+    serves the recommended curve point at BOTH dims."""
     from ..operators.ivf_exact import ann_topk_ivfpq_exact
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     centers, books, codes_df = _ivf_fit_cached(
-        spark, sf_dir, corpus, want_books=True, want_codes=True
+        spark, sf_dir, corpus, want_books=True, want_codes=True,
+        pq_m=16, pq_codes=64,
     )
     ann = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5,
+                               m=16, n_codes=64,
                                artifacts=(centers, books, codes_df))
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
@@ -4711,7 +4726,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("embedding_ann_ivfpq_index",
-       _ivfpq_exact_oracle(floor=_IVFPQ_FLOOR))
+       _ivfpq_exact_oracle(m=16, n_codes=64, floor=_IVFPQ_FLOOR))
 def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF-PQ path under the STRICT hash gate: centroids, PQ
     codebooks, the cluster-partitioned code table AND the normalized
@@ -4736,20 +4751,22 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
 
     def _write(df, p):
-        build_ivfpq_index_exact(df, p)
+        build_ivfpq_index_exact(df, p, m=16, n_codes=64)
         open(os.path.join(p, "_SUCCESS"), "w").close()
 
-    # default hyperparameters pinned in the key (ADVICE r13)
+    # hyperparameters pinned in the key (ADVICE r13); m16x64 is the
+    # operating-curve recommendation (r15 — supersedes the saturating
+    # m4x16 point)
     path = materialize_dir(
         spark,
         sf_dir,
-        "ivfpqx-c16m4n16i3p2",
+        "ivfpqx-c16m16n64i3p2",
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
         supersedes=("ivfpqx",),
     )
-    ann = query_ivfpq_index_exact(spark, path, queries, k=5)
+    ann = query_ivfpq_index_exact(spark, path, queries, k=5, m=16)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVFPQ_FLOOR)
