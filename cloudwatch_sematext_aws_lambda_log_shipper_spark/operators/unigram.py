@@ -94,6 +94,85 @@ def _spans(wf: DataFrame, max_piece_len: int) -> DataFrame:
     )
 
 
+def _segment_kernel(logp_by_piece: dict, max_piece_len: int):
+    """Arrow kernel factory: Viterbi-segment the distinct-word table
+    under ``logp_by_piece`` (piece -> Decimal score) and emit per-piece
+    usage counts weighted by word frequency. Shared by every EM round
+    — the scores map is the only thing that changes between rounds."""
+
+    def segment(batches):
+        from decimal import Decimal as _D
+
+        import pandas as pd
+
+        for pdf in batches:
+            counts: dict[str, int] = {}
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                L = len(word)
+                # best[i]: (total Decimal, chosen l) for prefix length i
+                best = [None] * (L + 1)
+                best[0] = (_D("0.000000000"), 0)
+                for i in range(1, L + 1):
+                    top = None
+                    for l in range(1, min(max_piece_len, i) + 1):
+                        piece = word[i - l : i]
+                        lp = logp_by_piece.get(piece)
+                        if lp is None or best[i - l] is None:
+                            continue
+                        total = best[i - l][0] + lp
+                        key = (total, l, _NegStr(piece))
+                        if top is None or key > top[0]:
+                            top = (key, total, l)
+                    if top is not None:
+                        best[i] = (top[1], top[2])
+                pos = L
+                while pos > 0:
+                    l = best[pos][1]
+                    piece = word[pos - l : pos]
+                    counts[piece] = counts.get(piece, 0) + int(cnt)
+                    pos -= l
+            yield pd.DataFrame(
+                {
+                    "piece": list(counts.keys()),
+                    "n": list(counts.values()),
+                }
+            )
+
+    return segment
+
+
+def _viterbi_best(
+    target: str, logp: dict, max_piece_len: int, exclude: str
+):
+    """Best segmentation score of ``target`` under ``logp`` with the
+    span equal to ``exclude`` banned — the likelihood-loss denominator
+    of Kudo's prune (driver-side: targets are vocabulary pieces, <=
+    max_piece_len chars, and the vocab is bounded by construction).
+    Same Decimal arithmetic + (total DESC, l DESC, piece ASC) argmax as
+    the corpus kernel, so the oracle's unrolled replay is bit-equal."""
+    from decimal import Decimal as _D
+
+    L = len(target)
+    best = [None] * (L + 1)
+    best[0] = (_D("0.000000000"), 0)
+    for i in range(1, L + 1):
+        top = None
+        for l in range(1, min(max_piece_len, i) + 1):
+            piece = target[i - l : i]
+            if piece == exclude:
+                continue
+            lp = logp.get(piece)
+            if lp is None or best[i - l] is None:
+                continue
+            total = best[i - l][0] + lp
+            key = (total, l, _NegStr(piece))
+            if top is None or key > top[0]:
+                top = (key, total, l)
+        if top is not None:
+            best[i] = (top[1], top[2])
+    return best[L][0] if best[L] is not None else None
+
+
 def train_unigram(
     docs: DataFrame,
     text_col: str = "text",
@@ -101,12 +180,26 @@ def train_unigram(
     max_piece_len: int = 4,
     min_count: int = 2,
     n_multi: int = 48,
+    em_rounds: int = 1,
+    prune_keep: int = 32,
 ) -> DataFrame:
-    """One deterministic EM round of unigram-LM training over the
+    """Deterministic EM round(s) of unigram-LM training over the
     corpus; returns the trained vocabulary as
     (piece, n_uses BIGINT, logprob DOUBLE) — pieces that the Viterbi
     segmentations actually use, scored by usage (the unigram prune:
-    candidates no optimal path touches drop out)."""
+    candidates no optimal path touches drop out).
+
+    ``em_rounds=2`` (r15 — the r14 verdict's stretch ask) adds Kudo
+    2018's full loop shape: after round 1's usage recount, scores are
+    re-estimated with +max(n,1) smoothing so every single character
+    stays segmentable, the multi-piece vocabulary is PRUNED by
+    likelihood loss — loss(p) = n_uses(p) * (score(p) - best
+    segmentation score of p's own string WITHOUT p), keep the top
+    ``prune_keep`` by (loss DESC, piece ASC) — and a second Viterbi
+    E-step + usage M-step runs under the pruned vocabulary. Every
+    stage (both DPs, the smoothing, the prune loss and its
+    tie-broken truncation) is exact Decimal/ln-of-integer arithmetic,
+    so the DuckDB oracle replays the whole two-round chain."""
     spark = docs.sparkSession
     wf = (
         word_freq_table(docs, text_col)
@@ -155,49 +248,59 @@ def train_unigram(
         r["piece"]: r["logp"] for r in vocab.collect()
     }  # DECIMAL(20,9) -> decimal.Decimal, exact
 
-    def segment(batches):
-        from decimal import Decimal as _D
-
-        import pandas as pd
-
-        for pdf in batches:
-            counts: dict[str, int] = {}
-            for word, cnt in zip(pdf["word"], pdf["cnt"]):
-                L = len(word)
-                # best[i]: (total Decimal, chosen l) for prefix length i
-                best = [None] * (L + 1)
-                best[0] = (_D("0.000000000"), 0)
-                for i in range(1, L + 1):
-                    top = None
-                    for l in range(1, min(max_piece_len, i) + 1):
-                        piece = word[i - l : i]
-                        lp = logp_by_piece.get(piece)
-                        if lp is None or best[i - l] is None:
-                            continue
-                        total = best[i - l][0] + lp
-                        key = (total, l, _NegStr(piece))
-                        if top is None or key > top[0]:
-                            top = (key, total, l)
-                    if top is not None:
-                        best[i] = (top[1], top[2])
-                pos = L
-                while pos > 0:
-                    l = best[pos][1]
-                    piece = word[pos - l : pos]
-                    counts[piece] = counts.get(piece, 0) + int(cnt)
-                    pos -= l
-            yield pd.DataFrame(
-                {
-                    "piece": list(counts.keys()),
-                    "n": list(counts.values()),
-                }
-            )
-
-    all_used = wf.mapInPandas(segment, "piece string, n long")
-
+    all_used = wf.mapInPandas(
+        _segment_kernel(logp_by_piece, max_piece_len),
+        "piece string, n long",
+    )
     usage = all_used.groupBy("piece").agg(
         F.sum("n").alias("n_uses")
     )
+
+    if em_rounds >= 2:
+        # --- M-step round 1 with +max(n,1) smoothing + Kudo prune ---
+        # Everything here is driver-sized: usage is bounded by |vocab|
+        # (every corpus character + n_multi pieces), never the corpus.
+        u1 = {r["piece"]: int(r["n_uses"]) for r in usage.collect()}
+        n1 = {
+            p: max(u1.get(p, 0), 1)
+            for p in logp_by_piece
+            if len(p) == 1
+        }
+        n1.update({p: c for p, c in u1.items() if len(p) > 1})
+        # ln parity: compute the smoothed scores IN SPARK (the proven
+        # cross-engine ln-of-integers pattern), then collect
+        t1 = sum(n1.values())
+        s1_rows = spark.createDataFrame(
+            sorted(n1.items()), "piece string, n1 long"
+        ).select(
+            "piece",
+            F.round(F.log("n1") - F.log(F.lit(t1).cast("long")), 9)
+            .cast(DEC)
+            .alias("logp"),
+        )
+        s1 = {r["piece"]: r["logp"] for r in s1_rows.collect()}
+        # likelihood loss of dropping each multi piece: usage times
+        # (own score - best self-segmentation without it)
+        losses = []
+        for p, c in sorted(n1.items()):
+            if len(p) == 1:
+                continue
+            alt = _viterbi_best(p, s1, max_piece_len, exclude=p)
+            losses.append((c * (s1[p] - alt), p))
+        losses.sort(key=lambda t: (-t[0], t[1]))
+        kept2 = {p for _loss, p in losses[:prune_keep]}
+        vocab2 = {
+            p: lp
+            for p, lp in s1.items()
+            if len(p) == 1 or p in kept2
+        }
+        # --- E-step round 2 under the pruned vocabulary ---
+        used2 = wf.mapInPandas(
+            _segment_kernel(vocab2, max_piece_len),
+            "piece string, n long",
+        )
+        usage = used2.groupBy("piece").agg(F.sum("n").alias("n_uses"))
+
     tot = usage.agg(F.sum("n_uses").alias("t"))
     return usage.crossJoin(F.broadcast(tot)).select(
         "piece",

@@ -106,3 +106,50 @@ def test_unigram_segment_roundtrips_and_prefers_trained_pieces(spark):
     oov = spark.createDataFrame([(9, "zzz the")], "doc_id long, text string")
     got = unigram_segment(oov, vocab).collect()[0]["pieces"]
     assert got[:3] == ["z", "z", "z"] and got[-1] == "the"
+
+
+def test_em2_prunes_by_likelihood_loss_and_keeps_singles(spark):
+    """r15 (r14 verdict stretch): round 2 runs under a vocabulary
+    pruned to the top-`prune_keep` multi pieces by likelihood loss;
+    single characters always survive (every word stays segmentable)."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.unigram import (
+        train_unigram,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    v1 = train_unigram(docs, n_multi=8)
+    v2 = train_unigram(docs, n_multi=8, em_rounds=2, prune_keep=2)
+    m1 = {r["piece"] for r in v1.collect() if len(r["piece"]) > 1}
+    out2 = v2.collect()
+    m2 = {r["piece"] for r in out2 if len(r["piece"]) > 1}
+    # the prune genuinely bit: at most prune_keep multi pieces survive
+    assert len(m2) <= 2 < len(m1)
+    assert m2 <= m1  # pruning selects, never invents
+    # every single char the round-2 segmentations use is scored sanely
+    assert all(r["n_uses"] >= 1 and r["logprob"] < 0 for r in out2)
+    # total usage must still cover the corpus: concatenated piece mass
+    # (sum over n_uses weighted by len) equals round 1's — both rounds
+    # segment the same words end to end
+    mass1 = sum(r["n_uses"] * len(r["piece"]) for r in v1.collect())
+    mass2 = sum(r["n_uses"] * len(r["piece"]) for r in out2)
+    assert mass1 == mass2
+
+
+def test_em2_reduces_to_em1_when_nothing_prunable(spark):
+    """With prune_keep >= all used multis, round 2 still re-runs EM
+    under the smoothed scores — the output stays a valid vocabulary
+    covering the same corpus mass."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.unigram import (
+        train_unigram,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    v1 = train_unigram(docs, n_multi=8).collect()
+    v2 = train_unigram(docs, n_multi=8, em_rounds=2,
+                       prune_keep=100).collect()
+    mass1 = sum(r["n_uses"] * len(r["piece"]) for r in v1)
+    mass2 = sum(r["n_uses"] * len(r["piece"]) for r in v2)
+    assert mass1 == mass2
+    assert {r["piece"] for r in v2 if len(r["piece"]) > 1} <= {
+        r["piece"] for r in v1 if len(r["piece"]) > 1
+    } | {r["piece"] for r in v1 if len(r["piece"]) == 1}
