@@ -270,12 +270,42 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
+# Logical nodes that never ADD rows — the only plans whose parquet
+# footer sum is a true upper bound. Joins/explodes/unions multiply
+# rows (and inputFiles() dedupes paths), so anything else -> None.
+_ROW_PRESERVING_NODES = {
+    "Project", "Filter", "SubqueryAlias", "GlobalLimit", "LocalLimit",
+    "Sort", "Relation", "LogicalRelation", "RelationV2",
+    "DataSourceV2Relation", "View", "Repartition",
+    "RepartitionByExpression", "ResolvedHint", "Deduplicate", "Distinct",
+}
+
+
+def _row_preserving_plan(df: DataFrame) -> bool:
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _ROW_PRESERVING_NODES:
+                return False
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def _footer_row_bound(df: DataFrame) -> int | None:
     """UPPER bound on ``df``'s rows from the parquet footers of its
-    input files — no Spark job (filters and projections only ever
-    reduce rows, never add). None when the frame isn't backed by
-    locally-readable parquet files (checkpointed, in-memory,
-    object-store URIs)."""
+    input files — no Spark job. Sound ONLY for row-preserving plans
+    (filter/project/limit chains over scans): a join, explode or
+    self-union can emit MORE rows than its scans hold, so those return
+    None rather than a false bound (r15 review). Also None when the
+    frame isn't backed by locally-readable parquet files
+    (checkpointed, in-memory, object-store URIs)."""
+    if not _row_preserving_plan(df):
+        return None
     try:
         files = df.inputFiles()
     except Exception:

@@ -65,9 +65,10 @@ def with_global_rank(
 
     ``order_cols`` are Column SORT expressions (``F.col("x").desc()``)
     whose combined order is total within each group; ``partition_cols``
-    are column names with non-null values (the offset join uses
-    null-unsafe equality) and small-dimension cardinality — the
-    offsets frame is |groups| x P rows and is broadcast.
+    are column names of small-dimension cardinality — the offsets
+    frame is |groups| x P rows and is broadcast. NULL group values
+    form their own group (the offset join is null-safe), matching
+    window PARTITION BY semantics.
     """
     pcols = list(partition_cols)
     for reserved in (_PID, _CNT, _OFF, _N, _RANK):
@@ -78,6 +79,12 @@ def with_global_rank(
     )
 
     # 1-2: range-partition on (group, order) and freeze the placement.
+    # The localCheckpoint blocks live until the returned frame's RDD is
+    # driver-GC'd (ContextCleaner) — the same lifecycle as every
+    # ivf_exact._unit(materialize=True) frame in the engine; batch
+    # queries hold one input-sized snapshot per ranking pass, never an
+    # accumulating per-trigger stream of them (streams needing explicit
+    # unpersist cadence should rank per-micro-batch in foreachBatch).
     ranged = df.repartitionByRange(
         nparts, *[F.col(c) for c in pcols], *order_cols
     )
@@ -114,8 +121,17 @@ def with_global_rank(
     )
     offs = df.sparkSession.createDataFrame(off_rows, offs_schema)
 
-    # 4: local rank within the (group, pid) slice + offset.
-    joined = frozen.join(F.broadcast(offs), pcols + [_PID])
+    # 4: local rank within the (group, pid) slice + offset. The group
+    # keys join NULL-SAFE so a NULL group ranks as its own partition
+    # exactly like window PARTITION BY (a plain equi-join would
+    # silently DROP those rows).
+    offs_b = F.broadcast(offs)
+    cond = [frozen[_PID] == offs_b[_PID]]
+    for c in pcols:
+        cond.append(frozen[c].eqNullSafe(offs_b[c]))
+    joined = frozen.join(offs_b, cond).drop(offs_b[_PID])
+    for c in pcols:
+        joined = joined.drop(offs_b[c])
     wl = Window.partitionBy(*pcols, _PID).orderBy(*order_cols)
     ranked = joined.withColumn(
         out, (F.row_number().over(wl).cast("long") + F.col(_OFF)).alias(out)

@@ -63,12 +63,20 @@ _logged_strategies: set = set()
 # query via drain_dot_decisions().
 _DOT_DECISIONS_MAX = 512
 DOT_DECISIONS: list[dict] = []
+_dot_decisions_dropped = 0
 
 
 def drain_dot_decisions() -> list[dict]:
     """Return and clear the recorded cost-rule decisions (one dict per
-    dot_cols call: dim / est_rows / strategy / why)."""
+    dot_cols call: dim / est_rows / strategy / why). When the bounded
+    ring overflowed since the last drain, the list ends with a
+    ``{"dropped": k}`` sentinel — a truncated record must never read
+    as a complete one."""
+    global _dot_decisions_dropped
     out = list(DOT_DECISIONS)
+    if _dot_decisions_dropped:
+        out.append({"dropped": _dot_decisions_dropped})
+        _dot_decisions_dropped = 0
     DOT_DECISIONS.clear()
     return out
 
@@ -89,6 +97,9 @@ def _log_dot_strategy(
                 "why": why,
             }
         )
+    else:
+        global _dot_decisions_dropped
+        _dot_decisions_dropped += 1
     key = (strategy, dim, why)
     if key not in _logged_strategies:
         _logged_strategies.add(key)

@@ -845,8 +845,8 @@ def _lsh_exact_oracle(
 
 def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
                     subset: str = "c10plus", n_clusters: int = 16,
-                    want_codes: bool = False, pq_m: int = 4,
-                    pq_codes: int = 16, pq_iters: int = 2):
+                    want_codes: bool = False, pq_m: int = 16,
+                    pq_codes: int = 64, pq_iters: int = 2):
     """Fingerprint-keyed cache for the DETERMINISTIC exact-arith fits
     (centroids, PQ codebooks) and — with ``want_codes`` — the PQ
     encoding of the corpus: all three are pure functions of the corpus
@@ -896,11 +896,18 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     from ..artifacts import sweep_stale_entries
 
     tail = key[len(f"{sf_name}-{fp}"):]
+    # the r14 default operating point (m4x16) is RETIRED — r15 moved
+    # the dim-64 PQ queries to the curve-recommended m16x64, so its
+    # entries (incl. the corpus-sized codes sidecar) sweep at ANY
+    # fingerprint, like the r13 driver-collected -codes.json format
+    retired_tail = f"-{subset}-c{n_clusters}i3-pq4x16i2"
     stale_pat = _re.compile(
-        _re.escape(sf_name) + r"-[0-9a-f]{16}" + _re.escape(tail)
-        # -codes.json is the retired r13 driver-collected format —
-        # corpus-sized, swept regardless of fingerprint
-        + r"(\.json|-codes\.parquet|-codes\.json)$"
+        _re.escape(sf_name) + r"-[0-9a-f]{16}"
+        + "(?:" + _re.escape(tail)
+        + r"(\.json|-codes\.parquet|-codes\.json)"
+        + "|" + _re.escape(retired_tail)
+        + r"(\.json|-codes\.parquet|-codes\.json)"
+        + ")$"
     )
     missing = not _os.path.exists(path) or (
         want_codes
@@ -4886,7 +4893,7 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
-        supersedes=("ivfpqx",),
+        supersedes=("ivfpqx", "ivfpqx-c16m4n16i3p2"),
     )
     ann = query_ivfpq_index_exact(spark, path, queries, k=5, m=16)
     exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)

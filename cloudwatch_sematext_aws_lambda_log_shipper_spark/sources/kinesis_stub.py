@@ -82,11 +82,14 @@ class _StubReader(SimpleDataSourceStreamReader):
 
     def _rows_at(self, offset):
         fn = "stub-fn" if offset == 0 else f"stub-fn-{offset}"
+        base = datetime.datetime(2026, 8, 16, 12, 0, 0)
         return [
             (
                 stub_payload(fn=fn),
                 f"shard-{offset % 2}",
-                datetime.datetime(2026, 8, 16, 12, 0, offset),
+                # timedelta, not the seconds field: offset >= 60 would
+                # raise ValueError inside the data-source worker
+                base + datetime.timedelta(seconds=offset),
             )
         ]
 

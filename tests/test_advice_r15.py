@@ -134,3 +134,47 @@ def test_ivfpq_queries_run_the_recommended_point(spark, sf_dir):
     out = QUERIES["embedding_ann_ivfpq"](spark, sf_dir)
     rows = out.collect()
     assert rows and all(r["recall_ok"] for r in rows)
+
+
+def test_footer_row_bound_rejects_row_multiplying_plans(spark, tmp_path):
+    """r15 review: a join/explode can emit MORE rows than its scans
+    hold — the footer 'upper bound' must refuse those plans instead of
+    under-estimating the cost rule into the slow dot strategy."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (
+        _footer_row_bound,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(50).toDF("x")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    scanned = spark.read.parquet(p)
+    assert _footer_row_bound(scanned) == 50
+    # self-join multiplies rows; inputFiles() dedupes the path
+    joined = scanned.join(scanned.withColumnRenamed("x", "y"),
+                          F.expr("x % 5 = y % 5"))
+    assert _footer_row_bound(joined) is None
+    # explode multiplies rows
+    exploded = scanned.select(F.explode(F.array("x", "x")).alias("x"))
+    assert _footer_row_bound(exploded) is None
+    # union double-counts the same file
+    assert _footer_row_bound(scanned.union(scanned)) is None
+
+
+def test_dot_decisions_overflow_carries_dropped_sentinel():
+    """r15 review: a truncated decision record must say so."""
+    import pyspark.sql.functions as F
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators import (
+        similarity,
+    )
+
+    similarity.drain_dot_decisions()
+    a = F.col("a")
+    for _ in range(similarity._DOT_DECISIONS_MAX + 7):
+        similarity.dot_cols(a, a, 2, est_rows=1)
+    got = similarity.drain_dot_decisions()
+    assert got[-1] == {"dropped": 7}
+    assert len(got) == similarity._DOT_DECISIONS_MAX + 1
+    # and the counter resets with the drain
+    assert similarity.drain_dot_decisions() == []

@@ -8,12 +8,13 @@ operators/ranking). This audit makes reintroducing it structurally
 impossible: every registered query's OPTIMIZED logical plan (post
 constant folding, so a foldable partition key cannot silence the
 check) is walked for Window nodes with no real partition key; such a
-window passes only when its input subtree is provably bounded —
+window passes only when its input is provably bounded —
 
-- a LocalLimit/GlobalLimit below it (top-k-then-rank plans: the window
-  only ever sees the capped rows), or
-- a LocalRelation / OneRowRelation leaf-only input (driver-built
-  literal frames), or
+- EVERY row path into the window flows through a LocalLimit /
+  GlobalLimit / LocalRelation / OneRowRelation (a limit on one side of
+  a join does NOT bless the other side — tests/_plan_utils.py
+  input_bounded requires all children of a multi-child node bounded),
+  or
 - the query is in the explicit whitelist below, each entry with a
   written reason the frame is bounded by something other than corpus
   size.
@@ -22,6 +23,10 @@ window passes only when its input subtree is provably bounded —
 from __future__ import annotations
 
 import pytest
+from _plan_utils import (
+    global_windows,
+    global_windows_over_unbounded,
+)
 
 import __spark_entry__ as entrymod
 
@@ -34,42 +39,12 @@ WHITELIST = {
 }
 
 
-def _walk(jnode):
-    stack = [jnode]
-    while stack:
-        node = stack.pop()
-        yield node
-        kids = node.children()
-        for i in range(kids.size()):
-            stack.append(kids.apply(i))
-
-
-def _is_global_window(node) -> bool:
-    if node.nodeName() != "Window":
-        return False
-    spec = node.partitionSpec()
-    return spec.size() == 0 or all(
-        spec.apply(i).foldable() for i in range(spec.size())
-    )
-
-
-_BOUNDING = {"GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation"}
-
-
-def _input_bounded(window_node) -> bool:
-    return any(n.nodeName() in _BOUNDING for n in _walk(window_node.child()))
-
-
 def test_no_global_window_over_unbounded_input(spark, sf_dir):
     offenders: dict[str, list[str]] = {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan()
-        bad = [
-            w.simpleString(60)
-            for w in _walk(plan)
-            if _is_global_window(w) and not _input_bounded(w)
-        ]
+        bad = global_windows_over_unbounded(plan)
         if bad and name not in WHITELIST:
             offenders[name] = bad
     assert not offenders, (
@@ -85,6 +60,30 @@ def test_whitelist_entries_still_exist():
     assert not missing, f"stale whitelist entries: {missing}"
 
 
+def test_limit_under_one_join_side_does_not_bless(spark):
+    """The audit's boundedness rule must not have the join bypass: a
+    global window over fact JOIN limited-dim still moves the whole
+    fact side through one task and must be flagged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fact = spark.range(1000).toDF("k")
+    dim = spark.range(100).toDF("k").limit(5)
+    joined = fact.join(dim, "k")
+    bad = joined.withColumn(
+        "r", F.row_number().over(Window.orderBy("k"))
+    )
+    plan = bad._jdf.queryExecution().optimizedPlan()
+    assert global_windows_over_unbounded(plan), (
+        "audit blessed a global window whose fact side is unbounded"
+    )
+    # while a window over the limited side alone IS bounded
+    ok = dim.withColumn("r", F.row_number().over(Window.orderBy("k")))
+    assert not global_windows_over_unbounded(
+        ok._jdf.queryExecution().optimizedPlan()
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["customer_rfm_segments", "events_value_deciles"]
 )
@@ -93,5 +92,5 @@ def test_ranking_rewrites_have_zero_global_windows(spark, sf_dir, name):
     not contain ANY global window, bounded or not."""
     df = entrymod.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan()
-    bad = [w.simpleString(60) for w in _walk(plan) if _is_global_window(w)]
+    bad = global_windows(plan)
     assert not bad, f"{name} regained a global window: {bad}"

@@ -109,25 +109,25 @@ def test_reserved_names_and_bad_k_rejected(spark):
 def test_no_global_window_in_plan(spark):
     """The whole point: the physical plan the helper produces must not
     contain any Window with an empty partition spec."""
+    from _plan_utils import global_windows
+
     df = _frame(spark, 50).repartition(4)
     out = with_global_ntile(df, 4, [F.asc("v"), F.asc("id")], "t")
     plan = out._jdf.queryExecution().optimizedPlan()
-    offenders = _global_windows(plan)
+    offenders = global_windows(plan)
     assert not offenders, f"global windows in helper plan: {offenders}"
 
 
-def _global_windows(jnode):
-    found = []
-    stack = [jnode]
-    while stack:
-        node = stack.pop()
-        if node.nodeName() == "Window":
-            spec = node.partitionSpec()
-            if spec.size() == 0 or all(
-                spec.apply(i).foldable() for i in range(spec.size())
-            ):
-                found.append(node.simpleStringWithNodeId())
-        kids = node.children()
-        for i in range(kids.size()):
-            stack.append(kids.apply(i))
-    return found
+def test_null_partition_group_ranks_as_own_group(spark):
+    """NULL group values must form their own partition (window
+    PARTITION BY semantics), not silently drop through the offsets
+    join."""
+    rows = [(1, "a", 5), (2, "a", 3), (3, None, 7), (4, None, 1)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = with_global_ntile(
+        df, 2, [F.asc("v"), F.asc("id")], "t", partition_cols=["g"]
+    ).orderBy("id")
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("t", F.ntile(2).over(w)).orderBy("id")
+    assert got.collect() == want.collect()
+    assert got.count() == 4  # nothing dropped
