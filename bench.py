@@ -230,7 +230,10 @@ def main() -> None:
                 failed.add(name)
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             decided = drain_dot_decisions()
-            if _pass == 0 and decided:
+            # never attribute decisions to a FAILED query: a plan that
+            # recorded decisions then threw mid-run would read as a
+            # complete record for a query with no timing (r15 review)
+            if _pass == 0 and decided and name not in failed:
                 dot_decisions[name] = decided
             spark.catalog.clearCache()
     # Unstable-query retry (one extra run): a >3x spread between the

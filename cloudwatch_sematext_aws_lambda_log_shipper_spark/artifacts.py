@@ -47,8 +47,12 @@ def _newest_mtime(path: str) -> float:
     keeps moving as long as the build does."""
     newest = os.stat(path).st_mtime
     if os.path.isdir(path):
-        for dirpath, _dirs, files in os.walk(path):
-            for name in files:
+        for dirpath, dirs, files in os.walk(path):
+            # directories too: a long compute phase creates the
+            # _temporary/attempt skeleton long before the first part
+            # file flushes — directory mtimes are the only heartbeat
+            # during that window (r15 review)
+            for name in list(files) + list(dirs):
                 try:
                     m = os.stat(os.path.join(dirpath, name)).st_mtime
                 except OSError:

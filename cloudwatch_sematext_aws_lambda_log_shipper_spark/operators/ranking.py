@@ -74,6 +74,11 @@ def with_global_rank(
     for reserved in (_PID, _CNT, _OFF, _N, _RANK):
         if reserved in df.columns:
             raise ValueError(f"column name {reserved!r} is reserved")
+    for new_col in (out, n_out):
+        if new_col is not None and new_col in df.columns:
+            raise ValueError(
+                f"output column {new_col!r} already exists in the input"
+            )
     nparts = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -163,6 +168,10 @@ def with_global_ntile(
     kk = int(k)
     if kk < 1:
         raise ValueError(f"ntile requires k >= 1, got {k}")
+    if out in df.columns:
+        raise ValueError(
+            f"output column {out!r} already exists in the input"
+        )
     rcol = rank_out or _RANK
     ncol = n_out or _N
     ranked = with_global_rank(

@@ -101,11 +101,15 @@ class _StubReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         # replay EXACTLY [start, end) — an earlier cut ignored `end`
-        # and replayed everything from `start`, which over-delivers the
-        # moment the stub holds more than one offset (r14 ADVICE)
-        hi = min(end["offset"], self.n_batches)
+        # and replayed everything from `start` (r14 ADVICE), and a
+        # second cut clamped to the CURRENT `batches` option, silently
+        # under-replaying a committed range after a restart with a
+        # smaller option (r15 review). The checkpoint's [start, end)
+        # contract wins: rows are synthesizable for any offset, so a
+        # committed range always replays in full; only read() (NEW
+        # offsets) is bounded by `batches`.
         rows = []
-        for o in range(start["offset"], hi):
+        for o in range(start["offset"], end["offset"]):
             rows.extend(self._rows_at(o))
         return iter(rows)
 

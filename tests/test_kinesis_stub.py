@@ -182,5 +182,12 @@ def test_stub_read_between_offsets_bounded_by_end(spark):
     assert len(list(r.readBetweenOffsets({"offset": 0}, {"offset": 2}))) == 2
     assert len(list(r.readBetweenOffsets({"offset": 1}, {"offset": 2}))) == 1
     assert len(list(r.readBetweenOffsets({"offset": 2}, {"offset": 2}))) == 0
-    # end beyond the stream clamps
-    assert len(list(r.readBetweenOffsets({"offset": 0}, {"offset": 9}))) == 3
+    # a COMMITTED range replays in full even after a restart with a
+    # smaller `batches` option — the checkpoint contract wins (r15
+    # review: clamping silently under-replayed committed batches)
+    shrunk = _StubReader({"batches": "1"})
+    assert len(list(shrunk.readBetweenOffsets({"offset": 0},
+                                              {"offset": 3}))) == 3
+    # ...while NEW offsets stay bounded by the option
+    rows, nxt = shrunk.read({"offset": 1})
+    assert list(rows) == [] and nxt == {"offset": 1}
