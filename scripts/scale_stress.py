@@ -61,6 +61,10 @@ QUERIES = [
     # cost from output-volume growth — the uncapped x100 exponent is
     # dominated by survivors growing 86x through DSIR/BPE/packing
     "corpus_curate_e2e_capped",
+    # r15: the distributed-ntile rewrites (the r14 verdict's weak +
+    # its skew cousin) — measured instead of argued-from-plan-shape
+    "customer_rfm_segments",
+    "events_value_deciles",
 ]
 
 # pseudo-queries: harness-only variants not in the declared registry
@@ -81,6 +85,7 @@ def build_scaled(base: str, n: int) -> str:
     out = os.path.join(OUT_ROOT, f"{os.path.basename(os.path.normpath(base))}-x{n}")
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
+        _ensure_orders(base, out, n)  # r15 addition to older builds
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -132,12 +137,35 @@ def build_scaled(base: str, n: int) -> str:
     )
     con.sql(f"COPY ({ev}) TO '{out}/events.parquet' (FORMAT PARQUET)")
 
-    # relational tables aren't scaled (the five queries don't read
-    # them) but load() may be pointed at the dir; leave them absent so
-    # a mistaken dependency fails loudly instead of measuring 1x data.
+    # Other relational tables aren't scaled; leave them absent so a
+    # mistaken dependency fails loudly instead of measuring 1x data.
+    # orders IS scaled (r15: the distributed-ntile RFM query reads it).
+    _ensure_orders(base, out, n)
     with open(marker, "w"):
         pass
     return out
+
+
+def _ensure_orders(base: str, out: str, n: int) -> None:
+    """Scaled orders copy (r15): per-copy key offsets multiply the
+    customer dimension n-fold — exactly what the distributed-ntile
+    rewrite of customer_rfm_segments must absorb. Separate marker so
+    dirs built by earlier rounds gain the table without a rebuild."""
+    import duckdb
+
+    omark = os.path.join(out, ".orders")
+    if os.path.exists(omark):
+        return
+    con = duckdb.connect()
+    orders = " UNION ALL ".join(
+        f"""SELECT * REPLACE (o_orderkey + {i * 100_000_000} AS o_orderkey,
+                              o_custkey + {i * 10_000_000} AS o_custkey)
+           FROM read_parquet('{base}/orders.parquet')"""
+        for i in range(n)
+    )
+    con.sql(f"COPY ({orders}) TO '{out}/orders.parquet' (FORMAT PARQUET)")
+    with open(omark, "w"):
+        pass
 
 
 def run_queries(dirs: dict[int, str]) -> dict:

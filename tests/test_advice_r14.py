@@ -175,6 +175,7 @@ def test_pq_fit_cache_codes_roundtrip_parquet(spark, tmp_path, monkeypatch):
                         materialize=True),
         centers,
         books,
+        m=16,  # r15: the cache defaults follow the shipped m16x64 point
     )
     assert sorted(codes.columns) == sorted(direct.columns)
     got = sorted(map(tuple, codes.select(*direct.columns).collect()))

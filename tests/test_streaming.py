@@ -451,6 +451,8 @@ def test_streaming_path_equals_run_batch_on_same_records(spark, tmp_path):
     of ONE batch_kernel — pin value equality of the shipped output vs
     the batch hot path on the same records so the compositions cannot
     silently diverge."""
+    from pyspark.sql import functions as F
+
     from cloudwatch_sematext_aws_lambda_log_shipper_spark.pipeline import run_batch
 
     inp = tmp_path / "in"
@@ -463,16 +465,18 @@ def test_streaming_path_equals_run_batch_on_same_records(spark, tmp_path):
     )
     shipper = StreamingShipper(spark, str(inp), str(out), str(tmp_path / "ck"))
     wait_done(shipper.start(available_now=True))
-    shipped = spark.read.parquet(str(out / "logs")).drop(
-        "ingest_batch", "log_date"
-    )
+    # compare on the record payload: sink bookkeeping (partition
+    # columns) and routing flags drop from BOTH sides
+    bookkeeping = ["ingest_batch", "log_date", "is_corrupt", "_raw"]
+    shipped = spark.read.parquet(str(out / "logs")).drop(*bookkeeping)
 
     records = read_kinesis_event_file(spark, str(inp / "a.json"))
     clean, _dlq = run_batch(records)
-    want = clean.drop("is_corrupt", "_raw")
+    want = clean.drop(*bookkeeping)
 
     cols = sorted(shipped.columns)
     assert cols == sorted(want.columns)
-    got_rows = sorted(map(str, shipped.select(*cols).collect()))
-    want_rows = sorted(map(str, want.select(*cols).collect()))
+    sel = [F.col(f"`{c}`") for c in cols]  # dotted names need backticks
+    got_rows = sorted(map(str, shipped.select(*sel).collect()))
+    want_rows = sorted(map(str, want.select(*sel).collect()))
     assert got_rows == want_rows
