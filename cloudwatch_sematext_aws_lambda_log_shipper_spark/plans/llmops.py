@@ -4346,6 +4346,90 @@ FROM {final_usage} CROSS JOIN tt""")
     return "\n".join(lines)
 
 
+def _unigram_infer_oracle(
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    min_count: int = 2,
+    n_multi: int = 48,
+) -> str:
+    """word_unigram_segmentation's replay: the round-1 training chain
+    (identical CTEs to _unigram_oracle) produces the TRAINED scores;
+    a second unrolled Viterbi DP then segments every distinct word
+    under those scores — the inference half (operators/unigram.py
+    unigram_segment), including its OOV single-character floor
+    (min score - 100) — and the per-word piece sequence reassembles
+    with a position-ordered string_agg."""
+    L, P = max_word_len, max_piece_len
+    train = _unigram_oracle(max_word_len, max_piece_len, min_count, n_multi)
+    # keep the training chain as CTEs: swap its final SELECT for a CTE
+    final_select = train.rindex("SELECT piece, CAST(n_uses AS BIGINT)")
+    lines = [
+        train[:final_select].rstrip().rstrip(")").rstrip()
+        .replace(
+            "tt AS (SELECT SUM(n_uses) AS t FROM usage",
+            "tt AS (SELECT SUM(n_uses) AS t FROM usage),",
+        )
+    ]
+    lines.append(f"""ivocab AS MATERIALIZED (
+  SELECT piece, CAST(ROUND(ln(n_uses) - ln(t), 9) AS DECIMAL(20,9)) AS logp
+  FROM usage CROSS JOIN tt
+),
+flr AS (SELECT CAST(MIN(logp) - 100 AS DECIMAL(20,9)) AS f FROM ivocab),
+fvs AS MATERIALIZED (
+  SELECT s.word, s.i, s.l, s.piece,
+         COALESCE(v.logp, (SELECT f FROM flr)) AS logp
+  FROM spans s LEFT JOIN ivocab v USING (piece)
+  WHERE v.piece IS NOT NULL OR s.l = 1
+),
+fbacc0 AS (SELECT word, 0 AS pos, CAST(0 AS DECIMAL(20,9)) AS best FROM wf),""")
+    for i in range(1, L + 1):
+        lines.append(f"""fc{i} AS (
+  SELECT s.word, s.l, s.piece,
+         CAST(b.best + s.logp AS DECIMAL(20,9)) AS total
+  FROM fvs s JOIN fbacc{i - 1} b
+    ON b.word = s.word AND b.pos = {i} - s.l
+  WHERE s.i = {i}
+),
+fbst{i} AS MATERIALIZED (
+  SELECT word, total, l FROM (
+    SELECT word, total, l, piece,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY total DESC, l DESC, piece) AS r
+    FROM fc{i}) WHERE r = 1
+),
+fbacc{i} AS MATERIALIZED (
+  SELECT * FROM fbacc{i - 1}
+  UNION ALL
+  SELECT word, {i} AS pos, total AS best FROM fbst{i}
+),""")
+    fbt_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, {i} AS pos, l FROM fbst{i}" for i in range(1, L + 1)
+    )
+    lines.append(f"""fbt AS MATERIALIZED (
+{fbt_union}
+),
+fpath0 AS (SELECT word, cnt, length(word) AS pos FROM wf),""")
+    for k in range(1, L + 1):
+        lines.append(f"""fe{k} AS MATERIALIZED (
+  SELECT p.word, p.cnt,
+         substr(p.word, p.pos - b.l + 1, b.l) AS piece,
+         p.pos - b.l AS pos2
+  FROM fpath{k - 1} p JOIN fbt b ON b.word = p.word AND b.pos = p.pos
+),
+fpath{k} AS (SELECT word, cnt, pos2 AS pos FROM fe{k} WHERE pos2 > 0),""")
+    fe_union = "\n  UNION ALL\n".join(
+        f"  SELECT word, cnt, piece, pos2 FROM fe{k}" for k in range(1, L + 1)
+    )
+    lines.append(f"""segp AS (
+{fe_union}
+)
+SELECT word, CAST(MIN(cnt) AS BIGINT) AS cnt,
+       string_agg(piece, chr(31) ORDER BY pos2) AS seg,
+       COUNT(*) AS n_pieces
+FROM segp GROUP BY word""")
+    return "\n".join(lines)
+
+
 @query("unigram_vocab_table", _unigram_oracle())
 def unigram_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training under the
@@ -4393,6 +4477,46 @@ def unigram_vocab_table_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.unigram import train_unigram
 
     return train_unigram(_docs(spark, sf_dir), em_rounds=2, prune_keep=12)
+
+
+@query("word_unigram_segmentation", _unigram_infer_oracle())
+def word_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the unigram tokenizer under the STRICT
+    hash gate (r15 — unigram_segment had only pytest coverage): train
+    round-1 scores, then Viterbi-segment every distinct corpus word
+    (≤ max_word_len=12, the same documented bound training uses — it
+    is what keeps the oracle's DP a fixed unroll) under the TRAINED
+    vocabulary, OOV single-character floor included. Output =
+    (word, cnt, seg, n_pieces) with the piece sequence joined on the
+    0x1f unit separator so the hash covers piece identity AND order.
+    The DuckDB oracle replays the training chain, re-derives the
+    DECIMAL(20,9) inference scores from the trained ln values, unrolls
+    a SECOND 12-position DP with the floor fallback, and reassembles
+    each word's pieces with a position-ordered string_agg.
+
+    Scale: the corpus is scanned once (the shared word-frequency
+    table); inference runs as one Arrow pass over the distinct-word
+    frame with the driver-sized trained vocabulary in the closure —
+    the exact kernel a tokenize-the-corpus deployment amortizes."""
+    from ..operators.bpe import word_freq_table
+    from ..operators.unigram import train_unigram, unigram_segment
+
+    docs = _docs(spark, sf_dir)
+    vocab = train_unigram(docs)
+    wf = word_freq_table(docs).filter(F.length("word") <= 12)
+    word_docs = wf.select(
+        F.col("word").alias("_wid"), F.col("word").alias("_wtext")
+    )
+    seg = unigram_segment(word_docs, vocab, text_col="_wtext", id_col="_wid")
+    return (
+        seg.join(wf.withColumnRenamed("word", "_wid"), "_wid")
+        .select(
+            F.col("_wid").alias("word"),
+            F.col("count").cast("long").alias("cnt"),
+            F.concat_ws("\x1f", "pieces").alias("seg"),
+            F.size("pieces").cast("long").alias("n_pieces"),
+        )
+    )
 
 
 def _tokenize_pack_oracle(n_merges: int = 12, budget: int = 128) -> str:
