@@ -4479,6 +4479,50 @@ def unigram_vocab_table_em2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_unigram(_docs(spark, sf_dir), em_rounds=2, prune_keep=12)
 
 
+def _tokenize_pack_unigram_oracle(budget: int = 128) -> str:
+    """documents -> unigram pieces -> concat-then-chunk packing: the
+    word_unigram_segmentation chain supplies per-word piece counts,
+    (doc, word) frequencies turn them into per-doc token counts
+    (order-free join — counts don't need word order), words past the
+    12-char training bound fall back to their character count
+    (documented upper bound; the test corpora have none), and the same
+    running-offset window bins the stream."""
+    infer = _unigram_infer_oracle()
+    chain = infer[: infer.rindex("SELECT word, CAST(MIN(cnt)")].rstrip()
+    return rf"""{chain},
+wtok AS MATERIALIZED (
+  SELECT word, COUNT(*) AS wn FROM segp GROUP BY word
+), dtf AS (
+  SELECT doc_id, word, count(*) AS k FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY doc_id, word
+), wnall AS (
+  SELECT word, wn FROM wtok
+  UNION ALL
+  SELECT word, CAST(length(word) AS BIGINT) AS wn
+  FROM (SELECT DISTINCT word FROM dtf) WHERE length(word) > 12
+), doc_tok AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(SUM(t.k * w.wn), 0) AS BIGINT) AS n_tokens
+  FROM documents d
+  LEFT JOIN dtf t ON t.doc_id = d.doc_id
+  LEFT JOIN wnall w ON w.word = t.word
+  GROUP BY d.doc_id, d.source
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS bin_offset
+  FROM doc_tok
+)
+SELECT doc_id, source, n_tokens, bin_offset,
+       CAST(floor(bin_offset / {budget}.0) AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
 @query("word_unigram_segmentation", _unigram_infer_oracle())
 def word_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INFERENCE half of the unigram tokenizer under the STRICT
@@ -4596,6 +4640,77 @@ def corpus_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens=F.size("bpe_tokens").cast("long"),
     )
     return packed.select("doc_id", "source", "n_tokens", "bin_offset", "bin_id")
+
+
+@query("corpus_tokenize_pack_unigram", _tokenize_pack_unigram_oracle())
+def corpus_tokenize_pack_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_tokenize_pack's unigram twin (r15): documents -> trained
+    unigram-LM pieces -> packed fixed-length sequences at a 128-token
+    budget per source shard — the deliverable composition for the
+    SentencePiece-style tokenizer. Per-doc counts come from the
+    (doc, word) frequency join against per-word piece counts (the
+    word_unigram_segmentation kernel; counts don't need word order, so
+    the replay stays a join, not a per-doc fold); words past the
+    12-char training bound fall back to their character count (a
+    documented upper bound — the test corpora's longest word is 8
+    chars). The oracle replays train -> infer -> join -> the same
+    running-offset window.
+
+    Scale: one corpus scan for word frequencies, one Arrow pass over
+    the distinct-word table for inference, and the packing window's
+    partition-by-source exchange — the corpus_tokenize_pack shuffle
+    profile with the unigram trainer swapped in."""
+    from ..operators.bpe import word_freq_table, words
+    from ..operators.packing import with_packing_bins
+    from ..operators.unigram import train_unigram, unigram_segment
+
+    docs = _docs(spark, sf_dir)
+    vocab = train_unigram(docs)
+    wf = word_freq_table(docs)
+    short = wf.filter(F.length("word") <= 12)
+    seg = unigram_segment(
+        short.select(F.col("word").alias("_wid"), F.col("word").alias("_t")),
+        vocab,
+        text_col="_t",
+        id_col="_wid",
+    )
+    wn = seg.select(
+        F.col("_wid").alias("word"), F.size("pieces").cast("long").alias("wn")
+    ).unionByName(
+        wf.filter(F.length("word") > 12).select(
+            "word", F.length("word").cast("long").alias("wn")
+        )
+    )
+    dtf = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per_doc = (
+        dtf.join(wn, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("k") * F.col("wn")).alias("_nt"))
+    )
+    doc_tok = (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("_tok"),
+        )
+    )
+    packed = with_packing_bins(
+        doc_tok,
+        budget=128,
+        group_col="source",
+        order_col="doc_id",
+        tokens=F.col("_tok"),
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "bin_offset", "bin_id"
+    )
 
 
 @query("embedding_knn_graph_ivf",

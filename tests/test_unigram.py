@@ -153,3 +153,28 @@ def test_em2_reduces_to_em1_when_nothing_prunable(spark):
     assert {r["piece"] for r in v2 if len(r["piece"]) > 1} <= {
         r["piece"] for r in v1 if len(r["piece"]) > 1
     } | {r["piece"] for r in v1 if len(r["piece"]) == 1}
+
+
+def test_tokenize_pack_unigram_plan_and_bins(spark, sf_dir):
+    """corpus_tokenize_pack_unigram (r15): the unigram twin keeps the
+    corpus_tokenize_pack shuffle profile — word-frequency + per-doc
+    joins plus ONE packing window exchange on source, no cartesian
+    products — and the bin arithmetic is the running per-source sum."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import (
+        corpus_tokenize_pack_unigram,
+    )
+
+    df = corpus_tokenize_pack_unigram(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert sum("hashpartitioning(source" in ln for ln in ex) == 1
+    assert "CartesianProduct" not in plan
+
+    rows = df.collect()
+    assert rows and any(r.n_tokens > 0 for r in rows)
+    by_src: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        run = by_src.get(r.source, 0)
+        assert r.bin_offset == run, (r.source, r.doc_id)
+        assert r.bin_id == r.bin_offset // 128
+        by_src[r.source] = run + r.n_tokens
