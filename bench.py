@@ -143,6 +143,21 @@ def wait_for_quiet(
     return load
 
 
+def host_canary_s(n: int = 1_000_000) -> float:
+    """Pure-Python single-core md5 chain — a Spark-free host-speed
+    probe recorded beside the timings (r15: the round-15 bench read
+    1.44x the r14 record with the slowdown uniform across untouched
+    queries; an in-record canary lets a cross-round diff separate
+    host-speed drift from code regressions — see PROFILE_r15.md §1)."""
+    import hashlib
+
+    t0 = time.time()
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -153,6 +168,7 @@ def main() -> None:
         float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "900")),
     )
     load_start = os.getloadavg()
+    canary_start = host_canary_s()
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -299,6 +315,7 @@ def main() -> None:
     # summary guaranteed to fit: total, n_queries, the top-12 slowest
     # queries (bounded regardless of surface growth), noise, streaming.
     load = [round(x, 1) for x in (*load_start, os.getloadavg()[0])]
+    canary = [canary_start, host_canary_s()]  # [pre, post], seconds
     full = {
         "metric": "total_query_seconds",
         "value": total,
@@ -312,6 +329,7 @@ def main() -> None:
         "retried": retried,  # got a third run after a >3x pair spread
         "noise": noise,
         "load": load,  # 1/5/15-min at start + 1-min at end
+        "host_canary_s": canary,  # 1M-chained-md5 single-core [pre, post]
         "cache_state": cache_state,
         "streaming": streaming,
         "dot_decisions": dot_decisions,  # per-query cost-rule record
