@@ -234,3 +234,56 @@ def kcore_survivors(
     # one pair of counts at the end, not one per round
     converged = survivors.count() == prev.count()
     return last.withColumn("converged", F.lit(bool(converged)))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any source node,
+    bounded at ``max_hops`` — the reachability primitive behind
+    "expand a seed set through the similarity graph" curation moves
+    (seed-quality propagation, contamination blast-radius audits).
+
+    Output: (node, hop) for every node whose min-distance from the
+    seed set is <= max_hops; hop is INT, 0 for the seeds themselves.
+
+    Determinism: pure set/integer computation — the first-visit hop
+    IS the min hop (frontier h can only reach nodes at distance h+1
+    that anti-join away all earlier-visited nodes), so no float and
+    no tie-break ambiguity exists for an oracle to diverge on.
+
+    Scale: delta iteration — each hop joins only the FRONTIER (newly
+    reached nodes) against the edge table, shuffling on the edge key;
+    visited state grows monotonically but is only touched by an
+    anti join per hop. Lineage cut per hop (the pagerank cadence
+    lesson); early-exits when a frontier is empty so a disconnected
+    seed set costs hops-reached jobs, not max_hops. Driver holds
+    nothing but the per-hop empty check."""
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    state = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+    )
+    state = cut_lineage(state, checkpoint_dir)
+    frontier = state
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e._src)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(state.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+        )
+        nxt = cut_lineage(nxt, checkpoint_dir)
+        if nxt.isEmpty():
+            break
+        state = cut_lineage(state.unionByName(nxt), checkpoint_dir)
+        frontier = nxt
+    return state

@@ -1,0 +1,320 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-style).
+
+The LSH family (operators/dedup.py) finds near-dup pairs
+APPROXIMATELY — banding can miss pairs near the threshold. This
+operator is the exact-at-scale counterpart: an equi-joinable
+candidate generator whose candidate set PROVABLY contains every pair
+with Jaccard >= tau, verified exactly afterwards — the prefix-filter
+principle of SSJoin/All-Pairs/PPJoin (Chaudhuri et al. ICDE'06,
+Bayardo et al. WWW'07, Xiao et al. WWW'08), re-expressed as three
+DataFrame joins.
+
+Why it is exact (prefix lemma): order every document's distinct
+tokens by one global total order (ascending document frequency,
+token as tie-break — the rare-first order is ALSO the skew defense,
+see below) and keep only the first  p = L - ceil(tau * L) + 1
+tokens (the "prefix"). If jac(A,B) >= tau then the overlap
+I = |A n B| satisfies I >= tau * union >= tau * max(|A|,|B|), so
+I >= ceil(tau * |A|); were the FIRST common token t outside A's
+prefix, every common token (all >= t in the order) would sit among
+A's last ceil(tau*|A|) - 1 < I tokens — contradiction. So the first
+common token lies in BOTH prefixes and the prefix equi join finds
+every qualifying pair.
+
+Positional filter (PPJoin Lemma 2, same first-common-token
+argument): all I common tokens lie at or after t, so
+I <= 1 + min(|A| - pos_A(t), |B| - pos_B(t)); requiring that bound
+to reach alpha = ceil(num * (|A|+|B|) / (num+den)) (the integer
+overlap equivalent of jac >= num/den) prunes candidates whose
+matching prefix tokens sit too late to possibly overlap enough —
+on template corpora (many sets sharing their rare tokens) this is
+the difference between millions and tens of thousands of
+candidates. The threshold is carried as an integer ratio num/den so
+every filter is exact integer arithmetic — ceil(tau * L) =
+(num * L + den - 1) div den — and a SQL oracle replays the SAME
+pair set from brute force.
+
+Scale shape (vs the quadratic join a naive exact pass needs):
+- the only corpus-wide shuffles are a token-frequency aggregate, a
+  per-document window (partitioned by doc/set id — bounded by
+  document length, never global), and the prefix self-join keyed on
+  token;
+- rare-first prefixes make the join buckets SMALL by construction:
+  a token shared by f sets contributes at most C(f,2) candidate
+  pairs, and prefixes preferentially hold the lowest-f tokens — the
+  frequency order is the published skew mitigation, not a heuristic;
+- verification is ONE ROW per candidate pair: both sides' sorted
+  token arrays join in (set-id keyed, array payload) and
+  `array_intersect` counts the overlap JVM-side — no token
+  explosion, no per-pair shuffle fan-out;
+- nothing all-pairs is ever materialized and the driver holds
+  nothing.
+
+Template corpora add one more quadratic trap — the PAIR OUTPUT
+itself: a near-dup cluster of n documents is n*(n-1)/2 pairs, so
+listing pairs is quadratic in cluster size no matter how cleverly
+they are found (this corpus has word-set clusters of hundreds of
+docs; at 100 TB they'd be millions). ``jaccard_neighbor_stats`` is
+the output-bounded deliverable: collapse IDENTICAL token sets first
+(their pairwise Jaccard is 1 by definition — no join needed), run
+the exact prefix join over UNIQUE sets only, then expand back to one
+row per document by pure group-count arithmetic. Output is
+|documents| rows, candidate volume is |unique sets|-driven, and the
+answer is still bit-derived from the exact pair predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+
+SEP = "\x1f"  # token joiner for the set-identity hash (house 0x1f convention)
+
+
+def _token_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w, L): each document's DISTINCT whitespace tokens
+    (lowercased) as a sorted array — the set the Jaccard is defined
+    over, in the compact one-row-per-doc representation verification
+    joins on."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.array_distinct(words(F.col(text_col)))).alias("w"),
+    ).withColumn("L", F.size("w"))
+
+
+def _ordered_positions(sets: DataFrame) -> DataFrame:
+    """(doc_id, token, pos, L): every token of every set with its rank
+    under the global rare-first total order (ascending document
+    frequency, token tie-break). Threshold-INDEPENDENT — the prefix
+    for any tau is a filter on pos, so this table is the cacheable
+    half of the join (plans/sigstore.py persists it per corpus
+    fingerprint)."""
+    toks = sets.select("doc_id", "L", F.explode("w").alias("token"))
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("df").asc(),
+                                             F.col("token").asc())
+    )
+    return (
+        toks.join(freq, "token")
+        .withColumn("pos", pos)
+        .select("doc_id", "token", "pos", "L")
+    )
+
+
+def _verified_pairs_from_positions(
+    positions: DataFrame,
+    sets: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Exact-Jaccard pairs (id_a < id_b) given the ordered-position
+    table and the compact set frame: prefix+positional-filtered
+    candidates, then exact verification via one array_intersect per
+    candidate. Returns (id_a, id_b, la, lb, i) with sizes/intersection
+    as exact ints so callers choose their own output arithmetic."""
+    # prefix length p = L - ceil(tau*L) + 1, in exact integers
+    ceil_tau_l = F.expr(
+        f"({threshold_num} * L + {threshold_den} - 1) div {threshold_den}"
+    )
+    pref = positions.filter(F.col("pos") <= F.col("L") - ceil_tau_l + 1)
+    # The self-join below fans out ~100x (every pair of sets sharing a
+    # prefix token); AQE sizes the plan from the INPUT (tiny) and would
+    # run the explosion in one or two tasks. Spread the probe side over
+    # the cluster first — the fan-out then happens in parallel where
+    # the rows are produced.
+    pref = pref.repartition(
+        pref.sparkSession.sparkContext.defaultParallelism, "token"
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), "token",
+        F.col("L").alias("la"), F.col("pos").alias("pa"),
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), "token",
+        F.col("L").alias("lb"), F.col("pos").alias("pb"),
+    )
+    # integer overlap threshold alpha = ceil(num*(la+lb)/(num+den))
+    nd = threshold_num + threshold_den
+    alpha = F.expr(f"({threshold_num} * (la + lb) + {nd} - 1) div {nd}")
+    cand = (
+        a.join(b, "token")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # pairwise length filter: jac >= tau implies
+            # min(L) * den >= max(L) * num
+            & (
+                F.greatest("la", "lb") * threshold_num
+                <= F.least("la", "lb") * threshold_den
+            )
+            # positional filter: overlap can't exceed
+            # 1 + min(remaining suffix lengths) at this token
+            & (
+                F.lit(1)
+                + F.least(F.col("la") - F.col("pa"),
+                          F.col("lb") - F.col("pb"))
+                >= alpha
+            )
+        )
+        .select("id_a", "id_b", "la", "lb")
+        .distinct()
+    )
+    # exact verification: one array_intersect per candidate pair
+    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("wa", "wb")).cast("long"))
+        .drop("wa", "wb")
+    )
+    union = F.col("la") + F.col("lb") - F.col("i")
+    return inter.filter(
+        F.col("i") * threshold_den >= union * threshold_num
+    )
+
+
+def _verified_pairs(
+    sets: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """One-shot form: derive the ordered positions in-session, then
+    run the prefix join."""
+    return _verified_pairs_from_positions(
+        _ordered_positions(sets), sets, threshold_num, threshold_den
+    )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """All pairs of documents with word-set Jaccard >= num/den —
+    EXACTLY (no LSH miss probability), without an all-pairs join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    to 6 places from the exact integer intersection/union counts.
+    Pair output is quadratic in near-dup cluster size — prefer
+    ``jaccard_neighbor_stats`` for corpus-wide reports."""
+    # three consumers of the tokenization (prefix build + both
+    # verification sides): materialize it once
+    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=True)
+    out = _verified_pairs(sets, threshold_num, threshold_den)
+    union = F.col("la") + F.col("lb") - F.col("i")
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("i").cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def jaccard_neighbor_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Per-document exact near-dup degree: for every document with at
+    least one OTHER document at word-set Jaccard >= num/den, emit
+    (doc_id, n_dup_neighbors, best_jaccard).
+
+    Identical-set collapse first: documents with the same distinct
+    token set join nothing — group them by a set-identity hash, run
+    the exact prefix join over one representative per UNIQUE set, and
+    recover per-document answers arithmetically:
+      n(d in group g) = (c_g - 1) + sum over groups h with
+                        jac(g,h) >= tau of c_h
+      best(d in g)    = 1.0 if c_g >= 2 else max jac(g,h)
+    Bounded everywhere: group stats are |unique sets| rows, the
+    expansion is one members join, and the output is filtered to
+    documents that actually have a neighbor."""
+    # the corpus tokenization feeds the identity hash AND (via the
+    # unique-set semi join) every stage of the prefix join: one
+    # materialization, not four recomputes of the regex split
+    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=True)
+    keyed = sets.select(
+        "doc_id", F.md5(F.concat_ws(SEP, "w")).alias("set_key")
+    )
+    groups = keyed.groupBy("set_key").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)  # three consumers (semi join, c_other, expansion)
+    rep_sets = sets.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)  # prefix build + both verification sides
+    return _neighbor_stats_core(
+        keyed, groups, rep_sets, _ordered_positions(rep_sets),
+        threshold_num, threshold_den,
+    )
+
+
+def jaccard_neighbor_stats_from_store(
+    store: DataFrame,
+    positions: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """``jaccard_neighbor_stats`` over the PERSISTED wordset artifacts
+    (plans/sigstore.py wordset_tables): ``store`` is one row per doc
+    (doc_id, set_key, w, L, rep, c); ``positions`` is the
+    threshold-independent ordered-position table for representative
+    docs. Per run only the prefix filter, the candidate join and the
+    verification execute — the tokenize/hash/rank scans are paid once
+    per corpus fingerprint."""
+    keyed = store.select("doc_id", "set_key")
+    reps = store.filter(F.col("doc_id") == F.col("rep"))
+    groups = reps.select("set_key", "rep", "c")
+    rep_sets = reps.select("doc_id", "w", "L")
+    return _neighbor_stats_core(
+        keyed, groups, rep_sets, positions, threshold_num, threshold_den
+    )
+
+
+def _neighbor_stats_core(
+    keyed: DataFrame,
+    groups: DataFrame,
+    rep_sets: DataFrame,
+    positions: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    pairs = _verified_pairs_from_positions(
+        positions, rep_sets, threshold_num, threshold_den
+    )
+    jac = (F.col("i").cast("double")
+           / (F.col("la") + F.col("lb") - F.col("i"))).alias("j")
+    sym = (
+        pairs.select(F.col("id_a").alias("rep"),
+                     F.col("id_b").alias("other"), jac)
+        .unionByName(
+            pairs.select(F.col("id_b").alias("rep"),
+                         F.col("id_a").alias("other"), jac)
+        )
+        .join(groups.select(F.col("rep").alias("other"),
+                            F.col("c").alias("c_other")), "other")
+        .groupBy("rep")
+        .agg(F.sum("c_other").alias("n_cross"), F.max("j").alias("best_j"))
+    )
+    per_group = (
+        groups.join(sym, "rep", "left")
+        .select(
+            "set_key",
+            (F.col("c") - 1
+             + F.coalesce(F.col("n_cross"), F.lit(0))).alias("n_neighbors"),
+            F.when(F.col("c") >= 2, F.lit(1.0))
+            .otherwise(F.col("best_j")).alias("best_j"),
+        )
+        .filter(F.col("n_neighbors") >= 1)
+    )
+    return (
+        keyed.join(per_group, "set_key")
+        .select(
+            "doc_id",
+            F.col("n_neighbors").cast("long").alias("n_dup_neighbors"),
+            F.round(F.col("best_j"), 6).alias("best_jaccard"),
+        )
+    )

@@ -199,6 +199,65 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   max_bucket_size=None)  # cap off: the brute-force oracle models the UNCAPPED pair set
 
 
+_JACCARD_PREFIX_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.w, b.w)) AS i,
+         len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)) AS u
+  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.w, b.w)) * 10 >=
+        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) * 9
+), sym AS (
+  SELECT id_a AS doc_id, i::DOUBLE / u AS j FROM pairs
+  UNION ALL
+  SELECT id_b AS doc_id, i::DOUBLE / u AS j FROM pairs
+)
+SELECT doc_id, count(*) AS n_dup_neighbors, ROUND(max(j), 6) AS best_jaccard
+FROM sym GROUP BY doc_id
+"""
+
+
+@query("near_dup_jaccard_prefix", _JACCARD_PREFIX_ORACLE)
+def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-set near-dup degree per document (Jaccard >= 0.9)
+    via prefix filtering (operators/setjoin.py — the SSJoin/All-Pairs/
+    PPJoin candidate lemma): the exact counterpart to the MinHash-LSH
+    queries, which can MISS pairs near the threshold by banding
+    probability. Candidates come from a rare-token-prefix equi join
+    (provably a superset of the answer, integer length filter applied
+    pairwise), then exact integer intersection counts verify; the
+    threshold comparison is `i * 10 >= union * 9` in BOTH engines so
+    no float ever gates a row.
+
+    Output shape is the scale decision: this corpus has template
+    clusters of hundreds of near-identical documents, so the PAIR
+    list is quadratic in cluster size (~3M pairs at sf0.1). The
+    deliverable is per-document stats (n_dup_neighbors,
+    best_jaccard), computed with identical token sets COLLAPSED
+    before the join — the prefix join runs over unique sets only and
+    per-doc answers come back by group-count arithmetic. The oracle
+    brute-forces all pairs then aggregates — feasible at sf0.01,
+    which is the point: the engine derives the identical answer
+    without the quadratic join.
+
+    Reads the persisted wordset artifacts (plans/sigstore.py
+    wordset_tables — the near-dup signature-store pattern): the
+    tokenize/hash/rank scans run once per corpus fingerprint; per run
+    only the prefix filter, the candidate join and the verification
+    execute."""
+    from ..operators.setjoin import jaccard_neighbor_stats_from_store
+    from .sigstore import wordset_tables
+
+    store, positions = wordset_tables(spark, sf_dir)
+    return jaccard_neighbor_stats_from_store(
+        store, positions, threshold_num=9, threshold_den=10
+    )
+
+
 # --- similarity search --------------------------------------------------
 
 _TOPK_ORACLE = """
@@ -5559,6 +5618,74 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, n_iter=10)
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Chained-CTE Bellman-Ford relaxation over the brute-force exact
+    k-NN edge set: after h rounds the min label is EXACTLY the BFS hop
+    distance for every node within h hops (a node at distance > h has
+    no <=h-edge path, so it is absent) — pure integer arithmetic, so
+    it replays the engine's frontier BFS bit for bit."""
+    its = []
+    prev = "r0"
+    for h in range(1, max_hops + 1):
+        its.append(f"""r{h} AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.hop + 1 AS hop
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)""")
+        prev = f"r{h}"
+    chain = ",\n".join(its)
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM c a JOIN c b ON a.vec_id != b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id) AS r
+  FROM pairs
+), edges AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM ranked WHERE r <= 5
+), r0 AS (
+  SELECT vec_id AS node, 0 AS hop FROM embeddings WHERE vec_id < 5
+),
+{chain}
+SELECT node, CAST(hop AS INT) AS hop FROM {prev}
+"""
+
+
+@query("embedding_bfs_hops", _bfs_oracle())
+def embedding_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the exact embedding k-NN graph
+    (operators/graph.py bfs_hops): min hop distance from a 5-vector
+    seed set, bounded at 4 hops — the "expand a seed set through the
+    similarity graph" reachability primitive (seed-quality
+    propagation, contamination blast-radius). Delta iteration: each
+    hop joins only the newly-reached frontier against the edge table
+    and anti-joins the visited set, with a lineage cut per hop; the
+    oracle replays the same expansion as chained Bellman-Ford CTEs
+    over the brute-force edge set — an iterative graph algorithm
+    under the full hash gate."""
+    from ..operators.graph import bfs_hops
+    from ..operators.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    edges = knn_graph(emb, k=5).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    sources = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("node")
+    )
+    return bfs_hops(edges, sources, max_hops=4)
 
 
 # --- end-to-end curation pipeline ---------------------------------------

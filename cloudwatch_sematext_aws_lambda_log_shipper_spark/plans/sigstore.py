@@ -111,3 +111,58 @@ def signature_tables(
         write_bucketed(banded, bk_tbl, ["band", "key"], num_buckets)
         _REGISTERED.add(reg_key)
     return spark.table(sh_tbl), spark.table(bk_tbl)
+
+
+def wordset_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Persisted artifacts for the exact prefix-filtered Jaccard join
+    (operators/setjoin.py): return (store, positions) as lazy parquet
+    scans, built at most once per corpus fingerprint.
+
+    - ``store``: one row per document — (doc_id, set_key, w, L, rep,
+      c): the distinct word set (sorted array), its identity hash, and
+      the identical-set group's representative/size. Serves the
+      identity collapse AND (filtered to doc_id == rep) the unique-set
+      frame the join verifies against.
+    - ``positions``: (doc_id, token, pos, L) for REPRESENTATIVE docs
+      only — every token ranked under the global rare-first order.
+      Threshold-independent: the prefix for any tau is a `pos <=`
+      filter, so one artifact serves every threshold.
+
+    Both are written distributively (no driver materialization); the
+    second builder reads the first artifact instead of re-tokenizing."""
+    from ..operators.setjoin import SEP, _ordered_positions, _token_sets
+
+    par = spark.sparkContext.defaultParallelism
+
+    def build_store() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = docs.repartition(par, "doc_id")  # single-file test corpus
+        sets = _token_sets(docs, "text", "doc_id")
+        keyed = sets.withColumn(
+            "set_key", F.md5(F.concat_ws(SEP, "w"))
+        )
+        groups = keyed.groupBy("set_key").agg(
+            F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c")
+        )
+        return keyed.join(groups, "set_key").select(
+            "doc_id", "set_key", "w", "L", "rep", "c"
+        )
+
+    store_path = materialize_dir(
+        spark, sf_dir, "wsets", build_store, source="documents.parquet"
+    )
+
+    def build_positions() -> DataFrame:
+        reps = (
+            spark.read.parquet(store_path)
+            .filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "w", "L")
+        )
+        return _ordered_positions(reps)
+
+    pos_path = materialize_dir(
+        spark, sf_dir, "wpos", build_positions, source="documents.parquet"
+    )
+    return spark.read.parquet(store_path), spark.read.parquet(pos_path)

@@ -1,0 +1,157 @@
+"""Round-15b additions: exact prefix-filtered Jaccard join
+(operators/setjoin.py) and multi-source BFS (operators/graph.py).
+
+The setjoin tests pin the prefix/positional-filter EXACTNESS claim
+against a python brute force — including pairs exactly AT the
+threshold boundary, where an off-by-one in the integer prefix/alpha
+arithmetic would first show."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import bfs_hops
+from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.setjoin import (
+    jaccard_neighbor_stats,
+    jaccard_neighbor_stats_from_store,
+    jaccard_prefix_join,
+)
+
+
+def _brute_pairs(texts: dict[int, str], num: int, den: int):
+    sets = {i: set(t.strip().lower().split()) for i, t in texts.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if i * den >= u * num:
+            out[(a, b)] = round(i / u, 6)
+    return out
+
+
+BOUNDARY_TEXTS = {
+    # identical pair (collapse path)
+    1: "a b c d e f g h i j",
+    2: "a b c d e f g h i j",
+    # exactly 0.9: 9 shared / 10 union vs doc 3's 9-token set
+    3: "a b c d e f g h i",
+    # 18/22 = 0.818... vs doc 1 (below 0.9, above 0.8)
+    4: "a b c d e f g h i j k l m n o p q r s t",
+    # disjoint
+    5: "x y z w v u t2 s2 r2 q2",
+    # one-token doc equal to another one-token doc
+    6: "solo",
+    7: "solo",
+    # near-boundary big sets: 19 shared / 21 union = 0.904...
+    8: " ".join(f"t{i}" for i in range(20)),
+    9: " ".join(f"t{i}" for i in range(19)) + " extra",
+}
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def test_prefix_join_matches_bruteforce_at_boundaries(spark):
+    docs = _mkdocs(spark, BOUNDARY_TEXTS)
+    for num, den in ((9, 10), (4, 5), (1, 2)):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_prefix_join(
+                docs, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        assert got == _brute_pairs(BOUNDARY_TEXTS, num, den), (num, den)
+
+
+def test_prefix_join_exact_threshold_pair_included(spark):
+    # doc 1 vs doc 3: i=9, u=10 -> jaccard exactly 0.9; must be IN at 9/10
+    docs = _mkdocs(spark, {1: BOUNDARY_TEXTS[1], 3: BOUNDARY_TEXTS[3]})
+    rows = jaccard_prefix_join(docs, threshold_num=9, threshold_den=10).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(1, 3, 0.9)]
+
+
+def test_neighbor_stats_matches_pairwise_aggregation(spark):
+    docs = _mkdocs(spark, BOUNDARY_TEXTS)
+    pairs = _brute_pairs(BOUNDARY_TEXTS, 9, 10)
+    want = {}
+    for (a, b), j in pairs.items():
+        for d, o in ((a, b), (b, a)):
+            n, best = want.get(d, (0, 0.0))
+            want[d] = (n + 1, max(best, j))
+    got = {
+        r.doc_id: (r.n_dup_neighbors, r.best_jaccard)
+        for r in jaccard_neighbor_stats(
+            docs, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert got == want
+    # the identical docs (1,2) and (6,7) must count each other at 1.0
+    assert got[1][1] == 1.0 and got[6] == (1, 1.0) and got[7] == (1, 1.0)
+
+
+def test_neighbor_stats_store_matches_in_session(spark, sf_dir):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.llmops import _docs
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.sigstore import (
+        wordset_tables,
+    )
+
+    docs = _docs(spark, sf_dir)
+    insess = {
+        (r.doc_id, r.n_dup_neighbors, r.best_jaccard)
+        for r in jaccard_neighbor_stats(
+            docs, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    store, positions = wordset_tables(spark, sf_dir)
+    stored = {
+        (r.doc_id, r.n_dup_neighbors, r.best_jaccard)
+        for r in jaccard_neighbor_stats_from_store(
+            store, positions, 9, 10
+        ).collect()
+    }
+    assert insess == stored and len(insess) > 0
+
+
+# --- BFS ----------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), "src long, dst long")
+
+
+def test_bfs_chain_and_bound(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, src, max_hops=3).collect()}
+    # node 5 is at distance 4 — beyond the bound, absent
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_hop_over_diamond(spark):
+    # two routes to 4: 1->2->4 (2 hops) and 1->3a->3b->4 (3 hops)
+    e = _edges(spark, [(1, 2), (2, 4), (1, 30), (30, 31), (31, 4), (4, 9)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, src, max_hops=4).collect()}
+    assert got[4] == 2 and got[9] == 3 and got[30] == 1 and got[31] == 2
+
+
+def test_bfs_multi_source_and_early_exit(spark):
+    e = _edges(spark, [(1, 2), (10, 11)])
+    src = spark.createDataFrame([(1,), (10,), (10,)], "node long")
+    # duplicate source rows dedup; both components expand; frontier
+    # empties after hop 1 so the loop exits before max_hops
+    got = {r.node: r.hop for r in bfs_hops(e, src, max_hops=4).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 11: 1}
+
+
+def test_bfs_source_already_closer(spark):
+    # a source that is also reachable from another source keeps hop 0
+    e = _edges(spark, [(1, 2), (2, 3)])
+    src = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r.node: r.hop for r in bfs_hops(e, src, max_hops=4).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}
