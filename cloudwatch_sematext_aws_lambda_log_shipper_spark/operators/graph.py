@@ -266,6 +266,10 @@ def bfs_hops(
     seed set costs hops-reached jobs, not max_hops. Driver holds
     nothing but the per-hop empty check."""
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # one cut up front: every hop joins the edge table, and an
+    # expensively-built edge frame (e.g. the k-NN graph) must not
+    # re-evaluate per hop (the pagerank `ew` lesson)
+    e = cut_lineage(e, checkpoint_dir)
     state = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -284,6 +288,10 @@ def bfs_hops(
         nxt = cut_lineage(nxt, checkpoint_dir)
         if nxt.isEmpty():
             break
-        state = cut_lineage(state.unionByName(nxt), checkpoint_dir)
+        # both union inputs are already materialized — the accumulated
+        # state stays a PLAIN union of checkpointed frontiers (flat,
+        # shallow lineage); re-cutting it would rewrite O(|visited|)
+        # rows every hop
+        state = state.unionByName(nxt)
         frontier = nxt
     return state

@@ -70,18 +70,48 @@ from pyspark.sql import functions as F
 
 from .text import words
 
-SEP = "\x1f"  # token joiner for the set-identity hash (house 0x1f convention)
 
 
 def _token_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, w, L): each document's DISTINCT whitespace tokens
     (lowercased) as a sorted array — the set the Jaccard is defined
     over, in the compact one-row-per-doc representation verification
-    joins on."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(F.array_distinct(words(F.col(text_col)))).alias("w"),
-    ).withColumn("L", F.size("w"))
+    joins on. NULL-text documents have no set and can never satisfy a
+    Jaccard threshold (the brute-force oracles agree: NULL propagates
+    through the intersection and fails the filter), so they are
+    dropped here rather than flowing NULL arrays downstream."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_sort(
+                F.array_distinct(words(F.col(text_col)))
+            ).alias("w"),
+        )
+        .withColumn("L", F.size("w"))
+    )
+
+
+def set_identity_key(w):
+    """Injective (modulo md5 collisions — the exact-dedup standard)
+    identity hash of a token array: md5 over the CONCATENATION OF
+    PER-TOKEN MD5s, not over separator-joined raw tokens. Tokens are
+    whitespace-split, so they may legally contain any non-whitespace
+    byte including a would-be separator; fixed-width per-token digests
+    make the encoding prefix-free without trusting token content."""
+    return F.md5(F.concat_ws("", F.transform(w, lambda t: F.md5(t))))
+
+
+def _keyed_groups(sets: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(keyed, groups) for the identical-set collapse: keyed = one row
+    per doc (doc_id, set_key); groups = one row per UNIQUE set
+    (set_key, rep, c) with rep = min doc_id. The single definition of
+    the set identity — plans/sigstore.py persists exactly this."""
+    keyed = sets.select("doc_id", set_identity_key("w").alias("set_key"))
+    groups = keyed.groupBy("set_key").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c")
+    )
+    return keyed, groups
 
 
 def _ordered_positions(sets: DataFrame) -> DataFrame:
@@ -237,12 +267,8 @@ def jaccard_neighbor_stats(
     # unique-set semi join) every stage of the prefix join: one
     # materialization, not four recomputes of the regex split
     sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=True)
-    keyed = sets.select(
-        "doc_id", F.md5(F.concat_ws(SEP, "w")).alias("set_key")
-    )
-    groups = keyed.groupBy("set_key").agg(
-        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=True)  # three consumers (semi join, c_other, expansion)
+    keyed, groups = _keyed_groups(sets)
+    groups = groups.localCheckpoint(eager=True)  # three consumers (semi join, c_other, expansion)
     rep_sets = sets.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     ).localCheckpoint(eager=True)  # prefix build + both verification sides
@@ -284,7 +310,9 @@ def _neighbor_stats_core(
 ) -> DataFrame:
     pairs = _verified_pairs_from_positions(
         positions, rep_sets, threshold_num, threshold_den
-    )
+    ).localCheckpoint(eager=True)  # the sym union consumes it twice —
+    # without the cut the candidate join + verification would execute
+    # once per branch
     jac = (F.col("i").cast("double")
            / (F.col("la") + F.col("lb") - F.col("i"))).alias("j")
     sym = (

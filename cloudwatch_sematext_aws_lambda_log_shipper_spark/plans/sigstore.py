@@ -132,7 +132,11 @@ def wordset_tables(
 
     Both are written distributively (no driver materialization); the
     second builder reads the first artifact instead of re-tokenizing."""
-    from ..operators.setjoin import SEP, _ordered_positions, _token_sets
+    from ..operators.setjoin import (
+        _keyed_groups,
+        _ordered_positions,
+        _token_sets,
+    )
 
     par = spark.sparkContext.defaultParallelism
 
@@ -140,18 +144,21 @@ def wordset_tables(
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         docs = docs.repartition(par, "doc_id")  # single-file test corpus
         sets = _token_sets(docs, "text", "doc_id")
-        keyed = sets.withColumn(
-            "set_key", F.md5(F.concat_ws(SEP, "w"))
-        )
-        groups = keyed.groupBy("set_key").agg(
-            F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("c")
-        )
-        return keyed.join(groups, "set_key").select(
-            "doc_id", "set_key", "w", "L", "rep", "c"
+        # the ONE set-identity definition (operators/setjoin.py) — the
+        # persisted store must never drift from the in-session path
+        keyed, groups = _keyed_groups(sets)
+        return (
+            sets.join(keyed, "doc_id")
+            .join(groups, "set_key")
+            .select("doc_id", "set_key", "w", "L", "rep", "c")
         )
 
+    # v2: the set key moved from separator-joined raw tokens to
+    # concatenated per-token digests (injective); supersedes sweeps
+    # the old-key artifacts
     store_path = materialize_dir(
-        spark, sf_dir, "wsets", build_store, source="documents.parquet"
+        spark, sf_dir, "wsets2", build_store,
+        source="documents.parquet", supersedes=("wsets",),
     )
 
     def build_positions() -> DataFrame:
@@ -163,6 +170,7 @@ def wordset_tables(
         return _ordered_positions(reps)
 
     pos_path = materialize_dir(
-        spark, sf_dir, "wpos", build_positions, source="documents.parquet"
+        spark, sf_dir, "wpos2", build_positions,
+        source="documents.parquet", supersedes=("wpos",),
     )
     return spark.read.parquet(store_path), spark.read.parquet(pos_path)

@@ -117,6 +117,26 @@ def test_neighbor_stats_store_matches_in_session(spark, sf_dir):
     assert insess == stored and len(insess) > 0
 
 
+def test_set_identity_key_is_injective_over_token_content(spark):
+    # a token CONTAINING the would-be separator byte vs two tokens:
+    # separator-joined raw tokens would collide; per-token digests
+    # must not (review finding on the v1 key)
+    docs = spark.createDataFrame(
+        [(1, "x\x1fy"), (2, "x y"), (3, None)],
+        "doc_id long, text string",
+    )
+    stats = jaccard_neighbor_stats(
+        docs, threshold_num=1, threshold_den=2
+    ).collect()
+    # jac({x1fy},{x,y}) = 0 -> no pairs at tau=0.5; NULL text drops out
+    assert stats == []
+    pairs = jaccard_prefix_join(
+        docs, threshold_num=1, threshold_den=100
+    ).collect()
+    # even at tau=0.01 the sets share nothing
+    assert pairs == []
+
+
 # --- BFS ----------------------------------------------------------------
 
 
