@@ -70,6 +70,13 @@ from pyspark.sql import functions as F
 
 from .text import words
 
+# Inverted-index rows (doc_id, token, pos, L) under which the subset
+# join broadcasts the index instead of salting a shuffle: ~4M narrow
+# rows is a few hundred MB on the wire — comfortably under executor
+# memory on any target cluster, and far cheaper than the replicated
+# index shuffle it replaces. Above it (a 100 TB corpus's index), the
+# salted co-repartitioned join is the only sound shape.
+INDEX_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _token_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -344,5 +351,243 @@ def _neighbor_stats_core(
             "doc_id",
             F.col("n_neighbors").cast("long").alias("n_dup_neighbors"),
             F.round(F.col("best_j"), 6).alias("best_jaccard"),
+        )
+    )
+
+
+def _contained_pairs(
+    positions: DataFrame,
+    sets: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """DIRECTED exact-containment pairs over unique sets: (id_a, id_b,
+    la, i) for every ordered pair with |A n B| >= tau * |A| and
+    id_a != id_b — the asymmetric cousin of the Jaccard join (a short
+    document quoted inside a long one has LOW Jaccard but HIGH
+    containment, which is why dedup pipelines run both).
+
+    Exactness: containment >= tau means I >= ceil(tau * |A|), so the
+    same prefix lemma applies to the CONTAINED side — its first common
+    token with any container lies within its first
+    |A| - ceil(tau * |A|) + 1 tokens. The container side carries no
+    length constraint (only |B| >= ceil(tau * |A|)), so the probe is
+    A-prefix vs the FULL token index (the SSJoin prefix-probe/inverted-
+    index scheme), not prefix-vs-prefix.
+
+    Skew note: the probe is bounded by sum over A-prefix tokens t of
+    prefix_count(t) * df(t). Rare-first ordering keeps prefixes on
+    low-df tokens for all but the shortest sets; a corpus of many
+    tiny all-stopword sets would concentrate probes on hot tokens and
+    want the banded-cap treatment (operators/dedup.py _cap_buckets) —
+    not the shape of document corpora, so not paid for here."""
+    ceil_tau_l = F.expr(
+        f"({threshold_num} * L + {threshold_den} - 1) div {threshold_den}"
+    )
+    pref = positions.filter(F.col("pos") <= F.col("L") - ceil_tau_l + 1)
+    pref = pref.repartition(
+        pref.sparkSession.sparkContext.defaultParallelism, "token"
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), "token", F.col("L").alias("la")
+    )
+    # full inverted index on the container side (positions carries
+    # every token; pos is simply unused here)
+    b = positions.select(
+        F.col("doc_id").alias("id_b"), "token", F.col("L").alias("lb")
+    )
+    min_overlap = F.expr(
+        f"({threshold_num} * la + {threshold_den} - 1) div {threshold_den}"
+    )
+    keep = (
+        (F.col("id_a") != F.col("id_b"))
+        # the container must be able to hold the required overlap
+        & (F.col("lb") >= min_overlap)
+    )
+    if threshold_num != threshold_den:
+        # fractional tau: a pair can match on several prefix tokens —
+        # dedup (the hash shuffle also evens out probe-token skew for
+        # the verification stage)
+        cand = (
+            a.join(b, "token").filter(keep)
+            .select("id_a", "id_b", "la", "lb").distinct()
+        )
+    else:
+        # tau = 1 (strict subset): the prefix is EXACTLY ONE token
+        # (p = L - ceil(L) + 1 = 1), so every candidate pair is
+        # emitted once and the dedup shuffle vanishes. But template
+        # corpora CONCENTRATE probes — thousands of small common-word
+        # sets share one "rarest" token, so any token-keyed layout
+        # produces (and then verifies) that token's whole candidate
+        # block in ONE task, and AQE's byte-based coalescing won't
+        # save a COMPUTE-bound stage (the bytes look tiny).
+        #
+        # Index-side strategy is COST-BASED and self-feeding (the
+        # dot_cols discipline — no caller hint, decision recorded):
+        # - small index (parquet-footer row bound under the
+        #   broadcast ceiling): round-robin the probe rows with an
+        #   explicit count (exempt from AQE coalescing) and BROADCAST
+        #   the inverted index — a broadcast join needs no
+        #   co-partitioning, so the hot token's probes fan out
+        #   wherever they landed and candidate generation +
+        #   verification run cluster-wide in ONE stage, no shuffle;
+        # - corpus-sized index (or no local footer bound): salt the
+        #   probe side and co-repartition BOTH sides on
+        #   (token, _salt) with explicit counts — scale-safe, one
+        #   extra index shuffle, hot tokens still divide across the
+        #   cluster.
+        from .ivf_exact import _footer_row_bound
+        from .similarity import _log_dot_strategy
+        from .skew import replicate_salts, with_salt
+
+        par = positions.sparkSession.sparkContext.defaultParallelism
+        n_index = _footer_row_bound(positions)
+        if n_index is not None and n_index <= INDEX_BROADCAST_MAX_ROWS:
+            _log_dot_strategy(
+                "subset_index_broadcast", 0,
+                "footer bound under broadcast ceiling", n_index,
+            )
+            cand = (
+                a.repartition(par)
+                .join(F.broadcast(b), "token")
+                .filter(keep)
+                .select("id_a", "id_b", "la", "lb")
+            )
+        else:
+            _log_dot_strategy(
+                "subset_index_salted_shuffle", 0,
+                "index above broadcast ceiling or unbounded", n_index,
+            )
+            left = with_salt(a, "id_a", par).repartition(
+                par, "token", "_salt"
+            )
+            right = replicate_salts(b, par).repartition(
+                par, "token", "_salt"
+            )
+            cand = (
+                left.join(right, ["token", "_salt"])
+                .filter(keep)
+                .select("id_a", "id_b", "la", "lb")
+            )
+    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("wa", "wb")).cast("long"))
+        .drop("wa", "wb")
+    )
+    return inter.filter(
+        F.col("i") * threshold_den >= F.col("la") * threshold_num
+    )
+
+
+def containment_neighbor_stats_from_store(
+    store: DataFrame,
+    positions: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Per-document exact containment degree over the persisted wordset
+    artifacts: (doc_id, n_containers, best_containment) for every
+    document at least tau-contained in some OTHER document.
+
+    Identical-set collapse as in the Jaccard stats, but the pair set
+    is DIRECTED (contained -> container), so the expansion is
+    one-sided: for a doc in group g,
+      n_containers = (c_g - 1) + sum over groups h != g with
+                     cont(g, h) >= tau of c_h
+      best         = 1.0 if c_g >= 2 else max cont(g, h)
+    (identical sets contain each other totally, so same-group
+    neighbors always qualify at any tau <= 1)."""
+    keyed = store.select("doc_id", "set_key")
+    reps = store.filter(F.col("doc_id") == F.col("rep"))
+    groups = reps.select("set_key", "rep", "c")
+    rep_sets = reps.select("doc_id", "w", "L")
+    pairs = _contained_pairs(
+        positions, rep_sets, threshold_num, threshold_den
+    ).localCheckpoint(eager=True)
+    cont = (F.col("i").cast("double") / F.col("la")).alias("cont")
+    per_rep = (
+        pairs.select(F.col("id_a").alias("rep"),
+                     F.col("id_b").alias("other"), cont)
+        .join(groups.select(F.col("rep").alias("other"),
+                            F.col("c").alias("c_other")), "other")
+        .groupBy("rep")
+        .agg(F.sum("c_other").alias("n_cross"), F.max("cont").alias("best_c"))
+    )
+    per_group = (
+        groups.join(per_rep, "rep", "left")
+        .select(
+            "set_key",
+            (F.col("c") - 1
+             + F.coalesce(F.col("n_cross"), F.lit(0))).alias("n_containers"),
+            F.when(F.col("c") >= 2, F.lit(1.0))
+            .otherwise(F.col("best_c")).alias("best_c"),
+        )
+        .filter(F.col("n_containers") >= 1)
+    )
+    return (
+        keyed.join(per_group, "set_key")
+        .select(
+            "doc_id",
+            F.col("n_containers").cast("long").alias("n_containers"),
+            F.round(F.col("best_c"), 6).alias("best_containment"),
+        )
+    )
+
+
+def subset_containment_stats_from_store(
+    store: DataFrame, positions: DataFrame
+) -> DataFrame:
+    """STRICT subset containment (tau = 1) per document over the
+    persisted wordset artifacts: (doc_id, n_supersets,
+    min_superset_size) for every document whose word set is contained
+    in at least one OTHER document's — the published "fully contained
+    document" dedup rule, the case Jaccard structurally misses (a
+    short doc quoted inside a long one has Jaccard ~ |A|/|B| but
+    containment exactly 1).
+
+    At tau = 1 the prefix-probe degenerates to ONE token per set (the
+    globally rarest), each candidate pair is generated exactly once
+    (no dedup shuffle), and verification is `array_intersect == |A|`.
+    Identical-set groups contain each other totally: a doc in a group
+    of c identical sets has (c - 1) same-size supersets plus every
+    member of any strictly-containing group; min_superset_size is its
+    own set size when an identical twin exists, else the smallest
+    strict container."""
+    keyed = store.select("doc_id", "set_key")
+    reps = store.filter(F.col("doc_id") == F.col("rep"))
+    groups = reps.select("set_key", "rep", "c", "L")
+    rep_sets = reps.select("doc_id", "w", "L")
+    pairs = _contained_pairs(positions, rep_sets, 1, 1)
+    per_rep = (
+        pairs.select(F.col("id_a").alias("rep"),
+                     F.col("id_b").alias("other"), "lb")
+        .join(groups.select(F.col("rep").alias("other"),
+                            F.col("c").alias("c_other")), "other")
+        .groupBy("rep")
+        .agg(F.sum("c_other").alias("n_cross"),
+             F.min("lb").alias("min_cross_size"))
+    )
+    per_group = (
+        groups.join(per_rep, "rep", "left")
+        .select(
+            "set_key",
+            (F.col("c") - 1
+             + F.coalesce(F.col("n_cross"), F.lit(0))).alias("n_supersets"),
+            # least() skips NULLs, so a twin-only group (no strict
+            # container) correctly reports its own size
+            F.when(F.col("c") >= 2, F.least("L", "min_cross_size"))
+            .otherwise(F.col("min_cross_size")).alias("min_sz"),
+        )
+        .filter(F.col("n_supersets") >= 1)
+    )
+    return (
+        keyed.join(per_group, "set_key")
+        .select(
+            "doc_id",
+            F.col("n_supersets").cast("long").alias("n_supersets"),
+            F.col("min_sz").cast("long").alias("min_superset_size"),
         )
     )

@@ -258,6 +258,49 @@ def near_dup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSET_CONTAINMENT_ORACLE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, len(b.w) AS lb
+  FROM docs a JOIN docs b ON a.doc_id != b.doc_id
+  WHERE len(list_intersect(a.w, b.w)) = len(a.w)
+)
+SELECT id_a AS doc_id, count(*) AS n_supersets,
+       min(lb) AS min_superset_size
+FROM pairs GROUP BY id_a
+"""
+
+
+@query("doc_subset_containment", _SUBSET_CONTAINMENT_ORACLE)
+def doc_subset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT strict-subset containment per document: how many OTHER
+    documents' word sets fully contain this one, and the size of the
+    tightest container (operators/setjoin.py
+    subset_containment_stats_from_store) — the published "fully
+    contained document" dedup rule, the case Jaccard structurally
+    misses (a short doc quoted inside a long one has Jaccard ~
+    |A|/|B| but containment exactly 1). Candidates come from the
+    contained side's SINGLE rarest token probed against the full
+    inverted index (at tau = 1 the SSJoin prefix degenerates to one
+    token, so each candidate pair is generated exactly once — no
+    dedup shuffle), verified by one exact `array_intersect == |A|`
+    per pair; identical-set collapse and per-group arithmetic keep
+    the output |documents|-bounded exactly as in
+    near_dup_jaccard_prefix. Shares the persisted wordset artifacts
+    (the positions table is threshold- and measure-independent). The
+    fractional-tau generalization (multi-token prefixes + candidate
+    dedup) ships as containment_neighbor_stats_from_store, pinned by
+    pytest against brute force."""
+    from ..operators.setjoin import subset_containment_stats_from_store
+    from .sigstore import wordset_tables
+
+    store, positions = wordset_tables(spark, sf_dir)
+    return subset_containment_stats_from_store(store, positions)
+
+
 # --- similarity search --------------------------------------------------
 
 _TOPK_ORACLE = """

@@ -14,9 +14,14 @@ from pyspark.sql import functions as F
 
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import bfs_hops
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.setjoin import (
+    _keyed_groups,
+    _ordered_positions,
+    _token_sets,
+    containment_neighbor_stats_from_store,
     jaccard_neighbor_stats,
     jaccard_neighbor_stats_from_store,
     jaccard_prefix_join,
+    subset_containment_stats_from_store,
 )
 
 
@@ -115,6 +120,103 @@ def test_neighbor_stats_store_matches_in_session(spark, sf_dir):
         ).collect()
     }
     assert insess == stored and len(insess) > 0
+
+
+def _mkstore(spark, texts):
+    """Build (store, positions) frames in-session from synthetic docs —
+    the same shapes sigstore.wordset_tables persists. In-memory frames
+    have no parquet footers, so the subset join's index-side cost rule
+    resolves to the salted-shuffle path here (the broadcast path is
+    covered by test_subset_index_strategy_flip over the persisted
+    artifacts)."""
+    from pyspark.sql import functions as F
+
+    docs = _mkdocs(spark, texts)
+    sets = _token_sets(docs, "text", "doc_id").localCheckpoint(eager=True)
+    keyed, groups = _keyed_groups(sets)
+    store = (
+        sets.join(keyed, "doc_id").join(groups, "set_key")
+        .select("doc_id", "set_key", "w", "L", "rep", "c")
+        .localCheckpoint(eager=True)
+    )
+    reps = store.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "w", "L"
+    )
+    positions = _ordered_positions(reps).localCheckpoint(eager=True)
+    return store, positions
+
+
+def test_subset_containment_matches_bruteforce(spark):
+    sets = {i: set(t.strip().lower().split()) for i, t in BOUNDARY_TEXTS.items()}
+    want = {}
+    for a in sets:
+        sup = [len(sets[b]) for b in sets if b != a and sets[a] <= sets[b]]
+        if sup:
+            want[a] = (len(sup), min(sup))
+    store, positions = _mkstore(spark, BOUNDARY_TEXTS)
+    got = {
+        r.doc_id: (r.n_supersets, r.min_superset_size)
+        for r in subset_containment_stats_from_store(
+            store, positions
+        ).collect()
+    }
+    assert got == want
+    # doc 1: its identical twin (size 10) AND the 20-token strict
+    # container doc 4; the twin is the tightest
+    assert got[1] == (2, 10) and got[6] == (1, 1)
+    # doc 3 (9 tokens, subset of docs 1/2/4) counts three supersets,
+    # tightest is the 10-token twin set
+    assert got[3] == (3, 10)
+
+
+def test_containment_fractional_matches_bruteforce(spark):
+    sets = {i: set(t.strip().lower().split()) for i, t in BOUNDARY_TEXTS.items()}
+    num, den = 9, 10
+    want = {}
+    for a in sets:
+        hits = [
+            len(sets[a] & sets[b]) / len(sets[a])
+            for b in sets
+            if b != a and len(sets[a] & sets[b]) * den >= len(sets[a]) * num
+        ]
+        if hits:
+            want[a] = (len(hits), round(max(hits), 6))
+    store, positions = _mkstore(spark, BOUNDARY_TEXTS)
+    got = {
+        r.doc_id: (r.n_containers, r.best_containment)
+        for r in containment_neighbor_stats_from_store(
+            store, positions, num, den
+        ).collect()
+    }
+    assert got == want
+
+
+def test_subset_index_strategy_flip(spark, sf_dir, monkeypatch):
+    # both index-side strategies (footer-bounded broadcast vs salted
+    # co-repartitioned shuffle) must return BIT-EQUAL results over the
+    # persisted artifacts, and the decision ring must record the flip
+    import cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.setjoin as sj
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.similarity import (
+        drain_dot_decisions,
+    )
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.sigstore import (
+        wordset_tables,
+    )
+
+    store, positions = wordset_tables(spark, sf_dir)
+    drain_dot_decisions()
+    bc = set(
+        map(tuple, subset_containment_stats_from_store(store, positions).collect())
+    )
+    strategies = {d["strategy"] for d in drain_dot_decisions()}
+    assert "subset_index_broadcast" in strategies
+    monkeypatch.setattr(sj, "INDEX_BROADCAST_MAX_ROWS", 0)
+    salted = set(
+        map(tuple, subset_containment_stats_from_store(store, positions).collect())
+    )
+    strategies = {d["strategy"] for d in drain_dot_decisions()}
+    assert "subset_index_salted_shuffle" in strategies
+    assert bc == salted and len(bc) > 0
 
 
 def test_set_identity_key_is_injective_over_token_content(spark):
