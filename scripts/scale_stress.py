@@ -65,6 +65,14 @@ QUERIES = [
     # its skew cousin) — measured instead of argued-from-plan-shape
     "customer_rfm_segments",
     "events_value_deciles",
+    # r15b: the exact set-similarity joins (prefix-filtered Jaccard,
+    # subset containment) and the k-NN BFS — the copy builder keeps
+    # word sets copy-disjoint (half the words carry the copy suffix),
+    # so group/pair growth stays ~linear and the exponent measures the
+    # join, not output explosion
+    "near_dup_jaccard_prefix",
+    "doc_subset_containment",
+    "embedding_bfs_hops",
 ]
 
 # pseudo-queries: harness-only variants not in the declared registry
