@@ -296,14 +296,12 @@ def _row_preserving_plan(df: DataFrame) -> bool:
         return False
 
 
-def _footer_row_bound(df: DataFrame) -> int | None:
-    """UPPER bound on ``df``'s rows from the parquet footers of its
-    input files — no Spark job. Sound ONLY for row-preserving plans
-    (filter/project/limit chains over scans): a join, explode or
-    self-union can emit MORE rows than its scans hold, so those return
-    None rather than a false bound (r15 review). Also None when the
-    frame isn't backed by locally-readable parquet files
-    (checkpointed, in-memory, object-store URIs)."""
+def _footer_files(df: DataFrame) -> list[str] | None:
+    """Locally-readable parquet fragment paths behind ``df``, or None
+    when footer-derived bounds would be unsound: non-row-preserving
+    plans (a join, explode or self-union can emit MORE rows than its
+    scans hold — r15 review), frames not backed by files
+    (checkpointed, in-memory), or remote schemes."""
     if not _row_preserving_plan(df):
         return None
     try:
@@ -312,18 +310,51 @@ def _footer_row_bound(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    out = []
+    for uri in files:
+        if uri.startswith("file://"):
+            uri = uri[7:]
+        elif uri.startswith("file:"):
+            uri = uri[5:]
+        elif "://" in uri:
+            return None  # remote scheme: footers not local
+        out.append(uri)
+    return out
+
+
+def _footer_row_bound(df: DataFrame) -> int | None:
+    """UPPER bound on ``df``'s rows from the parquet footers of its
+    input files — no Spark job (soundness rules: _footer_files)."""
+    files = _footer_files(df)
+    if files is None:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _footer_byte_bound(df: DataFrame) -> int | None:
+    """UPPER bound on ``df``'s UNCOMPRESSED bytes from the parquet
+    footers (sum of row-group total_byte_size) — no Spark job, same
+    soundness rules as _footer_row_bound. Row counts alone can't gate
+    a broadcast: variable-width columns (token strings, arrays) make
+    per-row bytes unbounded (r15b review)."""
+    files = _footer_files(df)
+    if files is None:
+        return None
     try:
         import pyarrow.parquet as pq
 
         total = 0
-        for uri in files:
-            if uri.startswith("file://"):
-                uri = uri[7:]
-            elif uri.startswith("file:"):
-                uri = uri[5:]
-            elif "://" in uri:
-                return None  # remote scheme: footers not local
-            total += pq.ParquetFile(uri).metadata.num_rows
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            total += sum(
+                md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups)
+            )
         return total
     except Exception:
         return None

@@ -70,13 +70,43 @@ from pyspark.sql import functions as F
 
 from .text import words
 
-# Inverted-index rows (doc_id, token, pos, L) under which the subset
-# join broadcasts the index instead of salting a shuffle: ~4M narrow
-# rows is a few hundred MB on the wire — comfortably under executor
-# memory on any target cluster, and far cheaper than the replicated
-# index shuffle it replaces. Above it (a 100 TB corpus's index), the
-# salted co-repartitioned join is the only sound shape.
+# Inverted-index bounds under which the subset join broadcasts the
+# index instead of salting a shuffle. BOTH must hold (from parquet
+# footers, no job): a row bound alone can't gate a broadcast of
+# variable-width token strings (a corpus of minified-blob "tokens"
+# makes per-row bytes unbounded), and a byte bound alone could admit
+# degenerate many-tiny-row relations whose hash-table overhead
+# dominates. Above either (a 100 TB corpus's index), the salted
+# co-repartitioned join is the only sound shape.
 INDEX_BROADCAST_MAX_ROWS = 4_000_000
+INDEX_BROADCAST_MAX_BYTES = 256 << 20  # uncompressed, from footers
+
+# Salt count for the shuffle fallback: a small CONSTANT (hot tokens
+# split this many ways; the index pays this many replicas through one
+# shuffle). Deliberately NOT cluster parallelism — replication cost
+# must not scale with cluster size (r15b review).
+SUBSET_SALTS = 16
+
+
+def _ceil_frac(col: str, num: int, den: int):
+    """ceil(num * col / den) in exact integer arithmetic."""
+    return F.expr(f"({num} * {col} + {den} - 1) div {den}")
+
+
+def _exact_overlap(cand: DataFrame, sets: DataFrame) -> DataFrame:
+    """Append the exact overlap count ``i`` = |A n B| to a candidate
+    frame carrying (id_a, id_b, ...): join both sides' sorted token
+    arrays in and count ONE array_intersect per pair — the single
+    exactness-critical verification join shared by the Jaccard and
+    containment paths."""
+    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
+    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .withColumn("i", F.size(F.array_intersect("wa", "wb")).cast("long"))
+        .drop("wa", "wb")
+    )
 
 
 def _token_sets(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -153,10 +183,10 @@ def _verified_pairs_from_positions(
     candidate. Returns (id_a, id_b, la, lb, i) with sizes/intersection
     as exact ints so callers choose their own output arithmetic."""
     # prefix length p = L - ceil(tau*L) + 1, in exact integers
-    ceil_tau_l = F.expr(
-        f"({threshold_num} * L + {threshold_den} - 1) div {threshold_den}"
+    pref = positions.filter(
+        F.col("pos") <= F.col("L") - _ceil_frac("L", threshold_num,
+                                                threshold_den) + 1
     )
-    pref = positions.filter(F.col("pos") <= F.col("L") - ceil_tau_l + 1)
     # The self-join below fans out ~100x (every pair of sets sharing a
     # prefix token); AQE sizes the plan from the INPUT (tiny) and would
     # run the explosion in one or two tasks. Spread the probe side over
@@ -198,17 +228,8 @@ def _verified_pairs_from_positions(
         .select("id_a", "id_b", "la", "lb")
         .distinct()
     )
-    # exact verification: one array_intersect per candidate pair
-    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
-    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
-    inter = (
-        cand.join(wa, "id_a")
-        .join(wb, "id_b")
-        .withColumn("i", F.size(F.array_intersect("wa", "wb")).cast("long"))
-        .drop("wa", "wb")
-    )
     union = F.col("la") + F.col("lb") - F.col("i")
-    return inter.filter(
+    return _exact_overlap(cand, sets).filter(
         F.col("i") * threshold_den >= union * threshold_num
     )
 
@@ -380,13 +401,13 @@ def _contained_pairs(
     low-df tokens for all but the shortest sets; a corpus of many
     tiny all-stopword sets would concentrate probes on hot tokens and
     want the banded-cap treatment (operators/dedup.py _cap_buckets) —
-    not the shape of document corpora, so not paid for here."""
-    ceil_tau_l = F.expr(
-        f"({threshold_num} * L + {threshold_den} - 1) div {threshold_den}"
-    )
-    pref = positions.filter(F.col("pos") <= F.col("L") - ceil_tau_l + 1)
-    pref = pref.repartition(
-        pref.sparkSession.sparkContext.defaultParallelism, "token"
+    not the shape of document corpora, so not paid for here.
+
+    Returns (id_a, id_b, la, lb, i) with sizes/overlap as exact ints
+    (callers aggregate lb for tightest-container stats)."""
+    pref = positions.filter(
+        F.col("pos") <= F.col("L") - _ceil_frac("L", threshold_num,
+                                                threshold_den) + 1
     )
     a = pref.select(
         F.col("doc_id").alias("id_a"), "token", F.col("L").alias("la")
@@ -396,20 +417,21 @@ def _contained_pairs(
     b = positions.select(
         F.col("doc_id").alias("id_b"), "token", F.col("L").alias("lb")
     )
-    min_overlap = F.expr(
-        f"({threshold_num} * la + {threshold_den} - 1) div {threshold_den}"
-    )
     keep = (
         (F.col("id_a") != F.col("id_b"))
         # the container must be able to hold the required overlap
-        & (F.col("lb") >= min_overlap)
+        & (F.col("lb") >= _ceil_frac("la", threshold_num, threshold_den))
     )
+    par = positions.sparkSession.sparkContext.defaultParallelism
     if threshold_num != threshold_den:
         # fractional tau: a pair can match on several prefix tokens —
         # dedup (the hash shuffle also evens out probe-token skew for
-        # the verification stage)
+        # the verification stage). Token-keyed spread first so the
+        # multi-token fan-out happens in parallel (the AQE input-size
+        # trap, as in the Jaccard join).
         cand = (
-            a.join(b, "token").filter(keep)
+            a.repartition(par, "token")
+            .join(b, "token").filter(keep)
             .select("id_a", "id_b", "la", "lb").distinct()
         )
     else:
@@ -424,28 +446,37 @@ def _contained_pairs(
         #
         # Index-side strategy is COST-BASED and self-feeding (the
         # dot_cols discipline — no caller hint, decision recorded):
-        # - small index (parquet-footer row bound under the
-        #   broadcast ceiling): round-robin the probe rows with an
-        #   explicit count (exempt from AQE coalescing) and BROADCAST
-        #   the inverted index — a broadcast join needs no
+        # - small index (parquet-footer ROW and BYTE bounds under the
+        #   broadcast ceilings — rows alone can't gate a broadcast of
+        #   variable-width token strings): round-robin the probe rows
+        #   with an explicit count (exempt from AQE coalescing) and
+        #   BROADCAST the inverted index — a broadcast join needs no
         #   co-partitioning, so the hot token's probes fan out
         #   wherever they landed and candidate generation +
         #   verification run cluster-wide in ONE stage, no shuffle;
-        # - corpus-sized index (or no local footer bound): salt the
-        #   probe side and co-repartition BOTH sides on
-        #   (token, _salt) with explicit counts — scale-safe, one
-        #   extra index shuffle, hot tokens still divide across the
-        #   cluster.
-        from .ivf_exact import _footer_row_bound
+        # - corpus-sized index (or no local footer bounds): salt the
+        #   probe side over a SMALL CONSTANT salt count and
+        #   co-repartition BOTH sides on (token, _salt) with explicit
+        #   partition counts — the index pays SUBSET_SALTS x one
+        #   shuffle (never parallelism x: replication must not scale
+        #   with cluster size), hot tokens divide SUBSET_SALTS ways,
+        #   and the verification stage inherits the spread.
+        from .ivf_exact import _footer_byte_bound, _footer_row_bound
         from .similarity import _log_dot_strategy
         from .skew import replicate_salts, with_salt
 
-        par = positions.sparkSession.sparkContext.defaultParallelism
         n_index = _footer_row_bound(positions)
-        if n_index is not None and n_index <= INDEX_BROADCAST_MAX_ROWS:
+        b_index = _footer_byte_bound(positions)
+        if (
+            n_index is not None
+            and b_index is not None
+            and n_index <= INDEX_BROADCAST_MAX_ROWS
+            and b_index <= INDEX_BROADCAST_MAX_BYTES
+        ):
             _log_dot_strategy(
                 "subset_index_broadcast", 0,
-                "footer bound under broadcast ceiling", n_index,
+                f"footer bounds under broadcast ceilings ({b_index}B)",
+                n_index,
             )
             cand = (
                 a.repartition(par)
@@ -456,12 +487,12 @@ def _contained_pairs(
         else:
             _log_dot_strategy(
                 "subset_index_salted_shuffle", 0,
-                "index above broadcast ceiling or unbounded", n_index,
+                "index above broadcast ceilings or unbounded", n_index,
             )
-            left = with_salt(a, "id_a", par).repartition(
+            left = with_salt(a, "id_a", SUBSET_SALTS).repartition(
                 par, "token", "_salt"
             )
-            right = replicate_salts(b, par).repartition(
+            right = replicate_salts(b, SUBSET_SALTS).repartition(
                 par, "token", "_salt"
             )
             cand = (
@@ -469,15 +500,7 @@ def _contained_pairs(
                 .filter(keep)
                 .select("id_a", "id_b", "la", "lb")
             )
-    wa = sets.select(F.col("doc_id").alias("id_a"), F.col("w").alias("wa"))
-    wb = sets.select(F.col("doc_id").alias("id_b"), F.col("w").alias("wb"))
-    inter = (
-        cand.join(wa, "id_a")
-        .join(wb, "id_b")
-        .withColumn("i", F.size(F.array_intersect("wa", "wb")).cast("long"))
-        .drop("wa", "wb")
-    )
-    return inter.filter(
+    return _exact_overlap(cand, sets).filter(
         F.col("i") * threshold_den >= F.col("la") * threshold_num
     )
 
@@ -504,9 +527,9 @@ def containment_neighbor_stats_from_store(
     reps = store.filter(F.col("doc_id") == F.col("rep"))
     groups = reps.select("set_key", "rep", "c")
     rep_sets = reps.select("doc_id", "w", "L")
-    pairs = _contained_pairs(
-        positions, rep_sets, threshold_num, threshold_den
-    ).localCheckpoint(eager=True)
+    # single consumer (the one aggregate below) — no lineage cut needed
+    pairs = _contained_pairs(positions, rep_sets, threshold_num,
+                             threshold_den)
     cont = (F.col("i").cast("double") / F.col("la")).alias("cont")
     per_rep = (
         pairs.select(F.col("id_a").alias("rep"),
