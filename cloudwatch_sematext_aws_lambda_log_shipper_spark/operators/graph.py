@@ -295,3 +295,78 @@ def bfs_hops(
         state = state.unionByName(nxt)
         frontier = nxt
     return state
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "s", dst_col: str = "d"
+) -> DataFrame:
+    """Per-node triangle counts for an UNDIRECTED graph given as
+    ordered edges (src < dst, one row per edge): the standard
+    ordered-edge two-join — each triangle materializes exactly once as
+    a < b < c (never six rotations), then every corner votes.
+
+    Scale: two equi-joins on edge endpoints; the candidate wedge set
+    is sum-of-squared-degrees-bounded, the canonical distributed
+    triangle enumeration (swap in degree-ordered orientation for
+    skewed graphs)."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(y, F.col("x.d") == F.col("y.s"))
+        .join(z, (F.col("z.s") == F.col("x.s"))
+              & (F.col("z.d") == F.col("y.d")))
+        .select(
+            F.col("x.s").alias("a"),
+            F.col("x.d").alias("b"),
+            F.col("y.d").alias("c"),
+        )
+    )
+    membership = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return membership.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "s", dst_col: str = "d"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over an undirected
+    ordered-edge graph: cc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1)) —
+    what fraction of v's neighbor pairs are themselves connected, the
+    classic local-density measure (Watts–Strogatz). Defined (and
+    emitted) only for deg >= 2; triangle-free nodes report 0.
+
+    Determinism: T and deg are exact integers; the single double
+    division (2.0 * T first, then divide — one fixed association
+    order) is IEEE-identical in any engine, rounded at display.
+
+    Scale: the triangle join above plus one degree aggregate over the
+    symmetrized edges and one broadcast-sized left join — nothing
+    beyond the triangle enumeration itself."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    # two consumers (degree + triangles): cut once
+    e = cut_lineage(e)
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tc = triangle_counts(e)
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return (
+        deg.join(tc, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            n_tri.alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * n_tri
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -6725,26 +6725,77 @@ def embedding_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two equi-joins on edge endpoints; the candidate wedge set is
     sum-of-squared-degrees-bounded, the canonical distributed triangle
     enumeration (swap in degree-ordered orientation for skewed
-    graphs)."""
+    graphs). r15b: the enumeration lives in operators/graph.py
+    triangle_counts, shared with the clustering-coefficient query."""
+    from ..operators.graph import triangle_counts
+
     edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
         F.col("id_a").alias("s"), F.col("id_b").alias("d")
     )
-    x = edges.alias("x")
-    y = edges.alias("y")
-    z = edges.alias("z")
-    tri = (
-        x.join(y, F.col("x.d") == F.col("y.s"))
-        .join(z, (F.col("z.s") == F.col("x.s")) & (F.col("z.d") == F.col("y.d")))
-        .select(
-            F.col("x.s").alias("a"), F.col("x.d").alias("b"), F.col("y.d").alias("c")
-        )
+    return triangle_counts(edges).select(
+        F.col("node").alias("vec_id"), "n_triangles"
     )
-    membership = (
-        tri.select(F.col("a").alias("vec_id"))
-        .unionAll(tri.select(F.col("b").alias("vec_id")))
-        .unionAll(tri.select(F.col("c").alias("vec_id")))
+
+
+_CLUSTERING_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.35
+), sym AS (
+  SELECT s AS node, d AS u FROM e UNION ALL SELECT d, s FROM e
+), deg AS (
+  SELECT node, count(*) AS degree FROM sym GROUP BY node
+), tri AS (
+  SELECT x.s AS a, x.d AS b, y.d AS c
+  FROM e x JOIN e y ON x.d = y.s JOIN e z ON z.s = x.s AND z.d = y.d
+), membership AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), tc AS (
+  SELECT node, count(*) AS n_triangles FROM membership GROUP BY node
+)
+SELECT d.node AS vec_id, d.degree,
+       coalesce(tc.n_triangles, 0) AS n_triangles,
+       ROUND(2.0 * coalesce(tc.n_triangles, 0) /
+             (d.degree * (d.degree - 1)), 6) AS clustering
+FROM deg d LEFT JOIN tc USING (node)
+WHERE d.degree >= 2
+"""
+
+
+@query("embedding_clustering_coefficients", _CLUSTERING_ORACLE)
+def embedding_clustering_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient over the cosine-threshold
+    similarity graph (operators/graph.py clustering_coefficients):
+    cc(v) = 2 * T(v) / (deg(v) * (deg(v) - 1)) — what fraction of a
+    vector's similarity neighbors are themselves similar, the
+    Watts-Strogatz local-density measure. High cc = inside a tight
+    semantic clump (SemDeDup-style redundancy candidate); low cc with
+    high degree = a hub bridging clumps (diversity-preserving keeper).
+    T and degree stay exact integers; the one double division has a
+    fixed association order (2.0 * T first), so the oracle replays it
+    bit for bit. Emitted for deg >= 2 (where the measure is defined),
+    triangle-free nodes report 0.
+
+    Scale: the shared ordered-edge triangle enumeration plus one
+    degree aggregate and one left join — nothing beyond the triangle
+    query it composes."""
+    from ..operators.graph import clustering_coefficients
+
+    edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
     )
-    return membership.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return clustering_coefficients(edges).select(
+        F.col("node").alias("vec_id"), "degree", "n_triangles", "clustering"
+    )
 
 
 def _kcore_oracle(k: int = 2, n_rounds: int = 6) -> str:

@@ -277,3 +277,39 @@ def test_bfs_source_already_closer(spark):
     src = spark.createDataFrame([(1,), (2,)], "node long")
     got = {r.node: r.hop for r in bfs_hops(e, src, max_hops=4).collect()}
     assert got == {1: 0, 2: 0, 3: 1}
+
+
+def test_clustering_coefficients_small_graph(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import (
+        clustering_coefficients,
+        triangle_counts,
+    )
+
+    # triangle 1-2-3 plus pendant edge 3-4 (ordered s < d)
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "s long, d long"
+    )
+    tri = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert tri == {1: 1, 2: 1, 3: 1}
+    cc = {
+        r.node: (r.degree, r.n_triangles, r.clustering)
+        for r in clustering_coefficients(e).collect()
+    }
+    # node 4 (degree 1) is excluded; node 3 has 3 neighbors, 1 of the
+    # 3 neighbor pairs connected
+    assert cc == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(1 / 3, 6)),
+    }
+
+
+def test_clustering_coefficient_triangle_free(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # path 1-2-3: node 2 has degree 2, zero triangles -> cc 0
+    e = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
+    cc = {r.node: r.clustering for r in clustering_coefficients(e).collect()}
+    assert cc == {2: 0.0}
