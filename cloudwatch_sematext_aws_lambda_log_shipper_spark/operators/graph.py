@@ -370,3 +370,55 @@ def clustering_coefficients(
             ).alias("clustering"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "s", dst_col: str = "d"
+) -> DataFrame:
+    """Newman's degree assortativity coefficient for an undirected
+    graph given as ordered edges (src < dst): the Pearson correlation
+    of endpoint degrees over the DIRECTED edge list (each undirected
+    edge contributes both orientations — the standard symmetrized
+    form). r > 0 = hubs attach to hubs (assortative), r < 0 = hubs
+    attach to leaves (disassortative; similarity graphs with
+    hub-and-spoke near-dup clusters trend here).
+
+    With the symmetric edge list the x- and y-moments are identical,
+    so r reduces to an exact INTEGER ratio:
+        r = (M * S_xy - S_x^2) / (M * S_xx - S_x^2)
+    (M = directed edge count, S_x = sum deg, S_xy = sum deg_u*deg_v,
+    S_xx = sum deg^2) — one double division at the end, NULL for
+    degree-regular graphs (denominator 0, r undefined).
+
+    Output: one row (m_edges, num, den, assortativity).
+
+    Scale: one degree aggregate + two broadcast-sized joins to tag
+    each edge with endpoint degrees + one global aggregate of four
+    integer sums — no window, no collect; the output is a scalar."""
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = cut_lineage(sym)  # degree aggregate + edge tagging both read it
+    deg = sym.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tagged = (
+        sym.join(deg.select(F.col("node").alias("s"),
+                            F.col("deg").alias("dx")), "s")
+        .join(deg.select(F.col("node").alias("d"),
+                         F.col("deg").alias("dy")), "d")
+    )
+    sums = tagged.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        (F.col("m") / 2).cast("long").alias("m_edges"),
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        F.when(den != F.lit(0),
+               F.round(num.cast("double") / den, 6)).alias("assortativity"),
+    )

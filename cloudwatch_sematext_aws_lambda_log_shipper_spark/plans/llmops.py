@@ -6798,6 +6798,64 @@ def embedding_clustering_coefficients(
     )
 
 
+_ASSORTATIVITY_ORACLE = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), e AS (
+  SELECT a.vec_id AS s, b.vec_id AS d
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.35
+), sym AS (
+  SELECT s, d FROM e UNION ALL SELECT d, s FROM e
+), deg AS (
+  SELECT s AS node, count(*) AS deg FROM sym GROUP BY s
+), tagged AS (
+  SELECT dx.deg AS dxv, dy.deg AS dyv
+  FROM sym JOIN deg dx ON sym.s = dx.node JOIN deg dy ON sym.d = dy.node
+), sums AS (
+  SELECT count(*) AS m, SUM(dxv) AS sx, SUM(dxv * dyv) AS sxy,
+         SUM(dxv * dxv) AS sxx
+  FROM tagged
+)
+SELECT CAST(m / 2 AS BIGINT) AS m_edges,
+       CAST(m * sxy - sx * sx AS BIGINT) AS num,
+       CAST(m * sxx - sx * sx AS BIGINT) AS den,
+       CASE WHEN m * sxx - sx * sx != 0
+            THEN ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                       / (m * sxx - sx * sx), 6)
+       END AS assortativity
+FROM sums
+"""
+
+
+@query("embedding_degree_assortativity", _ASSORTATIVITY_ORACLE)
+def embedding_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman's degree assortativity over the cosine-threshold
+    similarity graph (operators/graph.py degree_assortativity): do
+    similarity hubs attach to hubs (r > 0) or to leaves (r < 0)? A
+    strongly disassortative similarity graph means hub-and-spoke
+    near-dup clusters — one canonical surrounded by satellites — which
+    changes which dedup keep-rule is appropriate. With the symmetric
+    edge list the coefficient is an exact INTEGER ratio
+    (M*Sxy - Sx^2) / (M*Sxx - Sx^2); the numerator/denominator ship
+    as BIGINTs beside the one rounded double division, so the oracle
+    replays it exactly; NULL for degree-regular graphs.
+
+    Scale: a degree aggregate, two joins tagging each directed edge
+    with endpoint degrees, one four-sum global aggregate — scalar
+    output, no window, no collect."""
+    from ..operators.graph import degree_assortativity
+
+    edges = cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.35).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    )
+    return degree_assortativity(edges)
+
+
 def _kcore_oracle(k: int = 2, n_rounds: int = 6) -> str:
     """Chained-CTE replay of k-core peeling over the cosine-threshold
     graph: round t recounts degrees among round t-1 survivors."""

@@ -313,3 +313,20 @@ def test_clustering_coefficient_triangle_free(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "s long, d long")
     cc = {r.node: r.clustering for r in clustering_coefficients(e).collect()}
     assert cc == {2: 0.0}
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star K_{1,3}: center deg 3, leaves deg 1 -> r = -1 exactly
+    star = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "s long, d long")
+    r = degree_assortativity(star).collect()[0]
+    assert (r.m_edges, r.assortativity) == (3, -1.0)
+    # 4-cycle: degree-regular -> denominator 0 -> NULL
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "s long, d long"
+    )
+    r = degree_assortativity(cyc).collect()[0]
+    assert r.den == 0 and r.assortativity is None
