@@ -2379,3 +2379,98 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
     )
+
+
+_CHANGEPOINT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+), pre AS (
+  SELECT day,
+         SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s1,
+         ROW_NUMBER() OVER (ORDER BY day) AS n1
+  FROM daily
+), tot AS (
+  SELECT SUM(x) AS s, count(*) AS n FROM daily
+), sc AS (
+  SELECT day, n1, t.n - n1 AS n2, s1, t.s - s1 AS s2,
+         CAST(s1 * s1 * (t.n - n1) + (t.s - s1) * (t.s - s1) * n1 AS DOUBLE)
+           / (n1 * (t.n - n1)) AS v,
+         t.s AS s, t.n AS n
+  FROM pre, tot t WHERE n1 < t.n
+)
+SELECT day AS split_day,
+       CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+       ROUND(CAST(s1 AS DOUBLE) / n1, 6) AS mean_pre,
+       ROUND(CAST(s2 AS DOUBLE) / n2, 6) AS mean_post,
+       ROUND(v - CAST(s AS DOUBLE) * s / n, 6) AS sse_gain
+FROM sc ORDER BY v DESC, day LIMIT 1
+"""
+
+
+@query("events_changepoint", _CHANGEPOINT_ORACLE)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares changepoint detection on the daily event-count
+    series: the split day s minimizing total within-segment SSE —
+    binary segmentation's single step (Scott & Knott; the primitive
+    CUSUM/PELT families iterate), the "did the level shift, and when"
+    question behind deploy/incident forensics on log volume.
+
+    Exact-arithmetic discipline: minimizing SSE(s) is maximizing
+    V(s) = S1^2*n2 + S2^2*n1 (over n1*n2), where S/n are integer
+    prefix sums/counts of the daily series. Every operand stays an
+    exact integer below 2^53 (S^2*n at any plausible daily-count
+    scale), so the ONE double division per candidate split is
+    IEEE-identical in both engines and the argmax (ties -> earliest
+    day) replays exactly; means and the SSE gain are derived from the
+    same integers and rounded at display.
+
+    Scale: the corpus collapses to one row per calendar DAY in the
+    first map-side-combined aggregate; the global prefix-sum window
+    and the top-1 run over that calendar-bounded frame (the
+    events_cumulative_users boundedness argument — whitelisted in the
+    plan audit with the same reason), and the result is a single
+    row via TakeOrderedAndProject, never a global sort of facts."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("x").over(w).alias("s1"),
+        F.row_number().over(Window.orderBy("day")).alias("n1"),
+    )
+    tot = daily.agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    sc = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n"))
+        .withColumn("n2", F.col("n") - F.col("n1"))
+        .withColumn("s2", F.col("s") - F.col("s1"))
+        .withColumn(
+            "v",
+            (
+                F.col("s1") * F.col("s1") * F.col("n2")
+                + F.col("s2") * F.col("s2") * F.col("n1")
+            ).cast("double")
+            / (F.col("n1") * F.col("n2")),
+        )
+    )
+    return (
+        sc.orderBy(F.col("v").desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("n1").cast("long").alias("n_pre"),
+            F.col("n2").cast("long").alias("n_post"),
+            F.round(F.col("s1").cast("double") / F.col("n1"), 6).alias("mean_pre"),
+            F.round(F.col("s2").cast("double") / F.col("n2"), 6).alias("mean_post"),
+            F.round(
+                F.col("v")
+                - F.col("s").cast("double") * F.col("s") / F.col("n"),
+                6,
+            ).alias("sse_gain"),
+        )
+    )

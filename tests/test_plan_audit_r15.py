@@ -36,6 +36,11 @@ WHITELIST = {
         "cumulative sum over the per-day NEW-user aggregate: one row per "
         "calendar day — grows with the time horizon, not the corpus"
     ),
+    "events_changepoint": (
+        "prefix sums for the SSE split scan run over the per-day count "
+        "aggregate: one row per calendar day — grows with the time "
+        "horizon, not the corpus (the events_cumulative_users argument)"
+    ),
 }
 
 

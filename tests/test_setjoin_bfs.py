@@ -330,3 +330,31 @@ def test_degree_assortativity_star_and_cycle(spark):
     )
     r = degree_assortativity(cyc).collect()[0]
     assert r.den == 0 and r.assortativity is None
+
+
+def test_changepoint_finds_planted_step(spark, monkeypatch, tmp_path):
+    # a synthetic daily series with a clean level shift: 20 days at
+    # ~10/day then 20 days at ~30/day -> the split must land on the
+    # boundary and the means must match the construction
+    import datetime
+
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.plans.analytics import (
+        events_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(40):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        for k in range(10 if d < 20 else 30):
+            rows.append((eid, day + datetime.timedelta(seconds=k)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r.split_day) == "2024-01-20"  # last low day closes segment 1
+    assert (r.n_pre, r.n_post) == (20, 20)
+    assert (r.mean_pre, r.mean_post) == (10.0, 30.0)
+    assert r.sse_gain > 0
