@@ -224,6 +224,7 @@ def correlate_error_context(
     parsed: DataFrame,
     max_skew: str = "5 minutes",
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every error log paired with the
     same-request debug lines within +/- max_skew of event time — the
@@ -234,7 +235,28 @@ def correlate_error_context(
     older than watermark + skew are evicted). An equi-only stream-stream
     join would grow state forever — that shape is rejected by design.
 
-    Works identically on batch frames (plain interval self-join).
+    ``how="left_outer"`` keeps errors that found NO context within the
+    window — the ops-relevant inverse ("failures with nothing around
+    them"). Outer rows (NULL context columns) are emitted only once the
+    context-side watermark has passed error_time + skew, i.e. when the
+    engine can PROVE no matching context can still arrive — so a
+    micro-batch run emits them on a LATER trigger than the matches, and
+    the last errors of a stopped stream emit on the next restart that
+    advances the watermark (standard Structured Streaming outer-join
+    semantics, exercised across a checkpoint restart in
+    test_streaming.py).
+
+    Operational gotcha (pinned in the test): both sides split from ONE
+    source, and the GLOBAL watermark is the MIN over the two watermark
+    nodes — each of which only sees its own filtered slice. A quiet
+    period with context traffic but no new ERRORS leaves the
+    error-side watermark (and so the outer-row horizon) frozen; outer
+    rows flush only when both slices see later event time. The default
+    multipleWatermarkPolicy=min is the correct (no-data-loss) choice —
+    do not flip it to max to force eager flushes.
+
+    Works identically on batch frames (plain interval self-join; outer
+    rows appear immediately — no watermark to wait for).
     """
     base = parsed.withColumn(
         "event_time", F.try_to_timestamp(F.col("`@timestamp`"))
@@ -258,6 +280,7 @@ def correlate_error_context(
         (F.col("request_id") == F.col("ctx_request_id"))
         & (F.col("context_time") >= F.col("error_time") - F.expr(f"INTERVAL {max_skew}"))
         & (F.col("context_time") <= F.col("error_time") + F.expr(f"INTERVAL {max_skew}")),
+        how,
     ).select(
         "request_id", "error_message", "error_time", "context_message", "context_time"
     )

@@ -480,3 +480,83 @@ def test_streaming_path_equals_run_batch_on_same_records(spark, tmp_path):
     got_rows = sorted(map(str, shipped.select(*sel).collect()))
     want_rows = sorted(map(str, want.select(*sel).collect()))
     assert got_rows == want_rows
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """left_outer interval join: an error with NO same-request context
+    must surface with NULL context columns — but only once the
+    context-side watermark PROVES nothing can still arrive (standard
+    outer-join semantics), which here takes a later file advancing
+    event time, processed across a checkpoint restart."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.streaming import (
+        correlate_error_context,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    ck = str(tmp_path / "ck")
+
+    msgs_a = [
+        # r1: error + context 60s later -> inner match
+        f'{{"message":"boom error","requestId":"r1","timestamp":"{TS1}"}}',
+        f'{{"message":"ctx a","requestId":"r1","timestamp":"{TS2}"}}',
+        # r9: error with NO context -> must eventually emit NULL-context
+        f'{{"message":"solo error","requestId":"r9","timestamp":"{TS1}"}}',
+    ]
+    write_event_file(inp, "a.json", [payload(msgs_a)])
+
+    out = str(tmp_path / "out")
+
+    def run_once() -> list[tuple]:
+        stream = stream_kinesis_event_files(spark, str(inp))
+        joined = correlate_error_context(
+            parse_kinesis_records(stream, observe=False), how="left_outer"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wait_done(q)
+        return [
+            (r.request_id, r.error_message, r.context_message)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    collected = run_once()
+    # the unmatched error cannot have emitted yet: the watermark from
+    # file A alone sits BEFORE error_time + skew
+    assert ("r9", "solo error", None) not in collected
+
+    # far-future traffic advances the watermark past r9's horizon.
+    # BOTH watermark nodes must move (the global watermark is their
+    # MIN — a context-only file would leave the error-side watermark,
+    # and so the join horizon, stuck), so the later files carry an
+    # error AND a context line. Restart from the checkpoint (state +
+    # watermark recover) — give the engine up to two restarts for the
+    # eviction batch.
+    for i, ts in enumerate(
+        ("2024-01-01T12:00:00.000Z", "2024-01-01T13:00:00.000Z")
+    ):
+        write_event_file(
+            inp,
+            f"later{i}.json",
+            [payload([
+                f'{{"message":"later error","requestId":"r2","timestamp":"{ts}"}}',
+                f'{{"message":"ctx later","requestId":"r2","timestamp":"{ts}"}}',
+            ])],
+        )
+        collected = run_once()
+        if ("r9", "solo error", None) in collected:
+            break
+
+    assert ("r9", "solo error", None) in collected
+    # the matched pair emitted exactly once across all runs/restarts
+    assert collected.count(("r1", "boom error", "ctx a")) == 1
+    # and no spurious outer row for the error that DID match
+    assert ("r1", "boom error", None) not in collected
