@@ -150,7 +150,7 @@ def train_wordpiece(
     a broadcast join of pair rows against the two unigram counts, a
     TakeOrdered(1) argmax, and the shared Arrow merge pass."""
     wf = word_freq_table(docs, text_col, word_filter)
-    symtab = cut_lineage(_initial_symbols(wf), checkpoint_dir)
+    symtab = cut_lineage(_initial_symbols(wf), checkpoint_dir, eager=False)
     merges = []
     for step in range(1, n_merges + 1):
         pairs = _pair_counts(symtab).filter(
@@ -197,7 +197,11 @@ def train_wordpiece(
             )
         )
         symtab = cut_lineage(
-            _merge_pass(symtab, t["left"], t["right"]), checkpoint_dir
+            _merge_pass(symtab, t["left"], t["right"]), checkpoint_dir,
+            # r15: lazy — the next step's take(1) (or the caller's
+            # first action) materializes it; the eager form cost one
+            # dedicated job per merge step
+            eager=False,
         )
     return merges, symtab
 

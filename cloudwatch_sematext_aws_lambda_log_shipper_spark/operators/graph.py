@@ -60,7 +60,10 @@ def pagerank(
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
-    nodes = cut_lineage(nodes, checkpoint_dir)
+    # lazy cut: the count() right below materializes it in the same
+    # job (r15 — eager cuts each cost a dedicated job; values and the
+    # lineage-truncation effect are identical, guide §1.2/§2.4)
+    nodes = cut_lineage(nodes, checkpoint_dir, eager=False)
     n = nodes.count()
     if n == 0:
         # Empty edge set (tiny or fully-filtered corpus): no nodes, no
@@ -72,7 +75,7 @@ def pagerank(
             F.lit(None).cast("double").alias("pr"),
         )
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ew = cut_lineage(e.join(outdeg, "_src"), checkpoint_dir)
+    ew = cut_lineage(e.join(outdeg, "_src"), checkpoint_dir, eager=False)
 
     teleport = (MASS * 15) // (100 * n)
     state = nodes.withColumn("s", F.lit(MASS // n).cast("long"))
@@ -97,11 +100,13 @@ def pagerank(
             )
         )
         # cut every SECOND iteration (and after the last): a 2-deep
-        # join nest analyzes fine, and each eager cut is a full
-        # materialization job — cadence 2 halves those. Values are
-        # identical (the cut only truncates lineage).
+        # join nest analyzes fine. Values are identical (the cut only
+        # truncates lineage). LAZY cuts (r15): the plan-depth bound is
+        # the same, but materialization folds into the single final
+        # action instead of one scheduled job per cut — the persisted
+        # blocks are still computed exactly once each.
         if i % 2 == 1 or i == n_iter - 1:
-            state = cut_lineage(state, checkpoint_dir)
+            state = cut_lineage(state, checkpoint_dir, eager=False)
     return state.select(
         "node",
         F.col("s").alias("pr_scaled"),
@@ -143,15 +148,17 @@ def label_propagation(
         )
         .distinct()
     )
-    e = cut_lineage(e, checkpoint_dir)
+    e = cut_lineage(e, checkpoint_dir, eager=False)
     nodes = cut_lineage(
-        e.select(F.col("_src").alias("node")).distinct(), checkpoint_dir
+        e.select(F.col("_src").alias("node")).distinct(), checkpoint_dir,
+        eager=False,
     )
     e = cut_lineage(
         e.unionByName(
             nodes.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
         ),
         checkpoint_dir,
+        eager=False,
     )
     state = nodes.withColumn("lbl", F.col("node"))
     for i in range(n_iter):
@@ -175,8 +182,11 @@ def label_propagation(
         # NO cadence here (unlike pagerank): state is referenced TWICE
         # per iteration (the votes join AND the label carry), so an
         # uncut level would re-evaluate the previous iteration's work
-        # once per reference — the cut per iteration is load-bearing
-        state = cut_lineage(state, checkpoint_dir)
+        # once per reference — the cut per iteration is load-bearing.
+        # LAZY (r15): the persisted blocks still compute exactly once
+        # (both consumers read the same persisted RDD within the final
+        # action's job); only the per-cut scheduled jobs disappear.
+        state = cut_lineage(state, checkpoint_dir, eager=False)
     return state.select("node", F.col("lbl").alias("community"))
 
 
@@ -208,7 +218,7 @@ def kcore_survivors(
         )
         .distinct()
     )
-    e = cut_lineage(e, checkpoint_dir)
+    e = cut_lineage(e, checkpoint_dir, eager=False)
     survivors = e.select(F.col("_src").alias("node")).distinct()
     prev = survivors
     last = None
@@ -224,7 +234,8 @@ def kcore_survivors(
         if r == n_rounds - 1:
             prev = survivors  # round n-1 survivors, for the converged flag
         survivors = cut_lineage(
-            deg.filter(F.col("degree") >= k).select("node"), checkpoint_dir
+            deg.filter(F.col("degree") >= k).select("node"), checkpoint_dir,
+            eager=False,  # r15: materializes in the final counts' job
         )
         last = deg.filter(F.col("degree") >= k)
     if last is None:

@@ -500,9 +500,13 @@ def ann_topk_ivf_exact(
     assigned = _assign_exact(cn, centers, dim, "neighbor_id",
                              est_rows=est_scored_rows)
     probes = _query_probes_exact(qn, centers, nprobe, dim)
-    scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
-                        est_rows=est_scored_rows)
+    # r15 opt: the probe-scoring fold runs in the Arrow numpy kernel
+    # (fold_dot_frame — bit-identical doubles) instead of a per-row
+    # interpreted HOF fold fused into the join projection (guide §4.2).
+    scored = fold_dot_frame(
+        assigned.join(F.broadcast(probes), "_cl"),
+        "_qu", "_u", ["query_id", "neighbor_id"],
+        dim=dim, est_rows=est_scored_rows,
     )
     return _rank_topk(scored, k)
 
@@ -598,9 +602,12 @@ def query_ivf_index_exact(
         .filter(F.col("cluster").isin(needed))
         .withColumnRenamed("cluster", "_cl")
     )
-    scored = assigned.join(F.broadcast(probes), "_cl").withColumn(
-        "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
-                        est_rows=est_scored_rows)
+    # r15 opt: Arrow numpy fold kernel for the probe scoring (see
+    # ann_topk_ivf_exact) — bit-identical, partition pruning unchanged.
+    scored = fold_dot_frame(
+        assigned.join(F.broadcast(probes), "_cl"),
+        "_qu", "_u", ["query_id", "neighbor_id"],
+        dim=dim, est_rows=est_scored_rows,
     )
     return _rank_topk(scored, k)
 
@@ -1096,6 +1103,123 @@ def _exact_fold_pairwise(Q, C):
     for d in range(Q.shape[1]):
         acc += Q[:, d] * C[:, d]
     return acc
+
+
+def fold_dot_frame(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: list[str],
+    out: str = "cos",
+    normalize: bool = False,
+    dim: int | None = None,
+    est_rows: int | None = None,
+) -> DataFrame:
+    """Per-row left-fold dot of two array columns as ONE Arrow-batched
+    numpy pass — bit-identical per row to ``dot_cols`` / the
+    interpreted HOF fold (the _exact_fold_pairwise sequence), just
+    vectorized ACROSS rows, the same kernel boundary the LSH-768 path
+    and exact_fold_topk already use. ``normalize=True`` emits the raw
+    cosine fold(a,b) / (sqrt(fold(a,a)) * sqrt(fold(b,b))) — the exact
+    expression :func:`similarity.cosine` builds, including its IEEE
+    0/0 -> NaN behavior (NO zero guard, deliberately). A NULL array on
+    either side yields NULL, matching the SQL fold.
+
+    Why: stacking the fold INTO the scoring projection after a join
+    leaves it interpreted at bench scale (dot_cols' cost rule) or
+    join-fused codegen at 100 TB scale (measured 8-25x slower than a
+    standalone Project — see the kernel-section note below); this pass
+    moves only the columns it needs across the Arrow boundary
+    (guide §4.1/4.2) and pays numpy-vectorized fold throughput.
+
+    The choice is logged through the shared dot-decision ring
+    (``dim``/``est_rows`` are record-keeping only here), so the
+    committed BENCH record keeps per-ANN-query (est_rows, strategy)
+    pairs (r14 verdict #6). ``SPARK_GRAFT_FOLD_KERNEL=sql`` forces the
+    SQL-expression form back on (the dot_cols cost rule as before) —
+    the bit-equality flip-test hook, same pattern as
+    SPARK_GRAFT_DOT_UNROLL."""
+    import numpy as np
+
+    from .similarity import _log_dot_strategy, cosine
+
+    if os.environ.get("SPARK_GRAFT_FOLD_KERNEL", "").strip().lower() == "sql":
+        _log_dot_strategy(
+            "sql-fold-scoring", dim or -1,
+            "SPARK_GRAFT_FOLD_KERNEL=sql", est_rows,
+        )
+        from .similarity import dot
+
+        a, b = F.col(a_col), F.col(b_col)
+        if normalize:
+            if dim is None:
+                expr = cosine(a, b)
+            else:
+                expr = dot_cols(a, b, dim, est_rows=est_rows) / (
+                    F.sqrt(dot_cols(a, a, dim, est_rows=est_rows))
+                    * F.sqrt(dot_cols(b, b, dim, est_rows=est_rows))
+                )
+        else:
+            expr = (
+                dot(a, b) if dim is None
+                else dot_cols(a, b, dim, est_rows=est_rows)
+            )
+        return df.select(*keep_cols, expr.alias(out))
+    _log_dot_strategy(
+        "numpy-fold", dim or -1, "Arrow-batched pairwise fold kernel",
+        est_rows,
+    )
+    schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    ) + f", {out} double"
+    cols = df.select(*keep_cols, a_col, b_col)
+    nk = len(keep_cols)
+
+    # mapInArrow, NOT mapInPandas: the pandas->Arrow serializer treats
+    # NaN in a double column as NULL, which would silently rewrite the
+    # 0/0 cosine into a missing value; building the result column with
+    # pyarrow directly (explicit null mask, from_pandas=False) keeps
+    # NaN a VALUE and NULL a mask bit, and the keep_cols pass through
+    # as untouched Arrow buffers (no pandas round-trip at all).
+    def kern(batches, _norm=normalize, _nk=nk, _out=out):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            a_arr, b_arr = batch.column(_nk), batch.column(_nk + 1)
+            null_mask = np.zeros(n, dtype=bool)
+            for arr in (a_arr, b_arr):
+                if arr.null_count:
+                    null_mask |= np.asarray(arr.is_null())
+            vals = np.full(n, np.nan, dtype=np.float64)
+            mask = ~null_mask
+            if mask.any():
+                alist = a_arr.to_pylist()
+                blist = b_arr.to_pylist()
+                idx = np.nonzero(mask)[0]
+                A = np.stack(
+                    [np.asarray(alist[i], dtype=np.float64) for i in idx]
+                )
+                B = np.stack(
+                    [np.asarray(blist[i], dtype=np.float64) for i in idx]
+                )
+                acc = _exact_fold_pairwise(A, B)
+                if _norm:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        acc = acc / (_fold_norms(A) * _fold_norms(B))
+                vals[idx] = acc
+            cos_arr = pa.array(
+                vals, type=pa.float64(),
+                mask=null_mask if null_mask.any() else None,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(_nk)] + [cos_arr],
+                names=list(batch.schema.names[:_nk]) + [_out],
+            )
+
+    return cols.mapInArrow(kern, schema)
 
 
 def exact_fold_topk(

@@ -1188,12 +1188,19 @@ def _rescore_topk(c, cands, k: int, id_col: str, out_col: str):
     WHICH candidates reached this exact ranking."""
     from pyspark.sql import Window
 
+    from .ivf_exact import fold_dot_frame
+
     left = c.select(F.col("_id").alias("src"), F.col("_v").alias("_va"))
     right = c.select(F.col("_id").alias("dst"), F.col("_v").alias("_vb"))
-    scored = (
-        cands.join(left, "src")
-        .join(right, "dst")
-        .select("src", "dst", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+    # r15 opt: the candidate rescore runs the Arrow numpy fold-cosine
+    # kernel (fold_dot_frame normalize=True — the exact `cosine()`
+    # expression per row, vectorized across rows) instead of an
+    # interpreted HOF cosine per candidate (guide §4.2). Bit-identical
+    # values; n*(k+margin) candidate rows stop paying ~3 folds of
+    # per-element lambda dispatch each.
+    scored = fold_dot_frame(
+        cands.join(left, "src").join(right, "dst"),
+        "_va", "_vb", ["src", "dst"], out="_cos", normalize=True,
     )
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
     return (

@@ -1082,7 +1082,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `recall_at_k` vs the exact top-k rides along as an output column
     and `recall_ok` gates the mean at 0.45 — now itself hash-checked
     rather than a rows-only waiver."""
-    from ..operators.ivf_exact import ann_topk_ivf_exact
+    from ..operators.ivf_exact import ann_topk_ivf_exact, exact_fold_topk
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -1090,7 +1090,11 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, _ = _ivf_fit_cached(spark, sf_dir, corpus, want_books=False)
     ann = ann_topk_ivf_exact(corpus=corpus, queries=queries, k=5,
                              centers=centers)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
+    # r15 opt: the exact audit side runs the numpy fold kernel
+    # (exact_fold_topk — bit-identical top-k to cosine_topk, already
+    # the 768 twins' audit) instead of an interpreted HOF cosine per
+    # (corpus x query) pair (guide §4.2).
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=_IVF_FLOOR)
 
 
@@ -1262,14 +1266,15 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold cosine ranks. Data-independent (no fit) — lower recall than
     IVF on near-uniform vectors by design; `recall_at_k` + the 0.25
     gate ride along as hash-checked columns."""
-    from ..operators.ivf_exact import ann_topk_lsh_exact
+    from ..operators.ivf_exact import ann_topk_lsh_exact, exact_fold_topk
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
     queries = emb.filter(F.col("vec_id") < 10)
     ann = ann_topk_lsh_exact(corpus=corpus, queries=queries, k=5,
                              num_planes=4)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
+    # r15 opt: numpy fold-kernel audit (see embedding_ann_ivf)
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5, min_mean_recall=_LSH_FLOOR)
 
 
@@ -2520,6 +2525,7 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.ivf_exact import (
         build_ivf_index_exact,
+        exact_fold_topk,
         query_ivf_index_exact,
     )
     from .synthcache import materialize_dir
@@ -2541,7 +2547,9 @@ def embedding_ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         writer=_write,
     )
     ann = query_ivf_index_exact(spark, path, queries, k=5)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5)
+    # r15 opt: numpy fold-kernel audit (see embedding_ann_ivf); this
+    # site previously ran the fully-interpreted HOF cosine (no dim arg)
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     # same floor as the one-shot IVF — a stale/degenerate persisted
     # index flips recall_ok in the emitted snapshot (and now fails the
     # hash compare outright)
@@ -5178,7 +5186,7 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old m=4x16 point saturated at ~0.26 recall (the r14 verdict's
     'documented-bad operating point'), so the un-suffixed query now
     serves the recommended curve point at BOTH dims."""
-    from ..operators.ivf_exact import ann_topk_ivfpq_exact
+    from ..operators.ivf_exact import ann_topk_ivfpq_exact, exact_fold_topk
 
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") >= 10)
@@ -5190,7 +5198,8 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_topk_ivfpq_exact(corpus=corpus, queries=queries, k=5,
                                m=16, n_codes=64,
                                artifacts=(centers, books, codes_df))
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
+    # r15 opt: numpy fold-kernel audit (see embedding_ann_ivf)
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVFPQ_FLOOR)
 
@@ -5212,6 +5221,7 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.ivf_exact import (
         build_ivfpq_index_exact,
+        exact_fold_topk,
         query_ivfpq_index_exact,
     )
     from .synthcache import materialize_dir
@@ -5237,7 +5247,8 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         supersedes=("ivfpqx", "ivfpqx-c16m4n16i3p2"),
     )
     ann = query_ivfpq_index_exact(spark, path, queries, k=5, m=16)
-    exact = cosine_topk(corpus=corpus, queries=queries, k=5, dim=_IVF_DIM)
+    # r15 opt: numpy fold-kernel audit (see embedding_ann_ivf)
+    exact = exact_fold_topk(corpus=corpus, queries=queries, k=5)
     return with_recall_at_k(ann, exact, k=5,
                             min_mean_recall=_IVFPQ_FLOOR)
 

@@ -105,7 +105,13 @@ def test_one_shot_ivf_derives_estimate_and_flips_strategy(
 def test_persisted_ivf_index_derives_estimate_from_footers(
     spark, tmp_path, monkeypatch
 ):
+    # r15: the probe-scoring stage runs the Arrow numpy fold kernel
+    # (fold_dot_frame) — the derived footer estimate now feeds the
+    # DECISION RECORD for that kernel rather than a dot_cols branch,
+    # and SPARK_GRAFT_FOLD_KERNEL=sql flips the scoring back to the
+    # SQL-expression form for the bit-equality pin.
     monkeypatch.delenv("SPARK_GRAFT_DOT_UNROLL", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_FOLD_KERNEL", raising=False)
     corpus = _mk_vectors(spark, 40, 8)
     queries = _mk_vectors(spark, 5, 8, start=100)
     path = str(tmp_path / "ivf")
@@ -113,20 +119,27 @@ def test_persisted_ivf_index_derives_estimate_from_footers(
         corpus, path, n_clusters=4, iters=1, dim=8
     )
 
-    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10)
+    similarity.drain_dot_decisions()
     similarity._logged_strategies.clear()
     lo = ivf_exact.query_ivf_index_exact(
         spark, path, queries, k=3, nprobe=2, dim=8
     ).collect()
-    assert "est_rows >= crossover" in _reasons_for("unrolled")
+    # the footer-derived estimate (5 queries * 40 corpus rows * 2/4
+    # probes = 50) reached the scoring kernel's decision record
+    recs = [
+        d for d in similarity.drain_dot_decisions()
+        if d["strategy"] == "numpy-fold"
+    ]
+    assert recs and recs[0]["est_rows"] == int(5 * 40 * 2 / 4)
 
-    monkeypatch.setattr(similarity, "DOT_UNROLL_CROSSOVER_ROWS", 10**9)
+    monkeypatch.setenv("SPARK_GRAFT_FOLD_KERNEL", "sql")
     similarity._logged_strategies.clear()
     hi = ivf_exact.query_ivf_index_exact(
         spark, path, queries, k=3, nprobe=2, dim=8
     ).collect()
-    assert "est_rows below crossover" in _reasons_for("hof-fold")
+    assert "SPARK_GRAFT_FOLD_KERNEL=sql" in _reasons_for("sql-fold-scoring")
     assert sorted(map(tuple, lo)) == sorted(map(tuple, hi))
+    monkeypatch.delenv("SPARK_GRAFT_FOLD_KERNEL", raising=False)
 
     # the one-shot path and the persisted index agree exactly
     similarity._logged_strategies.clear()
