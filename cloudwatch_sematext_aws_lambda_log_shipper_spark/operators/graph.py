@@ -29,12 +29,42 @@ connected-components lesson). Driver holds nothing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .lineage import cut_lineage
 
 MASS = 1_000_000_000_000  # 10^12
+
+# Crossover for pre-hash-partitioning the frames an iterative graph
+# algorithm re-joins every round (opt r15, guide §2.4). Below it the
+# per-iteration joins broadcast (edge frames this small cost more to
+# pre-shuffle than they save — measured +0.6 s on embedding_pagerank
+# at sf0.1); above it the edge side can no longer broadcast and every
+# iteration would otherwise re-shuffle the biggest frame in the
+# algorithm, so one up-front hash exchange replaces n_iter of them.
+# Same env-overridable crossover discipline as the ANN dot cost rule.
+GRAPH_PREPARTITION_MIN_EDGES = int(
+    os.environ.get("GRAPH_PREPARTITION_MIN_EDGES", "5000000")
+)
+
+
+def _maybe_prepartition(
+    df: DataFrame, key: str, est_edges: int | None
+) -> DataFrame:
+    """Hash-partition ``df`` on ``key`` (pinned partition count, so
+    localCheckpoint preserves a partitioning the iteration joins can
+    reuse) when the caller-supplied edge estimate clears the
+    crossover; identity otherwise. Values are identical either way —
+    only the exchange placement changes."""
+    if est_edges is None or est_edges < GRAPH_PREPARTITION_MIN_EDGES:
+        return df
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return df.repartition(nparts, key)
 
 
 def pagerank(
@@ -43,6 +73,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    est_edges: int | None = None,
 ) -> DataFrame:
     """(node, pr_scaled, pr) for every node appearing in ``edges``
     (either side). ``pr_scaled`` is the exact BIGINT state after
@@ -51,7 +82,16 @@ def pagerank(
     ``checkpoint_dir`` upgrades the per-iteration lineage cut to a
     RELIABLE checkpoint (operators/lineage.py) — executor loss on a
     real cluster recomputes from checkpoint files instead of killing
-    the whole iteration chain. Identical results either way."""
+    the whole iteration chain. Identical results either way.
+
+    ``est_edges`` (e.g. k x the corpus footer row bound for a k-NN
+    graph) feeds the pre-partitioning cost rule: past
+    GRAPH_PREPARTITION_MIN_EDGES, ``ew`` and ``nodes`` are
+    hash-partitioned on their join keys ONCE before the cut, so each
+    of the n_iter state⋈ew / nodes⋈contrib joins reuses the
+    materialized partitioning instead of re-shuffling the edge frame
+    (guide §2.4); below it the joins broadcast and the pre-shuffle
+    would be pure overhead. Identical values either way."""
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
@@ -60,6 +100,7 @@ def pagerank(
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
+    nodes = _maybe_prepartition(nodes, "node", est_edges)
     # lazy cut: the count() right below materializes it in the same
     # job (r15 — eager cuts each cost a dedicated job; values and the
     # lineage-truncation effect are identical, guide §1.2/§2.4)
@@ -75,7 +116,11 @@ def pagerank(
             F.lit(None).cast("double").alias("pr"),
         )
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    ew = cut_lineage(e.join(outdeg, "_src"), checkpoint_dir, eager=False)
+    ew = cut_lineage(
+        _maybe_prepartition(e.join(outdeg, "_src"), "_src", est_edges),
+        checkpoint_dir,
+        eager=False,
+    )
 
     teleport = (MASS * 15) // (100 * n)
     state = nodes.withColumn("s", F.lit(MASS // n).cast("long"))
@@ -120,6 +165,7 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    est_edges: int | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007), made deterministic: every node starts as its own
@@ -149,13 +195,30 @@ def label_propagation(
         .distinct()
     )
     e = cut_lineage(e, checkpoint_dir, eager=False)
+    # cost-ruled partitioning pin of the frames the iteration reuses
+    # (opt r15, guide §2.4 — see pagerank/_maybe_prepartition): the
+    # edge table by its join key _src, the node spine by node, so past
+    # the crossover the per-iteration votes join finds both sides
+    # hash-clustered and the only shuffles left are the two vote
+    # aggregations.
     nodes = cut_lineage(
-        e.select(F.col("_src").alias("node")).distinct(), checkpoint_dir,
+        _maybe_prepartition(
+            e.select(F.col("_src").alias("node")).distinct(),
+            "node",
+            est_edges,
+        ),
+        checkpoint_dir,
         eager=False,
     )
     e = cut_lineage(
-        e.unionByName(
-            nodes.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
+        _maybe_prepartition(
+            e.unionByName(
+                nodes.select(
+                    F.col("node").alias("_src"), F.col("node").alias("_dst")
+                )
+            ),
+            "_src",
+            est_edges,
         ),
         checkpoint_dir,
         eager=False,
@@ -255,6 +318,7 @@ def bfs_hops(
     dst_col: str = "dst",
     node_col: str = "node",
     checkpoint_dir: str | None = None,
+    est_edges: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop distance from any source node,
     bounded at ``max_hops`` — the reachability primitive behind
@@ -279,14 +343,22 @@ def bfs_hops(
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
     # one cut up front: every hop joins the edge table, and an
     # expensively-built edge frame (e.g. the k-NN graph) must not
-    # re-evaluate per hop (the pagerank `ew` lesson)
-    e = cut_lineage(e, checkpoint_dir)
+    # re-evaluate per hop (the pagerank `ew` lesson). LAZY (r15): hop
+    # 1's isEmpty materializes both; blocks still compute once each.
+    # Cost-ruled partitioning pin on the join key (opt r15, guide
+    # §2.4 — _maybe_prepartition): past the crossover each hop's
+    # frontier⋈edges join shuffles only the frontier side — the edge
+    # table, the big side at scale, never moves again.
+    e = cut_lineage(
+        _maybe_prepartition(e, "_src", est_edges), checkpoint_dir,
+        eager=False,
+    )
     state = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0).cast("int"))
     )
-    state = cut_lineage(state, checkpoint_dir)
+    state = cut_lineage(state, checkpoint_dir, eager=False)
     frontier = state
     for h in range(1, max_hops + 1):
         nxt = (
@@ -296,7 +368,11 @@ def bfs_hops(
             .join(state.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("int"))
         )
-        nxt = cut_lineage(nxt, checkpoint_dir)
+        # lazy: the isEmpty right below materializes partition 0 and
+        # Spark's post-job doCheckpoint fills the remaining partitions
+        # of the SAME persisted blocks — one scheduler round instead
+        # of a dedicated full job per hop
+        nxt = cut_lineage(nxt, checkpoint_dir, eager=False)
         if nxt.isEmpty():
             break
         # both union inputs are already materialized — the accumulated
@@ -359,8 +435,9 @@ def clustering_coefficients(
     symmetrized edges and one broadcast-sized left join — nothing
     beyond the triangle enumeration itself."""
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    # two consumers (degree + triangles): cut once
-    e = cut_lineage(e)
+    # two consumers (degree + triangles): cut once; lazy — the final
+    # action materializes it, both consumers read the same blocks (r15)
+    e = cut_lineage(e, eager=False)
     sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     deg = sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -408,7 +485,8 @@ def degree_assortativity(
     integer sums — no window, no collect; the output is a scalar."""
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    sym = cut_lineage(sym)  # degree aggregate + edge tagging both read it
+    # degree aggregate + edge tagging both read it; lazy cut (r15)
+    sym = cut_lineage(sym, eager=False)
     deg = sym.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

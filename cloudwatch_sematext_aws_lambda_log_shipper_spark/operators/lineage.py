@@ -38,7 +38,17 @@ def cut_lineage(
 ) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint()`` into
     ``checkpoint_dir`` when given (sets the context's checkpoint dir on
-    first use), else ``localCheckpoint``."""
+    first use), else ``localCheckpoint``.
+
+    ``eager=False`` defers materialization into the caller's next
+    action (one fewer scheduled job per cut) and is honored only for
+    the LOCAL path: a lazy RELIABLE checkpoint would compute the
+    subtree TWICE (the first action runs the plan, then Spark's
+    post-job ``doCheckpoint`` re-runs it end-to-end to write the
+    checkpoint files — the documented persist-before-checkpoint
+    caveat), so the reliable path stays eager regardless, trading one
+    scheduled job for single execution. Values are identical in every
+    mode; only materialization timing differs."""
     global _LAST_CHECKPOINT_DIR
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
@@ -47,4 +57,4 @@ def cut_lineage(
     if not current.isDefined() or _LAST_CHECKPOINT_DIR != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
         _LAST_CHECKPOINT_DIR = checkpoint_dir
-    return df.checkpoint(eager=eager)
+    return df.checkpoint(eager=True)

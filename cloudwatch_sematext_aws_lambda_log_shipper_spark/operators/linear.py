@@ -54,7 +54,7 @@ def linear_probe_gd(
     ``features``: one row per example; ``feature_cols`` integer columns
     (include an all-ones bias column yourself); ``label_col`` 0/1.
     """
-    feats = features.localCheckpoint(eager=True)
+    feats = features.localCheckpoint(eager=False)  # the count right below materializes it (r15)
     n = feats.count()
     if n == 0:
         raise ValueError("linear_probe_gd: empty training frame")

@@ -93,7 +93,17 @@ def with_global_rank(
     ranged = df.repartitionByRange(
         nparts, *[F.col(c) for c in pcols], *order_cols
     )
-    frozen = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint()
+    # LAZY cut (r15, guide §1.2): the counts collect in step 3 is the
+    # first action and materializes these blocks; the eager form paid
+    # one extra dedicated job per ranking pass. The physical plan of
+    # the checkpointed subtree is captured HERE either way (Dataset
+    # .localCheckpoint snapshots queryExecution.toRdd at call time),
+    # so the frozen-placement guarantee is unchanged: both consumers
+    # (the counts aggregate and the offset join) read the same
+    # materialized RDD blocks.
+    frozen = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
 
     # 3: per-(group, pid) counts -> prefix offsets + group totals.
     # The counts frame is <= |groups| x P rows — bounded by the output

@@ -260,7 +260,7 @@ def jaccard_prefix_join(
     ``jaccard_neighbor_stats`` for corpus-wide reports."""
     # three consumers of the tokenization (prefix build + both
     # verification sides): materialize it once
-    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=True)
+    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=False)  # lazy (r15)
     out = _verified_pairs(sets, threshold_num, threshold_den)
     union = F.col("la") + F.col("lb") - F.col("i")
     return out.select(
@@ -294,12 +294,15 @@ def jaccard_neighbor_stats(
     # the corpus tokenization feeds the identity hash AND (via the
     # unique-set semi join) every stage of the prefix join: one
     # materialization, not four recomputes of the regex split
-    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=True)
+    # lazy cuts (r15): the final action materializes each level once;
+    # the multi-consumer dedup these cuts exist for comes from the
+    # checkpoint boundary, not from materialization timing
+    sets = _token_sets(docs, text_col, id_col).localCheckpoint(eager=False)
     keyed, groups = _keyed_groups(sets)
-    groups = groups.localCheckpoint(eager=True)  # three consumers (semi join, c_other, expansion)
+    groups = groups.localCheckpoint(eager=False)  # three consumers (semi join, c_other, expansion)
     rep_sets = sets.join(
         groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)  # prefix build + both verification sides
+    ).localCheckpoint(eager=False)  # prefix build + both verification sides
     return _neighbor_stats_core(
         keyed, groups, rep_sets, _ordered_positions(rep_sets),
         threshold_num, threshold_den,
@@ -338,7 +341,7 @@ def _neighbor_stats_core(
 ) -> DataFrame:
     pairs = _verified_pairs_from_positions(
         positions, rep_sets, threshold_num, threshold_den
-    ).localCheckpoint(eager=True)  # the sym union consumes it twice —
+    ).localCheckpoint(eager=False)  # the sym union consumes it twice (lazy r15) —
     # without the cut the candidate join + verification would execute
     # once per branch
     jac = (F.col("i").cast("double")

@@ -263,12 +263,16 @@ def cosine_topk(
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     if staged:
-        cand = cand.localCheckpoint(eager=True)
+        # lazy cuts (r15): the checkpoint BOUNDARY (anti-fusion) is
+        # captured at call time either way; the final action
+        # materializes both levels' blocks once, without the two
+        # dedicated materialization jobs the eager form scheduled
+        cand = cand.localCheckpoint(eager=False)
         # skinny re-checkpoint after scoring so the cosine can't fuse
         # into the window's exchange-write stage either
         scored = cand.select(
             "query_id", "neighbor_id", cos.alias("cos")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         scored = cand.withColumn("cos", cos)
     w = Window.partitionBy("query_id").orderBy(
@@ -426,9 +430,13 @@ def with_recall_at_k(
     force pass would each evaluate twice — measured ~2x on the IVF
     graph query. The materialized frames are top-k-sized: O(|q| * k)
     rows regardless of corpus size."""
-    ann = ann.localCheckpoint(eager=True)
+    # lazy (r15): the recall join below is the only consumer tree;
+    # its action materializes ann/exact once each — the double-eval
+    # these cuts exist to prevent is prevented by the checkpoint
+    # boundary itself, not by WHEN the blocks materialize
+    ann = ann.localCheckpoint(eager=False)
     exact = exact.select("query_id", "neighbor_id").localCheckpoint(
-        eager=True
+        eager=False
     )
     hits = (
         exact.select("query_id", "neighbor_id")
@@ -450,7 +458,7 @@ def with_recall_at_k(
         # per_query feeds both the row join and the mean gate; eager
         # localCheckpoint materializes it once (it is |queries| rows) so
         # the exact brute-force pass underneath doesn't run twice.
-        per_query = per_query.localCheckpoint(eager=True)
+        per_query = per_query.localCheckpoint(eager=False)  # lazy (r15)
     # Full outer: ann rows keep their recall; exact-side queries with no
     # ann rows appear once (null neighbor cols, recall 0.0). In sampled
     # mode, un-audited ann rows legitimately have no per-query row —
@@ -963,7 +971,7 @@ def fit_centroids_distributed(
         .select(
             "_id", F.transform("_v", lambda x: x / F.col("_n")).alias("_vn")
         )
-        .localCheckpoint(eager=True)  # normalize once, reuse every iteration
+        .localCheckpoint(eager=False)  # normalize once, reuse every iteration (lazy r15: seed collect materializes)
     )
 
     seed_rows = (
@@ -1484,7 +1492,7 @@ def kcenter_sample(
             .otherwise(F.least(F.col("_md"), d)),
         )
         if step % 4 == 0:
-            cur = cur.localCheckpoint()
+            cur = cur.localCheckpoint(eager=False)  # the collect below materializes (r15)
         far = cur.orderBy(F.col("_md").desc(), "_id").limit(1).collect()[0]
         if float(far["_md"]) <= 0.0:
             # every point is already a selected center (m > n): stop
@@ -1555,7 +1563,7 @@ def mmr_select(
             .otherwise(F.greatest(F.col("_ms"), sim)),
         )
         if step % 4 == 0:
-            cur = cur.localCheckpoint()
+            cur = cur.localCheckpoint(eager=False)  # the argmax collect materializes (r15)
         score = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_ms")
         top = (
             cur.withColumn("_score", score)
@@ -1706,7 +1714,7 @@ def ann_topk_ivfpq(
     # eager localCheckpoint stops the whole probe lineage (queries scan
     # + assign UDF) from evaluating twice
     probes = _query_probes(queries, centers, nprobe, id_col, vec_col
-                           ).localCheckpoint(eager=True)
+                           ).localCheckpoint(eager=False)  # lazy (r15)
     return _ivfpq_adc_refine(c, assigned, probes, books, k, refine_factor)
 
 

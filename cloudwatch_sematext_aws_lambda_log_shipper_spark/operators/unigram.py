@@ -205,9 +205,9 @@ def train_unigram(
         word_freq_table(docs, text_col)
         .filter(F.length("word") <= max_word_len)
         .withColumnRenamed("count", "cnt")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy (r15): spans' first action materializes
     )
-    spans = _spans(wf, max_piece_len).localCheckpoint(eager=True)
+    spans = _spans(wf, max_piece_len).localCheckpoint(eager=False)
 
     # candidate counts -> deterministic vocabulary
     pc = spans.groupBy("piece").agg(F.sum("cnt").alias("c"))
@@ -229,7 +229,7 @@ def train_unigram(
             .cast(DEC)
             .alias("logp"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy (r15): the vocab collect materializes
     )
 
     # Viterbi DP + backtrack in ONE Arrow pass over the DISTINCT-word

@@ -978,6 +978,11 @@ def events_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("pair.approx").alias("approx_value"),
             F.col("pair.exact").cast("double").alias("exact_value"),
         )
+        # EAGER on purpose (r15 lazy sweep deliberately skips this
+        # one): the GK agg is shuffle-arrival-order sensitive and this
+        # frame is read by two branches of ONE action — under a lazy
+        # cut, two racing stages on a cluster could each compute-and-
+        # cache divergent copies; materializing first removes the race.
         .localCheckpoint(eager=True)
     )
     eps = F.lit(1.0) / accuracy
@@ -2232,13 +2237,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-per-customer frame with full tie-break order, so quartile
     membership is deterministic.
 
-    Scale: one groupBy(custkey) shuffle builds the RFM frame; each
-    quartile score then comes from operators/ranking.with_global_ntile
-    (range-repartition -> bounded prefix-offset window -> per-slice
-    row_number + offset), bit-identical to ntile(4) over the total
+    Scale: one groupBy(custkey) shuffle builds the RFM frame; the
+    three quartile scores then come from ONE pass of
+    operators/ranking.with_global_ntile over the metrics MELTED to
+    long form (3 rows per customer, partition_cols=["_metric"]):
+    range-repartition -> bounded prefix-offset window -> per-slice
+    row_number + offset, bit-identical to ntile(4) over each total
     (metric, c_custkey) order but with NO single-partition WindowExec
-    anywhere in the plan — three distributed sorts instead of three
-    global ones."""
+    anywhere in the plan, and one range exchange + one offsets
+    collect instead of the three of the r15-build shape (opt r15,
+    guide §1.2/§2.4: the melt folds three identical plan skeletons
+    into one that carries 3x the rows — same asymptotics, one fixed
+    cost). Ordering equivalence of the melt: recency sorts asc
+    unchanged; frequency/monetary sorted desc in the old shape sort
+    as NEGATED doubles asc here (long/int counts and the decimal-sum
+    cast are exact in double, negation of finite doubles is exact and
+    order-reversing, and Spark normalizes -0.0 == 0.0 in sort keys),
+    with the identical c_custkey asc tiebreak."""
     from ..operators.ranking import with_global_ntile
 
     orders = load(spark, sf_dir, "orders")
@@ -2249,14 +2264,50 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_dec("o_totalprice", 14)).cast("double").alias("monetary"),
     )
-    scored = with_global_ntile(
-        rfm, 4, [F.asc("recency_days"), F.asc("c_custkey")], "r_score"
+    melted = rfm.select(
+        "c_custkey",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("_metric"),
+                    F.col("recency_days").cast("double").alias("_v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("_metric"),
+                    (-F.col("frequency")).cast("double").alias("_v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("_metric"),
+                    (-F.col("monetary")).alias("_v"),
+                ),
+            )
+        ).alias("_mv"),
+    ).select(
+        "c_custkey", "monetary", F.col("_mv._metric").alias("_metric"),
+        F.col("_mv._v").alias("_v"),
     )
-    scored = with_global_ntile(
-        scored, 4, [F.desc("frequency"), F.asc("c_custkey")], "f_score"
+    scored_long = with_global_ntile(
+        melted,
+        4,
+        [F.asc("_v"), F.asc("c_custkey")],
+        "_score",
+        partition_cols=["_metric"],
     )
-    scored = with_global_ntile(
-        scored, 4, [F.desc("monetary"), F.asc("c_custkey")], "m_score"
+    # un-melt with one conditional aggregation (no pivot, no join —
+    # a single consumer of the ranked frame); monetary rides every
+    # melted row of its customer, so max() recovers it exactly
+    scored = scored_long.groupBy("c_custkey").agg(
+        F.max(F.when(F.col("_metric") == "r", F.col("_score"))).alias(
+            "r_score"
+        ),
+        F.max(F.when(F.col("_metric") == "f", F.col("_score"))).alias(
+            "f_score"
+        ),
+        F.max(F.when(F.col("_metric") == "m", F.col("_score"))).alias(
+            "m_score"
+        ),
+        F.max("monetary").alias("monetary"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

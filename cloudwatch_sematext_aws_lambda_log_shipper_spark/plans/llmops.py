@@ -1513,7 +1513,7 @@ def token_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(words(F.col("text"))).alias("token"))
-    toks = toks.localCheckpoint(eager=True)  # three consumers below
+    toks = toks.localCheckpoint(eager=False)  # three consumers below; lazy (r15): the sketch build materializes
     sketch = cms_sketch(toks, "token")
     n_total = toks.count()
     exact = (
@@ -3285,7 +3285,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate pass, so it needs no materialization of its own.
     sem = semdedup_pairs_exact(emb, threshold=0.45, n_clusters=8,
                                n_assign=2,
-                               centers=centers).localCheckpoint(eager=True)
+                               centers=centers).localCheckpoint(eager=False)  # lazy (r15)
     exact = cosine_pairs_exact_audit(emb, threshold=0.45)
     stats = (
         exact.join(
@@ -4070,7 +4070,7 @@ def embedding_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph
 
     emb = _emb(spark, sf_dir)
-    g = knn_graph(emb, k=5).localCheckpoint(eager=True)  # two consumers
+    g = knn_graph(emb, k=5).localCheckpoint(eager=False)  # two consumers; lazy (r15)
     fwd = g.select("vec_id", "neighbor_id", "cosine")
     rev = g.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -5665,13 +5665,18 @@ def embedding_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only waiver.
     """
     from ..operators.graph import pagerank
+    from ..operators.ivf_exact import _footer_row_bound
     from ..operators.similarity import knn_graph
 
     emb = _emb(spark, sf_dir)
     edges = knn_graph(emb, k=5).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    return pagerank(edges, n_iter=10)
+    # |edges| <= k x |emb| (footer bound, no job): feeds the graph
+    # pre-partitioning cost rule (opt r15) — no-op at bench scale,
+    # one-shot edge partitioning past the crossover
+    nb = _footer_row_bound(emb)
+    return pagerank(edges, n_iter=10, est_edges=None if nb is None else 5 * nb)
 
 
 def _bfs_oracle(max_hops: int = 4) -> str:
@@ -5730,6 +5735,7 @@ def embedding_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the brute-force edge set — an iterative graph algorithm
     under the full hash gate."""
     from ..operators.graph import bfs_hops
+    from ..operators.ivf_exact import _footer_row_bound
     from ..operators.similarity import knn_graph
 
     emb = _emb(spark, sf_dir)
@@ -5739,7 +5745,11 @@ def embedding_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("node")
     )
-    return bfs_hops(edges, sources, max_hops=4)
+    nb = _footer_row_bound(emb)  # k x footer bound -> prepartition rule
+    return bfs_hops(
+        edges, sources, max_hops=4,
+        est_edges=None if nb is None else 5 * nb,
+    )
 
 
 # --- end-to-end curation pipeline ---------------------------------------

@@ -481,10 +481,10 @@ def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    bits = bloom_bits(dim, "c_custkey").localCheckpoint(eager=True)
+    bits = bloom_bits(dim, "c_custkey").localCheckpoint(eager=False)  # lazy (r15)
     passed = bloom_prefilter(
         orders.select("o_custkey", "o_totalprice"), bits, "o_custkey"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # lazy (r15): n_pass count materializes
     matched = passed.join(
         F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")),
         "o_custkey",

@@ -137,3 +137,45 @@ def test_knn_graph_rescore_unchanged_by_kernel(spark):
             nid, cos = g[(i, rnk)]
             assert nid == j
             assert cos == round(-negc, 6)
+
+
+def test_graph_prepartition_flip_bit_equal(spark, monkeypatch):
+    """The graph pre-partitioning cost rule (opt r15): forcing the
+    crossover on vs off must change ONLY exchange placement, never a
+    value — pagerank/bfs/label_propagation results are bit-equal on
+    both sides of the flip."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators import (
+        graph as G,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(60) for _ in range(1)]
+        + [(i % 23, (i * 11 + 5) % 23) for i in range(40)],
+        "src long, dst long",
+    ).filter("src != dst")
+    srcs = spark.createDataFrame([(0,), (1,)], "node long")
+
+    def run():
+        pr = sorted(
+            (r["node"], r["pr_scaled"])
+            for r in G.pagerank(edges, n_iter=4, est_edges=100).collect()
+        )
+        bf = sorted(
+            (r["node"], r["hop"])
+            for r in G.bfs_hops(
+                edges, srcs, max_hops=3, est_edges=100
+            ).collect()
+        )
+        lp = sorted(
+            (r["node"], r["community"])
+            for r in G.label_propagation(
+                edges, n_iter=3, est_edges=100
+            ).collect()
+        )
+        return pr, bf, lp
+
+    monkeypatch.setattr(G, "GRAPH_PREPARTITION_MIN_EDGES", 1)  # force ON
+    on = run()
+    monkeypatch.setattr(G, "GRAPH_PREPARTITION_MIN_EDGES", 10**9)  # OFF
+    off = run()
+    assert on == off
