@@ -148,16 +148,61 @@ def train_wordpiece(
     Distribution shape per step: the BPE pair-count aggregate plus one
     symbol-unigram aggregate (both map-side combined, |vocab|-bounded),
     a broadcast join of pair rows against the two unigram counts, a
-    TakeOrdered(1) argmax, and the shared Arrow merge pass."""
-    wf = word_freq_table(docs, text_col, word_filter)
-    symtab = cut_lineage(_initial_symbols(wf), checkpoint_dir, eager=False)
+    TakeOrdered(1) argmax, and the merge pass. Like train_bpe (opt
+    r15, guide §4.1): one vocab-bounded probe picks the loop body —
+    the all-JVM string-``replace`` path whenever no vocab word
+    contains ';' (no Python worker round-trips in the sequential
+    per-step jobs), else the Arrow-batched array path; both return
+    byte-identical merge tables and symbol tables (pinned in
+    tests/test_wordpiece.py)."""
+    wf = cut_lineage(
+        word_freq_table(docs, text_col, word_filter), checkpoint_dir,
+        eager=False,
+    )
+    has_delim = wf.filter(F.col("word").contains(_DELIM)).limit(1).count() > 0
+    if has_delim:
+        symtab = cut_lineage(
+            _initial_symbols(wf), checkpoint_dir, eager=False
+        )
+        return _wordpiece_loop(
+            symtab, n_merges, min_pair_count, checkpoint_dir, string_form=False
+        )
+    symtab = cut_lineage(_encoded_symbols(wf), checkpoint_dir, eager=False)
+    merges, symtab = _wordpiece_loop(
+        symtab, n_merges, min_pair_count, checkpoint_dir, string_form=True
+    )
+    return merges, symtab.select(
+        "word", "count", _decode_syms_col().alias("syms")
+    )
+
+
+def _wordpiece_loop(
+    symtab: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    checkpoint_dir: str | None,
+    string_form: bool,
+):
+    """Shared WordPiece step loop over either symbol representation.
+
+    ``string_form=True``: ``symtab`` carries the encoded ``s`` column
+    (';a;;b;'), pair/unigram aggregates run over the decoded split
+    array, and the argmax merge applies as one JVM string ``replace``
+    (same left-to-right non-overlapping semantics as _merge_syms — the
+    _train_loop_string argument). ``False``: the original ``syms``
+    array form with the Arrow merge pass."""
     merges = []
     for step in range(1, n_merges + 1):
-        pairs = _pair_counts(symtab).filter(
+        if string_form:
+            syms_col = _decode_syms_col().alias("syms")
+            stab = symtab.select("count", syms_col)
+        else:
+            stab = symtab
+        pairs = _pair_counts(stab).filter(
             F.col("pair_count") >= min_pair_count
         )
         uni = (
-            symtab.select("count", F.explode("syms").alias("sym"))
+            stab.select("count", F.explode("syms").alias("sym"))
             .groupBy("sym")
             .agg(F.sum("count").alias("uc"))
         )
@@ -196,13 +241,24 @@ def train_wordpiece(
                 int(t["score_q"]),
             )
         )
-        symtab = cut_lineage(
-            _merge_pass(symtab, t["left"], t["right"]), checkpoint_dir,
-            # r15: lazy — the next step's take(1) (or the caller's
-            # first action) materializes it; the eager form cost one
-            # dedicated job per merge step
-            eager=False,
-        )
+        if string_form:
+            merged = symtab.withColumn(
+                "s",
+                F.replace(
+                    "s",
+                    F.lit(
+                        f"{_DELIM}{t['left']}{_DELIM}{_DELIM}"
+                        f"{t['right']}{_DELIM}"
+                    ),
+                    F.lit(f"{_DELIM}{t['left']}{t['right']}{_DELIM}"),
+                ),
+            )
+        else:
+            merged = _merge_pass(symtab, t["left"], t["right"])
+        # r15: lazy cut — the next step's take(1) (or the caller's
+        # first action) materializes it; the eager form cost one
+        # dedicated job per merge step
+        symtab = cut_lineage(merged, checkpoint_dir, eager=False)
     return merges, symtab
 
 

@@ -1,12 +1,14 @@
 """Distributed linear-model training (full-batch gradient descent on
 squared loss) in SCALED-INTEGER arithmetic — the trainable-quality-
 classifier primitive (FastText-style linear filters, Brown et al.'s
-quality probe) reduced to what actually distributes: each iteration is
-ONE map-side-combinable aggregate computing the exact integer gradient,
-the driver holds only the (d+1)-vector of scaled weights, and every
-arithmetic step is replayable by a chained-CTE SQL oracle (the same
-discipline as the pagerank / EWMA / BPE recurrences — no float ever
-feeds the next iteration).
+quality probe) reduced to what actually distributes: because the
+squared-loss gradient is linear in the weights, ONE map-side-
+combinable aggregate computes the d x d integer Gram matrix and label
+projection, every GD iteration replays driver-side in exact
+unbounded-int arithmetic (opt r15 — the per-iteration corpus scan is
+gone), and every arithmetic step stays replayable by a chained-CTE
+SQL oracle (the same discipline as the pagerank / EWMA / BPE
+recurrences — no float ever feeds the next iteration).
 
 Arithmetic (weights scaled by S = 10^6, learning rate lr = a/b,
 all BIGINT; D = decimal(38,0) only as overflow headroom on sums):
@@ -23,11 +25,12 @@ model quality comes from feature design, the determinism from the
 integer contract, and the magnitude bound keeps every sum inside 38
 digits at any corpus size.
 
-Scale: per iteration, one narrow projection + one aggregate (partial
-combine shrinks each map task's output to d values); the collected row
-is d integers. Training cost is n_iter scans — at 100 TB you'd persist
-the narrow feature frame once (done here via localCheckpoint) and pay
-n_iter aggregates over d+2 long columns, nothing else.
+Scale: training cost is ONE narrow scan at any n_iter (partial combine
+shrinks each map task's output to d*(d+3)/2 + 1 values; the collected
+row is that many integers); at 100 TB you pay one aggregate over d+2
+long columns, then the whole iteration schedule is driver arithmetic
+on a d x d integer matrix. The feature frame is localCheckpointed for
+the scoring pass that follows training.
 """
 
 from __future__ import annotations
@@ -54,30 +57,60 @@ def linear_probe_gd(
     ``features``: one row per example; ``feature_cols`` integer columns
     (include an all-ones bias column yourself); ``label_col`` 0/1.
     """
-    feats = features.localCheckpoint(eager=False)  # the count right below materializes it (r15)
-    n = feats.count()
+    feats = features.localCheckpoint(eager=False)  # the agg below materializes it (r15)
+    d = len(feature_cols)
+    # ONE scan for the whole training run (opt r15, guide §1.2 "remove
+    # passes"): the squared-loss gradient is LINEAR in w —
+    #   G_j = sum_i x_ij * (sum_k x_ik w_k - y_i*S)
+    #       = sum_k A_jk * w_k  -  S * b_j
+    # where A_jk = sum_i x_ij x_ik (the d x d Gram matrix) and
+    # b_j = sum_i x_ij y_i are both INDEPENDENT of w. One map-side-
+    # combinable aggregate computes A's upper triangle, b and n; every
+    # GD iteration then replays driver-side in exact unbounded-int
+    # arithmetic. Weights are bit-identical to the per-iteration-scan
+    # form: per-row products are exact integers, the decimal(38,0)
+    # sums are exact under the documented small-non-negative-feature
+    # contract, and Python ints are exact always — n_iter scans
+    # collapse to one with the same W at every step.
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for j, cj in enumerate(feature_cols):
+        for k in range(j, d):
+            aggs.append(
+                F.sum(
+                    (
+                        F.col(cj).cast("long")
+                        * F.col(feature_cols[k]).cast("long")
+                    ).cast("decimal(38,0)")
+                ).alias(f"_a{j}_{k}")
+            )
+        aggs.append(
+            F.sum(
+                (
+                    F.col(cj).cast("long") * F.col(label_col).cast("long")
+                ).cast("decimal(38,0)")
+            ).alias(f"_b{j}")
+        )
+    row = feats.agg(*aggs).collect()[0]
+    n = int(row["_n"])
     if n == 0:
         raise ValueError("linear_probe_gd: empty training frame")
-    d = len(feature_cols)
+    gram = [[0] * d for _ in range(d)]
+    proj = [0] * d
+    for j in range(d):
+        proj[j] = int(row[f"_b{j}"])
+        for k in range(j, d):
+            gram[j][k] = gram[k][j] = int(row[f"_a{j}_{k}"])
     w = [0] * d
     for _ in range(n_iter):
-        resid = sum(
-            (F.col(c).cast("long") * F.lit(int(w[j])).cast("long"))
-            for j, c in enumerate(feature_cols)
-        ) - F.col(label_col).cast("long") * F.lit(SCALE).cast("long")
-        grads = feats.select(
-            *[
-                (F.col(c).cast("long") * resid)
-                .cast("decimal(38,0)")
-                .alias(f"_g{j}")
-                for j, c in enumerate(feature_cols)
-            ]
-        ).agg(*[F.sum(f"_g{j}").alias(f"g{j}") for j in range(d)])
-        row = grads.collect()[0]
+        # all gradients from the SAME w snapshot, then update — the
+        # exact order the aggregate-per-iteration form used
+        gs = [
+            sum(gram[j][k] * w[k] for k in range(d)) - SCALE * proj[j]
+            for j in range(d)
+        ]
         for j in range(d):
-            g = int(row[f"g{j}"])
-            step = (lr_num * abs(g)) // (lr_den * n)
-            w[j] -= step if g >= 0 else -step
+            step = (lr_num * abs(gs[j])) // (lr_den * n)
+            w[j] -= step if gs[j] >= 0 else -step
     score = sum(
         (F.col(c).cast("long") * F.lit(int(w[j])).cast("long"))
         for j, c in enumerate(feature_cols)

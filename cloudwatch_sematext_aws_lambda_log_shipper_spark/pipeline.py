@@ -95,7 +95,9 @@ def run_batch(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     return split_dlq(batch_kernel(records))
 
 
-def replay_dlq(dlq: DataFrame) -> tuple[DataFrame, DataFrame]:
+def replay_dlq(
+    dlq: DataFrame, materialize_parsed: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Re-run DECODE-class DLQ rows through the pipeline (S17 replay —
     the reference's TODO, shipper.js:158).
 
@@ -106,6 +108,16 @@ def replay_dlq(dlq: DataFrame) -> tuple[DataFrame, DataFrame]:
     their outcome, so they pass through to the returned dlq unchanged.
 
     Returns (recovered_clean, still_dlq).
+
+    ``materialize_parsed`` (opt r15, guide §5): a caller consuming BOTH
+    branches in one action would otherwise decode+parse the replay
+    slice twice (the gunzip Arrow UDF is the expensive step); the flag
+    localCheckpoints the parsed frame so both branches read the same
+    materialized blocks (lazy — the first action materializes; blocks
+    are freed by the driver's ContextCleaner when the returned frames
+    are dropped, the engine-wide _unit(materialize=True) lifecycle).
+    Off by default: single-branch consumers (ship only the recovered
+    rows) keep the streaming-friendly pure-lineage plan.
     """
     decode_class = F.col("message").isNull() & F.col("_raw").isNotNull() & F.col(
         "`function.name`"
@@ -116,5 +128,8 @@ def replay_dlq(dlq: DataFrame) -> tuple[DataFrame, DataFrame]:
     # observe=False: the replay plan may be composed with the original
     # batch plan, and two same-named observations in one tree is an
     # analysis error
-    clean, still = split_dlq(parse_kinesis_records(replayable, observe=False))
+    parsed = parse_kinesis_records(replayable, observe=False)
+    if materialize_parsed:
+        parsed = parsed.localCheckpoint(eager=False)
+    clean, still = split_dlq(parsed)
     return clean, still.unionByName(dlq.filter(~decode_class))

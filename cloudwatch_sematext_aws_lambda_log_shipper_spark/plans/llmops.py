@@ -6049,13 +6049,20 @@ def corpus_curate_e2e(
         # from output-volume growth (x100 survivors grew 86x and
         # dragged the uncapped exponent from 0.27 to 0.40).
         curated = curated.orderBy("doc_id").limit(int(survivor_cap))
-    # Materialize the curated corpus ONCE (MEMORY_AND_DISK): four
-    # consumers read it (BPE training's eager collect, DSIR, encode,
-    # packing) and would otherwise each replay the whole stage-1..4
-    # spine — filters, md5 groupBy, cluster semi-joins, decontam. A
-    # production pipeline checkpoints the curated set between stages
-    # for exactly this reason; persist() is the in-session equivalent.
-    curated = curated.persist()
+    # Materialize the curated corpus ONCE: four consumers read it (BPE
+    # training's eager collect, DSIR, encode, packing) and would
+    # otherwise each replay the whole stage-1..4 spine — filters, md5
+    # groupBy, cluster semi-joins, decontam. A production pipeline
+    # checkpoints the curated set between stages for exactly this
+    # reason. opt r15 (guide §5/§7.3): localCheckpoint instead of
+    # persist() — persist keeps the full six-stage LINEAGE in every
+    # consumer's logical plan (the composed final plan measured 155 KB
+    # with 169 Exchange nodes, re-analyzed by the driver at each of
+    # the ~10 actions this query runs), while the checkpoint truncates
+    # it to a LogicalRDD; blocks are freed by the ContextCleaner like
+    # every other cut in the engine. Lazy: the first consumer action
+    # (train_bpe's delimiter probe) materializes it.
+    curated = curated.localCheckpoint(eager=False)
 
     dsir = importance_scores(
         curated, F.col("source") == "src1", exact_sum=True

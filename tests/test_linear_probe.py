@@ -47,6 +47,43 @@ def test_probe_loss_decreases_monotonically_early(spark):
     assert l2 < l0 and l8 < l2
 
 
+def test_probe_gram_path_matches_per_iteration_scan(spark):
+    """The one-pass Gram-matrix training (opt r15) must be
+    bit-identical to the retired aggregate-per-iteration form — the
+    reference loop below IS that form, inlined."""
+    from pyspark.sql import functions as F
+
+    df = _separable(spark, n=120)
+    cols = ["x0", "x1", "x2"]
+    n_iter, lr_num, lr_den = 13, 3, 700
+
+    n = df.count()
+    d = len(cols)
+    w_ref = [0] * d
+    for _ in range(n_iter):
+        resid = sum(
+            (F.col(c).cast("long") * F.lit(int(w_ref[j])).cast("long"))
+            for j, c in enumerate(cols)
+        ) - F.col("y").cast("long") * F.lit(SCALE).cast("long")
+        grads = df.select(
+            *[
+                (F.col(c).cast("long") * resid)
+                .cast("decimal(38,0)")
+                .alias(f"_g{j}")
+                for j, c in enumerate(cols)
+            ]
+        ).agg(*[F.sum(f"_g{j}").alias(f"g{j}") for j in range(d)])
+        row = grads.collect()[0]
+        for j in range(d):
+            g = int(row[f"g{j}"])
+            step = (lr_num * abs(g)) // (lr_den * n)
+            w_ref[j] -= step if g >= 0 else -step
+
+    w, _ = linear_probe_gd(df, cols, n_iter=n_iter,
+                           lr_num=lr_num, lr_den=lr_den)
+    assert w == w_ref
+
+
 def test_probe_weights_partition_invariant(spark):
     df = _separable(spark, n=150)
     w1, _ = linear_probe_gd(df.repartition(1), ["x0", "x1", "x2"], n_iter=10)

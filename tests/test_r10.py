@@ -28,7 +28,14 @@ def test_curate_e2e_plan_and_invariants(spark, sf_dir):
     df = corpus_curate_e2e(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert plan.count("InMemoryTableScan") >= 3  # persisted spine reused
+    # the curated spine is materialized ONCE and reused by its
+    # consumers: r10-r14 via persist() (InMemoryTableScan per reader),
+    # opt r15 via localCheckpoint (each reader scans the same
+    # ExistingRDD and the six-stage spine appears in NO reader's plan)
+    assert (
+        plan.count("InMemoryTableScan") >= 3
+        or plan.count("Scan ExistingRDD") >= 3
+    )
     # one packing-window exchange on source; InMemoryRelation reprints
     # its child plan per scan, so count OUTSIDE those reprinted blocks
     # is what matters — the window sits above the cache, printed once.

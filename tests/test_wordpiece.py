@@ -99,3 +99,37 @@ def test_wordpiece_layout_deterministic(spark):
 def test_wordpiece_stops_when_no_pair_repeats(spark):
     got, _ = train_wordpiece(_docs_df(spark, ["a b c d e"]), n_merges=5)
     assert got == []
+
+
+def test_wordpiece_string_and_array_paths_identical(spark):
+    """The all-JVM string-replace loop (opt r15) and the Arrow array
+    fallback must return byte-identical merges AND symbol tables. The
+    ';'-bearing corpus forces the array path; the clean corpus takes
+    the string path; a word_filter dropping the ';' words makes the
+    filtered corpus take the string path on the same residual vocab."""
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "mid;dle mid;dle",  # delimiter word: forces the array path
+        "low newer low wide",
+    ]
+    df = _docs_df(spark, texts)
+    arr_merges, arr_tab = train_wordpiece(df, n_merges=5)
+    # same corpus MINUS the ';' words, via filter -> string path
+    filt_merges, filt_tab = train_wordpiece(
+        df, n_merges=5, word_filter=~F.col("word").contains(";")
+    )
+    clean = _docs_df(spark, [t for t in texts if ";" not in t])
+    str_merges, str_tab = train_wordpiece(clean, n_merges=5)
+    assert filt_merges == str_merges
+    assert sorted(map(tuple, filt_tab.collect())) == sorted(
+        map(tuple, str_tab.collect())
+    )
+    # the array path on the full corpus agrees with the python replay
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(t.lower().split())
+    assert arr_merges == _py_wordpiece(dict(wc), 5)
+    # the array-path symbol table still reconstructs every word
+    for r in arr_tab.collect():
+        assert "".join(r.syms).removesuffix("</w>") == r.word
