@@ -111,17 +111,25 @@ class StreamingNearDup:
         the PRE-update store."""
         spark = batch_df.sparkSession
         id_col = self.id_col
+        # LAZY cuts (opt r15, guide §1.2): both frames are multi-consumer
+        # (shingled: signatures + verify corpus + store write; new_bands:
+        # intra pairs + cross join + store write), so the checkpoint
+        # boundary is load-bearing — but the ALERTS eager checkpoint
+        # below is the first action and materializes both within its own
+        # job, so an eager cut here only adds one dedicated scheduler
+        # round per frame per micro-batch. The pre-update-store ordering
+        # is unchanged: alerts still materialize before the store writes.
         shingled = with_shingles(
             batch_df.select(id_col, self.text_col),
             self.text_col, self.shingle_n,
-        ).select(id_col, "shingles").localCheckpoint(eager=True)
+        ).select(id_col, "shingles").localCheckpoint(eager=False)
         # k must track the banding config (band_keys reads columns
         # mh_0..mh_{b*r-1}); the bare default k=64 only coincides with it
         # for the default b=16, r=4.
         sigs = minhash_signatures(
             shingled, id_col, k=self.num_bands * self.rows_per_band
         )
-        new_bands = self._banded(sigs).localCheckpoint(eager=True)
+        new_bands = self._banded(sigs).localCheckpoint(eager=False)
 
         # intra-batch pairs, from the ALREADY-MATERIALIZED bands — the
         # signature aggregation runs exactly once per batch

@@ -137,7 +137,12 @@ class StreamingSemDedup:
             "cosine",
         )
 
-        new_assigned = self._assigned(c, centers).localCheckpoint(eager=True)
+        # LAZY cut (opt r15): two consumers (cross-batch scoring inside
+        # the alerts eager checkpoint, then the store write) — the
+        # alerts materialization below is the first action and fills
+        # these blocks in its own job; eager here only added a
+        # dedicated job per micro-batch. Pre-update ordering unchanged.
+        new_assigned = self._assigned(c, centers).localCheckpoint(eager=False)
         if os.path.isdir(self.vectors_path):
             store = (
                 spark.read.parquet(self.vectors_path)
