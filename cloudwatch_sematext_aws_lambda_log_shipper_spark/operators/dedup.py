@@ -859,12 +859,17 @@ def hamming_near_dup_pairs(
     Scale: 4 rows per item into a (chunk, value) equi-join; hot buckets
     capped by the shared mechanism. max_hamming > 3 needs more chunks
     than 4 for full recall (pigeonhole: chunks = max_hamming + 1)."""
+    # LAZY cut (opt r15, guide §4.1/§5): this tiny (id, hash) frame
+    # feeds FOUR subplans (both self-join sides of the candidate join
+    # plus the two verify sides); without the cut an opaque upstream —
+    # both production callers synthesize + perceptually hash image
+    # bytes in an Arrow kernel — is re-evaluated per branch.
     h = hashes.filter(
         F.col(hi_col).isNotNull() & F.col(lo_col).isNotNull()
     ).select(
         F.col(id_col).alias("_id"), F.col(hi_col).alias("_hi"),
         F.col(lo_col).alias("_lo"),
-    )
+    ).localCheckpoint(eager=False)
     chunks = h.select(
         "_id",
         F.explode(
@@ -935,9 +940,12 @@ def hamming_near_dup_pairs_chunked(
     n_chunks = max_hamming + 1
     width = -(-n_bits // n_chunks)
     mask = (1 << width) - 1
+    # LAZY cut: same four-consumer shape as hamming_near_dup_pairs
+    # above — the (id, value) proxy is cut so the caller's (typically
+    # Arrow-synthesized) upstream runs once, not once per branch.
     h = hashes.filter(F.col(value_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(value_col).alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     chunks = h.select(
         "_id",
         F.explode(

@@ -2473,7 +2473,11 @@ def _video_container_pipeline(
         modality="video",
         fmt=fmt,
     )
-    sampled = sample_frames(videos, every_n=2)
+    # LAZY cut (opt r15, guide §4.1/§5): `sampled` feeds two aggregate
+    # branches (JPEG feature decode + dHash) of one final crossJoin —
+    # without the cut the whole opaque mapInPandas synth (JPEG encode +
+    # container pack) and the container walk re-run per branch.
+    sampled = sample_frames(videos, every_n=2).localCheckpoint(eager=False)
 
     feats = decode_image_features(sampled, media_col="frame")
     hashes = dhash_images(sampled, media_col="frame")

@@ -30,11 +30,42 @@ from cloudwatch_sematext_aws_lambda_log_shipper_spark.config import (
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
 
 
+def _eventlog_lines(path: str):
+    """Yield event-log lines. Spark 4 rolling logs are a DIRECTORY
+    (eventlog_v2_<app>/events_N_...); single-file logs still work."""
+    def _open(p):
+        # rolling logs may be codec-compressed (suffix or zstd magic)
+        with open(p, "rb") as fb:
+            head = fb.read(4)
+        if p.endswith(".zstd") or head[:4] == b"\x28\xb5\x2f\xfd":
+            import io
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", p], capture_output=True, check=True
+            ).stdout
+            return io.TextIOWrapper(io.BytesIO(out))
+        return open(p)
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_")
+        )
+        for p in parts:
+            with _open(p) as f:
+                yield from f
+    else:
+        with _open(path) as f:
+            yield from f
+
+
 def parse_eventlog(path: str) -> list[dict]:
     jobs: dict[int, dict] = {}
     stage_metrics: dict[int, dict] = {}
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in _eventlog_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -103,6 +134,8 @@ def main() -> None:
             **DEFAULT_CONFIG.extra_spark_conf,
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": logdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     )
     spark = get_spark("opt-joblog", config=cfg)
