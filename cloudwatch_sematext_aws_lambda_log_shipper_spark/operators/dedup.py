@@ -14,8 +14,11 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import char_shingles, normalize_text, word_grams, word_shingles, words
 
@@ -41,6 +44,13 @@ from .text import char_shingles, normalize_text, word_grams, word_shingles, word
 # tiny unless the corpus is mostly duplicates, which exact-dedup-first
 # prevents.
 DEFAULT_MAX_BUCKET_SIZE = 1000
+
+# connected_components: edge count at or below which the exact
+# union-find runs driver-side (ONE bounded collect) instead of the
+# distributed label-propagation loop. ~16 bytes/edge -> the default
+# bounds the collect at tens of MB; CC_DRIVER_MAX_EDGES overrides
+# (0 forces the distributed path).
+_CC_DRIVER_MAX_EDGES = 1_000_000
 
 
 def _cap_buckets(
@@ -551,16 +561,34 @@ def connected_components(
     component) where component = min node id reachable — the step that
     turns near-dup PAIRS into dedup GROUPS (keep one doc per component).
 
-    Distributed min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(diameter) rounds. Dedup graphs are unions of small cliques-ish
-    blobs (diameter ~2-4), so a handful of rounds suffice; max_iters
-    bounds pathological chains.
+    Two plans behind one contract (opt r15, guide §1.2 "the
+    distributed algorithm first" + the engine's cost-rule discipline):
 
-    Scale: each round is one join + one aggregate, both shuffling on
-    node id — the same key every round, so a cluster co-partitions them;
-    no driver-side graph, no quadratic step. (GraphFrames does the same
-    with large-star/small-star; this stays dependency-free.)
+    - BOUNDED edge sets (the overwhelmingly common near-dup shape —
+      pair graphs are unions of small template blobs) run an exact
+      driver-side union-find: the oriented edge list is collected
+      once through a ``limit(N + 1)`` probe (N =
+      ``CC_DRIVER_MAX_EDGES``, default 1M, env-overridable) and the
+      min-id representative per component is computed in Python. This
+      replaces 2+ rounds of join + aggregate + blocking driver action
+      (measured ~1.7 s of almost pure scheduling at sf0.1: 256 edges,
+      2 rounds, every round a 0.8 s fixed-cost hop) with ONE bounded
+      collect — the same probe-list-class pattern as the ranking
+      offsets and the subset-containment broadcast rule.
+
+    - Past the bound (the 100 TB shape), distributed min-label
+      propagation, unchanged: each round every node adopts the
+      smallest label among itself and its neighbors; converges in
+      O(diameter) rounds; max_iters bounds pathological chains. Each
+      round is one join + one aggregate, both shuffling on node id —
+      the same key every round, so a cluster co-partitions them; no
+      driver-side graph, no quadratic step. (GraphFrames does the
+      same with large-star/small-star; this stays dependency-free.)
+      The size probe costs one CollectLimit pass that short-circuits
+      after N+1 rows, and the edges frame is persisted either way.
+
+    Both paths yield bit-identical (node, component-min) labels —
+    flip-pinned around a forced threshold in tests.
     """
     # Both edge orientations from ONE scan of the pairs subtree: a
     # union of two selects over `pairs` would evaluate the (expensive,
@@ -578,6 +606,49 @@ def connected_components(
         .distinct()
         .persist()
     )
+
+    max_edges = int(
+        os.environ.get("CC_DRIVER_MAX_EDGES", _CC_DRIVER_MAX_EDGES)
+    )
+    probe = edges.limit(max_edges + 1).collect()
+    if len(probe) <= max_edges:
+        # Driver-side exact union-find, min id as representative.
+        # Deterministic regardless of edge order: the root of a tree is
+        # always its minimum member (roots merge min-ward), and the
+        # final pass resolves every node fully.
+        spark = pairs.sparkSession
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        node_type = edges.schema["a"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("comp", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, find(n)) for n in parent], schema
+        )
+
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -591,7 +662,7 @@ def connected_components(
     # already materializes, not a second old-vs-new join. DECIMAL(38,0)
     # keeps the sum exact for arbitrarily large graphs/ids.
     prev_sum = None
-    for _ in range(max_iters):
+    for i in range(max_iters):
         # neighbor labels: for each edge (a,b), b's current label offers
         # itself to a; combine with own label, keep the min
         nbr = (
@@ -603,8 +674,15 @@ def connected_components(
             .union(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
         )
+        # Every round references its predecessor twice (union + nbr
+        # join) and persist does NOT truncate the LOGICAL plan, so the
+        # plan doubles per round; a lineage cut every 6th round bounds
+        # it (identical values — opt r15, guide §7.3).
+        if i % 6 == 5:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
         label_sum = new_labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
