@@ -1612,6 +1612,91 @@ def lsh_plane_weights_exact(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _lsh_bucket(
+    frame: DataFrame, id_name: str, planes, dim: int
+) -> DataFrame:
+    """(id, _b, _u) bucket bits over a ``_unit`` frame — shared by the
+    one-shot LSH search and the persisted-index builder so both paths
+    are bit-equal by construction.
+
+    Above DOT_UNROLL_MAX_DIM: Arrow-batched per-dim fold (the
+    _exact_fold_gram family) — the sign of the left-fold dot is
+    bit-identical to the SQL form, and at 768 dims the interpreted HOF
+    fold measures ~3.7 us/element (PROFILE_r13); planes ship in the
+    closure (num_planes x dim doubles — a few KB). At narrow dims the
+    codegen'd SQL fold through the broadcast plane table keeps the
+    plan JVM-pure."""
+    from .similarity import DOT_UNROLL_MAX_DIM
+
+    if dim > DOT_UNROLL_MAX_DIM:
+        id_type = frame.schema[id_name].dataType.simpleString()
+
+        def kern(batches, _planes=planes):
+            import numpy as np
+            import pandas as pd
+
+            W = np.array(_planes, dtype=np.float64)
+            for pd_batch in batches:
+                if len(pd_batch) == 0:
+                    continue
+                # NULL _u (a NULL embedding through _unit) lands in
+                # bucket 0 with _u NULL — exactly the SQL form
+                # (when(NULL >= 0, bit).otherwise(0) sums to 0)
+                mask = pd_batch["_u"].notna().to_numpy()
+                bs = np.zeros(len(pd_batch), dtype=np.int64)
+                us: list = [None] * len(pd_batch)
+                if mask.any():
+                    U = np.stack(
+                        [
+                            np.asarray(v, dtype=np.float64)
+                            for v in pd_batch["_u"][mask]
+                        ]
+                    )
+                    G = _exact_fold_gram(U, W)  # (n, num_planes)
+                    b = (
+                        (G >= 0).astype(np.int64)
+                        * (1 << np.arange(W.shape[0], dtype=np.int64))
+                    ).sum(axis=1)
+                    idx = np.nonzero(mask)[0]
+                    bs[idx] = b
+                    for slot, u in zip(idx, U):
+                        us[slot] = u
+                yield pd.DataFrame(
+                    {
+                        id_name: pd_batch[id_name].values,
+                        "_b": bs.astype("int32"),
+                        "_u": us,
+                    }
+                )
+
+        return frame.mapInPandas(
+            kern, f"{id_name} {id_type}, _b int, _u array<double>"
+        )
+    pdf = F.broadcast(
+        frame.sparkSession.createDataFrame(
+            [(p, w) for p, w in enumerate(planes)],
+            "_p int, _w array<double>",
+        )
+    )
+    return (
+        frame.crossJoin(pdf)
+        .select(
+            id_name,
+            F.when(
+                dot_cols(F.col("_u"), F.col("_w"), dim) >= 0,
+                # shiftleft's python wrapper wants a literal count;
+                # the SQL form takes the column
+                F.expr("shiftleft(1, _p)"),
+            )
+            .otherwise(F.lit(0))
+            .alias("_bit"),
+        )
+        .groupBy(id_name)
+        .agg(F.sum("_bit").cast("int").alias("_b"))
+        .join(frame, id_name)
+    )
+
+
 def ann_topk_lsh_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1633,84 +1718,11 @@ def ann_topk_lsh_exact(
     layer."""
     from .similarity import DOT_UNROLL_MAX_DIM
 
-    spark = corpus.sparkSession
     planes = lsh_plane_weights_exact(num_planes, dim)
     wide = dim > DOT_UNROLL_MAX_DIM
-    pdf = F.broadcast(
-        spark.createDataFrame(
-            [(p, w) for p, w in enumerate(planes)],
-            "_p int, _w array<double>",
-        )
-    )
 
     def bucket(frame: DataFrame, id_name: str) -> DataFrame:
-        if wide:
-            # Arrow-batched per-dim fold (the _exact_fold_gram family):
-            # the sign of the left-fold dot is bit-identical to the SQL
-            # form, and at 768 dims the interpreted HOF fold measures
-            # ~3.7 us/element (PROFILE_r13) — the same kernel boundary
-            # as _unit. Planes ship in the closure (num_planes x dim
-            # doubles — a few KB).
-            id_type = frame.schema[id_name].dataType.simpleString()
-
-            def kern(batches, _planes=planes):
-                import numpy as np
-                import pandas as pd
-
-                W = np.array(_planes, dtype=np.float64)
-                for pd_batch in batches:
-                    if len(pd_batch) == 0:
-                        continue
-                    # NULL _u (a NULL embedding through _unit) lands in
-                    # bucket 0 with _u NULL — exactly the SQL form
-                    # (when(NULL >= 0, bit).otherwise(0) sums to 0)
-                    mask = pd_batch["_u"].notna().to_numpy()
-                    bs = np.zeros(len(pd_batch), dtype=np.int64)
-                    us: list = [None] * len(pd_batch)
-                    if mask.any():
-                        U = np.stack(
-                            [
-                                np.asarray(v, dtype=np.float64)
-                                for v in pd_batch["_u"][mask]
-                            ]
-                        )
-                        G = _exact_fold_gram(U, W)  # (n, num_planes)
-                        b = (
-                            (G >= 0).astype(np.int64)
-                            * (1 << np.arange(W.shape[0], dtype=np.int64))
-                        ).sum(axis=1)
-                        idx = np.nonzero(mask)[0]
-                        bs[idx] = b
-                        for slot, u in zip(idx, U):
-                            us[slot] = u
-                    yield pd.DataFrame(
-                        {
-                            id_name: pd_batch[id_name].values,
-                            "_b": bs.astype("int32"),
-                            "_u": us,
-                        }
-                    )
-
-            return frame.mapInPandas(
-                kern, f"{id_name} {id_type}, _b int, _u array<double>"
-            )
-        return (
-            frame.crossJoin(pdf)
-            .select(
-                id_name,
-                F.when(
-                    dot_cols(F.col("_u"), F.col("_w"), dim) >= 0,
-                    # shiftleft's python wrapper wants a literal count;
-                    # the SQL form takes the column
-                    F.expr("shiftleft(1, _p)"),
-                )
-                .otherwise(F.lit(0))
-                .alias("_bit"),
-            )
-            .groupBy(id_name)
-            .agg(F.sum("_bit").cast("int").alias("_b"))
-            .join(frame, id_name)
-        )
+        return _lsh_bucket(frame, id_name, planes, dim)
 
     cu = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
                materialize=True)
@@ -1786,4 +1798,116 @@ def ann_topk_lsh_exact(
             "cos", dot_cols(F.col("_qu"), F.col("_u"), dim,
                             est_rows=est_scored_rows)
         )
+    return _rank_topk(scored, k)
+
+
+def build_lsh_index_exact(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    dim: int = 64,
+) -> None:
+    """Persist the bucketed NORMALIZED corpus partitioned by bucket
+    (build once, probe many — opt r15, guide §1.2/§6). LSH needs no
+    fit, but the per-run one-shot path still paid TWO full corpus
+    passes per query run (normalize kernel + bucket kernel, both
+    through the Python boundary at wide dims); the bucket bits and
+    unit vectors are a pure function of the corpus bytes, so they
+    belong in the same fingerprint-keyed store as the IVF/PQ indexes.
+    Storing _u keeps the probe path bit-equal to the one-shot search
+    by construction (same `_lsh_bucket` kernel writes the rows)."""
+    cu = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
+               materialize=True)
+    planes = lsh_plane_weights_exact(num_planes, dim)
+    (
+        _lsh_bucket(cu, "neighbor_id", planes, dim)
+        .repartition("_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .parquet(os.path.join(path, "bucketed"))
+    )
+
+
+def query_lsh_index_exact(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    est_scored_rows: int | None = None,
+) -> DataFrame:
+    """Search the persisted LSH index: query bucket bits and the
+    Hamming-1 multiprobe flips are derived DRIVER-SIDE from the
+    collected normalized query vectors (|queries| rows — the engine's
+    probe-list collect class) with the SAME left-fold arithmetic as
+    the corpus kernel (`_exact_fold_gram` on float64 — bit-identical
+    to the SQL fold, pinned in tests/test_emb768.py), the distinct
+    probed buckets become a literal IN-filter on the partition column
+    (FileScan PartitionFilters — only ~(num_planes+1)/2^num_planes of
+    the index bytes are read), then fold-dot scoring + rank exactly
+    like the one-shot path."""
+    import numpy as np
+
+    planes = lsh_plane_weights_exact(num_planes, dim)
+    qpdf = (
+        _unit(queries, id_col, vec_col, "query_id", dim)
+        .orderBy("query_id")
+        .toPandas()
+    )
+    W = np.array(planes, dtype=np.float64)
+    probe_rows = []
+    for qid, qu in zip(qpdf["query_id"], qpdf["_u"]):
+        if qu is None:
+            b = 0
+            qu_list = None
+        else:
+            U = np.asarray(qu, dtype=np.float64)[None, :]
+            G = _exact_fold_gram(U, W)[0]
+            b = int(
+                (
+                    (G >= 0).astype(np.int64)
+                    * (1 << np.arange(W.shape[0], dtype=np.int64))
+                ).sum()
+            )
+            qu_list = [float(x) for x in U[0]]
+        for bb in [b] + [b ^ (1 << p) for p in range(num_planes)]:
+            probe_rows.append((qid, qu_list, bb))
+    qid_type = "long"
+    try:
+        qid_type = queries.schema[id_col].dataType.simpleString()
+    except Exception:
+        pass
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id {qid_type}, _qu array<double>, _b int"
+    )
+    needed = sorted({r[2] for r in probe_rows})
+    bucketed = (
+        spark.read.parquet(os.path.join(path, "bucketed"))
+        .filter(F.col("_b").isin(needed))
+    )
+    if est_scored_rows is None:
+        corpus_rows = _parquet_num_rows(os.path.join(path, "bucketed"))
+        if corpus_rows is not None:
+            # |queries| is already on the driver (the probe collect) —
+            # the estimate costs zero jobs here
+            est_scored_rows = int(
+                len(qpdf) * corpus_rows * (num_planes + 1)
+                / (1 << num_planes)
+            )
+        else:
+            est_scored_rows = _derive_est_scored_rows(
+                bucketed.select("neighbor_id"),
+                probes.select("query_id").distinct(),
+                num_planes + 1, 1 << num_planes,
+            )
+    scored = fold_dot_frame(
+        bucketed.join(F.broadcast(probes), "_b"),
+        "_qu", "_u", ["query_id", "neighbor_id"],
+        dim=dim, est_rows=est_scored_rows,
+    )
     return _rank_topk(scored, k)

@@ -184,3 +184,60 @@ def test_lsh_exact_identical_vector_same_bucket(spark, sf_dir):
     top = [r for r in out if r["rnk"] == 1][0]
     assert top["neighbor_id"] == 555_555
     assert top["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_index_matches_oneshot_and_prunes(spark, sf_dir, tmp_path):
+    """opt r15: the persisted LSH bucket index (bucketed normalized
+    corpus + driver-side probe derivation) must be bit-equal to the
+    one-shot multiprobe search, and the probed buckets must
+    partition-prune the index scan."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (  # noqa: E501
+        ann_topk_lsh_exact,
+        build_lsh_index_exact,
+        query_lsh_index_exact,
+    )
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "lshx")
+    build_lsh_index_exact(corpus, path, num_planes=4, dim=64)
+    via_index = query_lsh_index_exact(
+        spark, path, queries, k=5, num_planes=4, dim=64
+    )
+    oneshot = ann_topk_lsh_exact(
+        corpus=corpus, queries=queries, k=5, num_planes=4, dim=64
+    )
+    assert _rows(via_index) == _rows(oneshot)
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_b" in plan
+
+
+def test_lsh_index_matches_oneshot_wide_dim(spark, sf_dir, tmp_path):
+    """Same bit-parity pin at a wide dim (the Arrow fold-kernel bucket
+    path + driver-side numpy probe bits)."""
+    from cloudwatch_sematext_aws_lambda_log_shipper_spark.operators.ivf_exact import (  # noqa: E501
+        ann_topk_lsh_exact,
+        build_lsh_index_exact,
+        query_lsh_index_exact,
+    )
+
+    dim = 192  # > DOT_UNROLL_MAX_DIM (128) -> wide kernels
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 191), d -> "
+            "element_at(cast(embedding as array<double>), (d % 64) + 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "lshx80")
+    build_lsh_index_exact(corpus, path, num_planes=4, dim=dim)
+    via_index = query_lsh_index_exact(
+        spark, path, queries, k=5, num_planes=4, dim=dim
+    )
+    oneshot = ann_topk_lsh_exact(
+        corpus=corpus, queries=queries, k=5, num_planes=4, dim=dim
+    )
+    assert _rows(via_index) == _rows(oneshot)
