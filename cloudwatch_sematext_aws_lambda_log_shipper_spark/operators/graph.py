@@ -30,13 +30,54 @@ connected-components lesson). Driver holds nothing.
 from __future__ import annotations
 
 import os
+from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .lineage import cut_lineage
 
 MASS = 1_000_000_000_000  # 10^12
+
+# Bounded-graph driver resolution (opt r15, guide §1.2 step 1 — the
+# connected_components union-find precedent in operators/dedup.py):
+# every iterative graph op here is a few integer rounds over an edge
+# list, and each distributed round costs a join + aggregate + its
+# scheduling hop (~0.3-0.8 s of pure fixed cost at bench scale). When
+# the edge list provably fits on the driver (default 1M edges ≈ tens
+# of MB — the probe-list-collect class), the exact iteration replays
+# in Python ints in microseconds with BIT-IDENTICAL results (floor
+# divisions, vote counts and min/argmax rules are engine-independent
+# integer arithmetic). Past the bound the distributed loops below are
+# UNCHANGED — the 100 TB shape. Both paths flip-pinned bit-equal in
+# tests/test_opt_r15d.py.
+_GRAPH_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _collect_bounded_edges(e: DataFrame, est_edges: int | None):
+    """Return the FULL edge row list when the graph is bounded enough
+    to resolve driver-side, else None (stay distributed).
+
+    With a metadata estimate (e.g. k x the parquet footer row bound)
+    the decision costs ZERO jobs: an estimate over the bound routes
+    distributed with no probe, an estimate under it makes collect()
+    both the probe and the data (est is an upper bound). Without an
+    estimate a ``limit(N+1)`` probe decides — and because
+    ``limit(N+1).collect()`` of a <=N-row frame returns every row,
+    the probe IS the collect on the bounded side (the
+    connected_components pattern)."""
+    max_edges = int(
+        os.environ.get("GRAPH_DRIVER_MAX_EDGES", _GRAPH_DRIVER_MAX_EDGES)
+    )
+    if est_edges is not None:
+        if est_edges > max_edges:
+            return None
+        return e.collect()
+    rows = e.limit(max_edges + 1).collect()
+    if len(rows) > max_edges:
+        return None
+    return rows
 
 # Crossover for pre-hash-partitioning the frames an iterative graph
 # algorithm re-joins every round (opt r15, guide §2.4). Below it the
@@ -95,6 +136,18 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     )
+    # Bounded graphs resolve driver-side (see _collect_bounded_edges;
+    # skipped under a RELIABLE checkpoint request, whose point is
+    # cluster-side fault tolerance). est_edges is an upper bound, so
+    # the route costs zero extra jobs: one collect replaces n_iter
+    # join/aggregate rounds. Bit-identical: every step below is floor
+    # division and integer sums, replayed exactly in Python ints.
+    if checkpoint_dir is None:
+        rows = _collect_bounded_edges(e, est_edges)
+        if rows is not None:
+            return _pagerank_driver(
+                edges.sparkSession, rows, e.schema["_src"].dataType, n_iter
+            )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -159,6 +212,41 @@ def pagerank(
     )
 
 
+def _pagerank_driver(spark, rows, node_type, n_iter: int) -> DataFrame:
+    """Exact driver-side replay of the scaled-integer PageRank over a
+    bounded collected edge list — bit-identical to the distributed
+    loop: same floor divisions, same integer sums (order-free), same
+    final double division (pr_scaled < 2^53, so int->double is exact
+    in both engines). Edge multiplicity is preserved (a repeated edge
+    contributes repeatedly, exactly as the join does)."""
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("pr_scaled", T.LongType(), True),
+            T.StructField("pr", T.DoubleType(), True),
+        ]
+    )
+    edge_list = [(r[0], r[1]) for r in rows]
+    node_set = set()
+    for a, b in edge_list:
+        node_set.add(a)
+        node_set.add(b)
+    n = len(node_set)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    outdeg = Counter(a for a, _ in edge_list)
+    teleport = (MASS * 15) // (100 * n)
+    state = dict.fromkeys(node_set, MASS // n)
+    for _ in range(n_iter):
+        inflow = Counter()
+        for a, b in edge_list:
+            inflow[b] += (state[a] * 85) // (100 * outdeg[a])
+        state = {v: teleport + inflow.get(v, 0) for v in node_set}
+    return spark.createDataFrame(
+        [(v, s, s / float(MASS)) for v, s in state.items()], schema
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     n_iter: int = 5,
@@ -188,6 +276,22 @@ def label_propagation(
     iteration (the pagerank lesson). Driver holds nothing.
     """
     fwd = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # Bounded graphs resolve driver-side (see _collect_bounded_edges;
+    # skipped under a RELIABLE checkpoint request). Without a metadata
+    # estimate a limit(N+1) probe decides, so fwd is persisted first —
+    # an over-the-bound probe's evaluation then feeds the distributed
+    # path below instead of being recomputed (the connected_components
+    # persist-then-probe pattern).
+    if checkpoint_dir is None:
+        if est_edges is None:
+            fwd = fwd.persist()
+        rows = _collect_bounded_edges(fwd, est_edges)
+        if rows is not None:
+            if est_edges is None:
+                fwd.unpersist()
+            return _label_propagation_driver(
+                edges.sparkSession, rows, fwd.schema["_src"].dataType, n_iter
+            )
     e = (
         fwd.unionByName(
             fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
@@ -253,6 +357,52 @@ def label_propagation(
     return state.select("node", F.col("lbl").alias("community"))
 
 
+def _label_propagation_driver(spark, rows, node_type, n_iter: int) -> DataFrame:
+    """Exact driver-side replay of the deterministic synchronous LPA
+    over a bounded collected edge list — bit-identical to the
+    distributed loop: votes are counted over the SAME multiset (the
+    symmetrized deduped edge set plus one self-loop per node, appended
+    un-deduped exactly as the unionByName does) and the argmax uses
+    the identical integer key ``(count << 32) - label`` with a
+    smallest-label tiebreak on key collisions."""
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("community", node_type, True),
+        ]
+    )
+    sym = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        sym.add((a, b))
+        sym.add((b, a))
+    node_set = {a for a, _ in sym}
+    if not node_set:
+        return spark.createDataFrame([], schema)
+    # self-loops appended WITHOUT dedup (matches the distributed
+    # unionByName): a pre-existing (v, v) edge yields two self-votes
+    votes_edges = list(sym) + [(v, v) for v in node_set]
+    state = {v: v for v in node_set}
+    for _ in range(n_iter):
+        votes: dict = {}
+        for a, b in votes_edges:
+            votes.setdefault(b, Counter())[state[a]] += 1
+        new_state = {}
+        for v, cnt in votes.items():
+            best_key, best_lbl = None, None
+            for lbl, c in cnt.items():
+                key = (c << 32) - lbl
+                if (
+                    best_key is None
+                    or key > best_key
+                    or (key == best_key and lbl < best_lbl)
+                ):
+                    best_key, best_lbl = key, lbl
+            new_state[v] = best_lbl
+        state = {v: new_state.get(v, lbl) for v, lbl in state.items()}
+    return spark.createDataFrame(sorted(state.items()), schema)
+
+
 def kcore_survivors(
     edges: DataFrame,
     k: int = 2,
@@ -260,6 +410,7 @@ def kcore_survivors(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
+    est_edges: int | None = None,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983), ``n_rounds`` synchronous rounds:
     repeatedly drop nodes whose degree among SURVIVORS is < k — what
@@ -275,6 +426,19 @@ def kcore_survivors(
     Scale: per round one semi join (edges vs survivors, both sides) +
     one map-side-combined degree count; lineage cut per round."""
     fwd = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # Bounded graphs resolve driver-side (see _collect_bounded_edges;
+    # the label_propagation persist-then-probe shape)
+    if checkpoint_dir is None:
+        if est_edges is None:
+            fwd = fwd.persist()
+        rows = _collect_bounded_edges(fwd, est_edges)
+        if rows is not None:
+            if est_edges is None:
+                fwd.unpersist()
+            return _kcore_driver(
+                edges.sparkSession, rows, fwd.schema["_src"].dataType,
+                k, n_rounds,
+            )
     e = (
         fwd.unionByName(
             fwd.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
@@ -310,6 +474,45 @@ def kcore_survivors(
     return last.withColumn("converged", F.lit(bool(converged)))
 
 
+def _kcore_driver(spark, rows, node_type, k: int, n_rounds: int) -> DataFrame:
+    """Exact driver-side replay of the synchronous k-core peeling over
+    a bounded collected edge list — bit-identical to the distributed
+    loop: degrees are counted over the symmetrized DEDUPED edge set
+    among current survivors, thresholded at k, with the converged flag
+    comparing the last two rounds' survivor counts."""
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("degree", T.LongType(), True),
+            T.StructField("converged", T.BooleanType(), False),
+        ]
+    )
+    sym = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        sym.add((a, b))
+        sym.add((b, a))
+    survivors = {a for a, _ in sym}
+    prev = survivors
+    last = None
+    for r in range(n_rounds):
+        deg = Counter(
+            a for a, b in sym if a in survivors and b in survivors
+        )
+        if r == n_rounds - 1:
+            prev = survivors
+        survivors = {a for a, d in deg.items() if d >= k}
+        last = {a: d for a, d in deg.items() if d >= k}
+    if last is None:
+        return spark.createDataFrame(
+            [(v, 0, True) for v in sorted(survivors)], schema
+        )
+    converged = len(survivors) == len(prev)
+    return spark.createDataFrame(
+        [(v, d, converged) for v, d in sorted(last.items())], schema
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
@@ -341,6 +544,26 @@ def bfs_hops(
     seed set costs hops-reached jobs, not max_hops. Driver holds
     nothing but the per-hop empty check."""
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    # Bounded graphs resolve driver-side (see _collect_bounded_edges;
+    # the seed set is collected too — it is nodes-bounded by contract
+    # and only read after the edge probe routes here)
+    if checkpoint_dir is None:
+        if est_edges is None:
+            e = e.persist()
+        rows = _collect_bounded_edges(e, est_edges)
+        if rows is not None:
+            if est_edges is None:
+                e.unpersist()
+            seeds = [
+                r[0]
+                for r in sources.select(F.col(node_col).alias("node"))
+                .distinct()
+                .collect()
+            ]
+            return _bfs_driver(
+                edges.sparkSession, rows, seeds,
+                sources.schema[node_col].dataType, max_hops,
+            )
     # one cut up front: every hop joins the edge table, and an
     # expensively-built edge frame (e.g. the k-NN graph) must not
     # re-evaluate per hop (the pagerank `ew` lesson). LAZY (r15): hop
@@ -382,6 +605,35 @@ def bfs_hops(
         state = state.unionByName(nxt)
         frontier = nxt
     return state
+
+
+def _bfs_driver(spark, rows, seeds, node_type, max_hops: int) -> DataFrame:
+    """Exact driver-side replay of the frontier BFS over a bounded
+    collected edge list — bit-identical to the distributed loop: the
+    first-visit hop IS the min hop, seeds report 0 (isolated seeds
+    included), expansion stops at max_hops or an empty frontier."""
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, False),
+            T.StructField("hop", T.IntegerType(), False),
+        ]
+    )
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+    state = {s: 0 for s in seeds}
+    frontier = set(state)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            nxt.update(adj.get(u, ()))
+        nxt -= state.keys()
+        if not nxt:
+            break
+        for v in nxt:
+            state[v] = h
+        frontier = nxt
+    return spark.createDataFrame(sorted(state.items()), schema)
 
 
 def triangle_counts(
