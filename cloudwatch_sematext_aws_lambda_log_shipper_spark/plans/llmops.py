@@ -6086,6 +6086,29 @@ def corpus_curate_e2e(
         .distinct()
     )
     s3b = s3.filter(F.col("doc_id") % 50 != 0)
+    # opt r15 (guide §2.5/§2.6 + §5): cut + rebalance the survivor
+    # spine BEFORE the decontam 8-gram explode. Two wins, both
+    # measured: (a) s3b has two consumers (the hit_ids semi-join build
+    # and the anti-join probe), so the uncut stage-1..3 spine evaluated
+    # TWICE inside curated's materialization; (b) AQE's byte-based
+    # coalescing (minPartitionSize 1 MB) lands the spine on ONE
+    # partition at sub-MB sizes, serializing the per-token explode
+    # passes downstream (measured: 1.6-2.2 s single-task jobs at
+    # sf0.1) — bytes are the wrong cost proxy for token kernels. The
+    # rebalance is conditional and hashed on doc_id (deterministic
+    # placement; every consumer aggregates/windows on explicit keys,
+    # so row placement cannot change any value); at deployment scale
+    # the checkpoint already exceeds defaultParallelism partitions and
+    # the branch never fires. (A GLOBAL minPartitionSize cut was tried
+    # first and REJECTED by measurement: 64k made every tiny-shuffle
+    # stage schedule 32 tasks and whole-bench fixed cost regressed —
+    # curate 12.6 -> 15.3 s, near_dup_simhash 1.43 -> 2.16 s.)
+    _sc = spark.sparkContext
+    s3b = s3b.localCheckpoint(eager=False)
+    if s3b.rdd.getNumPartitions() < _sc.defaultParallelism:
+        s3b = s3b.repartition(
+            _sc.defaultParallelism, "doc_id"
+        ).localCheckpoint(eager=False)
     hit_ids = (
         s3b.select("doc_id", F.explode(word_shingles(t, 8)).alias("_g"))
         .select("doc_id", F.md5("_g").alias("_gh"))
@@ -6118,6 +6141,15 @@ def corpus_curate_e2e(
     # every other cut in the engine. Lazy: the first consumer action
     # (train_bpe's delimiter probe) materializes it.
     curated = curated.localCheckpoint(eager=False)
+    # (curated inherits the rebalanced s3b layout through the
+    # broadcast anti-join, so the four downstream per-token passes —
+    # DSIR's two explode passes, BPE training, encode — stay wide; the
+    # conditional below is the same guard for plans where the join
+    # strategy collapses it again)
+    if curated.rdd.getNumPartitions() < _sc.defaultParallelism:
+        curated = curated.repartition(
+            _sc.defaultParallelism, "doc_id"
+        ).localCheckpoint(eager=False)
 
     dsir = importance_scores(
         curated, F.col("source") == "src1", exact_sum=True

@@ -75,8 +75,13 @@ def parse_eventlog(path: str) -> list[dict]:
                 jid = ev["Job ID"]
                 jobs[jid] = {
                     "job": jid,
-                    "desc": (ev.get("Properties") or {}).get(
-                        "spark.job.description", ""
+                    "desc": (
+                        (ev.get("Properties") or {}).get(
+                            "spark.job.description", ""
+                        )
+                        or (ev.get("Properties") or {}).get(
+                            "callSite.short", ""
+                        )
                     )[:90],
                     "t0": ev["Submission Time"],
                     "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
