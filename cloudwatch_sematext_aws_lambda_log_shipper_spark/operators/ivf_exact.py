@@ -418,6 +418,89 @@ def _derive_est_scored_rows(
         return None
 
 
+def _read_artifact_rows(spark: SparkSession, path: str) -> list[dict]:
+    """Bounded persisted-fit artifact (centroids: k x dim doubles,
+    codebooks: m x n_codes rows) to driver rows. LOCAL paths read via
+    pyarrow with NO scheduled job — the same bytes land on the driver
+    as a collect would put there, but each collect costs a job + plan
+    analysis (~0.1 s at bench scale, measured, opt r15 guide §1.2/§5);
+    non-local paths (object store at deployment scale) fall back to
+    the Spark collect. Values identical either way: same files, and
+    callers sort driver-side instead of via orderBy."""
+    p = path
+    if p.startswith("file://"):
+        p = p[7:]
+    elif p.startswith("file:"):
+        p = p[5:]
+    if "://" not in p and os.path.isdir(p):
+        try:
+            import pyarrow.parquet as pq
+
+            return pq.read_table(p).to_pylist()
+        except Exception:
+            pass
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
+def _collect_unit_queries(
+    queries: DataFrame, id_col: str, vec_col: str, dim: int
+):
+    """Driver-side normalized query vectors ordered by id — the
+    probe-list-class collect the LSH persisted path established
+    (|queries| rows regardless of corpus size). Returns the pandas
+    frame (query_id, _u) plus the id column's Spark type string."""
+    qpdf = (
+        _unit(queries, id_col, vec_col, "query_id", dim)
+        .orderBy("query_id")
+        .toPandas()
+    )
+    qid_type = "long"
+    try:
+        qid_type = queries.schema[id_col].dataType.simpleString()
+    except Exception:
+        pass
+    return qpdf, qid_type
+
+
+def _query_probes_driver(
+    spark: SparkSession, qpdf, centers, nprobe: int, qid_type: str
+):
+    """`_query_probes_exact` replayed DRIVER-SIDE over the collected
+    query vectors (the LSH multiprobe pattern, opt r15): each query's
+    nprobe nearest centroids by `_exact_fold_gram` float64 dots — the
+    same left-fold arithmetic as the SQL and Arrow kernels (pinned
+    bit-identical in tests), ranked by (dot DESC, cluster), which is
+    exactly the row_number ordering of the distributed form (an
+    all-NULL vector ties every dot and falls back to cluster order,
+    matching NULLS-LAST + the _j tie-break). Returns the local probes
+    frame (query_id, _qu, _cl) and the sorted distinct cluster list —
+    no probe job, no checkpoint, no distinct-collect job."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    npb = min(nprobe, len(centers))
+    rows = []
+    need: set = set()
+    for qid, qu in zip(qpdf["query_id"], qpdf["_u"]):
+        if qu is None:
+            order = list(range(npb))
+            qu_list = None
+        else:
+            U = np.asarray(qu, dtype=np.float64)[None, :]
+            G = _exact_fold_gram(U, C)[0]
+            order = sorted(
+                range(len(centers)), key=lambda j: (-G[j], j)
+            )[:npb]
+            qu_list = [float(x) for x in U[0]]
+        for j in order:
+            rows.append((qid, qu_list, int(j)))
+            need.add(int(j))
+    probes = spark.createDataFrame(
+        rows, f"query_id {qid_type}, _qu array<double>, _cl int"
+    )
+    return probes, sorted(need)
+
+
 def _query_probes_exact(
     qn: DataFrame, centers, nprobe: int, dim: int = 64
 ) -> DataFrame:
@@ -572,33 +655,34 @@ def query_ivf_index_exact(
     one-shot path. ``est_scored_rows`` feeds the dot_cols cost rule
     (see ann_topk_ivf_exact); omitted, it is derived from the index's
     parquet footers + the query count (self-feeding, r14)."""
-    cent = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cluster")
-        .collect()
+    # opt r15 (guide §1.2/§5, the LSH persisted-path pattern): the
+    # centroid artifact reads driver-side (no job on local paths), the
+    # probe assignment replays driver-side from ONE query collect
+    # (bit-identical fold arithmetic), and the estimate is pure
+    # arithmetic over footer rows — the pre-scan driver work drops
+    # from 4 scheduled jobs to 1.
+    centers = [
+        list(r["centroid"])
+        for r in sorted(
+            _read_artifact_rows(spark, os.path.join(path, "centroids")),
+            key=lambda r: r["cluster"],
+        )
+    ]
+    qpdf, qid_type = _collect_unit_queries(queries, id_col, vec_col, dim)
+    probes, needed = _query_probes_driver(
+        spark, qpdf, centers, nprobe, qid_type
     )
-    centers = [list(r["centroid"]) for r in cent]
-    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
     if est_scored_rows is None:
         apath = os.path.join(path, "assigned")
         corpus_rows = _parquet_num_rows(apath)
-        est_scored_rows = _derive_est_scored_rows(
-            # footer counting only lists local paths; on an object
-            # store (s3a://, hdfs://) fall back to a distributed count
-            # of the id column — one narrow scan, still no collect.
-            # The fallback frame is built only when footers failed
-            # (constructing it costs a driver-side listing).
-            None if corpus_rows is not None
-            else spark.read.parquet(apath).select("neighbor_id"),
-            qn, nprobe, len(centers), corpus_rows=corpus_rows,
-            raw_queries=queries,
+        if corpus_rows is None:
+            # object store: footers unreadable — one narrow count
+            corpus_rows = (
+                spark.read.parquet(apath).select("neighbor_id").count()
+            )
+        est_scored_rows = int(
+            len(qpdf) * corpus_rows * nprobe / max(len(centers), 1)
         )
-    probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
-        eager=True
-    )
-    needed = sorted(
-        r["_cl"] for r in probes.select("_cl").distinct().collect()
-    )
     assigned = (
         spark.read.parquet(os.path.join(path, "assigned"))
         .filter(F.col("cluster").isin(needed))
@@ -956,37 +1040,42 @@ def query_ivfpq_index_exact(
     ``est_scored_rows`` feeds the dot_cols cost rule; omitted, it is
     derived from the code table's parquet footers + the query count
     (self-feeding, r14 — the ADC stage fans candidates x m)."""
-    cent = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("cluster")
-        .collect()
-    )
-    centers = [list(r["centroid"]) for r in cent]
+    # opt r15 (guide §1.2/§5, the LSH persisted-path pattern): both
+    # fit artifacts read driver-side (no job on local paths), probe
+    # assignment replayed driver-side from ONE query collect
+    # (bit-identical fold arithmetic), estimate from footer rows —
+    # pre-scan driver work drops from 5 scheduled jobs to 1.
+    centers = [
+        list(r["centroid"])
+        for r in sorted(
+            _read_artifact_rows(spark, os.path.join(path, "centroids")),
+            key=lambda r: r["cluster"],
+        )
+    ]
     books = [
         (int(r["_j"]), int(r["_t"]), list(r["_cb"]))
-        for r in spark.read.parquet(os.path.join(path, "codebooks"))
-        .orderBy("_j", "_t")
-        .collect()
+        for r in sorted(
+            _read_artifact_rows(spark, os.path.join(path, "codebooks")),
+            key=lambda r: (r["_j"], r["_t"]),
+        )
     ]
-    qn = _unit(queries, id_col, vec_col, "query_id", dim, materialize=True)
+    qpdf, qid_type = _collect_unit_queries(queries, id_col, vec_col, dim)
+    probes, needed = _query_probes_driver(
+        spark, qpdf, centers, nprobe, qid_type
+    )
     if est_scored_rows is None:
         # the codes table holds m rows per corpus vector already, so
         # footer rows * nprobe/n_clusters * |queries| IS the ADC fanout
         cpath = os.path.join(path, "codes")
         code_rows = _parquet_num_rows(cpath)
-        est_scored_rows = _derive_est_scored_rows(
-            # fallback frame only when footers failed (remote path)
-            None if code_rows is not None
-            else spark.read.parquet(cpath).select("neighbor_id"),
-            qn, nprobe, len(centers), corpus_rows=code_rows,
-            raw_queries=queries,
+        if code_rows is None:
+            # object store: footers unreadable — one narrow count
+            code_rows = (
+                spark.read.parquet(cpath).select("neighbor_id").count()
+            )
+        est_scored_rows = int(
+            len(qpdf) * code_rows * nprobe / max(len(centers), 1)
         )
-    probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
-        eager=True
-    )
-    needed = sorted(
-        r["_cl"] for r in probes.select("_cl").distinct().collect()
-    )
     codes = (
         spark.read.parquet(os.path.join(path, "codes"))
         .filter(F.col("cluster").isin(needed))
