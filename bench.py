@@ -210,11 +210,22 @@ def main() -> None:
     # sf_dir makes every timed run warm-store deterministic, so
     # per-query numbers are comparable across rounds; the JSON records
     # cache_state so the judge can see which regime a record is from.
+    # The store-warm duration doubles as a per-query REFERENCE time
+    # (r15 measurement fix): it runs the same computation at the same
+    # sf minutes before the timed passes, so a timed MIN far above it
+    # is contamination even when both interleaved runs were hit — the
+    # case the >3x spread rule is blind to (observed: an untouched
+    # query at 22.2/15.3 s vs 0.9 s isolated; spread 1.46, no retry).
+    # On a cold store the reference is inflated by the build, which
+    # only makes the trigger more conservative (old behavior).
+    warm_ref: dict[str, float] = {}
     for name, fn in qs.items():
         if name in failed:
             continue
         try:
+            t0 = time.time()
             fn(spark, sf_dir).count()
+            warm_ref[name] = time.time() - t0
         except Exception as exc:
             failed.add(name)
             print(f"bench: {name} FAILED (store-warm): {exc}",
@@ -255,10 +266,16 @@ def main() -> None:
     # Unstable-query retry (one extra run): a >3x spread between the
     # two interleaved runs means at least one was contaminated; a third
     # sample makes the MIN trustworthy and clears the flag unless the
-    # spread persists.
+    # spread persists. r15: ALSO retry when the min sits >3x above the
+    # query's own store-warm reference run (same computation, same sf,
+    # minutes earlier) — the both-runs-contaminated case the spread
+    # rule cannot see; 0.5 s floor keeps scheduling jitter out of it.
     retried = sorted(
         n for n, ts in runs.items()
-        if len(ts) == 2 and min(ts) > 0 and max(ts) / min(ts) > 3.0
+        if len(ts) == 2 and min(ts) > 0 and (
+            max(ts) / min(ts) > 3.0
+            or min(ts) > 3.0 * max(warm_ref.get(n, float("inf")), 0.5)
+        )
     )
     for name in retried:
         try:

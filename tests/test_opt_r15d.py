@@ -81,18 +81,22 @@ def test_driver_and_distributed_paths_identical(
 def test_threshold_routes_by_job_count(spark, edges, seeds, monkeypatch):
     tracker = spark.sparkContext.statusTracker()
 
-    def n_jobs():
-        return len(tracker.getJobIdsForGroup(None))
+    # job ids are sequential; len(getJobIdsForGroup) deltas break in a
+    # long-lived session because the tracker EVICTS old job ids
+    # (spark.ui.retainedJobs) — count scheduled jobs by max-id delta
+    def max_jid():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
 
     monkeypatch.setenv("GRAPH_DRIVER_MAX_EDGES", "1000000")
-    before = n_jobs()
+    before = max_jid()
     pagerank(edges, n_iter=4).collect()
-    driver_jobs = n_jobs() - before
+    driver_jobs = max_jid() - before
 
     monkeypatch.setenv("GRAPH_DRIVER_MAX_EDGES", "0")
-    before = n_jobs()
+    before = max_jid()
     pagerank(edges, n_iter=4).collect()
-    cluster_jobs = n_jobs() - before
+    cluster_jobs = max_jid() - before
 
     # driver path: the bounded probe-collect + the final local-relation
     # collect; distributed path schedules per-iteration work on top
