@@ -49,13 +49,26 @@ def get_spark(
         # fix that keeps the fold's bit pattern intact. Same flags
         # belong in spark.executor.extraJavaOptions on a real cluster
         # (local[...] executors share the driver JVM).
+        # -XX:ReservedCodeCacheSize=512m: with DontCompileHugeMethods
+        # off, C2 emits unusually LARGE nmethods for the unrolled dot
+        # folds, and a session that plans/compiles hundreds of distinct
+        # query shapes (the bench, a long-lived service) fills the
+        # default 240m cache — measured r16: the non-profiled CodeHeap
+        # hit used=118879Kb free=0Kb mid-bench, after which new hot
+        # methods stay tier-3/interpreted (a uniform ~1.3-1.45x
+        # late-session inflation with zero GC signal; the unresolved
+        # r15 "full-bench poisoning"). 512m is the measured fix, not a
+        # local-mode tuning: any long-lived deployment of this engine
+        # compiles the same kernels.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -Xss64m",
+            "-XX:-DontCompileHugeMethods -Xss64m"
+            " -XX:ReservedCodeCacheSize=512m",
         )
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:-DontCompileHugeMethods -Xss64m",
+            "-XX:-DontCompileHugeMethods -Xss64m"
+            " -XX:ReservedCodeCacheSize=512m",
         )
         .config(
             "spark.sql.warehouse.dir",
