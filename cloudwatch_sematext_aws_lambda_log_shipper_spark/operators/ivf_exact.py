@@ -865,6 +865,131 @@ def encode_codes_exact(
     )
 
 
+def encode_codes_arrays(
+    cn: DataFrame,
+    centers,
+    books,
+    m: int = 4,
+    dim: int = 64,
+    id_name: str = "neighbor_id",
+) -> DataFrame:
+    """PQ codes in the ARRAY layout: ONE row per vector —
+    (id, _ts array<int>, _cl) with ``_ts[j]`` the subspace-j code.
+    The per-(id, subspace) argmin is exactly
+    :func:`encode_codes_exact`'s; the pivot to one row per vector is
+    what lets the ADC stage fold the m LUT terms inside a single JVM
+    expression instead of shuffling candidates x m rows through a
+    groupBy (opt r16, guide §2.4 "remove shuffles outright"). The
+    pivot costs one corpus-keyed exchange at BUILD time — paid once
+    per corpus fingerprint on the persisted paths, and on the one-shot
+    path it replaces the strictly larger candidates-x-m ADC exchange
+    (candidates = corpus x |q| x nprobe/n_clusters >= corpus whenever
+    more than one query probes)."""
+    rows = encode_codes_exact(
+        cn, centers, books, m=m, dim=dim, id_name=id_name
+    )
+    return (
+        rows.groupBy(id_name, "_cl")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_t"))).alias("_a"))
+        .select(
+            id_name,
+            F.transform("_a", lambda s: s["_t"]).alias("_ts"),
+            "_cl",
+        )
+    )
+
+
+def _pq_lut(spark: SparkSession, qsub: DataFrame, books, sub: int) -> DataFrame:
+    """(query_id, _lut array<array<decimal(16,12)>>): the per-query ADC
+    look-up table, ``_lut[j][t+1] = round(dot(qsv_j, cb[j][t]), 12)``
+    as DECIMAL(16,12) — the SAME Spark expression (same fold, same
+    rounding chain) the retired candidates-x-m term projection
+    evaluated, so every term is bit-identical by construction. Size is
+    |queries| x m x n_codes rows end-to-end (tiny; the two pivot
+    aggregates below run on the broadcast-build side, off the scan's
+    critical path)."""
+    cb_df = spark.createDataFrame(
+        [(j, t, list(v)) for j, t, v in books],
+        "_j int, _t int, _cb array<double>",
+    )
+    return (
+        qsub.join(cb_df, "_j")
+        .select(
+            "query_id",
+            "_j",
+            "_t",
+            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub), 12)
+            .cast("decimal(16,12)")
+            .alias("_term"),
+        )
+        .groupBy("query_id", "_j")
+        .agg(F.array_sort(F.collect_list(F.struct("_t", "_term"))).alias("_a"))
+        .select(
+            "query_id",
+            "_j",
+            F.transform("_a", lambda s: s["_term"]).alias("_lj"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_lj"))).alias("_b"))
+        .select(
+            "query_id",
+            F.transform("_b", lambda s: s["_lj"]).alias("_lut"),
+        )
+    )
+
+
+# ADC score from the array layout: fold the m per-subspace LUT terms in
+# one JVM expression. DECIMAL addition at a fixed scale is EXACT, so
+# this left fold produces the identical value the retired
+# groupBy+sum(decimal(16,12)) aggregated in arbitrary order — the
+# ordering key (_adc DESC, neighbor_id) cannot move.
+#
+# Accumulator precision is load-bearing: decimal(20,12) + the
+# decimal(16,12) term adds to decimal(21,12) — WITHIN the 38-digit
+# system cap, so the addition is exact and the cast back to (20,12)
+# is a no-op (|sum| <= 64 terms x 10^4 < 10^8 integral digits). A
+# wider accumulator is a trap, measured r16: (38,12) + (16,12) wants
+# precision 39 > 38, and spark.sql.decimalOperations.allowPrecisionLoss
+# (default true) silently REDUCES THE SCALE to 11 — every fold step
+# rounds and the sum drifts from the groupBy's by ~1e-11 (caught by
+# the bit-equality pin in tests/test_opt_r16.py).
+_ADC_FOLD = (
+    "aggregate(zip_with(_ts, _lut, (t, lj) -> element_at(lj, t + 1)), "
+    "cast(0 as decimal(20,12)), "
+    "(acc, x) -> cast(acc + x as decimal(20,12)))"
+)
+
+
+def _adc_shortlist(
+    codes_arr: DataFrame,
+    probes: DataFrame,
+    lut: DataFrame,
+    k: int,
+    refine_factor: int,
+) -> DataFrame:
+    """(query_id, neighbor_id) ADC shortlist from array-layout codes:
+    candidates via the broadcast probe join, ADC via the _ADC_FOLD
+    expression (no exchange until the per-query rank window).
+    ``probes`` carries exactly one row per (query_id, _cl) by
+    construction (_query_probes_exact ranks distinct clusters;
+    _query_probes_driver emits a sorted index list), so no dedup
+    exchange is spent on the broadcast side."""
+    cand = codes_arr.join(
+        F.broadcast(probes.select("query_id", "_cl")), "_cl"
+    )
+    adc = cand.join(F.broadcast(lut), "query_id").select(
+        "query_id", "neighbor_id", F.expr(_ADC_FOLD).alias("_adc")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def ann_topk_ivfpq_exact(
     corpus: DataFrame,
     queries: DataFrame,
@@ -888,9 +1013,21 @@ def ann_topk_ivfpq_exact(
     per-subspace LUT dot terms, top-(k*refine_factor) shortlist by
     (adc DESC, id), then exact normalized-dot cosine on the shortlist
     ranks the final top-k. ``artifacts`` = (centers, books, codes_df)
-    from a persisted index; None fits + encodes one-shot.
-    ``est_scored_rows`` feeds the dot_cols cost rule (the ADC-term
-    stage is the one that fans out candidates x m subspaces)."""
+    from a persisted index (codes in the encode_codes_arrays layout);
+    None fits + encodes one-shot.
+
+    opt r16 (guide §2.4): the ADC runs from the array code layout —
+    per-query LUT broadcast + one zip_with/aggregate decimal fold per
+    candidate — instead of fanning candidates x m subspace rows
+    through two broadcast joins and a groupBy exchange. Identical
+    per-term doubles (the LUT evaluates the same round(dot_cols)
+    expression), identical sums (fixed-scale DECIMAL addition is
+    exact, so fold order == groupBy order), so the shortlist and the
+    final top-k are bit-equal — pinned in tests/test_opt_r16.py
+    against the retired groupBy form. ``est_scored_rows`` is retired
+    (kept for API stability): no per-candidate dot remains for the
+    cost rule to steer."""
+    del est_scored_rows  # retired (see docstring)
     spark = corpus.sparkSession
     sub = dim // m
     cn = _unit(corpus, id_col, vec_col, "neighbor_id", dim,
@@ -911,53 +1048,16 @@ def ann_topk_ivfpq_exact(
         codes_df = None
     else:
         centers, books, codes_df = artifacts
-    cb_df = F.broadcast(
-        spark.createDataFrame(
-            [(j, t, list(v)) for j, t, v in books],
-            "_j int, _t int, _cb array<double>",
-        )
-    )
     if codes_df is None:
-        codes_df = encode_codes_exact(cn, centers, books, m=m, dim=dim)
-    if est_scored_rows is None:
-        # ADC fans each scored candidate out x m subspaces
-        est_scored_rows = _derive_est_scored_rows(
-            cn, qn, nprobe, len(centers),
-            raw_corpus=corpus, raw_queries=queries, multiplier=m,
-        )
+        codes_df = encode_codes_arrays(cn, centers, books, m=m, dim=dim)
     probes = _query_probes_exact(qn, centers, nprobe, dim).localCheckpoint(
         eager=True
     )
-    qsub = F.broadcast(
-        _subvectors(
-            qn.withColumnRenamed("query_id", "query_id"), "query_id", m, dim
-        ).withColumnRenamed("_sv", "_qsv")
+    qsub = _subvectors(qn, "query_id", m, dim).withColumnRenamed(
+        "_sv", "_qsv"
     )
-    cand = codes_df.join(
-        F.broadcast(probes.select("query_id", "_cl").distinct()), "_cl"
-    )
-    terms = (
-        cand.join(cb_df, ["_j", "_t"])
-        .join(qsub, ["query_id", "_j"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub,
-                             est_rows=est_scored_rows), 12)
-            .cast("decimal(16,12)")
-            .alias("_term"),
-        )
-    )
-    adc = terms.groupBy("query_id", "neighbor_id").agg(
-        F.sum("_term").alias("_adc")
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").desc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        adc.withColumn("_r", F.row_number().over(ws))
-        .filter(F.col("_r") <= k * refine_factor)
-        .select("query_id", "neighbor_id")
+    shortlist = _adc_shortlist(
+        codes_df, probes, _pq_lut(spark, qsub, books, sub), k, refine_factor
     )
     qvec = probes.select("query_id", "_qu").dropDuplicates(["query_id"])
     scored = (
@@ -1010,7 +1110,9 @@ def build_ivfpq_index_exact(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    codes = encode_codes_exact(cn, centers, books, m=m, dim=dim)
+    # array layout (opt r16): one row per vector, codes as array<int> —
+    # see encode_codes_arrays; the exchange-free ADC fold reads this
+    codes = encode_codes_arrays(cn, centers, books, m=m, dim=dim)
     (
         codes.withColumnRenamed("_cl", "cluster")
         .repartition("cluster")
@@ -1037,14 +1139,15 @@ def query_ivfpq_index_exact(
     """Search the persisted exact-arith IVF-PQ index: probed cluster
     ids partition-prune the code-table scan; ADC + refine run exactly
     like the one-shot path (bit-equal results by construction).
-    ``est_scored_rows`` feeds the dot_cols cost rule; omitted, it is
-    derived from the code table's parquet footers + the query count
-    (self-feeding, r14 — the ADC stage fans candidates x m)."""
+    ``est_scored_rows`` is retired (opt r16 — the LUT-fold ADC has no
+    per-candidate dot for the cost rule to steer; kept for API
+    stability)."""
+    del est_scored_rows
     # opt r15 (guide §1.2/§5, the LSH persisted-path pattern): both
     # fit artifacts read driver-side (no job on local paths), probe
     # assignment replayed driver-side from ONE query collect
-    # (bit-identical fold arithmetic), estimate from footer rows —
-    # pre-scan driver work drops from 5 scheduled jobs to 1.
+    # (bit-identical fold arithmetic) — pre-scan driver work drops
+    # from 5 scheduled jobs to 1.
     centers = [
         list(r["centroid"])
         for r in sorted(
@@ -1063,19 +1166,6 @@ def query_ivfpq_index_exact(
     probes, needed = _query_probes_driver(
         spark, qpdf, centers, nprobe, qid_type
     )
-    if est_scored_rows is None:
-        # the codes table holds m rows per corpus vector already, so
-        # footer rows * nprobe/n_clusters * |queries| IS the ADC fanout
-        cpath = os.path.join(path, "codes")
-        code_rows = _parquet_num_rows(cpath)
-        if code_rows is None:
-            # object store: footers unreadable — one narrow count
-            code_rows = (
-                spark.read.parquet(cpath).select("neighbor_id").count()
-            )
-        est_scored_rows = int(
-            len(qpdf) * code_rows * nprobe / max(len(centers), 1)
-        )
     codes = (
         spark.read.parquet(os.path.join(path, "codes"))
         .filter(F.col("cluster").isin(needed))
@@ -1084,7 +1174,6 @@ def query_ivfpq_index_exact(
     cn = spark.read.parquet(os.path.join(path, "vectors"))
     return _ivfpq_search_persisted(
         spark, cn, codes, probes, books, k, refine_factor, m, dim,
-        est_scored_rows=est_scored_rows,
     )
 
 
@@ -1092,46 +1181,22 @@ def _ivfpq_search_persisted(
     spark, cn, codes_df, probes, books, k, refine_factor, m, dim,
     est_scored_rows=None,
 ):
-    """ADC + refine tail shared by the persisted path (codes already
-    cluster-pruned; ``cn`` the stored normalized vectors)."""
+    """ADC + refine tail shared by the persisted path (array-layout
+    codes already cluster-pruned; ``cn`` the stored normalized
+    vectors). opt r16: LUT-broadcast + zip_with/aggregate fold — no
+    candidates-x-m fanout, no ADC groupBy exchange (see
+    ann_topk_ivfpq_exact). ``est_scored_rows`` is retired (kept for
+    API stability)."""
+    del est_scored_rows  # retired (no per-candidate dot remains)
     sub = dim // m
-    cb_df = F.broadcast(
-        spark.createDataFrame(
-            [(j, t, list(v)) for j, t, v in books],
-            "_j int, _t int, _cb array<double>",
-        )
-    )
     qn = probes.select("query_id", F.col("_qu").alias("_u")).dropDuplicates(
         ["query_id"]
     )
-    qsub = F.broadcast(
-        _subvectors(qn, "query_id", m, dim).withColumnRenamed("_sv", "_qsv")
+    qsub = _subvectors(qn, "query_id", m, dim).withColumnRenamed(
+        "_sv", "_qsv"
     )
-    cand = codes_df.join(
-        F.broadcast(probes.select("query_id", "_cl").distinct()), "_cl"
-    )
-    terms = (
-        cand.join(cb_df, ["_j", "_t"])
-        .join(qsub, ["query_id", "_j"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot_cols(F.col("_qsv"), F.col("_cb"), sub,
-                             est_rows=est_scored_rows), 12)
-            .cast("decimal(16,12)")
-            .alias("_term"),
-        )
-    )
-    adc = terms.groupBy("query_id", "neighbor_id").agg(
-        F.sum("_term").alias("_adc")
-    )
-    ws = Window.partitionBy("query_id").orderBy(
-        F.col("_adc").desc(), F.col("neighbor_id")
-    )
-    shortlist = (
-        adc.withColumn("_r", F.row_number().over(ws))
-        .filter(F.col("_r") <= k * refine_factor)
-        .select("query_id", "neighbor_id")
+    shortlist = _adc_shortlist(
+        codes_df, probes, _pq_lut(spark, qsub, books, sub), k, refine_factor
     )
     qvec = probes.select("query_id", "_qu").dropDuplicates(["query_id"])
     scored = (

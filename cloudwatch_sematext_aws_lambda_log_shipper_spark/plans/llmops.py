@@ -981,7 +981,10 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     key = (f"{sf_name}-{fp}-{subset}-c{n_clusters}i3"
            + (f"-pq{pq_m}x{pq_codes}i{pq_iters}" if want_books else ""))
     path = _os.path.join(root, key + ".json")
-    codes_dir = _os.path.join(root, key + "-codes.parquet")
+    # -codesv2: the r16 ARRAY code layout (one row per vector,
+    # _ts array<int> — encode_codes_arrays); the r14/r15 m-rows-per-
+    # vector "-codes.parquet" format is retired and sweeps below
+    codes_dir = _os.path.join(root, key + "-codesv2.parquet")
 
     # GC (review r14): the codes sidecar made this root hold
     # CORPUS-sized artifacts, so superseded fingerprints of the same
@@ -1003,12 +1006,14 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     # entries (incl. the corpus-sized codes sidecar) sweep at ANY
     # fingerprint, like the r13 driver-collected -codes.json format
     retired_tail = f"-{subset}-c{n_clusters}i3-pq4x16i2"
+    # -codes.parquet (m-rows layout, retired r16) and -codes.json
+    # (driver-collected, retired r14) sweep at ANY fingerprint
     stale_pat = _re.compile(
         _re.escape(sf_name) + r"-[0-9a-f]{16}"
         + "(?:" + _re.escape(tail)
-        + r"(\.json|-codes\.parquet|-codes\.json)"
+        + r"(\.json|-codesv2\.parquet|-codes\.parquet|-codes\.json)"
         + "|" + _re.escape(retired_tail)
-        + r"(\.json|-codes\.parquet|-codes\.json)"
+        + r"(\.json|-codesv2\.parquet|-codes\.parquet|-codes\.json)"
         + ")$"
     )
     missing = not _os.path.exists(path) or (
@@ -1018,7 +1023,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
     if missing:
         sweep_stale_entries(
             root,
-            {key + ".json", key + "-codes.parquet"},
+            {key + ".json", key + "-codesv2.parquet"},
             lambda e: stale_pat.match(e) is not None,
         )
 
@@ -1028,7 +1033,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
 
     from ..operators.ivf_exact import (
         _unit,
-        encode_codes_exact,
+        encode_codes_arrays,
         fit_centroids_exact,
         fit_pq_codebooks_exact,
     )
@@ -1060,7 +1065,7 @@ def _ivf_fit_cached(spark: SparkSession, sf_dir: str, corpus, want_books: bool,
         cn = _unit(corpus, "vec_id", "embedding", "neighbor_id",
                    materialize=True)
         tmp_dir = f"{codes_dir}.build.{_os.getpid()}"
-        encode_codes_exact(cn, centers, books, m=pq_m).write.mode(
+        encode_codes_arrays(cn, centers, books, m=pq_m).write.mode(
             "overwrite"
         ).parquet(tmp_dir)
         try:
@@ -1207,15 +1212,16 @@ def embedding_ann_ivfpq_768(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(_os.path.join(p, "_SUCCESS"), "w").close()
 
     # hyperparameters live in the cache key (ADVICE r13): a future
-    # param tune rebuilds instead of silently serving a stale index
+    # param tune rebuilds instead of silently serving a stale index;
+    # trailing "a" = the r16 array code layout
     path = materialize_dir(
         spark,
         sf_dir,
-        "ivfpqx768-c8m16n64i2p1",
+        "ivfpqx768-c8m16n64i2p1a",
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
-        supersedes=("ivfpqx768",),
+        supersedes=("ivfpqx768", "ivfpqx768-c8m16n64i2p1"),
     )
     ann = query_ivfpq_index_exact(
         spark, path, queries, k=5, nprobe=4, refine_factor=12, m=16,
@@ -5291,15 +5297,18 @@ def embedding_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # hyperparameters pinned in the key (ADVICE r13); m16x64 is the
     # operating-curve recommendation (r15 — supersedes the saturating
-    # m4x16 point)
+    # m4x16 point); trailing "a" = the r16 array code layout (a format
+    # change is a rebuild, never a silent stale read)
     path = materialize_dir(
         spark,
         sf_dir,
-        "ivfpqx-c16m16n64i3p2",
+        "ivfpqx-c16m16n64i3p2a",
         builder=lambda: corpus,
         source="embeddings.parquet",
         writer=_write,
-        supersedes=("ivfpqx", "ivfpqx-c16m4n16i3p2"),
+        supersedes=(
+            "ivfpqx", "ivfpqx-c16m4n16i3p2", "ivfpqx-c16m16n64i3p2",
+        ),
     )
     ann = query_ivfpq_index_exact(spark, path, queries, k=5, m=16)
     # r15 opt: numpy fold-kernel audit (see embedding_ann_ivf)

@@ -4,7 +4,7 @@ Times a named subset of the declared queries at $SPARK_GRAFT_SF_DIR
 with the SAME methodology as bench.py (plan-warm at sf0.001, one
 untimed store-warm pass at the target sf, then N interleaved timed
 passes, min reported), and optionally dumps `.explain("formatted")`
-for each query to plans/r15/<query>_<tag>.txt.
+for each query to plans/<round>/<query>_<tag>.txt (round from $OPT_PLANS_ROUND, default r16).
 
 Usage:
   python scripts/opt_measure.py [--passes N] [--explain TAG] q1 q2 ...
@@ -34,7 +34,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--explain", default=None, metavar="TAG",
-                    help="dump explain('formatted') to plans/r15/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/<round>/<q>_<TAG>.txt")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("queries", nargs="+")
@@ -60,7 +60,7 @@ def main() -> None:
 
     if args.explain:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        outdir = os.path.join(here, "plans", "r15")
+        outdir = os.path.join(here, "plans", os.environ.get("OPT_PLANS_ROUND", "r16"))
         os.makedirs(outdir, exist_ok=True)
         for q in args.queries:
             df = qs[q](spark, args.sf_dir)

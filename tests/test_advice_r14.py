@@ -183,7 +183,7 @@ def test_pq_fit_cache_codes_roundtrip_parquet(spark, tmp_path, monkeypatch):
     centers, books, codes = _ivf_fit_cached(
         spark, sf_dir, corpus, want_books=True, want_codes=True
     )
-    direct = ivf_exact.encode_codes_exact(
+    direct = ivf_exact.encode_codes_arrays(  # r16: array code layout
         ivf_exact._unit(corpus, "vec_id", "embedding", "neighbor_id",
                         materialize=True),
         centers,
@@ -191,14 +191,21 @@ def test_pq_fit_cache_codes_roundtrip_parquet(spark, tmp_path, monkeypatch):
         m=16,  # r15: the cache defaults follow the shipped m16x64 point
     )
     assert sorted(codes.columns) == sorted(direct.columns)
-    got = sorted(map(tuple, codes.select(*direct.columns).collect()))
-    want = sorted(map(tuple, direct.collect()))
+
+    def _rows(df):
+        return sorted(
+            (r["neighbor_id"], tuple(r["_ts"]), r["_cl"])
+            for r in df.collect()
+        )
+
+    got = _rows(codes.select(*direct.columns))
+    want = _rows(direct)
     assert got == want
     # second call serves the cached parquet (no re-encode): same rows
     _, _, codes2 = _ivf_fit_cached(
         spark, sf_dir, corpus, want_books=True, want_codes=True
     )
-    assert sorted(map(tuple, codes2.select(*direct.columns).collect())) == want
+    assert _rows(codes2.select(*direct.columns)) == want
 
 
 def test_tightened_recall_floors_catch_midband_regression(spark):
@@ -339,7 +346,8 @@ def test_ivf_fit_cache_gc_sweeps_stale_fingerprints(
     assert not retired.exists()
     assert not crashed.exists()
     assert other_family.exists()  # different params/family untouched
-    # the live key's files survived the sweep
+    # the live key's files survived the sweep (r16: the live codes
+    # sidecar is the array-layout -codesv2.parquet)
     live = [e for e in os.listdir(root) if e.endswith(".json")
-            or e.endswith("-codes.parquet")]
+            or e.endswith("-codesv2.parquet")]
     assert len(live) == 3  # live json + live codes dir + other_family
