@@ -51,11 +51,11 @@ def test_no_hugeint_or_decimal_in_oracle_outputs(duck):
     assert not bad, f"oracle outputs with driver-unsafe types: {bad}"
 
 
-def test_no_decimal_in_spark_query_outputs(spark, sf_dir):
+def test_no_decimal_in_spark_query_outputs(registry_frames):
     bad = {}
-    for name, fn in entrymod.queries().items():
-        # .dtypes builds the plan (schema inference) without executing it
-        dec = [(c, t) for c, t in fn(spark, sf_dir).dtypes if "decimal" in t]
+    for name, df in registry_frames.items():
+        # .dtypes reads the analyzed schema without executing the plan
+        dec = [(c, t) for c, t in df.dtypes if "decimal" in t]
         if dec:
             bad[name] = dec
     assert not bad, f"Spark outputs with DecimalType (driver-unsafe): {bad}"

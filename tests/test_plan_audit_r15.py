@@ -44,10 +44,9 @@ WHITELIST = {
 }
 
 
-def test_no_global_window_over_unbounded_input(spark, sf_dir):
+def test_no_global_window_over_unbounded_input(registry_frames):
     offenders: dict[str, list[str]] = {}
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, sf_dir)
+    for name, df in registry_frames.items():
         plan = df._jdf.queryExecution().optimizedPlan()
         bad = global_windows_over_unbounded(plan)
         if bad and name not in WHITELIST:

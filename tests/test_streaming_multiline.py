@@ -65,8 +65,29 @@ def test_cross_batch_stitch_and_orphans(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM ml_events ORDER BY stream, event_no").collect()
+    # availableNow + a pending ProcessingTimeTimeout keeps the query
+    # alive until the (1 h) timeout horizon, so a bare
+    # awaitTermination(120) burns its full 120 s (measured r16) —
+    # poll the sink for the 3 completed events and stop, the same
+    # pattern as the eviction suites.
+    import time
+
+    t0 = time.time()
+    try:
+        while True:
+            rows = spark.sql(
+                "SELECT * FROM ml_events ORDER BY stream, event_no"
+            ).collect()
+            if len(rows) >= 3:
+                break
+            if time.time() - t0 > 120:
+                raise AssertionError(
+                    f"expected 3 stitched events, got {rows}"
+                )
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
 
     s1 = [r for r in rows if r.stream == "s1"]
     assert len(s1) == 2  # the third event is still open (no successor)
