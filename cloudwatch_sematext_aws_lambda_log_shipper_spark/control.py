@@ -395,18 +395,26 @@ def maintain_rollup(
     case exactly would require batch ids that survive refolds, and
     correctness never depends on skipping it.
 
-    Idempotent and crash-safe: the overwrite replaces the date's rows
+    Idempotent and crash-safe: the overwrite replaces each date's rows
     atomically per partition, and the manifest (a `_`-prefixed sidecar
-    Spark's file index ignores) is rewritten via tmp+rename AFTER each
-    date lands — a crash between the two just refreshes that date
+    Spark's file index ignores) is rewritten via tmp+rename AFTER the
+    refresh lands — a crash between the two just refreshes those dates
     again next run. With ``checkpoint_dir``, dates carrying a batch
     newer than the stream's last committed batch are skipped (same
     in-flight guard as compact_table).
 
-    Scale: each refresh is a partition-pruned scan of one day with
-    map-side partial aggregation; the rollup write touches one
-    directory. 100 TB tables refresh in time proportional to the data
-    that actually arrived since the last run.
+    Scale: ALL changed dates refresh in ONE job (opt r16, guide §2.6):
+    a single partition-pruned scan filtered to the changed dates with
+    map-side partial aggregation, and one dynamic partition overwrite
+    that replaces exactly those dates' slices. The r15 shape ran one
+    sequential read+aggregate+write job per changed date — O(changed
+    days) scheduler round-trips, which a 1000-day backfill turns into
+    1000 serial jobs; the one-shot refresh is the same bytes scanned
+    with one scheduling round, and per-date crash granularity (the
+    only thing given up) was never load-bearing — a crash before the
+    manifest rename refreshes the same dates again. 100 TB tables
+    still refresh in time proportional to the data that actually
+    arrived since the last run.
     """
     from pyspark.sql import functions as F
 
@@ -425,6 +433,7 @@ def maintain_rollup(
         if checkpoint_dir is not None
         else None
     )
+    changed: dict[str, str] = {}
     for entry in sorted(os.listdir(table_path)):
         if not entry.startswith("log_date="):
             continue
@@ -442,24 +451,38 @@ def maintain_rollup(
         fp = source_fingerprint(part_dir)
         if manifest.get(day) == fp:
             continue
-        day_df = spark.read.parquet(part_dir)
-        if "ingest_batch" in day_df.columns:
-            day_df = day_df.drop("ingest_batch")
-        agg = (
-            day_df.groupBy(*[F.col(f"`{c}`") for c in group_cols])
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("log_date", F.lit(day).cast("date"))
+        changed[day] = fp
+    if not changed:
+        return refreshed
+    # one partition-pruned scan of exactly the changed dates; the
+    # string->date cast matches the retired per-date lit(day) cast, and
+    # dynamic overwrite replaces exactly the dates present in the output
+    days_df = (
+        spark.read.parquet(table_path)
+        .filter(
+            F.col("log_date").cast("string").isin(sorted(changed))
         )
-        (
-            agg.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("log_date")
-            .parquet(rollup_path)
+    )
+    if "ingest_batch" in days_df.columns:
+        days_df = days_df.drop("ingest_batch")
+    agg = (
+        days_df.groupBy(
+            F.col("log_date").cast("date").alias("log_date"),
+            *[F.col(f"`{c}`") for c in group_cols],
         )
-        manifest[day] = fp
-        tmp = manifest_path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, manifest_path)
-        refreshed.append(day)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    (
+        agg.select(*[F.col(f"`{c}`") for c in group_cols], "n", "log_date")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("log_date")
+        .parquet(rollup_path)
+    )
+    manifest.update(changed)
+    tmp = manifest_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, manifest_path)
+    refreshed.extend(sorted(changed))
     return refreshed

@@ -7,6 +7,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Test sessions default to local[8] (r16): at test scale (sf0.001/0.01)
+# every Spark stage is fixed-cost-bound and 32 task threads just
+# multiply scheduling overhead — measured 1.29-1.37x faster suite
+# subsets at 8 cores (the driver's own 8-cpu bench shows the same
+# shape at sf0.1). setdefault BEFORE the package import: the engine
+# config reads SPARK_GRAFT_CPUS at import time. An explicit env (the
+# bench/driver contract) always wins.
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+
 from cloudwatch_sematext_aws_lambda_log_shipper_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
